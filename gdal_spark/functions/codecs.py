@@ -1,0 +1,190 @@
+"""Image codecs — the engine's "format drivers".
+
+GDAL dispatches bytes to one of ~115 raster drivers via its driver registry
+(frmts/gdalallregister.cpp, gcore/gdaldrivermanager.cpp). Here the registry
+is a plain dict keyed by the `fmt` column, and decode/encode run inside
+Arrow-batched UDFs (mapInPandas), so each executor decodes its partition's
+rows without any driver-side involvement.
+
+This container has NO image libraries (no Pillow/cv2), so:
+
+  * "png"  — a real, spec-compliant PNG codec in numpy + zlib (8-bit RGB,
+    filter 0 rows). Lossless: round-trips bit-exact.
+  * "jpeg" — a deterministic lossy STAND-IN ("QDCT"): 8x8 orthonormal
+    DCT-II, uniform quantization, zlib entropy stage. It is NOT JPEG
+    bytes; it reproduces JPEG's loss characteristics deterministically
+    (quant step q=4 → pixel RMSE ≈ q/sqrt(12) ≈ 1.15 → PSNR ≈ 47 dB,
+    comfortably over the 40 dB gate). The Spark-side plumbing (schema,
+    batching, registry dispatch) is exactly what a real JPEG decoder
+    would use; swap `qdct_*` for a lib codec on a real cluster.
+
+All functions operate on HxWx3 uint8 arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+QDCT_MAGIC = b"QDCT"
+DEFAULT_Q = 4.0
+
+# --------------------------------------------------------------------------
+# PNG (true PNG, RGB8, filter 0)
+# --------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, c = arr.shape
+    assert c == 3, f"png_encode expects RGB, got {c} channels"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per row
+    raw[:, 1:] = arr.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    assert data[:8] == PNG_SIG, "not a PNG"
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            assert depth == 8 and ctype == 2 and interlace == 0, "unsupported PNG flavor"
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub — sequential along the row
+            rec = line.copy()
+            for x in range(bpp, w * 3):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            rec = line.copy()
+            for x in range(w * 3):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line.copy()
+            for x in range(w * 3):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, 3)
+
+
+# --------------------------------------------------------------------------
+# QDCT — deterministic lossy stand-in for JPEG
+# --------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int = 8) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    mat = np.sqrt(2.0 / n) * np.cos(np.pi * (x + 0.5) * k / n)
+    mat[0] /= np.sqrt(2.0)
+    return mat
+
+
+_DCT8 = _dct_matrix(8)
+
+
+def _blockify(arr: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (edge-replicate) to multiples of 8 and return (blocks, H8, W8)."""
+    h, w = arr.shape
+    h8 = (h + 7) // 8 * 8
+    w8 = (w + 7) // 8 * 8
+    pad = np.pad(arr, ((0, h8 - h), (0, w8 - w)), mode="edge").astype(np.float64)
+    blocks = pad.reshape(h8 // 8, 8, w8 // 8, 8).transpose(0, 2, 1, 3)
+    return blocks, h8, w8
+
+
+def qdct_encode(arr: np.ndarray, q: float = DEFAULT_Q) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, c = arr.shape
+    coeffs = []
+    for ch in range(c):
+        blocks, _, _ = _blockify(arr[:, :, ch])
+        tf = np.einsum("ij,abjk,lk->abil", _DCT8, blocks - 128.0, _DCT8)
+        coeffs.append(np.round(tf / q).astype(np.int16))
+    payload = np.concatenate([cf.ravel() for cf in coeffs]).tobytes()
+    header = QDCT_MAGIC + struct.pack(">IIBf", w, h, c, float(q))
+    return header + zlib.compress(payload, 6)
+
+
+def qdct_decode(data: bytes) -> np.ndarray:
+    assert data[:4] == QDCT_MAGIC, "not QDCT"
+    w, h, c, q = struct.unpack(">IIBf", data[4:17])
+    h8 = (h + 7) // 8 * 8
+    w8 = (w + 7) // 8 * 8
+    n_per = (h8 // 8) * (w8 // 8) * 64
+    flat = np.frombuffer(zlib.decompress(data[17:]), dtype=np.int16).astype(np.float64)
+    out = np.empty((h, w, c), dtype=np.uint8)
+    for ch in range(c):
+        blocks = flat[ch * n_per : (ch + 1) * n_per].reshape(h8 // 8, w8 // 8, 8, 8) * q
+        spatial = np.einsum("ji,abjk,kl->abil", _DCT8, blocks, _DCT8)
+        img = spatial.transpose(0, 2, 1, 3).reshape(h8, w8) + 128.0
+        out[:, :, ch] = np.clip(np.round(img[:h, :w]), 0, 255).astype(np.uint8)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Registry (the "driver manager")
+# --------------------------------------------------------------------------
+
+DECODERS = {"png": png_decode, "jpeg": qdct_decode, "qdct": qdct_decode}
+ENCODERS = {"png": png_encode, "jpeg": qdct_encode, "qdct": qdct_encode}
+LOSSLESS = {"png"}
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    return DECODERS[fmt](bytes(data))
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    return ENCODERS[fmt](arr)

@@ -1,0 +1,129 @@
+"""Minimal WKB geometry I/O (numpy) — the wire format for geometry columns.
+
+Geometry travels through the engine as WKB bytes in BinaryType columns,
+exactly how OGR's Arrow path encodes it (ogr/ogrsf_frmts/generic/
+ogrlayerarrow.cpp — WKB geometry column in Arrow batches). Supported:
+Point, LineString, Polygon, MultiPolygon, little-endian, 2-D. Parsed
+representation: list of rings, each an (N,2) float64 array (first ring
+exterior, rest holes); multipolygon -> list of such lists.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+WKB_MULTIPOLYGON = 6
+
+
+def write_polygon(rings: list[np.ndarray]) -> bytes:
+    """rings: list of (N,2) arrays; rings need not be explicitly closed."""
+    out = [struct.pack("<BI", 1, WKB_POLYGON), struct.pack("<I", len(rings))]
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        out.append(struct.pack("<I", len(ring)))
+        out.append(ring.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def write_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
+    out = [struct.pack("<BI", 1, WKB_MULTIPOLYGON), struct.pack("<I", len(polys))]
+    for rings in polys:
+        out.append(write_polygon(rings))
+    return b"".join(out)
+
+
+def write_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def write_linestring(coords: np.ndarray) -> bytes:
+    coords = np.asarray(coords, dtype=np.float64)
+    return (
+        struct.pack("<BII", 1, WKB_LINESTRING, len(coords)) + coords.astype("<f8").tobytes()
+    )
+
+
+def _read_polygon_body(buf: bytes, pos: int) -> tuple[list[np.ndarray], int]:
+    (nrings,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    rings = []
+    for _ in range(nrings):
+        (npts,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        ring = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=pos).reshape(npts, 2)
+        rings.append(np.asarray(ring, dtype=np.float64))
+        pos += npts * 16
+    return rings, pos
+
+
+def parse(buf: bytes) -> tuple[int, object]:
+    """Parse WKB -> (geom_type, payload).
+
+    payload: Point -> (x, y); LineString -> (N,2) array;
+    Polygon -> [rings]; MultiPolygon -> [[rings], ...].
+    """
+    buf = bytes(buf)
+    byte_order, gtype = struct.unpack_from("<BI", buf, 0)
+    assert byte_order == 1, "big-endian WKB not supported"
+    gtype = gtype & 0xFF  # strip Z/M flags if any
+    pos = 5
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from("<dd", buf, pos)
+        return gtype, (x, y)
+    if gtype == WKB_LINESTRING:
+        (npts,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        arr = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=pos).reshape(npts, 2)
+        return gtype, np.asarray(arr)
+    if gtype == WKB_POLYGON:
+        rings, _ = _read_polygon_body(buf, pos)
+        return gtype, rings
+    if gtype == WKB_MULTIPOLYGON:
+        (npolys,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        polys = []
+        for _ in range(npolys):
+            pos += 5  # inner byte-order + type
+            rings, pos = _read_polygon_body(buf, pos)
+            polys.append(rings)
+        return gtype, polys
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def polygon_rings(buf: bytes) -> list[list[np.ndarray]]:
+    """Normalize Polygon/MultiPolygon WKB to a list of polygons (ring lists)."""
+    gtype, payload = parse(buf)
+    if gtype == WKB_POLYGON:
+        return [payload]
+    if gtype == WKB_MULTIPOLYGON:
+        return payload
+    raise ValueError(f"not a polygon: type {gtype}")
+
+
+def bbox(buf: bytes) -> tuple[float, float, float, float]:
+    gtype, payload = parse(buf)
+    if gtype == WKB_POINT:
+        x, y = payload
+        return x, y, x, y
+    if gtype == WKB_LINESTRING:
+        return (
+            float(payload[:, 0].min()),
+            float(payload[:, 1].min()),
+            float(payload[:, 0].max()),
+            float(payload[:, 1].max()),
+        )
+    polys = [payload] if gtype == WKB_POLYGON else payload
+    ext = np.vstack([rings[0] for rings in polys])
+    return (
+        float(ext[:, 0].min()),
+        float(ext[:, 1].min()),
+        float(ext[:, 0].max()),
+        float(ext[:, 1].max()),
+    )
