@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query on /root/testdata/sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-runnable ANSI SQL twins (same column names; the
+                 driver compares row count + schema + order-insensitive
+                 value hash at sf0.01).
 """
 
 from __future__ import annotations
@@ -13,26 +13,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cell-indexed point-in-polygon spatial join + per-polygon
+    counts over sf0.001 (points derived from lineitem, boxes from nation),
+    exercising cover_cells explode, bbox prefilter, vectorized ray-casting
+    PIP UDF, and aggregation."""
+    from gdal_spark.queries.spatial_sql import cell_pip_join
+
+    return cell_pip_join(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gdal_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gdal_spark.queries import all_oracles
+
+    return all_oracles()

@@ -122,6 +122,21 @@ def quadkey(tx: Column, ty_tms: Column, zoom: int) -> Column:
     return F.concat(*digits)
 
 
+def quadkey_num(tx: Column, ty_tms: Column, zoom: int) -> Column:
+    """QuadKey packed as a base-4 integer (digit stream -> int64) — the
+    numeric form used as a sort/partition key and in SQL oracles."""
+    ty = tms_to_xyz(ty_tms, zoom)
+    acc = F.lit(0).cast("long")
+    for i in range(zoom, 0, -1):
+        mask = 1 << (i - 1)
+        digit = (
+            F.when(tx.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(0))
+            + F.when(ty.bitwiseAND(F.lit(mask)) != 0, F.lit(2)).otherwise(F.lit(0))
+        )
+        acc = acc * F.lit(4) + digit
+    return acc
+
+
 # --------------------------------------------------------------------------
 # Plain-Python twins (unit-test oracle; also used driver-side for zoom picks)
 # --------------------------------------------------------------------------

@@ -1,0 +1,26 @@
+"""Driver-contract query catalog.
+
+Each module exposes SPARK (name -> fn(spark, sf_dir) -> DataFrame) and
+ORACLE (name -> DuckDB SQL). Column names are aliased identically on both
+sides (the driver sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from gdal_spark.queries import raster_entries, relational, similarity, spatial_sql, textops
+
+MODULES = [relational, spatial_sql, textops, similarity, raster_entries]
+
+
+def all_queries():
+    out = {}
+    for m in MODULES:
+        out.update(m.SPARK)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in MODULES:
+        out.update(m.ORACLE)
+    return out

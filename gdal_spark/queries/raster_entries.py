@@ -1,0 +1,97 @@
+"""Raster/image pipeline entries (rows-only driver checks; exact
+correctness is covered by pytest goldens — numpy oracles — since pixel
+kernels aren't expressible in DuckDB SQL).
+
+Inputs are the deterministic synthetic `images`/`polygons` fixtures
+(datagen.py, seed 42) — the canonical input_hint table shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark import datagen
+from gdal_spark.operators import spatial_join as SJ
+
+N_IMAGES = 64
+N_POLYGONS = 16
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cks_r", T.IntegerType()),
+        T.StructField("cks_g", T.IntegerType()),
+        T.StructField("cks_b", T.IntegerType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("psnr_ok", T.BooleanType()),
+        T.StructField("caption_ok", T.BooleanType()),
+        T.StructField("phash_ok", T.BooleanType()),
+    ]
+)
+
+
+def images_decode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every image, per-band GDAL checksum, lossy round-trip PSNR
+    gate (>=40 dB), caption + phash integrity — the per-row invariant from
+    BASELINE.json input_hint."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs, quality
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(r.bytes, r.fmt)
+                cks = CK.checksum_image(arr)
+                rt = codecs.decode_image(codecs.encode_image(arr, r.fmt), r.fmt)
+                p = quality.psnr(arr, rt)
+                ok = bool(np.array_equal(arr, rt)) if r.fmt in codecs.LOSSLESS else p >= 40.0
+                i = int(r.image_id[3:])
+                _, _, _, expected_caption = datagen.row_meta(i)
+                ph = quality.phash64(arr)
+                rows.append(
+                    (
+                        r.image_id, cks[0], cks[1], cks[2],
+                        float(min(p, 999.0)), ok,
+                        r.caption == expected_caption, ph == r.phash,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _DECODE_SCHEMA.fields])
+
+    imgs = datagen.images_df(spark, N_IMAGES, with_pixels=True)
+    return imgs.mapInPandas(run, _DECODE_SCHEMA)
+
+
+def images_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: images footprints x polygon layer, center-within
+    ray-casting join, counts per polygon (pytest checks vs numpy oracle)."""
+    imgs = datagen.with_footprint(datagen.images_df(spark, 512, with_pixels=False))
+    polys = datagen.polygons_df(spark, N_POLYGONS)
+    return SJ.count_per_polygon(
+        SJ.spatial_join(imgs, polys, res=5, predicate="center_within", broadcast_polygons=True)
+    ).orderBy("poly_id")
+
+
+def images_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint-bbox x polygon exact intersects (layer-algebra
+    Intersection pair enumeration, ogrlayer.cpp:5385 semantics)."""
+    imgs = datagen.with_footprint(datagen.images_df(spark, 256, with_pixels=False))
+    polys = datagen.polygons_df(spark, N_POLYGONS)
+    j = SJ.spatial_join(imgs, polys, res=5, predicate="intersects", broadcast_polygons=True)
+    return j.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_images")).orderBy("poly_id")
+
+
+SPARK = {
+    "images_decode_checksum": images_decode_checksum,
+    "images_spatial_join": images_spatial_join,
+    "images_intersects_join": images_intersects_join,
+}
+
+ORACLE: dict[str, str] = {}
