@@ -1,0 +1,474 @@
+"""Pure-numpy raster kernels — the per-partition compute layer for M4.
+
+These re-derive the semantics of GDAL's raster algorithms (cited per
+function) as vectorized numpy; they run inside Arrow-batched UDFs
+(mapInPandas / applyInPandas), never per-row Python over pixels.
+
+Pixel-space convention (matches GDAL): pixel (row r, col c) covers
+[c, c+1) x [r, r+1) with CENTER at (c+0.5, r+0.5); a 6-coeff affine
+geotransform maps pixel -> geo: Xgeo = gt0 + px*gt1 + py*gt2,
+Ygeo = gt3 + px*gt4 + py*gt5 (gcore/gdal_geotransform.h, used in
+gdal2tiles.py:2977-2980). North-up rasters: gt2 == gt4 == 0, gt5 < 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Geotransform helpers
+# --------------------------------------------------------------------------
+
+
+def gt_pixel_to_geo(gt: tuple, px, py):
+    """Affine pixel->geo (gcore/gdal_geotransform.h semantics)."""
+    return gt[0] + px * gt[1] + py * gt[2], gt[3] + px * gt[4] + py * gt[5]
+
+
+def gt_geo_to_pixel(gt: tuple, gx, gy):
+    """Inverse affine (north-up fast path; general 2x2 inverse otherwise)."""
+    det = gt[1] * gt[5] - gt[2] * gt[4]
+    dx, dy = gx - gt[0], gy - gt[3]
+    return (dx * gt[5] - dy * gt[2]) / det, (dy * gt[1] - dx * gt[4]) / det
+
+
+# --------------------------------------------------------------------------
+# Resampling (nearest + bilinear — the two the north rule requires;
+# alg/gdalwarper.h:37-67 enumerates the full GDAL set)
+# --------------------------------------------------------------------------
+
+
+def resample_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """GRA_NearestNeighbour: sample at output-pixel centers mapped back to
+    source (alg/gdalwarpkernel.cpp nearest kernels' coordinate convention)."""
+    h, w = arr.shape[:2]
+    sy = ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64).clip(0, h - 1)
+    sx = ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64).clip(0, w - 1)
+    return arr[sy[:, None], sx[None, :]]
+
+
+def resample_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """GRA_Bilinear: 2x2 weighted gather at back-mapped centers with edge
+    clamping (alg/gdalwarpkernel.cpp GWKBilinear* semantics)."""
+    h, w = arr.shape[:2]
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    return _bilinear_gather(arr, fx[None, :].repeat(out_h, 0), fy[:, None].repeat(out_w, 1))
+
+
+def _bilinear_gather(arr: np.ndarray, fx: np.ndarray, fy: np.ndarray) -> np.ndarray:
+    """Sample arr at fractional pixel-index coords (fx, fy) bilinearly.
+
+    fx/fy are arrays of identical shape giving source x/y indices (center
+    convention already removed: integer k means center of pixel k).
+    Out-of-range coords clamp to the edge (GDAL clamps source windows,
+    alg/gdalwarpoperation.cpp:1496 ComputeSourceWindow padding).
+    """
+    h, w = arr.shape[:2]
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    tx = fx - x0
+    ty = fy - y0
+    x0c = x0.clip(0, w - 1)
+    x1c = (x0 + 1).clip(0, w - 1)
+    y0c = y0.clip(0, h - 1)
+    y1c = (y0 + 1).clip(0, h - 1)
+    if arr.ndim == 3:
+        tx = tx[..., None]
+        ty = ty[..., None]
+    a = arr[y0c, x0c].astype(np.float64)
+    b = arr[y0c, x1c].astype(np.float64)
+    c = arr[y1c, x0c].astype(np.float64)
+    d = arr[y1c, x1c].astype(np.float64)
+    top = a + (b - a) * tx
+    bot = c + (d - c) * tx
+    out = top + (bot - top) * ty
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        return np.clip(np.round(out), info.min, info.max).astype(arr.dtype)
+    return out.astype(arr.dtype)
+
+
+def block_reduce(arr: np.ndarray, fy: int, fx: int, method: str = "average") -> np.ndarray:
+    """Integer-factor downsample — the overview kernel set
+    (gcore/overview.cpp: near :85-219, average/RMS :1204, mode).
+
+    Pads by edge replication when shape isn't a multiple of the factor
+    (GDAL clamps the partial edge window the same way).
+    """
+    h, w = arr.shape[:2]
+    ph = (-h) % fy
+    pw = (-w) % fx
+    if ph or pw:
+        pad = [(0, ph), (0, pw)] + [(0, 0)] * (arr.ndim - 2)
+        arr = np.pad(arr, pad, mode="edge")
+    hh, ww = arr.shape[0] // fy, arr.shape[1] // fx
+    tail = arr.shape[2:]
+    blocks = arr.reshape(hh, fy, ww, fx, *tail)
+    if method == "near":
+        return blocks[:, fy // 2, :, fx // 2]
+    vals = blocks.astype(np.float64)
+    if method == "average":
+        out = vals.mean(axis=(1, 3))
+    elif method == "rms":
+        out = np.sqrt((vals**2).mean(axis=(1, 3)))
+    elif method == "max":
+        out = vals.max(axis=(1, 3))
+    elif method == "min":
+        out = vals.min(axis=(1, 3))
+    elif method == "sum":
+        out = vals.sum(axis=(1, 3))
+    elif method == "mode":
+        flat = blocks.reshape(hh, fy, ww, fx, -1).transpose(0, 2, 4, 1, 3).reshape(hh, ww, -1, fy * fx)
+        srt = np.sort(flat, axis=-1)
+        best_count = np.zeros(srt.shape[:-1], dtype=np.int64)
+        best_val = srt[..., 0].copy()
+        run = np.ones(srt.shape[:-1], dtype=np.int64)
+        for k in range(1, fy * fx):
+            same = srt[..., k] == srt[..., k - 1]
+            run = np.where(same, run + 1, 1)
+            better = run > best_count
+            best_count = np.where(better, run, best_count)
+            best_val = np.where(better, srt[..., k], best_val)
+        out = best_val.reshape(hh, ww, *tail) if tail else best_val.reshape(hh, ww)
+        return out.astype(arr.dtype)
+    else:
+        raise ValueError(f"unknown reduce method {method}")
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        return np.clip(np.round(out), info.min, info.max).astype(arr.dtype)
+    return out.astype(arr.dtype)
+
+
+# --------------------------------------------------------------------------
+# geo_query — source-window math from gdal2tiles (border clamping)
+# --------------------------------------------------------------------------
+
+
+def geo_query(
+    gt: tuple, raster_w: int, raster_h: int,
+    ulx: float, uly: float, lrx: float, lry: float,
+    querysize: int = 0,
+) -> tuple[tuple[int, int, int, int], tuple[int, int, int, int]]:
+    """Port of gdal2tiles.GDAL2Tiles.geo_query (gdal2tiles.py:2968-3010):
+    for a target geo window, compute the source read window (rx,ry,rxsize,
+    rysize) and where it lands in the output buffer (wx,wy,wxsize,wysize),
+    clamping at raster borders so edge tiles get partial reads placed at
+    the correct offset.
+    """
+    rx = int((ulx - gt[0]) / gt[1] + 0.001)
+    ry = int((uly - gt[3]) / gt[5] + 0.001)
+    rxsize = max(1, int((lrx - ulx) / gt[1] + 0.5))
+    rysize = max(1, int((lry - uly) / gt[5] + 0.5))
+
+    if not querysize:
+        wxsize, wysize = rxsize, rysize
+    else:
+        wxsize, wysize = querysize, querysize
+
+    wx = 0
+    if rx < 0:
+        rxshift = abs(rx)
+        wx = int(wxsize * (float(rxshift) / rxsize))
+        wxsize = wxsize - wx
+        rxsize = rxsize - int(rxsize * (float(rxshift) / rxsize))
+        rx = 0
+    if rx + rxsize > raster_w:
+        wxsize = int(wxsize * (float(raster_w - rx) / rxsize))
+        rxsize = raster_w - rx
+
+    wy = 0
+    if ry < 0:
+        ryshift = abs(ry)
+        wy = int(wysize * (float(ryshift) / rysize))
+        wysize = wysize - wy
+        rysize = rysize - int(rysize * (float(ryshift) / rysize))
+        ry = 0
+    if ry + rysize > raster_h:
+        wysize = int(wysize * (float(raster_h - ry) / rysize))
+        rysize = raster_h - ry
+
+    return (rx, ry, rxsize, rysize), (wx, wy, wxsize, wysize)
+
+
+# --------------------------------------------------------------------------
+# Scanline polygon rasterization (alg/llrasterize.cpp:197 — sorted even-odd
+# crossings; the dual of ray-casting PIP)
+# --------------------------------------------------------------------------
+
+
+def rasterize_rings(
+    rings: list[np.ndarray], h: int, w: int, gt: tuple | None = None
+) -> np.ndarray:
+    """Even-odd scanline fill -> bool mask (h, w).
+
+    A pixel is burned iff its CENTER is inside the polygon (rings[0]
+    exterior, rest holes — even-odd handles both uniformly, exactly like
+    gvBurnScanline's crossing pairs in alg/llrasterize.cpp). Matches the
+    PIP kernel (functions/geom.py points_in_ring) at every pixel center by
+    construction, which the tests exploit as an internal oracle.
+    """
+    # polygon verts in pixel coords
+    segs = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        if gt is not None:
+            px, py = gt_geo_to_pixel(gt, r[:, 0], r[:, 1])
+            r = np.column_stack([px, py])
+        segs.append(r)
+    x1 = np.concatenate([r[:-1, 0] for r in segs])
+    y1 = np.concatenate([r[:-1, 1] for r in segs])
+    x2 = np.concatenate([r[1:, 0] for r in segs])
+    y2 = np.concatenate([r[1:, 1] for r in segs])
+
+    yc = np.arange(h, dtype=np.float64) + 0.5  # scanline = row of pixel centers
+    Y1, Y2 = y1[:, None], y2[:, None]
+    crosses = ((Y1 <= yc) & (yc < Y2)) | ((Y2 <= yc) & (yc < Y1))
+    dy = np.where(y2 - y1 == 0.0, 1.0, y2 - y1)[:, None]
+    xint = np.where(crosses, x1[:, None] + (yc - Y1) * (x2 - x1)[:, None] / dy, np.inf)
+    xs = np.sort(xint, axis=0)  # per-row sorted crossings, inf-padded
+
+    # fill spans between crossing pairs via +1/-1 deltas and a cumsum
+    delta = np.zeros((h, w + 1), dtype=np.int32)
+    npairs = xs.shape[0] // 2
+    rows = np.arange(h)
+    for k in range(npairs):
+        x0 = xs[2 * k]
+        x1p = xs[2 * k + 1]
+        valid = np.isfinite(x1p)
+        if not valid.any():
+            break
+        start = np.ceil(np.nan_to_num(x0, posinf=w) - 0.5).astype(np.int64).clip(0, w)
+        end = np.ceil(np.nan_to_num(x1p, posinf=w) - 0.5).astype(np.int64).clip(0, w)
+        vr = rows[valid & (end > start)]
+        np.add.at(delta, (vr, start[valid & (end > start)]), 1)
+        np.add.at(delta, (vr, end[valid & (end > start)]), -1)
+    return np.cumsum(delta[:, :-1], axis=1) > 0
+
+
+def rasterize_burn(
+    shapes: list[tuple[list[np.ndarray], float]],
+    h: int, w: int, gt: tuple | None = None,
+    merge_add: bool = False, init: float = 0.0, dtype=np.float64,
+) -> np.ndarray:
+    """GDALRasterizeGeometries core loop (alg/gdalrasterize.cpp:999):
+    burn each (rings, value) into one array; MERGE_ALG=ADD accumulates
+    (alg/gdalrasterize.cpp GDALBurnValues merge semantics), otherwise
+    later shapes overwrite (painter's order)."""
+    out = np.full((h, w), init, dtype=dtype)
+    for rings, val in shapes:
+        mask = rasterize_rings(rings, h, w, gt)
+        if merge_add:
+            out[mask] += val
+        else:
+            out[mask] = val
+    return out
+
+
+# --------------------------------------------------------------------------
+# Connected-component labeling (alg/gdalrasterpolygonenumerator.cpp:75-215 —
+# two-pass scanline enumeration with a merge table)
+# --------------------------------------------------------------------------
+
+
+def label_components(values: np.ndarray, connect: int = 4, mask: np.ndarray | None = None) -> np.ndarray:
+    """Label connected regions of EQUAL-VALUED pixels (4- or 8-connected).
+
+    Returns int64 labels (h, w), -1 where masked out. Same contract as
+    GDALRasterPolygonEnumerator: runs of equal value per scanline get
+    provisional ids, overlapping equal-valued runs of the previous line
+    are merged via a union-find table (ProcessLine + MergePolygon).
+    """
+    h, w = values.shape
+    if mask is None:
+        mask = np.ones((h, w), dtype=bool)
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    labels = np.full((h, w), -1, dtype=np.int64)
+    prev_runs: list[tuple[int, int, object, int]] = []  # (start, end, value, run_id)
+    for r in range(h):
+        row_vals = values[r]
+        row_mask = mask[r]
+        # run boundaries: value change or mask change
+        if w == 0:
+            continue
+        change = np.empty(w, dtype=bool)
+        change[0] = True
+        change[1:] = (row_vals[1:] != row_vals[:-1]) | (row_mask[1:] != row_mask[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], w)
+        runs = []
+        for s, e in zip(starts, ends):
+            if not row_mask[s]:
+                continue
+            v = row_vals[s]
+            rid = len(parent)
+            parent.append(rid)
+            # merge with overlapping prev-row runs of the same value
+            for ps, pe, pv, prid in prev_runs:
+                if pv != v:
+                    continue
+                if connect == 4:
+                    overlap = ps < e and s < pe
+                else:  # 8-connected: diagonal touch counts
+                    overlap = ps < e + 1 and s < pe + 1
+                if overlap:
+                    union(rid, prid)
+            runs.append((int(s), int(e), v, rid))
+            labels[r, s:e] = rid
+        prev_runs = runs
+
+    if not parent:
+        return labels
+    # resolve union-find to dense labels
+    roots = np.array([find(i) for i in range(len(parent))], dtype=np.int64)
+    uniq, dense = np.unique(roots, return_inverse=True)
+    flat = labels.ravel()
+    ok = flat >= 0
+    flat[ok] = dense[flat[ok]]
+    return labels
+
+
+# --------------------------------------------------------------------------
+# Ring tracing: labeled region -> pixel-edge polygon rings
+# (alg/polygonize_polygonizer.cpp ring assembly semantics)
+# --------------------------------------------------------------------------
+
+
+def region_rings(region_mask: np.ndarray) -> list[np.ndarray]:
+    """Trace the boundary of a pixel region into closed rings.
+
+    Emits every boundary unit-edge oriented with the region interior on
+    the LEFT (walking direction), then chains edges into rings, choosing
+    the leftmost turn at 4-way corner vertices (keeps rings simple —
+    the polygonizer's arc-following rule). Output rings are in pixel
+    coords (x=col, y=row, y down); first = exterior (largest |area|).
+    """
+    h, w = region_mask.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = region_mask
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    rs, cs = np.nonzero(region_mask)
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        if not pad[r, c + 1]:  # top neighbor out -> edge left->right along y=r
+            add((c, r), (c + 1, r))
+        if not pad[r + 2, c + 1]:  # bottom out -> right->left along y=r+1
+            add((c + 1, r + 1), (c, r + 1))
+        if not pad[r + 1, c]:  # left out -> bottom->top along x=c
+            add((c, r + 1), (c, r))
+        if not pad[r + 1, c + 2]:  # right out -> top->bottom along x=c+1
+            add((c + 1, r), (c + 1, r + 1))
+
+    rings: list[np.ndarray] = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        cur = start
+        prev_dir = None
+        while True:
+            outs = edges[cur]
+            if len(outs) == 1 or prev_dir is None:
+                nxt = outs.pop(0)
+            else:
+                # leftmost turn relative to incoming direction
+                def turn_key(cand):
+                    d = (cand[0] - cur[0], cand[1] - cur[1])
+                    cross = prev_dir[0] * d[1] - prev_dir[1] * d[0]
+                    dot = prev_dir[0] * d[0] + prev_dir[1] * d[1]
+                    return np.arctan2(cross, dot)
+                outs.sort(key=turn_key)
+                nxt = outs.pop(0)
+            if not outs:
+                del edges[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            if cur == start:
+                break
+            ring.append(cur)
+        arr = np.array(ring + [ring[0]], dtype=np.float64)
+        # collapse collinear runs
+        d = np.diff(arr, axis=0)
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:-1] = (d[1:, 0] != d[:-1, 0]) | (d[1:, 1] != d[:-1, 1])
+        rings.append(arr[keep])
+
+    rings.sort(key=lambda rr: -abs(_shoelace(rr)))
+    return rings
+
+
+def _shoelace(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+# --------------------------------------------------------------------------
+# DEM focal operators (apps/gdaldem_lib.cpp:203 ComputeVal — Horn 3x3
+# stencils with edge replication)
+# --------------------------------------------------------------------------
+
+
+def _horn_gradients(dem: np.ndarray, xres: float, yres: float):
+    z = np.pad(dem.astype(np.float64), 1, mode="edge")
+    a = z[:-2, :-2]; b = z[:-2, 1:-1]; c = z[:-2, 2:]
+    d = z[1:-1, :-2];                  f = z[1:-1, 2:]
+    g = z[2:, :-2];  hh = z[2:, 1:-1]; i = z[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * xres)
+    dzdy = ((g + 2 * hh + i) - (a + 2 * b + c)) / (8.0 * yres)
+    return dzdx, dzdy
+
+
+def hillshade(
+    dem: np.ndarray, xres: float = 1.0, yres: float = 1.0,
+    azimuth: float = 315.0, altitude: float = 45.0, zfactor: float = 1.0,
+) -> np.ndarray:
+    """Horn hillshade (apps/gdaldem_lib.cpp:809-1086 GDALHillshadeAlg):
+    255 * (cos(zenith)cos(slope) + sin(zenith)sin(slope)cos(az - aspect))."""
+    dzdx, dzdy = _horn_gradients(dem * zfactor, xres, yres)
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    # downslope-facing azimuth, degrees CW from north (same convention as
+    # aspect_deg below); a face is brightest when it faces the light azimuth
+    aspect = np.arctan2(dzdy, -dzdx)  # math angle of descent direction
+    aspect_from_north = np.pi / 2 - aspect
+    alt = np.deg2rad(altitude)
+    az = np.deg2rad(azimuth)
+    shaded = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(
+        az - aspect_from_north
+    )
+    return np.clip(np.round(255.0 * np.maximum(shaded, 0.0)), 0, 255).astype(np.uint8)
+
+
+def slope_deg(dem: np.ndarray, xres: float = 1.0, yres: float = 1.0) -> np.ndarray:
+    """Slope in degrees (gdaldem_lib.cpp GDALSlopeHornAlg)."""
+    dzdx, dzdy = _horn_gradients(dem, xres, yres)
+    return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+
+
+def aspect_deg(dem: np.ndarray, xres: float = 1.0, yres: float = 1.0) -> np.ndarray:
+    """Aspect: azimuth the slope faces, degrees CW from north
+    (gdaldem_lib.cpp GDALAspectAlg), flat -> -9999."""
+    dzdx, dzdy = _horn_gradients(dem, xres, yres)
+    asp = np.degrees(np.arctan2(dzdy, -dzdx))
+    out = 90.0 - asp
+    out = np.where(out < 0, out + 360.0, out)
+    out = np.where(out >= 360.0, out - 360.0, out)
+    flat = (dzdx == 0) & (dzdy == 0)
+    return np.where(flat, -9999.0, out)
