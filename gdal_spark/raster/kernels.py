@@ -350,34 +350,11 @@ def label_components(values: np.ndarray, connect: int = 4, mask: np.ndarray | No
 # --------------------------------------------------------------------------
 
 
-def region_rings(region_mask: np.ndarray) -> list[np.ndarray]:
-    """Trace the boundary of a pixel region into closed rings.
-
-    Emits every boundary unit-edge oriented with the region interior on
-    the LEFT (walking direction), then chains edges into rings, choosing
-    the leftmost turn at 4-way corner vertices (keeps rings simple —
-    the polygonizer's arc-following rule). Output rings are in pixel
-    coords (x=col, y=row, y down); first = exterior (largest |area|).
-    """
-    h, w = region_mask.shape
-    pad = np.zeros((h + 2, w + 2), dtype=bool)
-    pad[1:-1, 1:-1] = region_mask
-    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
-
-    def add(a, b):
-        edges.setdefault(a, []).append(b)
-
-    rs, cs = np.nonzero(region_mask)
-    for r, c in zip(rs.tolist(), cs.tolist()):
-        if not pad[r, c + 1]:  # top neighbor out -> edge left->right along y=r
-            add((c, r), (c + 1, r))
-        if not pad[r + 2, c + 1]:  # bottom out -> right->left along y=r+1
-            add((c + 1, r + 1), (c, r + 1))
-        if not pad[r + 1, c]:  # left out -> bottom->top along x=c
-            add((c, r + 1), (c, r))
-        if not pad[r + 1, c + 2]:  # right out -> top->bottom along x=c+1
-            add((c + 1, r), (c + 1, r + 1))
-
+def _chain_edges(edges: dict[tuple[int, int], list[tuple[int, int]]]) -> list[np.ndarray]:
+    """Chain directed unit edges (interior-on-left orientation) into closed
+    rings, taking the leftmost turn at 4-way corner vertices (the
+    polygonizer's arc-following rule). Consumes `edges`. Rings come back
+    closed, collinear runs collapsed, sorted by |area| descending."""
     rings: list[np.ndarray] = []
     while edges:
         start = next(iter(edges))
@@ -413,6 +390,74 @@ def region_rings(region_mask: np.ndarray) -> list[np.ndarray]:
 
     rings.sort(key=lambda rr: -abs(_shoelace(rr)))
     return rings
+
+
+def region_rings(region_mask: np.ndarray, x_off: int = 0, y_off: int = 0) -> list[np.ndarray]:
+    """Trace the boundary of a pixel region into closed rings
+    (alg/polygonize_polygonizer.cpp ring-assembly semantics).
+
+    Emits every boundary unit-edge oriented with the region interior on
+    the LEFT of the walking direction, then chains them via _chain_edges.
+    Output rings are in pixel coords (x=col+x_off, y=row+y_off, y down);
+    first ring = exterior (largest |area|).
+    """
+    h, w = region_mask.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = region_mask
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    rs, cs = np.nonzero(region_mask)
+    for r0, c0 in zip(rs.tolist(), cs.tolist()):
+        r, c = r0 + y_off, c0 + x_off
+        if not pad[r0, c0 + 1]:  # top neighbor out -> left->right along y=r
+            add((c, r), (c + 1, r))
+        if not pad[r0 + 2, c0 + 1]:  # bottom out -> right->left along y=r+1
+            add((c + 1, r + 1), (c, r + 1))
+        if not pad[r0 + 1, c0]:  # left out -> bottom->top along x=c
+            add((c, r + 1), (c, r))
+        if not pad[r0 + 1, c0 + 2]:  # right out -> top->bottom along x=c+1
+            add((c + 1, r), (c + 1, r + 1))
+    return _chain_edges(edges)
+
+
+def merge_rings(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
+    """Merge the ring sets of regions that have been unioned across tile
+    boundaries (the polygonize cross-tile reduce): explode every ring into
+    directed unit edges, cancel opposite-direction pairs (shared tile-edge
+    segments traversed once per side, interior-left each time), re-chain.
+
+    Rings must be axis-aligned with integer vertices (pixel-edge rings),
+    which is what region_rings produces.
+    """
+    count: dict[tuple[tuple[int, int], tuple[int, int]], int] = {}
+    for rings in ring_sets:
+        for ring in rings:
+            r = np.asarray(ring)
+            for k in range(len(r) - 1):
+                ax, ay = int(r[k, 0]), int(r[k, 1])
+                bx, by = int(r[k + 1, 0]), int(r[k + 1, 1])
+                dx = (bx > ax) - (bx < ax)
+                dy = (by > ay) - (by < ay)
+                n = abs(bx - ax) + abs(by - ay)
+                x, y = ax, ay
+                for _ in range(n):
+                    e = ((x, y), (x + dx, y + dy))
+                    rev = (e[1], e[0])
+                    if count.get(rev, 0) > 0:
+                        count[rev] -= 1
+                        if count[rev] == 0:
+                            del count[rev]
+                    else:
+                        count[e] = count.get(e, 0) + 1
+                    x, y = x + dx, y + dy
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for (a, b), cnt in count.items():
+        for _ in range(cnt):
+            edges.setdefault(a, []).append(b)
+    return _chain_edges(edges)
 
 
 def _shoelace(ring: np.ndarray) -> float:

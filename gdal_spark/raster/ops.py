@@ -1,0 +1,156 @@
+"""Per-image raster operators (gdal_translate / gdaldem / overview family).
+
+Design: every operator is a NARROW map over the canonical images schema
+(image_id, bytes, w, h, fmt, ...) via Arrow-batched mapInPandas — decode,
+numpy kernel, re-encode, no shuffle, no driver involvement. Operators
+compose like GDAL datasets chain through a pipeline (a GDALDataset in,
+a GDALDataset out; apps/gdalalg_abstract_pipeline.cpp:2377 step loop).
+At 100 TB this is the ideal Spark shape: whole-stage narrow lineage,
+partition-local decode, Arrow transfer only at the Python boundary.
+
+Reference semantics:
+  * translate: -srcwin / -outsize / -scale / band select
+    (apps/gdal_translate_lib.cpp:711-962).
+  * overview: integer-factor downsample kernels (gcore/overview.cpp).
+  * DEM ops: Horn stencils (apps/gdaldem_lib.cpp:203).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+CHECKSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cks_r", T.IntegerType()),
+        T.StructField("cks_g", T.IntegerType()),
+        T.StructField("cks_b", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+    ]
+)
+
+
+def _map_images(df: DataFrame, pixel_fn, out_fmt: str | None = None) -> DataFrame:
+    """Lift arr -> arr onto the images table (decode -> kernel -> encode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(r.bytes, r.fmt)
+                out = pixel_fn(arr)
+                if out.ndim == 2:
+                    out = np.repeat(out[:, :, None], 3, axis=2)
+                out = out.astype(np.uint8)
+                fmt = out_fmt or r.fmt
+                rows.append(
+                    (r.image_id, codecs.encode_image(out, fmt),
+                     out.shape[1], out.shape[0], fmt)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA.fields])
+
+    return df.mapInPandas(run, IMAGE_SCHEMA)
+
+
+def translate(
+    df: DataFrame,
+    srcwin: tuple[int, int, int, int] | None = None,
+    outsize: tuple[int, int] | None = None,
+    resample: str = "near",
+    bands: list[int] | None = None,
+    scale: tuple[float, float, float, float] | None = None,
+    out_fmt: str | None = None,
+) -> DataFrame:
+    """gdal_translate core: window -> band select -> rescale -> resize.
+
+    srcwin=(xoff, yoff, xsize, ysize) in pixels (gdal_translate_lib.cpp
+    -srcwin, clamped at borders); outsize=(out_w, out_h); scale=(src_min,
+    src_max, dst_min, dst_max) linear stretch (-scale); bands = 0-based
+    band pick list (-b, duplicates allowed).
+    """
+    from gdal_spark.raster import kernels as K
+
+    def fn(arr: np.ndarray) -> np.ndarray:
+        if srcwin is not None:
+            x0, y0, xs, ys = srcwin
+            x0c, y0c = max(0, x0), max(0, y0)
+            arr = arr[y0c : min(arr.shape[0], y0 + ys), x0c : min(arr.shape[1], x0 + xs)]
+        if bands is not None:
+            arr = arr[:, :, bands]
+        out = arr.astype(np.float64)
+        if scale is not None:
+            smin, smax, dmin, dmax = scale
+            out = (out - smin) / (smax - smin) * (dmax - dmin) + dmin
+        if outsize is not None:
+            ow, oh = outsize
+            if resample == "bilinear":
+                out = K.resample_bilinear(out, oh, ow)
+            else:
+                out = K.resample_nearest(out, oh, ow)
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    return _map_images(df, fn, out_fmt)
+
+
+def overview(df: DataFrame, factor: int, method: str = "average") -> DataFrame:
+    """One overview level: integer-factor downsample (gcore/overview.cpp
+    GDALRegenerateOverviewsEx kernel set)."""
+    from gdal_spark.raster import kernels as K
+
+    return _map_images(df, lambda a: K.block_reduce(a, factor, factor, method))
+
+
+def _luma(arr: np.ndarray) -> np.ndarray:
+    """Rec.601 luma as the DEM proxy for 3-band inputs."""
+    return 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+
+
+def dem_hillshade(df: DataFrame, azimuth: float = 315.0, altitude: float = 45.0,
+                  zfactor: float = 1.0) -> DataFrame:
+    from gdal_spark.raster import kernels as K
+
+    return _map_images(df, lambda a: K.hillshade(_luma(a), azimuth=azimuth,
+                                                 altitude=altitude, zfactor=zfactor))
+
+
+def dem_slope(df: DataFrame) -> DataFrame:
+    from gdal_spark.raster import kernels as K
+
+    return _map_images(df, lambda a: np.clip(K.slope_deg(_luma(a)) / 90.0 * 255.0, 0, 255))
+
+
+def checksums(df: DataFrame) -> DataFrame:
+    """Per-band GDALChecksumImage (alg/gdalchecksum.cpp:48) — the golden
+    oracle column for every raster op's test."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(r.bytes, r.fmt)
+                c = CK.checksum_image(arr)
+                rows.append((r.image_id, c[0], c[1], c[2], arr.shape[1], arr.shape[0]))
+            yield pd.DataFrame(rows, columns=[f.name for f in CHECKSUM_SCHEMA.fields])
+
+    return df.mapInPandas(run, CHECKSUM_SCHEMA)
