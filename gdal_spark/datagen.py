@@ -50,8 +50,11 @@ def footprint_np(i: np.ndarray) -> dict[str, np.ndarray]:
     hot = (i % 5.0) == 0.0
     lon_c = np.where(hot, HOT_LON0 + (i * PHI_LON) % 1.0, -180.0 + (i * PHI_LON) % 360.0)
     lat_c = np.where(hot, HOT_LAT0 + (i * PHI_LAT) % 1.0, -85.0 + (i * PHI_LAT) % 170.0)
-    dlon = 0.01 + (i * 0.37) % 0.49
-    dlat = 0.01 + (i * 0.23) % 0.49
+    # integer-mod form: exact in every engine (no float knife-edges where
+    # i*step is an exact multiple of the modulus, e.g. 37*392 == 296*49)
+    ii = np.asarray(i, dtype=np.int64)
+    dlon = 0.01 + (ii * 37 % 49) / 100.0
+    dlat = 0.01 + (ii * 23 % 49) / 100.0
     return {
         "lon_min": lon_c - dlon / 2.0,
         "lat_min": np.clip(lat_c - dlat / 2.0, -85.0, 85.0),
@@ -75,8 +78,8 @@ def footprint_cols(idx: Column) -> dict[str, Column]:
     lat_c = F.when(hot, F.lit(HOT_LAT0) + (i * PHI_LAT) % 1.0).otherwise(
         F.lit(-85.0) + (i * PHI_LAT) % 170.0
     )
-    dlon = F.lit(0.01) + (i * 0.37) % 0.49
-    dlat = F.lit(0.01) + (i * 0.23) % 0.49
+    dlon = F.lit(0.01) + (idx * 37 % 49).cast("double") / 100.0
+    dlat = F.lit(0.01) + (idx * 23 % 49).cast("double") / 100.0
     clip = lambda c: F.greatest(F.lit(-85.0), F.least(F.lit(85.0), c))  # noqa: E731
     return {
         "lon_min": lon_c - dlon / 2.0,

@@ -7,9 +7,16 @@ sides (the driver sorts columns by name before value-hashing).
 
 from __future__ import annotations
 
-from gdal_spark.queries import raster_entries, relational, similarity, spatial_sql, textops
+from gdal_spark.queries import (
+    raster_entries,
+    raster_pipeline,
+    relational,
+    similarity,
+    spatial_sql,
+    textops,
+)
 
-MODULES = [relational, spatial_sql, textops, similarity, raster_entries]
+MODULES = [relational, spatial_sql, textops, similarity, raster_entries, raster_pipeline]
 
 
 def all_queries():

@@ -1,0 +1,186 @@
+"""Driver-contract entries for the M4/M5 raster + tiling operators.
+
+`tile_cover_z8` is fully DuckDB-oracle-checked: the synthetic footprint
+closed-form (datagen.footprint_np) and the GlobalMercator tile math
+(gdal2tiles.py:423-530) are both expressible in ANSI SQL, so the whole
+images -> covering-tiles -> counts pipeline is verified end-to-end
+against an independent SQL derivation.
+
+Pixel-kernel entries (translate/warp/hillshade/polygonize/zonal/pyramid)
+are rows-only here; their exact correctness is pytest-verified against
+numpy oracles (tests/test_raster_ops.py, tests/test_tiles.py) since
+DuckDB cannot decode image bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark import datagen
+from gdal_spark.functions import mercator as M
+
+N_COVER = 400
+Z_COVER = 8
+
+
+def _images_meta(spark: SparkSession, n: int) -> DataFrame:
+    ids = spark.range(n).select(
+        F.format_string("img%08d", F.col("id")).alias("image_id")
+    )
+    return datagen.with_footprint(ids)
+
+
+def tile_cover_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """images -> XYZ tiles covering each footprint at z=8 -> images per
+    tile. Pure Column math (lonlat->mercator->tile range->explode);
+    whole-stage codegen, zero UDFs — the assignment half of the
+    north-star metric."""
+    df = _images_meta(spark, N_COVER)
+    mx0, my0 = M.lonlat_to_meters(F.col("lon_min"), F.col("lat_min"))
+    mx1, my1 = M.lonlat_to_meters(F.col("lon_max"), F.col("lat_max"))
+    tx0, ty0 = M.meters_to_tile(mx0, my0, Z_COVER)
+    tx1, ty1 = M.meters_to_tile(mx1, my1, Z_COVER)
+    tiles = (
+        df.select(
+            F.explode(F.sequence(tx0, tx1)).alias("tx"),
+            F.sequence(ty0, ty1).alias("tys"),
+        )
+        .select("tx", F.explode("tys").alias("ty"))
+        .select("tx", M.tms_to_xyz(F.col("ty"), Z_COVER).alias("ty_xyz"))
+    )
+    return tiles.groupBy("tx", "ty_xyz").agg(F.count(F.lit(1)).alias("n_images"))
+
+
+TILE_COVER_SQL = f"""
+with idx as (select cast(i as double) as i, i as ii from generate_series(0, {N_COVER - 1}) t(i)),
+fp as (
+  select i,
+    case when ii % 5 = 0 then 10.0 + fmod(i * cast(137.50776405003785 as double), 1.0)
+         else -180.0 + fmod(i * cast(137.50776405003785 as double), 360.0) end as lon_c,
+    case when ii % 5 = 0 then 45.0 + fmod(i * cast(78.61803398874989 as double), 1.0)
+         else -85.0 + fmod(i * cast(78.61803398874989 as double), 170.0) end as lat_c,
+    0.01 + cast(ii * 37 % 49 as double) / 100.0 as dlon,
+    0.01 + cast(ii * 23 % 49 as double) / 100.0 as dlat
+  from idx),
+bbox as (
+  select i,
+    lon_c - dlon / 2 as lon_min, lon_c + dlon / 2 as lon_max,
+    greatest(-85.0, least(85.0, lat_c - dlat / 2)) as lat_min,
+    greatest(-85.0, least(85.0, lat_c + dlat / 2)) as lat_max
+  from fp),
+m as (
+  select i,
+    lon_min * (20037508.342789244 / 180.0) as mx0,
+    lon_max * (20037508.342789244 / 180.0) as mx1,
+    ln(tan((90.0 + lat_min) * pi() / 360.0)) / (pi() / 180.0)
+      * (20037508.342789244 / 180.0) as my0,
+    ln(tan((90.0 + lat_max) * pi() / 360.0)) / (pi() / 180.0)
+      * (20037508.342789244 / 180.0) as my1
+  from bbox),
+tr as (
+  select i,
+    cast(ceil((mx0 + 20037508.342789244) / (156543.03392804097 / {2**Z_COVER}) / 256.0) - 1 as bigint) as tx0,
+    cast(ceil((mx1 + 20037508.342789244) / (156543.03392804097 / {2**Z_COVER}) / 256.0) - 1 as bigint) as tx1,
+    cast(ceil((my0 + 20037508.342789244) / (156543.03392804097 / {2**Z_COVER}) / 256.0) - 1 as bigint) as ty0,
+    cast(ceil((my1 + 20037508.342789244) / (156543.03392804097 / {2**Z_COVER}) / 256.0) - 1 as bigint) as ty1
+  from m),
+tx_exp as (
+  select ty0, ty1, unnest(generate_series(tx0, tx1)) as tx from tr),
+tiles as (
+  select tx, {2**Z_COVER} - 1 - unnest(generate_series(ty0, ty1)) as ty_xyz
+  from tx_exp)
+select tx, ty_xyz, count(*) as n_images
+from tiles group by tx, ty_xyz
+"""
+
+
+def raster_translate_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate window+resize, per-band checksum goldens."""
+    from gdal_spark.raster import ops
+
+    imgs = datagen.images_df(spark, 32, with_pixels=True, size_cap=96)
+    return ops.checksums(
+        ops.translate(imgs, srcwin=(4, 4, 48, 40), outsize=(32, 32), out_fmt="png")
+    )
+
+
+def raster_hillshade_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster import ops
+
+    imgs = datagen.images_df(spark, 32, with_pixels=True, size_cap=96)
+    return ops.checksums(ops.dem_hillshade(imgs, azimuth=315.0, altitude=45.0))
+
+
+def raster_warp_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGS84 -> web-mercator warp (bilinear, approx-transformer)."""
+    from gdal_spark.raster import warp
+
+    imgs = datagen.with_footprint(
+        datagen.images_df(spark, 24, with_pixels=True, size_cap=96)
+    )
+    return warp.warp_images(imgs, resample="bilinear").select(
+        "image_id", "w", "h", "gt0", "gt1", "gt3", "gt5"
+    )
+
+
+def raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed polygonize of a deterministic tiled class raster."""
+    from gdal_spark.raster import polygonize_ops as PZ
+
+    rng = np.random.default_rng(7)
+    arr = np.zeros((96, 128), dtype=np.uint8)
+    for _ in range(10):
+        cls = rng.integers(1, 4)
+        y0, x0 = rng.integers(0, 80), rng.integers(0, 100)
+        arr[y0 : y0 + rng.integers(8, 40), x0 : x0 + rng.integers(8, 50)] = cls
+    tiles = PZ.tiles_from_array(spark, arr, 32)
+    return (
+        PZ.polygonize(tiles, 32, exclude_value=0)
+        .select("cls", "npix", "area")
+        .orderBy("npix", "cls")
+    )
+
+
+def zonal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon pixel statistics (alg/zonal.cpp stat subset)."""
+    from gdal_spark.raster import zonal as Z
+
+    imgs = datagen.with_footprint(
+        datagen.images_df(spark, 24, with_pixels=True, size_cap=64)
+    )
+    polys = datagen.polygons_df(spark, 8)
+    return Z.zonal_stats(imgs, polys, res=4, broadcast_polygons=True)
+
+
+def tile_pyramid_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base tiles + two overview levels; per-zoom tile/lineage counts."""
+    from gdal_spark.tiles import pipeline as P
+
+    imgs = datagen.with_footprint(
+        datagen.images_df(spark, 24, with_pixels=True, size_cap=64)
+    )
+    pyr = P.build_pyramid(imgs, tz_max=8, tz_min=6)
+    out = None
+    for tz, df in pyr.items():
+        lvl = df.groupBy("tz").agg(
+            F.count(F.lit(1)).alias("n_tiles"), F.sum("n_src").alias("n_contribs")
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.orderBy("tz")
+
+
+SPARK = {
+    "tile_cover_z8": tile_cover_z8,
+    "raster_translate_checksum": raster_translate_checksum,
+    "raster_hillshade_checksum": raster_hillshade_checksum,
+    "raster_warp_mercator": raster_warp_mercator,
+    "raster_polygonize": raster_polygonize,
+    "zonal_pixel_stats": zonal_pixel_stats,
+    "tile_pyramid_z8": tile_pyramid_z8,
+}
+
+ORACLE = {
+    "tile_cover_z8": TILE_COVER_SQL,
+}

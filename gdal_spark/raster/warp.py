@@ -138,9 +138,13 @@ def warp_array(
     arr: np.ndarray, src_gt: tuple, dst_gt: tuple, out_h: int, out_w: int,
     src_crs: str = "EPSG:4326", dst_crs: str = "EPSG:3857",
     resample: str = "near", approx_grid: int = 16, max_err: float = 0.125,
-    nodata: float = 0.0,
-) -> np.ndarray:
-    """Warp one decoded array onto a destination grid (inverse mapping)."""
+    nodata: float = 0.0, return_mask: bool = False,
+):
+    """Warp one decoded array onto a destination grid (inverse mapping).
+
+    return_mask=True also returns the bool validity mask (dst pixels whose
+    back-mapped center falls inside the source) — the warp's density/alpha
+    mask (GDALWarpKernel's papanBandSrcValid role)."""
     key = None if src_crs == dst_crs else (src_crs, dst_crs)
     inv = TRANSFORMS[key]
     spx, spy = _dst_to_src_pixels(src_gt, dst_gt, out_h, out_w, inv, approx_grid, max_err)
@@ -152,9 +156,9 @@ def warp_array(
         ix = np.round(spx).astype(np.int64).clip(0, w - 1)
         iy = np.round(spy).astype(np.int64).clip(0, h - 1)
         out = arr[iy, ix]
-    if arr.ndim == 3:
-        inside = inside[:, :, None]
-    return np.where(inside, out, np.asarray(nodata, dtype=out.dtype))
+    inside2 = inside[:, :, None] if arr.ndim == 3 else inside
+    out = np.where(inside2, out, np.asarray(nodata, dtype=out.dtype))
+    return (out, inside) if return_mask else out
 
 
 # --------------------------------------------------------------------------
