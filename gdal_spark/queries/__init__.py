@@ -8,6 +8,7 @@ sides (the driver sorts columns by name before value-hashing).
 from __future__ import annotations
 
 from gdal_spark.queries import (
+    layer_algebra_entries,
     raster_entries,
     raster_pipeline,
     relational,
@@ -16,7 +17,10 @@ from gdal_spark.queries import (
     textops,
 )
 
-MODULES = [relational, spatial_sql, textops, similarity, raster_entries, raster_pipeline]
+MODULES = [
+    relational, spatial_sql, textops, similarity,
+    raster_entries, raster_pipeline, layer_algebra_entries,
+]
 
 
 def all_queries():
