@@ -1,0 +1,411 @@
+"""ST_* scalar function catalog, registered into Spark SQL.
+
+Parity target: the SQLite-dialect function list GDAL registers
+(ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:1172-1240 —
+ST_AsText/AsBinary/GeomFromText, IsEmpty/IsValid, Intersects/Within/
+Contains/Disjoint, Intersection/Difference, Area, Buffer, MakePoint,
+Transform, SRID, Centroid ...) plus point accessors. Backed by the
+engine's own numpy kernels (geom/polyclip/wkb/warp) inside pandas UDFs;
+`register_all(spark)` exposes them to spark.sql so OGR-SQLite-dialect
+queries port over verbatim.
+
+Geometry wire format: WKB in BinaryType (the engine's convention,
+matching OGR's Arrow bridge encoding). CRS: EPSG:4326 <-> 3857 only
+(the pair the tiling engine uses).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from gdal_spark.functions import geom as G
+from gdal_spark.functions import polyclip as PC
+from gdal_spark.functions import wkb as W
+
+# --------------------------------------------------------------------------
+# WKT I/O (POINT / LINESTRING / POLYGON / MULTIPOLYGON, 2-D)
+# --------------------------------------------------------------------------
+
+
+def wkt_from_wkb(buf: bytes) -> str:
+    gtype, payload = W.parse(buf)
+    if gtype == W.WKB_POINT:
+        return f"POINT ({payload[0]:.17g} {payload[1]:.17g})"
+    if gtype == W.WKB_LINESTRING:
+        pts = ", ".join(f"{x:.17g} {y:.17g}" for x, y in payload)
+        return f"LINESTRING ({pts})"
+
+    def ring_txt(r):
+        r = np.asarray(r)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        return "(" + ", ".join(f"{x:.17g} {y:.17g}" for x, y in r) + ")"
+
+    if gtype == W.WKB_POLYGON:
+        return "POLYGON (" + ", ".join(ring_txt(r) for r in payload) + ")"
+    if gtype == W.WKB_MULTIPOLYGON:
+        polys = ", ".join(
+            "(" + ", ".join(ring_txt(r) for r in rings) + ")" for rings in payload
+        )
+        return f"MULTIPOLYGON ({polys})"
+    raise ValueError(f"unsupported type {gtype}")
+
+
+def wkb_from_wkt(txt: str) -> bytes:
+    s = txt.strip()
+    kind, _, body = s.partition("(")
+    kind = kind.strip().upper()
+    body = "(" + body
+
+    def parse_pts(chunk: str) -> np.ndarray:
+        pts = []
+        for pair in chunk.split(","):
+            x, y = pair.split()
+            pts.append((float(x), float(y)))
+        return np.array(pts)
+
+    def split_groups(inner: str) -> list[str]:
+        """Split 'a),(b' style top-level groups of one nesting level."""
+        groups, depth, cur = [], 0, []
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        return groups
+
+    if kind == "POINT":
+        inner = body.strip()[1:-1]
+        x, y = inner.split()
+        return W.write_point(float(x), float(y))
+    if kind == "LINESTRING":
+        return W.write_linestring(parse_pts(body.strip()[1:-1]))
+    if kind == "POLYGON":
+        rings = [parse_pts(g) for g in split_groups(body.strip()[1:-1])]
+        return W.write_polygon(rings)
+    if kind == "MULTIPOLYGON":
+        inner = body.strip()[1:-1]
+        polys, depth, cur = [], 0, []
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    polys.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        return W.write_multipolygon([[parse_pts(g) for g in split_groups(p)] for p in polys])
+    raise ValueError(f"unsupported WKT kind {kind}")
+
+
+# --------------------------------------------------------------------------
+# Scalar kernels
+# --------------------------------------------------------------------------
+
+
+def _intersects(a: bytes, b: bytes) -> bool:
+    ax0, ay0, ax1, ay1 = W.bbox(a)
+    bx0, by0, bx1, by1 = W.bbox(b)
+    if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+        return False
+    ta, pa = W.parse(a)
+    tb, pb = W.parse(b)
+    if ta == W.WKB_POINT:
+        return bool(G.points_in_wkb(np.array([pa[0]]), np.array([pa[1]]), b)[0]) \
+            if tb in (W.WKB_POLYGON, W.WKB_MULTIPOLYGON) else (pa == pb)
+    if tb == W.WKB_POINT:
+        return _intersects(b, a)
+    # layered exact test (robust to fully-degenerate shared boundaries,
+    # e.g. a polygon vs its own envelope):
+    # 1. any vertex of one strictly inside the other
+    ra = [r for rings in W.polygon_rings(a) for r in rings]
+    rb = [r for rings in W.polygon_rings(b) for r in rings]
+    va = np.vstack(ra)
+    vb = np.vstack(rb)
+    if G.points_in_wkb(va[:, 0], va[:, 1], b).any():
+        return True
+    if G.points_in_wkb(vb[:, 0], vb[:, 1], a).any():
+        return True
+    # 2. any proper edge crossing
+    for r1 in ra:
+        for r2 in rb:
+            s1 = r1[:-1] if np.array_equal(r1[0], r1[-1]) else r1
+            s2 = r2[:-1] if np.array_equal(r2[0], r2[-1]) else r2
+            if PC._insert_intersections(PC._build_ring(s1), PC._build_ring(s2)) > 0:
+                return True
+    # 3. interior sample of the bbox overlap (identical/degenerate case)
+    cx = (max(ax0, bx0) + min(ax1, bx1)) / 2.0
+    cy = (max(ay0, by0) + min(ay1, by1)) / 2.0
+    return bool(
+        G.points_in_wkb(np.array([cx]), np.array([cy]), a)[0]
+        and G.points_in_wkb(np.array([cx]), np.array([cy]), b)[0]
+    )
+
+
+def _within(a: bytes, b: bytes) -> bool:
+    """a within b: area(a ∖ b) == 0."""
+    ta, pa = W.parse(a)
+    if ta == W.WKB_POINT:
+        return bool(G.points_in_wkb(np.array([pa[0]]), np.array([pa[1]]), b)[0])
+    ra = [list(r) for r in W.polygon_rings(a)]
+    region = list(ra)
+    for pb in [list(r) for r in W.polygon_rings(b)]:
+        region = PC.region_minus_polygon(region, pb)
+    return PC.region_area(region) <= 1e-12 * G.wkb_area(a)
+
+
+def _distance(a: bytes, b: bytes) -> float:
+    """Min distance between two geometries (vertex/edge based)."""
+
+    def as_segments(buf):
+        t, p = W.parse(buf)
+        if t == W.WKB_POINT:
+            pt = np.array([p])
+            return pt, np.empty((0, 4))
+        if t == W.WKB_LINESTRING:
+            v = np.asarray(p)
+            return v, np.column_stack([v[:-1], v[1:]])
+        rings = [r for rings in W.polygon_rings(buf) for r in rings]
+        v = np.vstack(rings)
+        segs = []
+        for r in rings:
+            rr = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+            segs.append(np.column_stack([rr[:-1], rr[1:]]))
+        return v, np.vstack(segs)
+
+    if _intersects(a, b):
+        return 0.0
+    va, sa = as_segments(a)
+    vb, sb = as_segments(b)
+
+    def pt_seg(pts, segs):
+        if len(segs) == 0 or len(pts) == 0:
+            return np.inf
+        p = pts[:, None, :]
+        s1 = segs[None, :, 0:2]
+        s2 = segs[None, :, 2:4]
+        d = s2 - s1
+        ln = (d**2).sum(-1)
+        ln = np.where(ln == 0, 1.0, ln)
+        t = np.clip(((p - s1) * d).sum(-1) / ln, 0, 1)
+        proj = s1 + t[..., None] * d
+        return float(np.sqrt(((p - proj) ** 2).sum(-1)).min())
+
+    vv = float(np.sqrt(((va[:, None] - vb[None, :]) ** 2).sum(-1)).min())
+    return min(vv, pt_seg(va, sb), pt_seg(vb, sa))
+
+
+def _centroid(buf: bytes) -> bytes:
+    t, p = W.parse(buf)
+    if t == W.WKB_POINT:
+        return bytes(buf)
+    if t == W.WKB_LINESTRING:
+        v = np.asarray(p)
+        seg = v[1:] - v[:-1]
+        ln = np.sqrt((seg**2).sum(1))
+        mid = (v[1:] + v[:-1]) / 2
+        tot = ln.sum()
+        c = mid.mean(0) if tot == 0 else (mid * ln[:, None]).sum(0) / tot
+        return W.write_point(float(c[0]), float(c[1]))
+    # area-weighted polygon centroid (signed shoelace moments per ring)
+    cx = cy = aa = 0.0
+    for rings in W.polygon_rings(buf):
+        for k, r in enumerate(rings):
+            rr = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+            x, y = rr[:-1, 0], rr[:-1, 1]
+            xn, yn = rr[1:, 0], rr[1:, 1]
+            cross = x * yn - xn * y
+            a_r = cross.sum() / 2.0
+            sign = 1.0 if k == 0 else -1.0  # holes subtract
+            mag = abs(a_r) * sign
+            if a_r == 0:
+                continue
+            cx += mag * float(((x + xn) * cross).sum() / (6.0 * a_r))
+            cy += mag * float(((y + yn) * cross).sum() / (6.0 * a_r))
+            aa += mag
+    if aa == 0:
+        xmin, ymin, xmax, ymax = W.bbox(buf)
+        return W.write_point((xmin + xmax) / 2, (ymin + ymax) / 2)
+    return W.write_point(cx / aa, cy / aa)
+
+
+def _buffer(buf: bytes, dist: float, n: int = 32) -> bytes:
+    """Point buffer -> n-gon (the tiling engine's only buffer need;
+    GDAL: OGRGeometry::Buffer ogrgeometry.cpp:4949)."""
+    t, p = W.parse(buf)
+    if t != W.WKB_POINT:
+        raise ValueError("ST_Buffer supports point geometries in this engine")
+    ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    ring = np.column_stack([p[0] + dist * np.cos(ang), p[1] + dist * np.sin(ang)])
+    return W.write_polygon([ring])
+
+
+def _transform(buf: bytes, src: int, dst: int) -> bytes:
+    from gdal_spark.raster.warp import lonlat_to_meters_np, meters_to_lonlat_np
+
+    if (src, dst) == (4326, 3857):
+        fn = lonlat_to_meters_np
+    elif (src, dst) == (3857, 4326):
+        fn = meters_to_lonlat_np
+    elif src == dst:
+        return bytes(buf)
+    else:
+        raise ValueError(f"unsupported transform {src}->{dst}")
+
+    t, p = W.parse(buf)
+    if t == W.WKB_POINT:
+        x, y = fn(np.array([p[0]]), np.array([p[1]]))
+        return W.write_point(float(x[0]), float(y[0]))
+    if t == W.WKB_LINESTRING:
+        v = np.asarray(p)
+        x, y = fn(v[:, 0], v[:, 1])
+        return W.write_linestring(np.column_stack([x, y]))
+    polys = []
+    for rings in W.polygon_rings(buf):
+        polys.append([np.column_stack(fn(r[:, 0], r[:, 1])) for r in rings])
+    return W.write_polygon(polys[0]) if t == W.WKB_POLYGON else W.write_multipolygon(polys)
+
+
+def _is_valid(buf: bytes) -> bool:
+    try:
+        t, p = W.parse(buf)
+        if t in (W.WKB_POLYGON, W.WKB_MULTIPOLYGON):
+            for rings in W.polygon_rings(buf):
+                if len(rings) == 0 or any(len(r) < 3 for r in rings):
+                    return False
+                if abs(G.ring_area(rings[0])) <= 0:
+                    return False
+        return True
+    except Exception:
+        return False
+
+
+# --------------------------------------------------------------------------
+# Registration
+# --------------------------------------------------------------------------
+
+
+def _u1(fn, ret):
+    def wrapped(col: pd.Series) -> pd.Series:
+        return col.map(lambda v: None if v is None else fn(bytes(v)))
+    return wrapped, ret
+
+
+CATALOG: dict[str, tuple] = {}
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register the ST_ catalog as Spark SQL UDFs (the engine's analog of
+    OGRSQLiteRegisterSQLFunctions, ogrsqlitesqlfunctions.cpp:1107)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def reg1(name, fn, ret):
+        @pandas_udf(ret)
+        def udf(col: pd.Series) -> pd.Series:
+            return col.map(lambda v: None if v is None else fn(bytes(v)))
+        spark.udf.register(name, udf)
+
+    def reg2bin(name, fn, ret):
+        @pandas_udf(ret)
+        def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if (x is None or y is None) else fn(bytes(x), bytes(y))
+                 for x, y in zip(a, b)]
+            )
+        spark.udf.register(name, udf)
+
+    reg1("ST_Area", G.wkb_area, T.DoubleType())
+    reg1("ST_AsText", wkt_from_wkb, T.StringType())
+    reg1("ST_Centroid", _centroid, T.BinaryType())
+    reg1("ST_IsValid", _is_valid, T.BooleanType())
+    reg1("ST_IsEmpty", lambda b: G.wkb_area(b) <= 0 if W.parse(b)[0] in (3, 6) else False,
+         T.BooleanType())
+    reg1("ST_X", lambda b: float(W.parse(b)[1][0]), T.DoubleType())
+    reg1("ST_Y", lambda b: float(W.parse(b)[1][1]), T.DoubleType())
+    reg1("ST_NPoints", lambda b: sum(len(r) for rings in ([W.parse(b)[1]] if W.parse(b)[0] == 2 else W.polygon_rings(b)) for r in (rings if isinstance(rings, list) else [rings])) if W.parse(b)[0] != 1 else 1,
+         T.IntegerType())
+    reg1("ST_SRID", lambda b: 4326, T.IntegerType())
+
+    @pandas_udf(T.BinaryType())
+    def geomfromtext(col: pd.Series) -> pd.Series:
+        return col.map(lambda v: None if v is None else bytearray(wkb_from_wkt(v)))
+    spark.udf.register("ST_GeomFromText", geomfromtext)
+
+    @pandas_udf(T.BinaryType())
+    def makepoint(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bytearray(W.write_point(float(a), float(b))) for a, b in zip(x, y)]
+        )
+    spark.udf.register("ST_MakePoint", makepoint)
+
+    @pandas_udf(T.BinaryType())
+    def envelope(col: pd.Series) -> pd.Series:
+        def env(v):
+            x0, y0, x1, y1 = W.bbox(bytes(v))
+            return bytearray(W.write_polygon(
+                [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])]
+            ))
+        return col.map(lambda v: None if v is None else env(v))
+    spark.udf.register("ST_Envelope", envelope)
+
+    @pandas_udf(T.BinaryType())
+    def buffer_udf(col: pd.Series, dist: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else bytearray(_buffer(bytes(v), float(d)))
+             for v, d in zip(col, dist)]
+        )
+    spark.udf.register("ST_Buffer", buffer_udf)
+
+    @pandas_udf(T.BinaryType())
+    def transform_udf(col: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else bytearray(_transform(bytes(v), int(s), int(d)))
+             for v, s, d in zip(col, src, dst)]
+        )
+    spark.udf.register("ST_Transform", transform_udf)
+
+    reg2bin("ST_Intersects", _intersects, T.BooleanType())
+    reg2bin("ST_Disjoint", lambda a, b: not _intersects(a, b), T.BooleanType())
+    reg2bin("ST_Within", _within, T.BooleanType())
+    reg2bin("ST_Contains", lambda a, b: _within(b, a), T.BooleanType())
+    reg2bin("ST_Distance", _distance, T.DoubleType())
+
+    def bin_geom(op):
+        def fn(a, b):
+            ra = [list(r) for r in W.polygon_rings(a)]
+            rb = [list(r) for r in W.polygon_rings(b)]
+            if op == "intersection":
+                region = PC.region_intersection(ra, rb)
+            else:
+                region = list(ra)
+                for pb in rb:
+                    region = PC.region_minus_polygon(region, pb)
+            region = [p for p in region if p]
+            if not region:
+                return None
+            return bytearray(
+                W.write_polygon(region[0]) if len(region) == 1
+                else W.write_multipolygon(region)
+            )
+        return fn
+
+    reg2bin("ST_Intersection", bin_geom("intersection"), T.BinaryType())
+    reg2bin("ST_Difference", bin_geom("difference"), T.BinaryType())

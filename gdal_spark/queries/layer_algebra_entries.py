@@ -97,3 +97,29 @@ SPARK = {
 }
 
 ORACLE: dict[str, str] = {}
+
+
+def st_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ST_ catalog driven through spark.sql (SQLite-dialect parity,
+    ogrsqlitesqlfunctions.cpp): per-polygon area/centroid/validity plus a
+    mercator round-trip distance check."""
+    from gdal_spark.functions import st_catalog as ST
+
+    ST.register_all(spark)
+    datagen.polygons_df(spark, NA).createOrReplaceTempView("st_polys_q")
+    return spark.sql(
+        """
+        select poly_id,
+               round(ST_Area(wkb), 9) as st_area,
+               ST_IsValid(wkb) as valid,
+               ST_Within(ST_Centroid(wkb), ST_Envelope(wkb)) as centroid_in_env,
+               round(ST_X(ST_Centroid(wkb)), 6) as cx,
+               round(ST_Distance(
+                   ST_Transform(ST_Transform(ST_Centroid(wkb), 4326, 3857), 3857, 4326),
+                   ST_Centroid(wkb)), 9) as rt_err
+        from st_polys_q order by poly_id
+        """
+    )
+
+
+SPARK["st_sql_functions"] = st_sql_functions

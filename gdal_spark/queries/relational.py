@@ -167,6 +167,24 @@ def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersect(n).exceptAll(s.distinct()).distinct()
 
 
+
+
+def hstore_get_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL HSTORE_GET_VALUE (ogr/swq_op_registrar.cpp:48-52) over the
+    events props column (JSON key->value side data): extract + aggregate."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select(F.col("event_type").alias("etype"), k.alias("k"))
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
 SPARK = {
     "ogr_select_where_like": select_where_like,
     "ogr_summary_aggregates": summary_aggregates,
@@ -178,9 +196,17 @@ SPARK = {
     "ogr_cast_substr_concat": cast_substr_concat,
     "ogr_where_is_null_not_in": where_is_null_not_in,
     "sqlite_intersect_except": intersect_except,
+    "ogr_hstore_get_value": hstore_get_value,
 }
 
 ORACLE = {
+    "ogr_hstore_get_value": """
+        SELECT event_type AS etype,
+               count(*) AS n,
+               sum(cast(json_extract_string(props, '$.k') as int)) AS sum_k,
+               round(avg(cast(json_extract_string(props, '$.k') as int)), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
     "ogr_select_where_like": """
         SELECT l_orderkey AS okey,
                l_linenumber AS lineno,

@@ -314,12 +314,70 @@ def _spatial_sort_oracle() -> str:
     """
 
 
+
+
+# --------------------------------------------------------------------------
+# Grid / IDW interpolation (alg/gdalgrid.cpp:61 invdist; §2.8) — kNN join
+# feeding a weighted aggregation, fully SQL-oracle-checked.
+# --------------------------------------------------------------------------
+
+
+def grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW power-2 interpolation of a synthetic z-field at region query
+    points from the k=4 nearest customer points (the kNN-join ->
+    groupBy(weighted avg) restatement of GDALGridInverseDistanceToAPower)."""
+    from gdal_spark.operators import knn as KNN
+
+    c = load(spark, sf_dir, "customer")
+    lon, lat = _lon_lat_cols(F.col("c_custkey"))
+    z = (F.col("c_custkey").cast("double") * 7.3) % 100.0
+    pts = c.select(
+        F.col("c_custkey").alias("pt_id"), lon.alias("x"), lat.alias("y"), z.alias("z")
+    )
+    r = load(spark, sf_dir, "region")
+    qs = r.select(
+        F.col("r_regionkey").alias("query_id"),
+        (F.lit(-100.0) + F.col("r_regionkey") * 40.0).alias("qx"),
+        (F.lit(-60.0) + F.col("r_regionkey") * 30.0).alias("qy"),
+    )
+    nn = KNN.knn_join_broadcast(pts, qs, k=4)
+    out = KNN.idw_at_queries(nn, value_col="z")
+    return out.select("query_id", F.round("idw_z", 6).alias("idw_z"), "n_neighbors")
+
+
+def _grid_idw_oracle() -> str:
+    lon, lat = _lonlat_sql("c_custkey")
+    return f"""
+        WITH pts AS (SELECT c_custkey AS pt_id, {lon} AS x, {lat} AS y,
+                            fmod(cast(c_custkey as double) * 7.3, 100.0) AS z
+                     FROM customer),
+        qs AS (SELECT r_regionkey AS query_id,
+                      -100.0 + r_regionkey * 40.0 AS qx,
+                      -60.0 + r_regionkey * 30.0 AS qy FROM region),
+        cand AS (
+            SELECT q.query_id, p.z,
+                   (q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y) AS dist2,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY (q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y) ASC,
+                              p.pt_id ASC
+                   ) AS rnk
+            FROM qs q CROSS JOIN pts p),
+        nn AS (SELECT * FROM cand WHERE rnk <= 4)
+        SELECT query_id,
+               round(sum(z / dist2) / sum(1.0 / dist2), 6) AS idw_z,
+               count(*) AS n_neighbors
+        FROM nn GROUP BY query_id
+    """
+
+
 SPARK = {
     "tile_assignment": tile_assignment,
     "cell_pip_join": cell_pip_join,
     "knn_topk": knn_topk,
     "zonal_stats": zonal_stats,
     "spatial_sort_quadkey": spatial_sort,
+    "grid_idw": grid_idw,
 }
 
 ORACLE = {
@@ -328,4 +386,5 @@ ORACLE = {
     "knn_topk": _knn_oracle(),
     "zonal_stats": _zonal_oracle(),
     "spatial_sort_quadkey": _spatial_sort_oracle(),
+    "grid_idw": _grid_idw_oracle(),
 }
