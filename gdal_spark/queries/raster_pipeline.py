@@ -171,6 +171,22 @@ def tile_pyramid_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("tz")
 
 
+
+
+def raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed marching-squares contour of a deterministic radial
+    field (alg/contour.cpp semantics; halo tiles + per-level stitch)."""
+    from gdal_spark.raster import contour as C
+
+    yy, xx = np.mgrid[0:64, 0:80].astype(np.float64)
+    g = np.hypot(xx - 40.0, yy - 32.0) + 3.0 * np.sin(xx / 7.0)
+    tiles = C.halo_tiles_from_array(spark, g, 32)
+    out = C.contour(tiles, 32, [10.0, 20.0, 30.0])
+    return out.select(
+        "level", "closed", "n_points", F.round("length", 6).alias("length")
+    ).orderBy("level", "length")
+
+
 SPARK = {
     "tile_cover_z8": tile_cover_z8,
     "raster_translate_checksum": raster_translate_checksum,
@@ -179,6 +195,7 @@ SPARK = {
     "raster_polygonize": raster_polygonize,
     "zonal_pixel_stats": zonal_pixel_stats,
     "tile_pyramid_z8": tile_pyramid_z8,
+    "raster_contour": raster_contour,
 }
 
 ORACLE = {

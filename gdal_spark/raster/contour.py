@@ -1,0 +1,264 @@
+"""Contour: marching squares + segment stitching (alg/contour.cpp:569,
+alg/marching_squares/*.h re-derived from the published algorithm).
+
+Kernel: per 2x2 node cell, classify corners against the level, emit
+linearly-interpolated crossing segments (saddles disambiguated by the
+cell-center average — the standard rule). Coordinates are node indices
+(x=col, y=row).
+
+Distributed plan: tiles carry a 1-node halo (right/bottom neighbor row —
+the straddling cells belong to the tile owning their top-left node), so
+the per-tile pass is embarrassingly parallel and exact; stitching chains
+segments into polylines per level in a groupBy(level) reduce — contour
+output is 1-D data, orders of magnitude smaller than the raster, so a
+per-level reduce is the right shuffle shape even at planetary rasters
+(one chain task per level; split by spatial key if a single level ever
+dominates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+
+def marching_squares(grid: np.ndarray, level: float, x_off: float = 0.0,
+                     y_off: float = 0.0) -> list[tuple]:
+    """Segments [(x0,y0,x1,y1), ...] of the `level` isoline.
+
+    Nodes at integer coords; crossing points linearly interpolated.
+    Orientation: higher values on the LEFT of (p0 -> p1), matching the
+    convention GDAL's contour writer uses for polygon assembly.
+    """
+    g = np.asarray(grid, dtype=np.float64)
+    h, w = g.shape
+    above = g >= level
+    segs: list[tuple] = []
+    # cells with any sign mixture
+    a = above[:-1, :-1]
+    b = above[:-1, 1:]
+    c = above[1:, 1:]
+    d = above[1:, :-1]
+    code = a * 1 + b * 2 + c * 4 + d * 8
+    ys, xs = np.nonzero((code != 0) & (code != 15))
+
+    def interp(v0, v1):
+        dv = v1 - v0
+        return 0.5 if dv == 0 else (level - v0) / dv
+
+    for i, j in zip(ys.tolist(), xs.tolist()):
+        v00, v10 = g[i, j], g[i, j + 1]
+        v11, v01 = g[i + 1, j + 1], g[i + 1, j]
+        cd = int(code[i, j])
+        # edge crossing points (x, y) in node coords
+        top = (j + interp(v00, v10), float(i))
+        right = (float(j + 1), i + interp(v10, v11))
+        bottom = (j + interp(v01, v11), float(i + 1))
+        left = (float(j), i + interp(v00, v01))
+        x0, y0 = x_off, y_off
+
+        def emit(p, q):
+            if p[0] == q[0] and p[1] == q[1]:
+                return  # node-exact crossing -> degenerate zero-length seg
+            segs.append((p[0] + x0, p[1] + y0, q[0] + x0, q[1] + y0))
+
+        # 16-case table (corner bits: 1=tl, 2=tr, 4=br, 8=bl)
+        if cd == 1:
+            emit(left, top)
+        elif cd == 2:
+            emit(top, right)
+        elif cd == 3:
+            emit(left, right)
+        elif cd == 4:
+            emit(right, bottom)
+        elif cd == 6:
+            emit(top, bottom)
+        elif cd == 7:
+            emit(left, bottom)
+        elif cd == 8:
+            emit(bottom, left)
+        elif cd == 9:
+            emit(bottom, top)
+        elif cd == 11:
+            emit(bottom, right)
+        elif cd == 12:
+            emit(right, left)
+        elif cd == 13:
+            emit(right, top)
+        elif cd == 14:
+            emit(top, left)
+        elif cd == 5:  # saddle: tl+br above
+            center = (v00 + v10 + v11 + v01) / 4.0
+            if center >= level:
+                emit(left, bottom)
+                emit(right, top)
+            else:
+                emit(left, top)
+                emit(right, bottom)
+        elif cd == 10:  # saddle: tr+bl above
+            center = (v00 + v10 + v11 + v01) / 4.0
+            if center >= level:
+                emit(top, right)
+                emit(bottom, left)
+            else:
+                emit(top, left)
+                emit(bottom, right)
+    return segs
+
+
+def chain_segments(segs: list[tuple], tol: float = 1e-9) -> list[np.ndarray]:
+    """Stitch directed segments into polylines/rings (the polygonizer's
+    arc-merge role for contours). Follows p1 -> next p0 links."""
+    def key(x, y):
+        return (round(x / tol) if tol else x, round(y / tol) if tol else y)
+
+    by_start: dict[tuple, list[int]] = {}
+    by_end: dict[tuple, list[int]] = {}
+    for idx, (x0, y0, x1, y1) in enumerate(segs):
+        by_start.setdefault(key(x0, y0), []).append(idx)
+        by_end.setdefault(key(x1, y1), []).append(idx)
+    used = [False] * len(segs)
+    lines: list[np.ndarray] = []
+
+    def _dir(m, flip=False):
+        x0, y0, x1, y1 = segs[m]
+        d = np.array([x0 - x1, y0 - y1]) if flip else np.array([x1 - x0, y1 - y0])
+        n = np.hypot(*d)
+        return d / n if n else d
+
+    def _pick(cands, heading, flip=False):
+        """At junctions (isoline through a grid node) keep the straightest
+        continuation — avoids pinching one ring into micro-loops."""
+        if len(cands) == 1 or heading is None:
+            return cands[0]
+        return max(cands, key=lambda m: float(np.dot(_dir(m, flip), heading)))
+
+    for idx in range(len(segs)):
+        if used[idx]:
+            continue
+        chain = [idx]
+        used[idx] = True
+        cur = idx
+        while True:  # forward along p1 -> next p0
+            nxts = [m for m in by_start.get(key(segs[cur][2], segs[cur][3]), []) if not used[m]]
+            if not nxts:
+                break
+            cur = _pick(nxts, _dir(cur))
+            used[cur] = True
+            chain.append(cur)
+        rev: list[int] = []
+        cur = idx
+        while True:  # backward along p0 -> previous p1
+            prevs = [m for m in by_end.get(key(segs[cur][0], segs[cur][1]), []) if not used[m]]
+            if not prevs:
+                break
+            cur = _pick(prevs, _dir(cur, flip=True), flip=True)
+            used[cur] = True
+            rev.append(cur)
+            # _pick with flipped heading selects the straightest approach
+        order = rev[::-1] + chain
+        pts = [(segs[order[0]][0], segs[order[0]][1])]
+        for m in order:
+            pts.append((segs[m][2], segs[m][3]))
+        lines.append(np.array(pts))
+    return lines
+
+
+# --------------------------------------------------------------------------
+# Spark operator
+# --------------------------------------------------------------------------
+
+_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+    ]
+)
+
+_LINE_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("line_id", T.LongType()),
+        T.StructField("n_points", T.IntegerType()),
+        T.StructField("closed", T.BooleanType()),
+        T.StructField("length", T.DoubleType()),
+        T.StructField("wkb", T.BinaryType()),
+    ]
+)
+
+HALO_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("tx", T.IntegerType()),
+        T.StructField("ty", T.IntegerType()),
+        T.StructField("tw", T.IntegerType()),  # owned nodes (excl. halo)
+        T.StructField("th", T.IntegerType()),
+        T.StructField("px", T.BinaryType()),  # float64 (th+1)x(tw+1) w/ halo
+        T.StructField("hw", T.IntegerType()),  # stored cols incl. halo
+        T.StructField("hh", T.IntegerType()),
+    ]
+)
+
+
+def halo_tiles_from_array(spark: SparkSession, grid: np.ndarray, tile: int) -> DataFrame:
+    """Split a node grid into tiles carrying a 1-node right/bottom halo
+    (each tile owns the cells whose top-left node it holds)."""
+    h, w = grid.shape
+    rows = []
+    for ty in range(0, (h + tile - 1) // tile):
+        for tx in range(0, (w + tile - 1) // tile):
+            y0, x0 = ty * tile, tx * tile
+            y1 = min(h, y0 + tile + 1)  # +1 halo
+            x1 = min(w, x0 + tile + 1)
+            blk = np.ascontiguousarray(grid[y0:y1, x0:x1], dtype=np.float64)
+            rows.append(
+                (tx, ty, min(tile, w - x0), min(tile, h - y0),
+                 bytearray(blk.tobytes()), blk.shape[1], blk.shape[0])
+            )
+    return spark.createDataFrame(rows, HALO_TILE_SCHEMA)
+
+
+def contour(tiles: DataFrame, tile: int, levels: list[float]) -> DataFrame:
+    """Distributed contour: per-tile marching squares (narrow) -> one
+    groupBy(level) stitch into polylines with WKB LineString output."""
+
+    def per_tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _SEG_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                g = np.frombuffer(bytes(t.px), dtype=np.float64).reshape(t.hh, t.hw)
+                for lv in levels:
+                    for seg in marching_squares(g, lv, x_off=t.tx * tile, y_off=t.ty * tile):
+                        out.append((lv, *seg))
+            yield pd.DataFrame(out, columns=cols)
+
+    segs = tiles.mapInPandas(per_tile, _SEG_SCHEMA)
+
+    def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from gdal_spark.functions import wkb as W
+
+        level = float(key[0])
+        seg_list = list(zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"]))
+        lines = chain_segments(seg_list)
+        rows = []
+        for i, pts in enumerate(lines):
+            closed = bool(np.allclose(pts[0], pts[-1]))
+            seglen = float(np.sqrt((np.diff(pts, axis=0) ** 2).sum(1)).sum())
+            rows.append(
+                (level, i, len(pts), closed, seglen, bytearray(W.write_linestring(pts)))
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in _LINE_SCHEMA.fields])
+
+    return segs.groupBy("level").applyInPandas(stitch, _LINE_SCHEMA)
