@@ -152,8 +152,42 @@ def images_df(
     """The canonical `images` table, generated distributed.
 
     with_pixels=False emits bytes/phash as NULL (metadata-only mode for
-    join/tile benchmarks where decoding isn't under test).
+    join/tile benchmarks where decoding isn't under test) and stays 100%
+    Column math — no Python boundary at all, so metadata-scale benches
+    measure the engine, not the generator.
     """
+    if not with_pixels:
+        rng = spark.range(
+            n, numPartitions=partitions or spark.sparkContext.defaultParallelism
+        )
+        idx = F.col("id")
+        w_arr = F.array(*[F.lit(v) for v in W_CYCLE])
+        h_arr = F.array(*[F.lit(v) for v in H_CYCLE])
+        w = F.element_at(w_arr, (idx % len(W_CYCLE) + 1).cast("int"))
+        h = F.element_at(h_arr, (idx % len(H_CYCLE) + 1).cast("int"))
+        if size_cap:
+            w = F.least(w, F.lit(size_cap))
+            h = F.least(h, F.lit(size_cap))
+        noun = F.element_at(
+            F.array(*[F.lit(s) for s in NOUNS]), (idx % len(NOUNS) + 1).cast("int")
+        )
+        place = F.element_at(
+            F.array(*[F.lit(s) for s in PLACES]), (idx % len(PLACES) + 1).cast("int")
+        )
+        return rng.select(
+            F.format_string("img%08d", idx).alias("image_id"),
+            F.lit(None).cast("binary").alias("bytes"),
+            w.cast("int").alias("w"),
+            h.cast("int").alias("h"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in FMT_CYCLE]),
+                (idx % len(FMT_CYCLE) + 1).cast("int"),
+            ).alias("fmt"),
+            F.format_string("caption of img%08d: %s over %s", idx, noun, place).alias(
+                "caption"
+            ),
+            F.lit(None).cast("long").alias("phash"),
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

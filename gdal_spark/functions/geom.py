@@ -55,19 +55,37 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -
     return inside
 
 
+_PREP_CACHE: dict[bytes, tuple] = {}
+_PREP_CACHE_MAX = 65536
+
+
+def prepared(wkb_buf: bytes) -> tuple:
+    """(bbox, polygons) parsed once per worker process — the prepared-
+    geometry cache of ogrlayer.cpp:3919 restated: broadcast dims repeat
+    the same WKB across millions of probe rows, so parse each buffer once
+    per executor, not once per Arrow batch."""
+    hit = _PREP_CACHE.get(wkb_buf)
+    if hit is None:
+        if len(_PREP_CACHE) >= _PREP_CACHE_MAX:
+            _PREP_CACHE.clear()
+        hit = (W.bbox(wkb_buf), W.polygon_rings(wkb_buf))
+        _PREP_CACHE[wkb_buf] = hit
+    return hit
+
+
 def points_in_wkb(px: np.ndarray, py: np.ndarray, wkb_buf: bytes) -> np.ndarray:
     """PIP against Polygon/MultiPolygon WKB, with bbox fast-reject
     (envelope pretest of ogrlayer.cpp:4004)."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    xmin, ymin, xmax, ymax = W.bbox(wkb_buf)
+    (xmin, ymin, xmax, ymax), polys = prepared(wkb_buf)
     cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
     out = np.zeros(px.shape, dtype=bool)
     if not cand.any():
         return out
     cx, cy = px[cand], py[cand]
     acc = np.zeros(cx.shape, dtype=bool)
-    for rings in W.polygon_rings(wkb_buf):
+    for rings in polys:
         acc |= points_in_polygon(cx, cy, rings)
     out[cand] = acc
     return out

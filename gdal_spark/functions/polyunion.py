@@ -1,0 +1,309 @@
+"""Robust polygon-set union via vertical slab (trapezoid) decomposition.
+
+The Greiner-Hormann kernel (polyclip.py) handles general-position
+boolean ops but, like all GH implementations, breaks on collinear /
+shared edges — exactly the degeneracies a dissolve over grid-aligned
+geometries produces. This module computes unions by plane sweep instead,
+which has no general-position requirement:
+
+  1. slab the plane at every vertex x and every pairwise edge-crossing x;
+  2. inside a slab no two edges cross, so each feature's even-odd
+     coverage is a y-sorted pairing of its crossing edges (trapezoids);
+  3. union = interval merge of the per-feature trapezoids;
+  4. boundary = trapezoid tops/bottoms + the symmetric-difference
+     portions of vertical sides at slab boundaries, chained into rings.
+
+Reference semantics: GEOS UnaryUnion as used by `gdal vector dissolve`
+(apps/gdalalg_vector_dissolve.cpp:120) and OGRGeometry::UnionCascaded
+(ogr/ogrgeometry.cpp:5553). The sweep restatement is standard
+computational-geometry material (trapezoidal decomposition).
+
+Complexity O(E^2) slabs x O(E log E) per slab — built for dissolve
+groups of ~1e2..1e4 edges per task, not for single giant geometries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EPS = 1e-9
+
+
+def _edges_of(rings: list[np.ndarray]) -> np.ndarray:
+    """(E, 4) array of non-vertical edges (x1,y1,x2,y2), x1 < x2."""
+    segs = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        a, b = r[:-1], r[1:]
+        for (x1, y1), (x2, y2) in zip(a, b):
+            if x1 == x2:
+                continue  # vertical edges carry no even-odd x-coverage
+            if x1 < x2:
+                segs.append((x1, y1, x2, y2))
+            else:
+                segs.append((x2, y2, x1, y1))
+    return np.array(segs, dtype=np.float64).reshape(-1, 4)
+
+
+def _crossing_xs(all_edges: np.ndarray) -> list[float]:
+    """x of every pairwise proper crossing (brute force)."""
+    xs: list[float] = []
+    n = len(all_edges)
+    for i in range(n):
+        x1, y1, x2, y2 = all_edges[i]
+        for j in range(i + 1, n):
+            x3, y3, x4, y4 = all_edges[j]
+            if x3 >= x2 or x1 >= x4:
+                continue
+            d1x, d1y = x2 - x1, y2 - y1
+            d2x, d2y = x4 - x3, y4 - y3
+            den = d1x * d2y - d1y * d2x
+            if abs(den) < _EPS:
+                continue  # parallel/collinear: no slab boundary needed
+            t = ((x3 - x1) * d2y - (y3 - y1) * d2x) / den
+            u = ((x3 - x1) * d1y - (y3 - y1) * d1x) / den
+            if -_EPS < t < 1 + _EPS and -_EPS < u < 1 + _EPS:
+                xs.append(x1 + t * d1x)
+    return xs
+
+
+def _slab_intervals(edges: np.ndarray, x0: float, x1: float):
+    """Even-odd covered (ylo0, yhi0, ylo1, yhi1) trapezoids of ONE feature
+    in slab [x0, x1]."""
+    xm = 0.5 * (x0 + x1)
+    m = (edges[:, 0] <= x0 + _EPS) & (edges[:, 2] >= x1 - _EPS)
+    e = edges[m]
+    if len(e) == 0 or len(e) % 2:
+        return []
+    t0 = (x0 - e[:, 0]) / (e[:, 2] - e[:, 0])
+    t1 = (x1 - e[:, 0]) / (e[:, 2] - e[:, 0])
+    tm = (xm - e[:, 0]) / (e[:, 2] - e[:, 0])
+    ya = e[:, 1] + t0 * (e[:, 3] - e[:, 1])
+    yb = e[:, 1] + t1 * (e[:, 3] - e[:, 1])
+    ym = e[:, 1] + tm * (e[:, 3] - e[:, 1])
+    order = np.argsort(ym, kind="stable")
+    ya, yb = ya[order], yb[order]
+    return [
+        (ya[i], ya[i + 1], yb[i], yb[i + 1]) for i in range(0, len(ya) - 1, 2)
+    ]
+
+
+def _merge_trapezoids(traps: list[tuple]) -> list[tuple]:
+    """Union of same-slab trapezoids (no interior crossings => merge by
+    midline interval overlap)."""
+    if not traps:
+        return []
+    keyed = sorted(traps, key=lambda t: (t[0] + t[2]))
+    out = [list(keyed[0])]
+    for lo0, hi0, lo1, hi1 in keyed[1:]:
+        cur = out[-1]
+        # overlap-or-touch at the midline
+        if (lo0 + lo1) <= (cur[1] + cur[3]) + _EPS:
+            cur[1] = max(cur[1], hi0)
+            cur[3] = max(cur[3], hi1)
+        else:
+            out.append([lo0, hi0, lo1, hi1])
+    return [tuple(t) for t in out]
+
+
+def _interval_diff(a: list[tuple], b: list[tuple]) -> list[tuple]:
+    """Portions of the y-line covered by interval set a and not by b."""
+    events: list[tuple[float, int, int]] = []
+    for lo, hi in a:
+        if hi - lo > _EPS:
+            events.append((lo, 0, 1))
+            events.append((hi, 0, -1))
+    for lo, hi in b:
+        if hi - lo > _EPS:
+            events.append((lo, 1, 1))
+            events.append((hi, 1, -1))
+    if not events:
+        return []
+    events.sort(key=lambda t: t[0])
+    out = []
+    cnt = [0, 0]
+    prev = events[0][0]
+    for y, side, d in events:
+        if y - prev > _EPS and cnt[0] > 0 and cnt[1] == 0:
+            out.append((prev, y))
+        cnt[side] += d
+        prev = y
+    return out
+
+
+def _key(x: float, y: float) -> tuple[int, int]:
+    return (int(round(x / _EPS / 100.0)), int(round(y / _EPS / 100.0)))
+
+
+def _chain(segs: list[tuple]) -> list[np.ndarray]:
+    """Chain DIRECTED boundary segments (interior on the left) into closed
+    loops. Every vertex has balanced in/out degree, so any successor
+    choice yields a valid loop decomposition; loop signed areas always
+    sum to the true region area."""
+    outs: dict[tuple, list] = {}
+    for i, (p, q) in enumerate(segs):
+        outs.setdefault(_key(*p), []).append((i, q))
+    used = [False] * len(segs)
+    rings = []
+    for i, (p, q) in enumerate(segs):
+        if used[i]:
+            continue
+        used[i] = True
+        ring = [p, q]
+        startk = _key(*p)
+        while _key(*ring[-1]) != startk:
+            nxt = None
+            for j, other in outs.get(_key(*ring[-1]), []):
+                if not used[j]:
+                    nxt = (j, other)
+                    break
+            if nxt is None:
+                break
+            used[nxt[0]] = True
+            ring.append(nxt[1])
+        if len(ring) >= 4 and _key(*ring[-1]) == startk:
+            rings.append(np.array(ring, dtype=np.float64))
+    return rings
+
+
+def _simplify_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop collinear midpoints (slab decomposition splits long edges)."""
+    def straight(a, b, c) -> bool:
+        # b is droppable only as a strict straight-through continuation
+        # (NOT a reversal/spike — the loop may revisit vertices)
+        abx, aby = b[0] - a[0], b[1] - a[1]
+        bcx, bcy = c[0] - b[0], c[1] - b[1]
+        cross = abx * bcy - aby * bcx
+        dot = abx * bcx + aby * bcy
+        return abs(cross) < 1e-7 and dot > 0.0
+
+    pts = list(map(tuple, ring[:-1]))
+    out: list[tuple] = []
+    for p in pts:
+        while len(out) >= 2 and straight(out[-2], out[-1], p):
+            out.pop()
+        out.append(p)
+    # wrap-around: first/last points may also be droppable
+    changed = True
+    while changed and len(out) > 3:
+        changed = False
+        if straight(out[-2], out[-1], out[0]):
+            out.pop()
+            changed = True
+        if len(out) > 3 and straight(out[-1], out[0], out[1]):
+            out.pop(0)
+            changed = True
+    if len(out) < 3:
+        return ring
+    out.append(out[0])
+    return np.array(out, dtype=np.float64)
+
+
+def union_rings(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
+    """Union of features (each an even-odd ring list) -> flat boundary
+    ring list (structure with polyclip.structure_rings for Region form)."""
+    feats = [_edges_of(rs) for rs in ring_sets if len(rs)]
+    feats = [e for e in feats if len(e)]
+    if not feats:
+        return []
+    all_edges = np.vstack(feats)
+    xs = sorted(
+        set(np.round(np.r_[all_edges[:, 0], all_edges[:, 2]], 9).tolist())
+        | set(np.round(_crossing_xs(all_edges), 9).tolist())
+    )
+    slabs: list[list[tuple]] = []
+    for x0, x1 in zip(xs[:-1], xs[1:]):
+        if x1 - x0 < _EPS:
+            slabs.append([])
+            continue
+        traps: list[tuple] = []
+        for e in feats:
+            traps.extend(_slab_intervals(e, x0, x1))
+        slabs.append(_merge_trapezoids(traps))
+
+    # DIRECTED boundary segments, interior on the left:
+    #   bottom edges run +x, top edges run -x,
+    #   left boundaries (covered only to the east) run -y,
+    #   right boundaries (covered only to the west) run +y.
+    segs: list[tuple] = []
+    for si, (x0, x1) in enumerate(zip(xs[:-1], xs[1:])):
+        for lo0, hi0, lo1, hi1 in slabs[si]:
+            segs.append(((x0, lo0), (x1, lo1)))  # bottom, +x
+            segs.append(((x1, hi1), (x0, hi0)))  # top, -x
+    for bi in range(len(xs)):
+        left = (
+            [(t[2], t[3]) for t in slabs[bi - 1]]
+            if 0 <= bi - 1 < len(slabs)
+            else []
+        )
+        right = [(t[0], t[1]) for t in slabs[bi]] if bi < len(slabs) else []
+        x = xs[bi]
+        for lo, hi in _interval_diff(right, left):  # left boundary: -y
+            segs.append(((x, hi), (x, lo)))
+        for lo, hi in _interval_diff(left, right):  # right boundary: +y
+            segs.append(((x, lo), (x, hi)))
+    rings = _chain(segs)
+    return [_simplify_ring(r) for r in rings]
+
+
+def union_area_exact(ring_sets: list[list[np.ndarray]]) -> float:
+    """Union area straight from the trapezoid decomposition (no ring
+    reconstruction involved)."""
+    feats = [_edges_of(rs) for rs in ring_sets if len(rs)]
+    feats = [e for e in feats if len(e)]
+    if not feats:
+        return 0.0
+    all_edges = np.vstack(feats)
+    xs = sorted(
+        set(np.round(np.r_[all_edges[:, 0], all_edges[:, 2]], 9).tolist())
+        | set(np.round(_crossing_xs(all_edges), 9).tolist())
+    )
+    total = 0.0
+    for x0, x1 in zip(xs[:-1], xs[1:]):
+        if x1 - x0 < _EPS:
+            continue
+        traps: list[tuple] = []
+        for e in feats:
+            traps.extend(_slab_intervals(e, x0, x1))
+        for lo0, hi0, lo1, hi1 in _merge_trapezoids(traps):
+            total += 0.5 * ((hi0 - lo0) + (hi1 - lo1)) * (x1 - x0)
+    return total
+
+
+def union_region(ring_sets: list[list[np.ndarray]]):
+    """Union -> Region ([[exterior, holes...], ...]).
+
+    Classification comes from loop orientation (the sweep emits interior-
+    on-the-left boundaries): CCW = exterior, CW = hole; each hole attaches
+    to the smallest enclosing exterior."""
+    from gdal_spark.functions import geom as G
+
+    rings = union_rings(ring_sets)
+    exts = []
+    holes = []
+    for r in rings:
+        a = G.ring_area(r)
+        if a > 0:
+            exts.append((abs(a), r))
+        elif a < 0:
+            holes.append(r)
+    exts.sort(key=lambda t: t[0])
+    region = [[r] for _, r in exts]
+    for h in holes:
+        # probe point: midpoint of the first edge, nudged left of travel
+        # (strictly inside the enclosing exterior, outside the hole)
+        p, q = h[0], h[1]
+        mx, my = (p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        nrm = max((dx * dx + dy * dy) ** 0.5, _EPS)
+        probe_x = mx - dy / nrm * 1e-7
+        probe_y = my + dx / nrm * 1e-7
+        for i, (_, ext) in enumerate(exts):
+            if G.points_in_ring(
+                np.array([probe_x]), np.array([probe_y]), ext
+            )[0]:
+                region[i].append(h)
+                break
+    return region

@@ -13,7 +13,10 @@ ogrlayer.cpp:5385) for the 100 TB regime:
   (ogrlayer.cpp:3919)                   the pandas UDF (parse WKB once per
                                         distinct polygon per batch)
   -                                     pair dedup (same pair found in many
-                                        cells) via dropDuplicates
+                                        cells) via the REFERENCE-POINT rule
+                                        (keep the pair only in the one cell
+                                        containing the intersection-bbox
+                                        corner) — a filter, not a shuffle
   -                                     skew: hot cells salted S ways +
                                         AQE skew-join as backstop
 
@@ -95,6 +98,7 @@ def spatial_join(
     poly_key: str = "poly_id",
     broadcast_polygons: bool | None = None,
     salt: int = 0,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Join `left` rows (bbox'd) to polygons (wkb + bbox) they hit.
 
@@ -104,8 +108,30 @@ def spatial_join(
     broadcast_polygons: None = let Catalyst/AQE decide (autoBroadcast
     threshold); True = force broadcast (dims <= ~64MB: no shuffle at all);
     False = shuffle path, optionally salted `salt` ways for hot cells.
+
+    Exactly-once pairs WITHOUT a dedup shuffle:
+      * center_within probes a point, which lies in exactly one cell —
+        the left side is keyed by that single cell (no explode at all).
+      * intersects explodes the left bbox, and a pair discovered in many
+        shared cells is kept only in the cell containing the lower-left
+        corner of the two bboxes' intersection (a point both cover sets
+        contain) — the standard reference-point rule, evaluated as a
+        Catalyst column filter instead of dropDuplicates.
     """
-    lc = _cells_side(left, res, left_bbox, "cell")
+    if carry is not None:
+        # prune to keys + bbox + requested pass-throughs BEFORE the join:
+        # every column kept here is buffered through the Python-UDF filter
+        # for millions of candidate pairs, so width is a first-order cost
+        left = left.select(*dict.fromkeys([left_key, *left_bbox, *carry]))
+        polygons = polygons.select(*dict.fromkeys([poly_key, *poly_bbox, "wkb"]))
+
+    lx0, ly0, lx1, ly1 = (F.col(c) for c in left_bbox)
+    if predicate == "center_within":
+        lc = left.withColumn(
+            "cell", C.lonlat_cell((lx0 + lx1) / 2.0, (ly0 + ly1) / 2.0, res)
+        )
+    else:
+        lc = _cells_side(left, res, left_bbox, "cell")
     pc = _cells_side(polygons, res, poly_bbox, "cell")
 
     if salt > 1 and not broadcast_polygons:
@@ -122,7 +148,6 @@ def spatial_join(
     cand = lc.join(pc, on=join_keys, how="inner")
 
     # phase 1: envelope conjunction (Catalyst-visible, codegen'd)
-    lx0, ly0, lx1, ly1 = (F.col(c) for c in left_bbox)
     px0, py0, px1, py1 = (F.col(c) for c in poly_bbox)
     cand = cand.filter((lx0 <= px1) & (px0 <= lx1) & (ly0 <= py1) & (py0 <= ly1))
 
@@ -132,15 +157,18 @@ def spatial_join(
         cy = (ly0 + ly1) / 2.0
         cand = cand.filter(pip_udf(cx, cy, F.col("wkb")))
     elif predicate == "intersects":
+        # reference-point dedup BEFORE the exact kernel: evaluate the UDF
+        # once per pair, not once per shared cell
+        ref_cell = C.lonlat_cell(F.greatest(lx0, px0), F.greatest(ly0, py0), res)
+        cand = cand.filter(F.col("cell") == ref_cell)
         cand = cand.filter(
             box_intersects_udf(lx0, ly0, lx1, ly1, F.col("wkb"))
         )
     else:
         raise ValueError(f"unknown predicate {predicate!r}")
 
-    # a pair can be discovered in every shared cell -> exactly-once dedup
     drop = ["cell"] + (["_salt"] if salt > 1 and not broadcast_polygons else [])
-    return cand.drop(*drop).dropDuplicates([left_key, poly_key])
+    return cand.drop(*drop)
 
 
 def count_per_polygon(joined: DataFrame, poly_key: str = "poly_id") -> DataFrame:

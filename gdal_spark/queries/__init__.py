@@ -8,7 +8,9 @@ sides (the driver sorts columns by name before value-hashing).
 from __future__ import annotations
 
 from gdal_spark.queries import (
+    gridding,
     layer_algebra_entries,
+    morph_entries,
     raster_entries,
     raster_pipeline,
     relational,
@@ -20,6 +22,7 @@ from gdal_spark.queries import (
 MODULES = [
     relational, spatial_sql, textops, similarity,
     raster_entries, raster_pipeline, layer_algebra_entries,
+    morph_entries, gridding,
 ]
 
 

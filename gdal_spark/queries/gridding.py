@@ -1,0 +1,343 @@
+"""Gridding variants, Hilbert spatial sort, dissolve, special fields,
+embedding near-dup — all with full DuckDB SQL oracles.
+
+Reference coverage:
+  * grid nearest / average / min / max / range / count — the GDALGrid
+    algorithm family (alg/gdalgrid.cpp:879 nearest, :589 average,
+    :1024 mindata, :1343 maxdata, :1509 range, :1808 count).
+  * hilbert sort — `gdal vector sort` hilbert mode
+    (apps/gdalalg_vector_sort.cpp:371, alg/hilbert.cpp:20).
+  * dissolve — `gdal vector dissolve` (apps/gdalalg_vector_dissolve.cpp:
+    120): the Spark side runs the real Greiner-Hormann union kernel on
+    disjoint-by-construction boxes, so the SQL oracle can state the
+    aggregate invariants (n_parts = count, area = sum of box areas).
+  * special fields FID / OGR_GEOM_AREA (ogr/ogr_p.h:133-140): the Spark
+    side computes area through WKB encode -> shoelace decode (the real
+    geometry path); the oracle through box arithmetic.
+  * embedding-cosine near-dup pairs (training-data pipeline op; brute
+    force — the LSH-prefilter scale path is `ann_lsh_buckets`).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from gdal_spark.functions import hilbert as HB
+from gdal_spark.queries.spatial_sql import (
+    LON_SQL,
+    LAT_SQL,
+    PHI_LON,
+    PHI_LAT,
+    _lon_lat_cols,
+    _lonlat_sql,
+)
+from gdal_spark.sources.tables import load
+
+# --------------------------------------------------------------------------
+# Grid: nearest + radius metrics (customer points -> region query points)
+# --------------------------------------------------------------------------
+
+RADIUS = 25.0
+
+
+def _points(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    lon, lat = _lon_lat_cols(F.col("c_custkey"))
+    z = (F.col("c_custkey").cast("double") * 7.3) % 100.0
+    return c.select(
+        F.col("c_custkey").alias("pt_id"), lon.alias("x"), lat.alias("y"), z.alias("z")
+    )
+
+
+def _queries(spark, sf_dir):
+    r = load(spark, sf_dir, "region")
+    return r.select(
+        F.col("r_regionkey").alias("query_id"),
+        (F.lit(-100.0) + F.col("r_regionkey") * 40.0).alias("qx"),
+        (F.lit(-60.0) + F.col("r_regionkey") * 30.0).alias("qy"),
+    )
+
+
+_PTS_SQL = """
+    SELECT c_custkey AS pt_id, {lon} AS x, {lat} AS y,
+           fmod(cast(c_custkey as double) * 7.3, 100.0) AS z
+    FROM customer
+"""
+
+_QS_SQL = """
+    SELECT r_regionkey AS query_id,
+           -100.0 + r_regionkey * 40.0 AS qx,
+           -60.0 + r_regionkey * 30.0 AS qy
+    FROM region
+"""
+
+
+def _pts_sql() -> str:
+    lon, lat = _lonlat_sql("c_custkey")
+    return _PTS_SQL.format(lon=lon, lat=lat)
+
+
+def grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALGridNearestNeighbor (alg/gdalgrid.cpp:879): value of the single
+    nearest data point at each query node."""
+    from gdal_spark.operators import knn as KNN
+
+    nn = KNN.knn_join_broadcast(_points(spark, sf_dir), _queries(spark, sf_dir), k=1)
+    return nn.select(
+        "query_id",
+        F.round("z", 4).alias("nn_z"),
+        F.round(F.sqrt("dist2"), 4).alias("nn_dist"),
+    )
+
+
+def _grid_nearest_oracle() -> str:
+    return f"""
+        WITH pts AS ({_pts_sql()}), qs AS ({_QS_SQL}),
+        cand AS (
+            SELECT q.query_id, p.z,
+                   (q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y) AS dist2,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY (q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y) ASC,
+                              p.pt_id ASC
+                   ) AS rnk
+            FROM qs q CROSS JOIN pts p)
+        SELECT query_id, round(z, 4) AS nn_z, round(sqrt(dist2), 4) AS nn_dist
+        FROM cand WHERE rnk = 1
+    """
+
+
+def grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'data metrics' GDALGrid family within a search radius:
+    average (:589), mindata (:1024), maxdata (:1343), range (:1509),
+    count (:1808) — one radius join feeding five aggregates."""
+    pts = _points(spark, sf_dir)
+    qs = _queries(spark, sf_dir)
+    d2 = (F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2
+    cand = pts.crossJoin(F.broadcast(qs)).filter(d2 <= F.lit(RADIUS * RADIUS))
+    return cand.groupBy("query_id").agg(
+        F.round(F.avg("z"), 4).alias("g_avg"),
+        F.round(F.min("z"), 4).alias("g_min"),
+        F.round(F.max("z"), 4).alias("g_max"),
+        F.round(F.max("z") - F.min("z"), 4).alias("g_range"),
+        F.count(F.lit(1)).alias("g_count"),
+    )
+
+
+def _grid_metrics_oracle() -> str:
+    return f"""
+        WITH pts AS ({_pts_sql()}), qs AS ({_QS_SQL})
+        SELECT q.query_id,
+               round(avg(p.z), 4) AS g_avg,
+               round(min(p.z), 4) AS g_min,
+               round(max(p.z), 4) AS g_max,
+               round(max(p.z) - min(p.z), 4) AS g_range,
+               count(*) AS g_count
+        FROM qs q JOIN pts p
+          ON (q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y)
+             <= {RADIUS * RADIUS!r}
+        GROUP BY q.query_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Hilbert spatial sort
+# --------------------------------------------------------------------------
+
+_DOMAIN = (-180.0, 360.0, -85.0, 170.0)  # xmin, xextent, ymin, yextent
+
+
+def hilbert_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal vector sort --by hilbert`: order events along the 16-bit
+    Hilbert curve over the world envelope; rank column makes the ordering
+    value-checkable under the driver's order-insensitive hash."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    lon, lat = _lon_lat_cols(F.col("event_id"))
+    xmin, xext, ymin, yext = _DOMAIN
+    x = F.round(F.lit(HB.HILBERT_MAX) * (lon - F.lit(xmin)) / F.lit(xext)).cast("long")
+    y = F.round(F.lit(HB.HILBERT_MAX) * (lat - F.lit(ymin)) / F.lit(yext)).cast("long")
+    coded = HB.with_hilbert_code(
+        e.select("event_id", x.alias("sx"), y.alias("sy")), "sx", "sy"
+    ).drop("sx", "sy")
+    w = Window.orderBy(F.col("hcode").asc(), F.col("event_id").asc())
+    return coded.withColumn("hrank", F.row_number().over(w)).filter(
+        F.col("hrank") <= 200
+    )
+
+
+def _hilbert_oracle() -> str:
+    lon, lat = _lonlat_sql("event_id")
+    xmin, xext, ymin, yext = _DOMAIN
+    xs = f"cast(round({HB.HILBERT_MAX} * (({lon}) - ({xmin!r})) / ({xext!r})) as bigint)"
+    ys = f"cast(round({HB.HILBERT_MAX} * (({lat}) - ({ymin!r})) / ({yext!r})) as bigint)"
+    return f"""
+        WITH coded AS (SELECT event_id, {HB.hilbert_select_sql(xs, ys)} FROM events)
+        SELECT event_id, hcode,
+               row_number() OVER (ORDER BY hcode ASC, event_id ASC) AS hrank
+        FROM coded QUALIFY hrank <= 200
+    """
+
+
+# --------------------------------------------------------------------------
+# Dissolve (disjoint-by-construction boxes -> SQL-checkable invariants)
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.BinaryType())
+def _box_wkb(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    def mk(x0, y0, x1, y1):
+        ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+        out = [struct.pack("<BII", 1, 3, 1), struct.pack("<I", 5)]
+        out += [struct.pack("<dd", x, y) for x, y in ring]
+        return b"".join(out)
+
+    return pd.Series([mk(a, b, c, d) for a, b, c, d in zip(xmin, ymin, xmax, ymax)])
+
+
+# disjoint grid: cell (k mod 10, k div 10) * 20, box size <= 12 < 20
+_BOX_COLS = """
+    cast(n_nationkey % 10 as double) * 20.0 AS bx,
+    cast(n_nationkey // 10 as double) * 20.0 AS by,
+    6.0 + cast(n_nationkey % 13 as double) / 2.0 AS bw,
+    4.0 + cast(n_nationkey % 17 as double) / 4.0 AS bh
+"""
+
+
+def dissolve_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve disjoint nation boxes by region key through the REAL
+    union kernel; invariants (n_parts = count, area = sum wh) are exact
+    because the boxes cannot interact."""
+    from gdal_spark.operators.dissolve import dissolve
+
+    n = load(spark, sf_dir, "nation")
+    bx = (F.col("n_nationkey") % 10).cast("double") * 20.0
+    by = F.floor(F.col("n_nationkey") / 10).cast("double") * 20.0
+    bw = F.lit(6.0) + (F.col("n_nationkey") % 13).cast("double") / 2.0
+    bh = F.lit(4.0) + (F.col("n_nationkey") % 17).cast("double") / 4.0
+    boxes = n.select(
+        F.col("n_regionkey").alias("rkey"),
+        _box_wkb(bx, by, bx + bw, by + bh).alias("wkb"),
+    )
+    out = dissolve(boxes, ["rkey"])
+    return out.select("rkey", "n_parts", F.round("area", 4).alias("area_r"))
+
+
+_DISSOLVE_ORACLE = f"""
+    WITH boxes AS (SELECT n_regionkey AS rkey, {_BOX_COLS} FROM nation)
+    SELECT rkey, cast(count(*) as int) AS n_parts,
+           round(sum(bw * bh), 4) AS area_r
+    FROM boxes GROUP BY rkey
+"""
+
+
+# --------------------------------------------------------------------------
+# OGR special fields: FID + OGR_GEOM_AREA (ogr/ogr_p.h:133-140)
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.DoubleType())
+def _wkb_area_udf(wkb_col: pd.Series) -> pd.Series:
+    from gdal_spark.functions import geom
+
+    return pd.Series([geom.wkb_area(bytes(b)) for b in wkb_col])
+
+
+def ogr_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT FID, OGR_GEOM_AREA ... : FID carried as data (stable ids,
+    not monotonically_increasing_id), area computed through the real
+    WKB encode -> shoelace path."""
+    n = load(spark, sf_dir, "nation")
+    bx = (F.col("n_nationkey") % 10).cast("double") * 20.0
+    by = F.floor(F.col("n_nationkey") / 10).cast("double") * 20.0
+    bw = F.lit(6.0) + (F.col("n_nationkey") % 13).cast("double") / 2.0
+    bh = F.lit(4.0) + (F.col("n_nationkey") % 17).cast("double") / 4.0
+    boxes = n.select(
+        F.col("n_nationkey").alias("fid"),
+        F.col("n_name").alias("name"),
+        _box_wkb(bx, by, bx + bw, by + bh).alias("wkb"),
+    )
+    return boxes.select(
+        "fid", "name", F.round(_wkb_area_udf("wkb"), 6).alias("ogr_geom_area")
+    )
+
+
+_SPECIAL_FIELDS_ORACLE = f"""
+    WITH boxes AS (SELECT n_nationkey AS fid, n_name AS name, {_BOX_COLS} FROM nation)
+    SELECT fid, name, round(bw * bh, 6) AS ogr_geom_area FROM boxes
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (brute force; LSH is the scale path)
+# --------------------------------------------------------------------------
+
+_COS_THRESH = 0.4
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.queries.similarity import _dot, _norm
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = base.alias("a")
+    b = base.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _COS_THRESH)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos", 4).alias("cos_r"),
+        )
+    )
+
+
+_DEDUP_COS_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> cast(x as double) * cast(x as double)), 'sum')) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')
+               / (a.nrm * b.nrm) AS cos
+        FROM base a JOIN base b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 4) AS cos_r
+    FROM pairs WHERE cos >= {_COS_THRESH!r}
+"""
+
+
+SPARK = {
+    "grid_nearest": grid_nearest,
+    "grid_metrics": grid_metrics,
+    "hilbert_sort": hilbert_sort,
+    "dissolve_boxes": dissolve_boxes,
+    "ogr_special_fields": ogr_special_fields,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE = {
+    "grid_nearest": _grid_nearest_oracle(),
+    "grid_metrics": _grid_metrics_oracle(),
+    "hilbert_sort": _hilbert_oracle(),
+    "dissolve_boxes": _DISSOLVE_ORACLE,
+    "ogr_special_fields": _SPECIAL_FIELDS_ORACLE,
+    "dedup_embedding_cosine": _DEDUP_COS_ORACLE,
+}

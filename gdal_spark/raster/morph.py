@@ -1,0 +1,336 @@
+"""Morphological / focal raster kernels: proximity, sieve, fillnodata,
+focal statistics, pansharpen, point interpolation.
+
+Pure-numpy (no scipy in the container), vectorized per tile; every kernel
+is a narrow arr -> arr map lifted onto the images table via
+``gdal_spark.raster.ops._map_images`` or used inside ``mapInPandas``.
+
+Reference semantics (cited for parity, not copied — the implementations
+below use standard published algorithms restated in numpy):
+
+* proximity: GDALComputeProximity (alg/gdalproximity.cpp:94) — per-pixel
+  distance to the nearest "target" pixel, optional MAXDIST cap, target set
+  given by value list or non-zero mask. GDAL runs a 4-sweep nearest-target
+  scanline propagation (ProcessProximityLine, alg/gdalproximity.cpp:449);
+  we compute the exact Euclidean distance transform with the
+  Felzenszwalb–Huttenlocher lower-envelope-of-parabolas method (IJCV 2012,
+  public domain description), which yields the same distances wherever
+  GDAL's propagation is exact.
+* sieve: GDALSieveFilter (alg/gdalsievefilter.cpp:178) — remove connected
+  components smaller than a size threshold by merging each into its
+  largest neighboring component (4- or 8-connected).
+* fillnodata: GDALFillNodata (alg/rasterfill.cpp:394) — inverse-distance
+  interpolation of nodata holes from nearby valid pixels found by
+  directional scanline search within max_search_dist.
+* focal stats: `gdal raster neighbors` (apps/gdalalg_raster_neighbors.cpp:
+  34-58,207) — sliding-window mean/sum/min/max/stddev/median/mode and
+  named convolution kernels; edges handled by window shrink (only in-image
+  samples participate).
+* pansharpen: weighted Brovey GDALPansharpenOperation::ProcessRegion
+  (alg/gdalpansharpen.cpp:592): out_i = ms_i * pan / pseudo_pan where
+  pseudo_pan = sum(w_i * ms_i).
+* interpolate at point: GDALInterpolateAtPoint
+  (alg/gdal_interpolateatpoint.cpp) — nearest / bilinear sampling at
+  fractional pixel coords, pixel-center convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_INF = 1e20
+
+
+# ---------------------------------------------------------------------------
+# Exact Euclidean distance transform (proximity)
+# ---------------------------------------------------------------------------
+
+
+def _edt_1d(f: np.ndarray) -> np.ndarray:
+    """Squared-distance transform of a sampled function along the last
+    axis (lower envelope of parabolas), vectorized over leading axes."""
+    n = f.shape[-1]
+    rows = f.reshape(-1, n)
+    out = np.empty_like(rows)
+    q = np.arange(n, dtype=np.float64)
+    for i in range(rows.shape[0]):
+        fr = rows[i]
+        v = np.empty(n, dtype=np.int64)  # parabola apex positions
+        z = np.empty(n + 1, dtype=np.float64)  # envelope breakpoints
+        k = 0
+        v[0] = 0
+        z[0], z[1] = -_INF, _INF
+        for qi in range(1, n):
+            s = 0.0
+            while True:
+                vk = v[k]
+                s = ((fr[qi] + qi * qi) - (fr[vk] + vk * vk)) / (2 * qi - 2 * vk)
+                if s <= z[k]:
+                    k -= 1
+                else:
+                    break
+            k += 1
+            v[k] = qi
+            z[k] = s
+            z[k + 1] = _INF
+        k = 0
+        for qi in range(n):
+            while z[k + 1] < qi:
+                k += 1
+            vk = v[k]
+            out[i, qi] = (qi - vk) * (qi - vk) + fr[vk]
+    return out.reshape(f.shape)
+
+
+def proximity(
+    target: np.ndarray,
+    max_dist: float | None = None,
+    dist_mult: float = 1.0,
+    nodata: float | None = None,
+) -> np.ndarray:
+    """Distance (in pixels * dist_mult) from every pixel to the nearest
+    True pixel of ``target``. Pixels farther than max_dist get max_dist
+    (or ``nodata`` when given) — GDALComputeProximity MAXDIST/NODATA
+    semantics (alg/gdalproximity.cpp:144,387-399)."""
+    t = target.astype(bool)
+    f = np.where(t, 0.0, _INF)
+    d2 = _edt_1d(f)  # along rows
+    d2 = _edt_1d(np.ascontiguousarray(d2.T)).T  # along columns
+    d = np.sqrt(d2) * dist_mult
+    if max_dist is not None:
+        cap = nodata if nodata is not None else max_dist
+        d = np.where(d > max_dist, cap, d)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Sieve filter
+# ---------------------------------------------------------------------------
+
+
+def sieve(values: np.ndarray, threshold: int, connect: int = 4) -> np.ndarray:
+    """Replace every connected component smaller than ``threshold`` pixels
+    with the value of its largest neighboring component
+    (GDALSieveFilter, alg/gdalsievefilter.cpp:178)."""
+    from gdal_spark.raster.kernels import label_components
+
+    out = values.copy()
+    # iterate: merging can create new merge candidates (GDAL's merge list
+    # reprocessing loop has the same fixed-point behavior)
+    for _ in range(64):
+        labels = label_components(out, connect=connect)
+        ids, sizes = np.unique(labels, return_counts=True)
+        size_of = dict(zip(ids.tolist(), sizes.tolist()))
+        small = [i for i, s in zip(ids.tolist(), sizes.tolist()) if s < threshold]
+        if not small:
+            break
+        # neighbor pairs across horizontal and vertical pixel edges
+        pairs = set()
+        a, b = labels[:, :-1], labels[:, 1:]
+        m = a != b
+        pairs.update(zip(a[m].tolist(), b[m].tolist()))
+        a, b = labels[:-1, :], labels[1:, :]
+        m = a != b
+        pairs.update(zip(a[m].tolist(), b[m].tolist()))
+        nbrs: dict[int, set[int]] = {}
+        for p, q in pairs:
+            nbrs.setdefault(p, set()).add(q)
+            nbrs.setdefault(q, set()).add(p)
+        changed = False
+        for lab in sorted(small, key=lambda i: size_of[i]):
+            cand = nbrs.get(lab, set())
+            if not cand:
+                continue
+            best = max(cand, key=lambda i: (size_of[i], -i))
+            mask = labels == lab
+            out[mask] = out[labels == best].flat[0]
+            changed = True
+        if not changed:
+            break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fill nodata (IDW inpainting)
+# ---------------------------------------------------------------------------
+
+
+def fillnodata(
+    arr: np.ndarray, valid: np.ndarray, max_search_dist: int = 100
+) -> np.ndarray:
+    """Fill pixels where ``valid`` is False by inverse-distance weighting
+    of the nearest valid pixel found in each of 8 scan directions within
+    ``max_search_dist`` (GDALFillNodata semantics, alg/rasterfill.cpp:394:
+    four-direction nearest-valid search + 3/4-power IDW; we use the 8
+    axis/diagonal directions and power-1 IDW — documented deviation, the
+    hole interiors differ only in smoothness, not coverage)."""
+    h, w = arr.shape[:2]
+    out = arr.astype(np.float64).copy()
+    vals = np.zeros((8, h, w))
+    dists = np.full((8, h, w), np.inf)
+
+    # initialize all direction layers with self (0 for valid, inf else)
+    base_v = np.where(valid, arr.astype(np.float64), 0.0)
+    base_d = np.where(valid, 0.0, np.inf)
+    for k in range(8):
+        vals[k] = base_v
+        dists[k] = base_d
+
+    steps = [
+        ((0, -1), 1.0), ((0, 1), 1.0), ((-1, 0), 1.0), ((1, 0), 1.0),
+        ((-1, -1), np.sqrt(2)), ((-1, 1), np.sqrt(2)),
+        ((1, -1), np.sqrt(2)), ((1, 1), np.sqrt(2)),
+    ]
+    for k, ((dy, dx), step) in enumerate(steps):
+        v, d = vals[k], dists[k]
+        ys = range(h) if dy >= 0 else range(h - 1, -1, -1)
+        for y in ys:
+            py = y - dy
+            if py < 0 or py >= h:
+                continue
+            if dx == 0:
+                better = d[py] + step < d[y]
+                d[y] = np.where(better, d[py] + step, d[y])
+                v[y] = np.where(better, v[py], v[y])
+            else:
+                if dx > 0:
+                    cur, prev = slice(1, w), slice(0, w - 1)
+                else:
+                    cur, prev = slice(0, w - 1), slice(1, w)
+                cand_d = d[py, prev] + step
+                better = cand_d < d[y, cur]
+                d[y, cur] = np.where(better, cand_d, d[y, cur])
+                v[y, cur] = np.where(better, v[py, prev], v[y, cur])
+        if dy == 0:
+            # pure-horizontal directions need a column sweep instead
+            v[:] = np.where(valid, arr, 0.0)
+            d[:] = np.where(valid, 0.0, np.inf)
+            xs = range(w) if dx > 0 else range(w - 1, -1, -1)
+            for x in xs:
+                px = x - dx
+                if px < 0 or px >= w:
+                    continue
+                better = d[:, px] + step < d[:, x]
+                d[:, x] = np.where(better, d[:, px] + step, d[:, x])
+                v[:, x] = np.where(better, v[:, px], v[:, x])
+
+    within = (dists > 0) & (dists <= max_search_dist)
+    wgt = np.where(within, 1.0 / np.maximum(dists, 1e-9), 0.0)
+    num = (vals * wgt).sum(axis=0)
+    den = wgt.sum(axis=0)
+    filled = np.where((~valid) & (den > 0), num / np.maximum(den, 1e-12), out)
+    return filled
+
+
+# ---------------------------------------------------------------------------
+# Focal / neighborhood statistics
+# ---------------------------------------------------------------------------
+
+KERNELS = {
+    # named kernels of `gdal raster neighbors` (gdalalg_raster_neighbors.cpp:34-58)
+    "equal": np.ones((3, 3)) / 9.0,
+    "edge1": np.array([[1, 0, -1], [0, 0, 0], [-1, 0, 1]], dtype=float),
+    "edge2": np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]], dtype=float),
+    "sharpen": np.array([[0, -1, 0], [-1, 5, -1], [0, -1, 0]], dtype=float),
+    "gaussian": np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=float) / 16.0,
+}
+
+
+def _windows(arr: np.ndarray, size: int) -> np.ndarray:
+    """(h, w, size*size) stack of the size×size neighborhood of every
+    pixel, NaN outside the image (edge shrink semantics)."""
+    r = size // 2
+    h, w = arr.shape
+    pad = np.full((h + 2 * r, w + 2 * r), np.nan)
+    pad[r : r + h, r : r + w] = arr
+    win = np.lib.stride_tricks.sliding_window_view(pad, (size, size))
+    return win.reshape(h, w, size * size)
+
+
+def focal_stat(arr: np.ndarray, size: int = 3, method: str = "mean") -> np.ndarray:
+    """Sliding-window statistic; out-of-image samples excluded
+    (`gdal raster neighbors` methods, gdalalg_raster_neighbors.cpp:207)."""
+    win = _windows(arr.astype(np.float64), size)
+    if method == "mean":
+        return np.nanmean(win, axis=2)
+    if method == "sum":
+        return np.nansum(win, axis=2)
+    if method == "min":
+        return np.nanmin(win, axis=2)
+    if method == "max":
+        return np.nanmax(win, axis=2)
+    if method == "stddev":
+        return np.nanstd(win, axis=2)
+    if method == "median":
+        return np.nanmedian(win, axis=2)
+    if method == "mode":
+        # per-pixel most frequent value (ties -> smallest), small windows
+        h, w, n = win.shape
+        flat = win.reshape(-1, n)
+        out = np.empty(flat.shape[0])
+        for i in range(flat.shape[0]):
+            v = flat[i][~np.isnan(flat[i])]
+            vals, cnt = np.unique(v, return_counts=True)
+            out[i] = vals[np.argmax(cnt)]
+        return out.reshape(h, w)
+    raise ValueError(f"unknown focal method {method!r}")
+
+
+def convolve(arr: np.ndarray, kernel: np.ndarray | str) -> np.ndarray:
+    """2-D convolution with a named or explicit kernel, edge-replicate
+    padding (kernel weights always fully applied)."""
+    k = KERNELS[kernel] if isinstance(kernel, str) else np.asarray(kernel, float)
+    kh, kw = k.shape
+    ry, rx = kh // 2, kw // 2
+    pad = np.pad(arr.astype(np.float64), ((ry, ry), (rx, rx)), mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(pad, (kh, kw))
+    return np.einsum("hwij,ij->hw", win, k)
+
+
+# ---------------------------------------------------------------------------
+# Pansharpen (weighted Brovey)
+# ---------------------------------------------------------------------------
+
+
+def pansharpen(
+    pan: np.ndarray, ms: np.ndarray, weights: list[float] | None = None
+) -> np.ndarray:
+    """out_band = ms_band * pan / sum(w_i * ms_i)
+    (GDALPansharpenOperation::ProcessRegion, alg/gdalpansharpen.cpp:592).
+    ``ms`` is (h, w, nbands) already resampled to pan resolution."""
+    nb = ms.shape[2]
+    w = np.asarray(weights if weights is not None else [1.0 / nb] * nb)
+    pseudo = (ms.astype(np.float64) * w[None, None, :]).sum(axis=2)
+    ratio = np.where(pseudo > 0, pan.astype(np.float64) / np.maximum(pseudo, 1e-12), 0.0)
+    return ms.astype(np.float64) * ratio[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# Interpolate at point
+# ---------------------------------------------------------------------------
+
+
+def interpolate_at_point(
+    arr: np.ndarray, xs: np.ndarray, ys: np.ndarray, method: str = "bilinear"
+) -> np.ndarray:
+    """Sample band values at fractional pixel coords (pixel-center
+    convention: coord p samples pixel centers at p-0.5 —
+    GDALInterpolateAtPoint, alg/gdal_interpolateatpoint.cpp). Vectorized
+    over point arrays; out-of-range coords clamp to the border pixel."""
+    h, w = arr.shape[:2]
+    fx = np.asarray(xs, float) - 0.5
+    fy = np.asarray(ys, float) - 0.5
+    if method == "near":
+        ix = np.clip(np.round(fx).astype(int), 0, w - 1)
+        iy = np.clip(np.round(fy).astype(int), 0, h - 1)
+        return arr[iy, ix].astype(np.float64)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    tx = np.clip(fx - x0, 0.0, 1.0)
+    ty = np.clip(fy - y0, 0.0, 1.0)
+    a = arr.astype(np.float64)
+    top = a[y0, x0] * (1 - tx) + a[y0, x1] * tx
+    bot = a[y1, x0] * (1 - tx) + a[y1, x1] * tx
+    return top * (1 - ty) + bot * ty
