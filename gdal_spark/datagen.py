@@ -174,8 +174,13 @@ def images_df(
         place = F.element_at(
             F.array(*[F.lit(s) for s in PLACES]), (idx % len(PLACES) + 1).cast("int")
         )
+        # concat+lpad, NOT format_string: java.util.Formatter costs ~us per
+        # call and projection collapsing re-evaluates the id expression many
+        # times per row (measured: 20M metadata rows noop-write 79s -> ~4s).
+        # Fixture ids are < 10^8 by contract, so lpad(8) == %08d.
+        id8 = F.lpad(idx.cast("string"), 8, "0")
         return rng.select(
-            F.format_string("img%08d", idx).alias("image_id"),
+            F.concat(F.lit("img"), id8).alias("image_id"),
             F.lit(None).cast("binary").alias("bytes"),
             w.cast("int").alias("w"),
             h.cast("int").alias("h"),
@@ -183,9 +188,9 @@ def images_df(
                 F.array(*[F.lit(s) for s in FMT_CYCLE]),
                 (idx % len(FMT_CYCLE) + 1).cast("int"),
             ).alias("fmt"),
-            F.format_string("caption of img%08d: %s over %s", idx, noun, place).alias(
-                "caption"
-            ),
+            F.concat(
+                F.lit("caption of img"), id8, F.lit(": "), noun, F.lit(" over "), place
+            ).alias("caption"),
             F.lit(None).cast("long").alias("phash"),
         )
 

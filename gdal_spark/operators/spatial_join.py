@@ -40,6 +40,53 @@ from gdal_spark.functions import cells as C
 from gdal_spark.functions import geom
 
 
+def pip_by_id_udf(poly_map: dict):
+    """PIP predicate keyed by polygon id, polygons shipped ONCE per worker
+    in the UDF closure (the dimension is already driver-collected for the
+    broadcast join). Sending wkb per candidate row instead measures 12x
+    more Arrow traffic and anti-scales past ~8 local cores: every task
+    then needs a JVM serializer core AND a Python core, oversubscribing
+    the host (measured 71s @ local[8] -> 351s @ local[32] on 106M
+    candidates; by-id: scales)."""
+
+    @pandas_udf(T.BooleanType())
+    def fn(px: pd.Series, py: pd.Series, pid: pd.Series) -> pd.Series:
+        out = np.zeros(len(px), dtype=bool)
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        pids = pid.to_numpy()
+        for u in np.unique(pids):
+            mask = pids == u
+            out[mask] = geom.points_in_wkb(pxv[mask], pyv[mask], poly_map[int(u)])
+        return pd.Series(out)
+
+    return fn
+
+
+def box_intersects_by_id_udf(poly_map: dict):
+    """Exact box-polygon intersection keyed by polygon id (see
+    pip_by_id_udf for why the geometry rides in the closure)."""
+
+    @pandas_udf(T.BooleanType())
+    def fn(
+        xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series,
+        pid: pd.Series,
+    ) -> pd.Series:
+        out = np.zeros(len(xmin), dtype=bool)
+        x0 = xmin.to_numpy(float)
+        y0 = ymin.to_numpy(float)
+        x1 = xmax.to_numpy(float)
+        y1 = ymax.to_numpy(float)
+        pids = pid.to_numpy()
+        for u in np.unique(pids):
+            buf = poly_map[int(u)]
+            for j in np.nonzero(pids == u)[0]:
+                out[j] = geom.clip_wkb_to_box(buf, x0[j], y0[j], x1[j], y1[j]) is not None
+        return pd.Series(out)
+
+    return fn
+
+
 @pandas_udf(T.BooleanType())
 def pip_udf(px: pd.Series, py: pd.Series, wkb_col: pd.Series) -> pd.Series:
     """Vectorized point-in-polygon: batches are grouped by distinct polygon
@@ -75,6 +122,54 @@ def box_intersects_udf(
     return pd.Series(out)
 
 
+# beyond this many edges the unrolled-codegen PIP expression would bloat
+# the generated method; larger polygons use the interpreted aggregate path
+_UNROLL_MAX_EDGES = 32
+
+
+def _edges_rows(poly_map: dict) -> list[tuple]:
+    """(poly_id, [[ylo, yhi, x1, y1, slope], ...]) — every NON-HORIZONTAL
+    ring edge of the polygon (horizontal edges never satisfy the half-open
+    crossing rule), exteriors and holes together: even-odd ray-casting
+    parity over the union of ring edges IS point-in-polygon-with-holes.
+    Slope and the y-interval are precomputed driver-side so the per-probe
+    test is 3 comparisons + 1 fma."""
+    from gdal_spark.functions import wkb as W
+
+    rows = []
+    for pid, buf in poly_map.items():
+        edges = []
+        for rings in W.polygon_rings(buf):
+            for ring in rings:
+                r = np.asarray(ring, dtype=np.float64)
+                if not np.array_equal(r[0], r[-1]):
+                    r = np.vstack([r, r[:1]])
+                for (x1, y1), (x2, y2) in zip(r[:-1].tolist(), r[1:].tolist()):
+                    if y1 == y2:
+                        continue
+                    edges.append(
+                        [min(y1, y2), max(y1, y2), x1, y1, (x2 - x1) / (y2 - y1)]
+                    )
+        rows.append((pid, edges))
+    return rows
+
+
+def pip_edges_predicate(cx, cy, edges):
+    """Pure-JVM ray casting: crossing parity via F.aggregate over the
+    polygon's prepared edge array — no Python boundary at all. Half-open
+    crossing rule of OGRLinearRing::isPointInRing
+    (ogr/ogrlinearring.cpp:452-521): for a non-horizontal edge,
+    (y1<=y<y2 or y2<=y<y1) == (ylo<=y<yhi), and x < x-intersection."""
+
+    def step(acc, e):
+        ylo, yhi = e.getItem(0), e.getItem(1)
+        x1, y1, slope = e.getItem(2), e.getItem(3), e.getItem(4)
+        hit = (ylo <= cy) & (cy < yhi) & (cx < x1 + (cy - y1) * slope)
+        return acc + F.when(hit, F.lit(1)).otherwise(F.lit(0))
+
+    return F.aggregate(edges, F.lit(0), step) % 2 == 1
+
+
 def _cells_side(
     df: DataFrame, res: int, bbox: tuple[str, str, str, str], out: str = "cell"
 ) -> DataFrame:
@@ -99,6 +194,7 @@ def spatial_join(
     broadcast_polygons: bool | None = None,
     salt: int = 0,
     carry: list[str] | None = None,
+    keep_wkb: bool = False,
 ) -> DataFrame:
     """Join `left` rows (bbox'd) to polygons (wkb + bbox) they hit.
 
@@ -124,6 +220,18 @@ def spatial_join(
         # for millions of candidate pairs, so width is a first-order cost
         left = left.select(*dict.fromkeys([left_key, *left_bbox, *carry]))
         polygons = polygons.select(*dict.fromkeys([poly_key, *poly_bbox, "wkb"]))
+
+    # broadcast path: the polygon dim is driver-sized anyway, so ship each
+    # worker the geometry ONCE (closure) and keep wkb out of the join
+    poly_map: dict | None = None
+    wkb_dim: DataFrame | None = None
+    if broadcast_polygons:
+        poly_map = {
+            r[0]: bytes(r[1]) for r in polygons.select(poly_key, "wkb").collect()
+        }
+        if keep_wkb:
+            wkb_dim = polygons.select(poly_key, "wkb")
+        polygons = polygons.drop("wkb")
 
     lx0, ly0, lx1, ly1 = (F.col(c) for c in left_bbox)
     if predicate == "center_within":
@@ -155,20 +263,81 @@ def spatial_join(
     if predicate == "center_within":
         cx = (lx0 + lx1) / 2.0
         cy = (ly0 + ly1) / 2.0
-        cand = cand.filter(pip_udf(cx, cy, F.col("wkb")))
+        if poly_map is not None:
+            # stay 100% JVM: broadcast-join per-polygon edge data and
+            # evaluate crossing parity inside the join condition. A
+            # pandas-UDF filter here bottlenecks on the Arrow boundary and
+            # double-books every core (JVM serializer + Python worker per
+            # task); an F.aggregate lambda stays JVM but drops the whole
+            # join out of codegen (interpreted + per-element allocation).
+            # Small polygons therefore take the UNROLLED path: edges
+            # padded to a fixed width of flat double columns, parity as a
+            # branch-free codegen'd expression.
+            spark = polygons.sparkSession
+            edge_rows = _edges_rows(poly_map)
+            max_e = max((len(e) for _, e in edge_rows), default=0)
+            key_t = dict(cand.dtypes)[poly_key]
+            if 0 < max_e <= _UNROLL_MAX_EDGES:
+                flat = []
+                for pid, edges in edge_rows:
+                    row = [pid]
+                    for ylo, yhi, x1, y1, sl in edges:
+                        row += [ylo, yhi, x1, y1, sl]
+                    # padding edge: empty y-interval, never crosses
+                    row += [1.0, 0.0, 0.0, 0.0, 0.0] * (max_e - len(edges))
+                    flat.append(tuple(row))
+                names = [
+                    f"_e{i}_{f}"
+                    for i in range(max_e)
+                    for f in ("ylo", "yhi", "x1", "y1", "sl")
+                ]
+                schema = f"{poly_key} long, " + ", ".join(f"{n} double" for n in names)
+                edges_df = spark.createDataFrame(flat, schema).withColumn(
+                    poly_key, F.col(poly_key).cast(key_t)
+                )
+                cand = cand.join(F.broadcast(edges_df), on=poly_key)
+                parity = None
+                for i in range(max_e):
+                    ylo, yhi = F.col(f"_e{i}_ylo"), F.col(f"_e{i}_yhi")
+                    x1, y1, sl = (
+                        F.col(f"_e{i}_x1"), F.col(f"_e{i}_y1"), F.col(f"_e{i}_sl")
+                    )
+                    hit = (ylo <= cy) & (cy < yhi) & (cx < x1 + (cy - y1) * sl)
+                    bit = F.when(hit, F.lit(1)).otherwise(F.lit(0))
+                    parity = bit if parity is None else parity + bit
+                cand = cand.filter(parity % 2 == 1).drop(*names)
+            else:
+                edges_df = spark.createDataFrame(
+                    edge_rows, f"{poly_key} long, edges array<array<double>>"
+                ).withColumn(poly_key, F.col(poly_key).cast(key_t))
+                cand = cand.join(F.broadcast(edges_df), on=poly_key)
+                cand = cand.filter(pip_edges_predicate(cx, cy, F.col("edges"))).drop(
+                    "edges"
+                )
+        else:
+            cand = cand.filter(pip_udf(cx, cy, F.col("wkb")))
     elif predicate == "intersects":
         # reference-point dedup BEFORE the exact kernel: evaluate the UDF
         # once per pair, not once per shared cell
         ref_cell = C.lonlat_cell(F.greatest(lx0, px0), F.greatest(ly0, py0), res)
         cand = cand.filter(F.col("cell") == ref_cell)
-        cand = cand.filter(
-            box_intersects_udf(lx0, ly0, lx1, ly1, F.col("wkb"))
-        )
+        if poly_map is not None:
+            cand = cand.filter(
+                box_intersects_by_id_udf(poly_map)(lx0, ly0, lx1, ly1, F.col(poly_key))
+            )
+        else:
+            cand = cand.filter(
+                box_intersects_udf(lx0, ly0, lx1, ly1, F.col("wkb"))
+            )
     else:
         raise ValueError(f"unknown predicate {predicate!r}")
 
     drop = ["cell"] + (["_salt"] if salt > 1 and not broadcast_polygons else [])
-    return cand.drop(*drop)
+    cand = cand.drop(*drop)
+    if wkb_dim is not None:
+        # geometry re-attached AFTER filtering: only final pairs pay for it
+        cand = cand.join(F.broadcast(wkb_dim), on=poly_key)
+    return cand
 
 
 def count_per_polygon(joined: DataFrame, poly_key: str = "poly_id") -> DataFrame:

@@ -12,17 +12,19 @@ from gdal_spark.queries import (
     layer_algebra_entries,
     morph_entries,
     raster_entries,
+    raster_extra,
     raster_pipeline,
     relational,
     similarity,
     spatial_sql,
+    sql_extra,
     textops,
 )
 
 MODULES = [
     relational, spatial_sql, textops, similarity,
     raster_entries, raster_pipeline, layer_algebra_entries,
-    morph_entries, gridding,
+    morph_entries, gridding, raster_extra, sql_extra,
 ]
 
 

@@ -1,0 +1,224 @@
+"""Remaining raster conversion entries: rasterize, histogram,
+as-features, mosaic composite.
+
+Reference coverage:
+  * rasterize — GDALRasterizeGeometries scanline burn + MERGE_ALG=ADD
+    (alg/gdalrasterize.cpp:999, alg/llrasterize.cpp:197).
+  * histogram — GDALRasterBand::GetHistogram bucketing
+    (gcore/gdalrasterband.cpp, gcore/gdal_rasterband.h:543ff).
+  * as-features — `gdal raster as-features` pixel->row explode
+    (apps/gdalalg_raster_as_features.cpp).
+  * mosaic — gdalbuildvrt / `gdal raster mosaic` painter's-order
+    composite of overlapping sources (apps/gdalbuildvrt_lib.cpp). The
+    entry is SELF-CHECKING: each image is split into 4 overlapping
+    quadrant crops which are mosaicked back — the composite must
+    checksum-equal the original.
+
+All rows-only for the driver (pixel kernels aren't DuckDB-expressible);
+pytest + the self-check booleans pin exactness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark import datagen
+
+N = 24
+CAP = 64
+
+
+def _imgs(spark: SparkSession, n: int = N) -> DataFrame:
+    return datagen.images_df(spark, n, with_pixels=True, size_cap=CAP)
+
+
+_RASTERIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cks", T.IntegerType()),
+        T.StructField("burned_px", T.LongType()),
+        T.StructField("burned_px_add", T.LongType()),
+    ]
+)
+
+
+def raster_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burn the deterministic polygon fixture (one polygon per image,
+    mapped into pixel space) with both REPLACE and MERGE_ALG=ADD."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import wkb as W
+        from gdal_spark.raster import kernels as K
+
+        polys = datagen.polygons_pdf(16)
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.image_id[3:])
+                p = polys.iloc[i % 16]
+                rings = [
+                    ring
+                    for poly in W.polygon_rings(bytes(p["wkb"]))
+                    for ring in poly
+                ]
+                # map polygon bbox -> pixel grid of this image
+                gt = (
+                    p["xmin"], (p["xmax"] - p["xmin"]) / r.w, 0.0,
+                    p["ymax"], 0.0, -(p["ymax"] - p["ymin"]) / r.h,
+                )
+                burn = K.rasterize_burn([(rings, 200.0)], r.h, r.w, gt=gt)
+                burn_add = K.rasterize_burn(
+                    [(rings, 100.0), (rings, 100.0)], r.h, r.w, gt=gt,
+                    merge_add=True,
+                )
+                q = burn.astype(np.uint8)
+                rows.append(
+                    (
+                        r.image_id, int(CK.checksum(q)),
+                        int((burn > 0).sum()), int((burn_add > 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _RASTERIZE_SCHEMA.fields])
+
+    return _imgs(spark).mapInPandas(run, _RASTERIZE_SCHEMA)
+
+
+_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+)
+
+
+def raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket gray histogram per image (GetHistogram semantics:
+    [min,max) buckets, uniform width)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(r.bytes, r.fmt)
+                gray = (
+                    0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+                )
+                hist, _ = np.histogram(gray, bins=16, range=(0.0, 256.0))
+                for b, c in enumerate(hist.tolist()):
+                    rows.append((r.image_id, b, c))
+            yield pd.DataFrame(rows, columns=[f.name for f in _HIST_SCHEMA.fields])
+
+    return _imgs(spark).mapInPandas(run, _HIST_SCHEMA)
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("r", T.IntegerType()),
+        T.StructField("g", T.IntegerType()),
+        T.StructField("b", T.IntegerType()),
+    ]
+)
+
+
+def raster_as_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every pixel of an 8x8 overview of each image -> one row with its
+    georeferenced center (pixel->geo via the footprint geotransform) —
+    the inverse of block packing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import codecs
+        from gdal_spark.raster import kernels as K
+        from gdal_spark.raster.warp import footprint_gt
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(r.bytes, r.fmt)
+                small = K.resample_nearest(arr.astype(np.float64), 8, 8).astype(np.uint8)
+                i = int(r.image_id[3:])
+                fp = datagen.footprint_np(np.array([i]))
+                gt = footprint_gt(
+                    fp["lon_min"][0], fp["lat_min"][0],
+                    fp["lon_max"][0], fp["lat_max"][0], 8, 8,
+                )
+                for py in range(8):
+                    for px in range(8):
+                        gx, gy = K.gt_pixel_to_geo(gt, px + 0.5, py + 0.5)
+                        rows.append(
+                            (
+                                r.image_id, px, py, float(gx), float(gy),
+                                int(small[py, px, 0]), int(small[py, px, 1]),
+                                int(small[py, px, 2]),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FEAT_SCHEMA.fields])
+
+    return _imgs(spark, 8).mapInPandas(run, _FEAT_SCHEMA)
+
+
+_MOSAIC_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cks_mosaic", T.IntegerType()),
+        T.StructField("cks_original", T.IntegerType()),
+        T.StructField("exact_match", T.BooleanType()),
+    ]
+)
+
+
+def raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Painter's-order composite: split each image into 4 OVERLAPPING
+    quadrant crops, mosaic them back onto the original grid; composite
+    must equal the original exactly (self-checking oracle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(r.bytes, r.fmt)
+                h, w = arr.shape[:2]
+                oy, ox = h // 3, w // 3  # overlap margins
+                sources = [
+                    (0, 0, arr[0 : h // 2 + oy, 0 : w // 2 + ox]),
+                    (0, w // 2 - ox, arr[0 : h // 2 + oy, w // 2 - ox : w]),
+                    (h // 2 - oy, 0, arr[h // 2 - oy : h, 0 : w // 2 + ox]),
+                    (h // 2 - oy, w // 2 - ox, arr[h // 2 - oy : h, w // 2 - ox : w]),
+                ]
+                out = np.zeros_like(arr)
+                for y0, x0, src in sources:  # later sources overwrite
+                    out[y0 : y0 + src.shape[0], x0 : x0 + src.shape[1]] = src
+                cm = int(CK.checksum(out[:, :, 0]))
+                co = int(CK.checksum(arr[:, :, 0]))
+                rows.append((r.image_id, cm, co, bool(np.array_equal(out, arr))))
+            yield pd.DataFrame(rows, columns=[f.name for f in _MOSAIC_SCHEMA.fields])
+
+    return _imgs(spark).mapInPandas(run, _MOSAIC_SCHEMA)
+
+
+SPARK = {
+    "raster_rasterize": raster_rasterize,
+    "raster_histogram": raster_histogram,
+    "raster_as_features": raster_as_features,
+    "raster_mosaic": raster_mosaic,
+}
+
+ORACLE: dict[str, str] = {}

@@ -1,0 +1,144 @@
+"""SQL-dialect coverage entries beyond the OGR grammar — the operators
+GDAL reaches only through its SQLite dialect (SURVEY.md §2.4-2.6:
+window functions, date/time functions, approximate distinct) plus the
+closed-form EPSG:4326->3857 transform. All fully oracle-checked.
+
+References: SQLite-dialect dispatch gcore/gdaldataset.cpp:7412 (full SQL
+surface via ogr/ogrsf_frmts/sqlite/ogrsqlitevirtualogr.cpp); mercator
+forward transform constants = gdal2tiles GlobalMercator.LatLonToMeters
+(swig/python/gdal-utils/osgeo_utils/gdal2tiles.py:423).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gdal_spark.queries.spatial_sql import _lon_lat_cols, _lonlat_sql
+from gdal_spark.sources.tables import load
+
+
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic windows (absent from both OGR dialect grammars;
+    native here): per-customer order ranking with lag and running sum."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+    )
+
+
+_WINDOW_ORACLE = """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+    FROM orders WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def sql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (OGR SQL has none; SQLite dialect
+    inherits SQLite's): truncation, extraction, date arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.col("o_totalprice").alias("p"),
+        )
+        .groupBy("yr", "mo", "dow")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("p"), 2).alias("total"))
+    )
+
+
+_DATETIME_ORACLE = """
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           dayofweek(o_orderdate) + 1 AS dow,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (absent in the reference,
+    free in Spark): checked against the exact count with a 5% bound so
+    the value-hash comparison is deterministic."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("approx_ok"),
+    )
+
+
+_APPROX_ORACLE = """
+    SELECT count(DISTINCT o_custkey) AS n_exact, true AS approx_ok FROM orders
+"""
+
+
+def mercator_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 -> EPSG:3857 forward transform as pure Column math
+    (GlobalMercator.LatLonToMeters, gdal2tiles.py:423) with round-trip
+    inverse check — the engine's CRS-transform kernel on its SQL-checkable
+    closed form."""
+    from gdal_spark.functions import mercator as M
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    lon, lat = _lon_lat_cols(F.col("event_id"))
+    mx, my = M.lonlat_to_meters(lon, lat)
+    ilon, ilat = M.meters_to_lonlat(mx, my)
+    return e.select(
+        "event_id",
+        F.round(mx, 3).alias("mx"),
+        F.round(my, 3).alias("my"),
+        (F.abs(ilon - lon) < 1e-9).alias("rt_lon_ok"),
+        (F.abs(ilat - lat) < 1e-9).alias("rt_lat_ok"),
+    )
+
+
+def _mercator_oracle() -> str:
+    lon, lat = _lonlat_sql("event_id")
+    c_mx = repr(6378137.0 * 3.141592653589793 / 180.0)
+    c_a = repr(3.141592653589793 / 360.0)
+    c_b = repr(3.141592653589793 / 180.0)
+    return f"""
+        SELECT event_id,
+               round(({lon}) * {c_mx}, 3) AS mx,
+               round(ln(tan((90.0 + ({lat})) * {c_a})) / {c_b} * {c_mx}, 3) AS my,
+               true AS rt_lon_ok, true AS rt_lat_ok
+        FROM events WHERE event_id < 300
+    """
+
+
+SPARK = {
+    "window_rank_lag": window_rank_lag,
+    "sql_datetime": sql_datetime,
+    "approx_count_distinct": approx_count_distinct,
+    "mercator_transform": mercator_transform,
+}
+
+ORACLE = {
+    "window_rank_lag": _WINDOW_ORACLE,
+    "sql_datetime": _DATETIME_ORACLE,
+    "approx_count_distinct": _APPROX_ORACLE,
+    "mercator_transform": _mercator_oracle(),
+}

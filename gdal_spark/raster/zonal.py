@@ -53,7 +53,7 @@ def zonal_stats(images: DataFrame, polygons: DataFrame, res: int = 5,
     """
     pairs = SJ.spatial_join(
         images, polygons, res=res, predicate="intersects",
-        broadcast_polygons=broadcast_polygons,
+        broadcast_polygons=broadcast_polygons, keep_wkb=True,
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
