@@ -113,6 +113,38 @@ def _grid_nearest_oracle() -> str:
     """
 
 
+def knn_topk_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path kNN: k-ring cell-expansion JOIN (no broadcast cross
+    probe) — alg/gdalgrid.cpp:257 quadtree AOI search restated as a cell
+    equi-join. res=4/ring=2 guarantees >=45 deg of coverage around each
+    query, far beyond the 3rd-neighbor distance at every test SF, so results equal
+    the exact broadcast path and share its oracle."""
+    from gdal_spark.operators import knn as KNN
+
+    pts = _points(spark, sf_dir).drop("z")
+    nn = KNN.knn_join_cells(pts, _queries(spark, sf_dir), k=3, res=4, ring=2)
+    return nn.select(
+        "query_id", "rank", "pt_id", F.round("dist2", 4).alias("dist2_r")
+    )
+
+
+def _knn_cells_oracle() -> str:
+    return f"""
+        WITH pts AS ({_pts_sql()}), qs AS ({_QS_SQL}),
+        cand AS (
+            SELECT q.query_id, p.pt_id,
+                   (q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y) AS dist2,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY (q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y) ASC,
+                              p.pt_id ASC
+                   ) AS rank
+            FROM pts p CROSS JOIN qs q)
+        SELECT query_id, rank, pt_id, round(dist2, 4) AS dist2_r
+        FROM cand WHERE rank <= 3
+    """
+
+
 def grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'data metrics' GDALGrid family within a search radius:
     average (:589), mindata (:1024), maxdata (:1343), range (:1509),
@@ -326,6 +358,7 @@ _DEDUP_COS_ORACLE = f"""
 
 SPARK = {
     "grid_nearest": grid_nearest,
+    "knn_topk_cells": knn_topk_cells,
     "grid_metrics": grid_metrics,
     "hilbert_sort": hilbert_sort,
     "dissolve_boxes": dissolve_boxes,
@@ -335,6 +368,7 @@ SPARK = {
 
 ORACLE = {
     "grid_nearest": _grid_nearest_oracle(),
+    "knn_topk_cells": _knn_cells_oracle(),
     "grid_metrics": _grid_metrics_oracle(),
     "hilbert_sort": _hilbert_oracle(),
     "dissolve_boxes": _DISSOLVE_ORACLE,
