@@ -214,7 +214,61 @@ def raster_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _imgs(spark).mapInPandas(run, _MOSAIC_SCHEMA)
 
 
+_BANDALG_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cks_ndvi_like", T.IntegerType()),
+        T.StructField("cks_expr", T.IntegerType()),
+        T.StructField("db_mean", T.DoubleType()),
+        T.StructField("reclass_classes", T.IntegerType()),
+    ]
+)
+
+
+def raster_band_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRT derived-band pixel functions over decoded bands
+    (frmts/vrt/pixelfunctions.cpp catalog via raster/pixelfuncs.py):
+    norm_diff on (r, g), a muparser-style expression band, dB, and a
+    reclassify of a quantized band."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs
+        from gdal_spark.raster import pixelfuncs as PF
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(r.bytes, r.fmt).astype(np.float64)
+                bands = [arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]]
+                nd = PF.apply_named("norm_diff", bands[:2])
+                nd_q = np.clip(np.round((nd + 1.0) * 127.5), 0, 255).astype(np.uint8)
+                ex = PF.apply_named(
+                    "expression", bands,
+                    expr="np.clip(0.299*B1 + 0.587*B2 + 0.114*B3, 0, 255)",
+                )
+                db = PF.apply_named("dB", [bands[0] + 1.0], fact=20.0)
+                quant = PF.apply_named("expression", bands, expr="B1 // 64")
+                rc = PF.apply_named(
+                    "reclassify", [quant],
+                    mapping={0.0: 10.0, 1.0: 20.0, 2.0: 30.0, 3.0: 40.0},
+                )
+                rows.append(
+                    (
+                        r.image_id,
+                        int(CK.checksum(nd_q)),
+                        int(CK.checksum(np.round(ex).astype(np.uint8))),
+                        float(db.mean()),
+                        int(np.unique(rc).size),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _BANDALG_SCHEMA.fields])
+
+    return _imgs(spark).mapInPandas(run, _BANDALG_SCHEMA)
+
+
 SPARK = {
+    "raster_band_algebra": raster_band_algebra,
     "raster_rasterize": raster_rasterize,
     "raster_histogram": raster_histogram,
     "raster_as_features": raster_as_features,
