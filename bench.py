@@ -80,11 +80,37 @@ def run_flagship(master: str, n_images: int) -> dict:
     return {"sec": dt, "images_per_sec": n_images / dt, "n_images": n_images}
 
 
+def _decode_invariant(spark) -> dict:
+    """Per-row invariant (BASELINE.json metric): decode round-trip
+    PSNR>=40dB pass rate + caption/phash integrity."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    inv = (
+        E.queries()["images_decode_checksum"](spark, SF_DIR)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("psnr_ok").cast("int")).alias("n_psnr_ok"),
+            F.sum(F.col("caption_ok").cast("int")).alias("n_caption_ok"),
+            F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+        )
+        .collect()[0]
+    )
+    return {
+        "psnr_pass_rate": round(inv.n_psnr_ok / inv.n, 4),
+        "caption_pass_rate": round(inv.n_caption_ok / inv.n, 4),
+        "phash_pass_rate": round(inv.n_phash_ok / inv.n, 4),
+    }
+
+
 def headline_suite() -> None:
     import __spark_entry__ as E
     from gdal_spark.session import get_session
 
     spark = get_session(app_name="gdal_spark_bench", master=f"local[{CPUS}]")
+    t0 = time.time()
+    invariants = _decode_invariant(spark)
+    decode_sec = round(time.time() - t0, 3)
     qs = E.queries()
     names = [
         "cell_pip_join",
@@ -113,6 +139,7 @@ def headline_suite() -> None:
     _noop_run(tiles)
     flagship_sec = time.time() - t0
     timings["images_join_tile"] = round(flagship_sec, 3)
+    timings["decode_invariant"] = decode_sec
     spark.stop()
 
     total = round(sum(timings.values()), 3)
@@ -127,6 +154,7 @@ def headline_suite() -> None:
                 "images_per_sec": round(N_IMAGES_BENCH / flagship_sec, 1),
                 "n_images": N_IMAGES_BENCH,
                 "cpus": int(CPUS),
+                **invariants,
             }
         )
     )
