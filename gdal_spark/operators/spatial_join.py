@@ -40,32 +40,10 @@ from gdal_spark.functions import cells as C
 from gdal_spark.functions import geom
 
 
-def pip_by_id_udf(poly_map: dict):
-    """PIP predicate keyed by polygon id, polygons shipped ONCE per worker
-    in the UDF closure (the dimension is already driver-collected for the
-    broadcast join). Sending wkb per candidate row instead measures 12x
-    more Arrow traffic and anti-scales past ~8 local cores: every task
-    then needs a JVM serializer core AND a Python core, oversubscribing
-    the host (measured 71s @ local[8] -> 351s @ local[32] on 106M
-    candidates; by-id: scales)."""
-
-    @pandas_udf(T.BooleanType())
-    def fn(px: pd.Series, py: pd.Series, pid: pd.Series) -> pd.Series:
-        out = np.zeros(len(px), dtype=bool)
-        pxv = px.to_numpy(dtype=np.float64)
-        pyv = py.to_numpy(dtype=np.float64)
-        pids = pid.to_numpy()
-        for u in np.unique(pids):
-            mask = pids == u
-            out[mask] = geom.points_in_wkb(pxv[mask], pyv[mask], poly_map[int(u)])
-        return pd.Series(out)
-
-    return fn
-
-
 def box_intersects_by_id_udf(poly_map: dict):
-    """Exact box-polygon intersection keyed by polygon id (see
-    pip_by_id_udf for why the geometry rides in the closure)."""
+    """Exact box-polygon intersection keyed by polygon id —
+    polygons ship ONCE per worker in the UDF closure (the dimension is
+    already driver-collected for the broadcast join)."""
 
     @pandas_udf(T.BooleanType())
     def fn(
@@ -154,6 +132,46 @@ def _edges_rows(poly_map: dict) -> list[tuple]:
     return rows
 
 
+@pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+def edges_array_udf(wkb_col: pd.Series) -> pd.Series:
+    """WKB -> prepared edge array [[ylo,yhi,x1,y1,slope],...] (computed
+    once per POLYGON row — it then rides the shuffle instead of raw WKB,
+    so the exact phase never leaves the JVM)."""
+    from gdal_spark.functions import wkb as W
+
+    out = []
+    for buf in wkb_col:
+        edges = []
+        for rings in W.polygon_rings(bytes(buf)):
+            for ring in rings:
+                r = np.asarray(ring, dtype=np.float64)
+                if not np.array_equal(r[0], r[-1]):
+                    r = np.vstack([r, r[:1]])
+                for (x1, y1), (x2, y2) in zip(r[:-1].tolist(), r[1:].tolist()):
+                    if y1 == y2:
+                        continue
+                    edges.append(
+                        [min(y1, y2), max(y1, y2), x1, y1, (x2 - x1) / (y2 - y1)]
+                    )
+        out.append(edges)
+    return pd.Series(out)
+
+
+def pip_unrolled_from_array(cx, cy, edges, cap: int):
+    """Crossing parity over edges[0..cap-1] as a fully-unrolled codegen
+    expression; F.get past the array end yields NULL -> term 0, so
+    shorter polygons need no padding (getItem would raise under ANSI)."""
+    parity = None
+    for i in range(cap):
+        e = F.get(edges, i)
+        ylo, yhi = e.getItem(0), e.getItem(1)
+        x1, y1, sl = e.getItem(2), e.getItem(3), e.getItem(4)
+        hit = (ylo <= cy) & (cy < yhi) & (cx < x1 + (cy - y1) * sl)
+        bit = F.when(hit, F.lit(1)).otherwise(F.lit(0))
+        parity = bit if parity is None else parity + bit
+    return parity % 2 == 1
+
+
 def pip_edges_predicate(cx, cy, edges):
     """Pure-JVM ray casting: crossing parity via F.aggregate over the
     polygon's prepared edge array — no Python boundary at all. Half-open
@@ -232,6 +250,17 @@ def spatial_join(
         if keep_wkb:
             wkb_dim = polygons.select(poly_key, "wkb")
         polygons = polygons.drop("wkb")
+    shuffle_cap = 0
+    if not broadcast_polygons and predicate == "center_within":
+        # shuffle path: prepared edges computed ONCE per polygon row ride
+        # the shuffle instead of WKB, and the exact phase unrolls to the
+        # ACTUAL max edge count (one cheap agg over the polygon side —
+        # O(polygons), amortized against O(candidates) probe work)
+        polygons = polygons.withColumn("edges", edges_array_udf(F.col("wkb")))
+        row = polygons.select(F.max(F.size("edges")).alias("m")).collect()
+        shuffle_cap = int(row[0]["m"] or 0)
+        if 0 < shuffle_cap <= 2 * _UNROLL_MAX_EDGES and not keep_wkb:
+            polygons = polygons.drop("wkb")
 
     lx0, ly0, lx1, ly1 = (F.col(c) for c in left_bbox)
     if predicate == "center_within":
@@ -314,8 +343,14 @@ def spatial_join(
                 cand = cand.filter(pip_edges_predicate(cx, cy, F.col("edges"))).drop(
                     "edges"
                 )
+        elif 0 < shuffle_cap <= 2 * _UNROLL_MAX_EDGES:
+            # fully-codegen unrolled parity, single pass, one join
+            cand = cand.filter(
+                pip_unrolled_from_array(cx, cy, F.col("edges"), shuffle_cap)
+            ).drop("edges")
         else:
-            cand = cand.filter(pip_udf(cx, cy, F.col("wkb")))
+            # arbitrarily complex polygons: Arrow-batched kernel fallback
+            cand = cand.filter(pip_udf(cx, cy, F.col("wkb"))).drop("edges")
     elif predicate == "intersects":
         # reference-point dedup BEFORE the exact kernel: evaluate the UDF
         # once per pair, not once per shared cell
