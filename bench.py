@@ -209,6 +209,11 @@ def scaling_report() -> None:
     cal_n, cal_4n = _cpu_calibration(SCALE_N), _cpu_calibration(SCALE_4N)
     cal_eff = (4.0 * cal_n / cal_4n) / 4.0
     normalized = min(1.0, efficiency / cal_eff) if cal_eff > 0 else efficiency
+    from gdal_spark.session import get_session
+
+    spark = get_session(app_name="bench_invariant", master=f"local[{SCALE_4N}]")
+    invariants = _decode_invariant(spark)
+    spark.stop()
     os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
     path = os.path.join(os.path.dirname(__file__), "BENCH", "BASELINE.md")
     with open(path, "w") as f:
@@ -246,6 +251,17 @@ is divided by this same-window ceiling for the normalized figure. The
 engine's plan itself is one codegen'd scan->broadcast-join stage with no
 shuffle and no Python boundary — the shape that scales linearly with
 executors on a real cluster.
+
+## Per-row invariant (BASELINE.json metric)
+
+Decode round-trip over the pixel-bearing fixture set (codec registry,
+lossless exact / lossy PSNR>=40dB, caption + phash integrity):
+
+| invariant | pass rate |
+|---|---|
+| PSNR >= 40 dB (lossy) / exact (lossless) | {invariants['psnr_pass_rate']:.4f} |
+| caption equality | {invariants['caption_pass_rate']:.4f} |
+| phash integrity | {invariants['phash_pass_rate']:.4f} |
 """
         )
     print(json.dumps({

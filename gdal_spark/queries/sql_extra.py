@@ -129,7 +129,48 @@ def _mercator_oracle() -> str:
     """
 
 
+def ogr2ogr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ogr2ogr composition (apps/ogr2ogr_lib.cpp: -where -spat -t_srs
+    -select -sql -limit): attribute filter -> spatial bbox filter ->
+    reprojection (4326->3857) -> projection/rename -> order/limit, as one
+    declarative chain Catalyst fuses into a single stage."""
+    from gdal_spark.functions import mercator as M
+
+    e = load(spark, sf_dir, "events")
+    lon, lat = _lon_lat_cols(F.col("event_id"))
+    mx, my = M.lonlat_to_meters(lon, lat)
+    return (
+        e.filter(F.col("event_id") % 3 != 0)  # -where
+        .filter((lon >= -90.0) & (lon <= 90.0) & (lat >= -45.0) & (lat <= 45.0))  # -spat
+        .select(  # -select + -t_srs
+            F.col("event_id").alias("fid"),
+            F.round(mx, 2).alias("x_3857"),
+            F.round(my, 2).alias("y_3857"),
+        )
+        .orderBy(F.col("fid").asc())
+        .limit(100)  # -limit
+    )
+
+
+def _ogr2ogr_oracle() -> str:
+    lon, lat = _lonlat_sql("event_id")
+    c_mx = repr(6378137.0 * 3.141592653589793 / 180.0)
+    c_a = repr(3.141592653589793 / 360.0)
+    c_b = repr(3.141592653589793 / 180.0)
+    return f"""
+        SELECT event_id AS fid,
+               round(({lon}) * {c_mx}, 2) AS x_3857,
+               round(ln(tan((90.0 + ({lat})) * {c_a})) / {c_b} * {c_mx}, 2) AS y_3857
+        FROM events
+        WHERE event_id % 3 <> 0
+          AND ({lon}) BETWEEN -90.0 AND 90.0
+          AND ({lat}) BETWEEN -45.0 AND 45.0
+        ORDER BY fid ASC LIMIT 100
+    """
+
+
 SPARK = {
+    "ogr2ogr_pipeline": ogr2ogr_pipeline,
     "window_rank_lag": window_rank_lag,
     "sql_datetime": sql_datetime,
     "approx_count_distinct": approx_count_distinct,
@@ -137,6 +178,7 @@ SPARK = {
 }
 
 ORACLE = {
+    "ogr2ogr_pipeline": _ogr2ogr_oracle(),
     "window_rank_lag": _WINDOW_ORACLE,
     "sql_datetime": _DATETIME_ORACLE,
     "approx_count_distinct": _APPROX_ORACLE,
