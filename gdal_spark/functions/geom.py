@@ -91,6 +91,45 @@ def points_in_wkb(px: np.ndarray, py: np.ndarray, wkb_buf: bytes) -> np.ndarray:
     return out
 
 
+def boxes_intersect_wkb(
+    x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray, wkb_buf: bytes
+) -> np.ndarray:
+    """Vectorized exact box-vs-polygon intersects for ARRAYS of boxes
+    against one polygon. Decision ladder (all semantics-preserving):
+      1. envelope reject;
+      2. box covers the polygon bbox -> hit;
+      3. any box corner inside the polygon (vectorized ray casting) -> hit;
+      4. any polygon vertex inside the box (vectorized) -> hit;
+      5. undecided rows only: exact Sutherland-Hodgman clip (the only
+         remaining true-hit shape is edge-crossing-without-containment).
+    """
+    x0 = np.asarray(x0, float); y0 = np.asarray(y0, float)  # noqa: E702
+    x1 = np.asarray(x1, float); y1 = np.asarray(y1, float)  # noqa: E702
+    out = np.zeros(x0.shape, dtype=bool)
+    (bxmin, bymin, bxmax, bymax), polys = prepared(wkb_buf)
+    cand = (x0 <= bxmax) & (x1 >= bxmin) & (y0 <= bymax) & (y1 >= bymin)
+    idx = np.nonzero(cand)[0]
+    if len(idx) == 0:
+        return out
+    cx0, cy0, cx1, cy1 = x0[idx], y0[idx], x1[idx], y1[idx]
+    hit = (cx0 <= bxmin) & (cy0 <= bymin) & (cx1 >= bxmax) & (cy1 >= bymax)
+    px = np.concatenate([cx0, cx0, cx1, cx1])
+    py = np.concatenate([cy0, cy1, cy0, cy1])
+    hit |= points_in_wkb(px, py, wkb_buf).reshape(4, -1).any(axis=0)
+    verts = np.vstack([np.asarray(r, float) for rings in polys for r in rings])
+    vin = (
+        (verts[:, 0:1] >= cx0) & (verts[:, 0:1] <= cx1)
+        & (verts[:, 1:2] >= cy0) & (verts[:, 1:2] <= cy1)
+    )
+    hit |= vin.any(axis=0)
+    for j in np.nonzero(~hit)[0]:
+        hit[j] = (
+            clip_wkb_to_box(wkb_buf, cx0[j], cy0[j], cx1[j], cy1[j]) is not None
+        )
+    out[idx] = hit
+    return out
+
+
 def ring_area(ring: np.ndarray) -> float:
     """Signed shoelace area (positive = CCW)."""
     ring = np.asarray(ring, dtype=np.float64)
@@ -176,6 +215,10 @@ def clip_wkb_to_box(
             ch = clip_ring_to_box(hole, xmin, ymin, xmax, ymax)
             if ch is not None:
                 clipped.append(ch)
+        # a clip window fully inside a hole clips the exterior AND the
+        # hole to the same box — net area zero means no actual coverage
+        if polygon_area(clipped) <= 1e-12:
+            continue
         out_polys.append(clipped)
     if not out_polys:
         return None

@@ -57,9 +57,8 @@ def box_intersects_by_id_udf(poly_map: dict):
         y1 = ymax.to_numpy(float)
         pids = pid.to_numpy()
         for u in np.unique(pids):
-            buf = poly_map[int(u)]
-            for j in np.nonzero(pids == u)[0]:
-                out[j] = geom.clip_wkb_to_box(buf, x0[j], y0[j], x1[j], y1[j]) is not None
+            m = pids == u
+            out[m] = geom.boxes_intersect_wkb(x0[m], y0[m], x1[m], y1[m], poly_map[int(u)])
         return pd.Series(out)
 
     return fn
@@ -84,8 +83,9 @@ def pip_udf(px: pd.Series, py: pd.Series, wkb_col: pd.Series) -> pd.Series:
 def box_intersects_udf(
     xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series, wkb_col: pd.Series
 ) -> pd.Series:
-    """Exact box-polygon intersection: clip polygon to box, non-empty => hit.
-    (Candidates already passed the bbox-overlap column prefilter.)"""
+    """Exact box-polygon intersection, vectorized per distinct polygon
+    (geom.boxes_intersect_wkb decision ladder; the per-row clip runs only
+    for edge-crossing-without-containment leftovers)."""
     out = np.zeros(len(xmin), dtype=bool)
     x0 = xmin.to_numpy(float)
     y0 = ymin.to_numpy(float)
@@ -93,10 +93,8 @@ def box_intersects_udf(
     y1 = ymax.to_numpy(float)
     codes, uniques = pd.factorize(wkb_col)
     for u, buf in enumerate(uniques):
-        buf = bytes(buf)
-        idx = np.nonzero(codes == u)[0]
-        for j in idx:
-            out[j] = geom.clip_wkb_to_box(buf, x0[j], y0[j], x1[j], y1[j]) is not None
+        m = codes == u
+        out[m] = geom.boxes_intersect_wkb(x0[m], y0[m], x1[m], y1[m], bytes(buf))
     return pd.Series(out)
 
 
