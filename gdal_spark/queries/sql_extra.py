@@ -18,6 +18,33 @@ from gdal_spark.queries.spatial_sql import _lon_lat_cols, _lonlat_sql
 from gdal_spark.sources.tables import load
 
 
+def ogr_ilike_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ILIKE (UTF-8 case-insensitive, swq_test_like
+    ogr/swq_op_general.cpp:41) and LIKE ... ESCAPE (the escape-char
+    branch of the same matcher) — the two LIKE variants the base
+    relational entry doesn't cover."""
+    c = load(spark, sf_dir, "customer")
+    esc = F.expr(r"replace(c_name, '#', '_') LIKE 'Customer!_00000001%' ESCAPE '!'")
+    return (
+        c.select(
+            "c_custkey",
+            F.col("c_mktsegment").ilike("bUiLd%").alias("ilike_hit"),
+            esc.alias("esc_hit"),
+        )
+        .filter(F.col("ilike_hit") | F.col("esc_hit"))
+    )
+
+
+_ILIKE_ORACLE = r"""
+    SELECT c_custkey,
+           c_mktsegment ILIKE 'bUiLd%' AS ilike_hit,
+           replace(c_name, '#', '_') LIKE 'Customer!_00000001%' ESCAPE '!' AS esc_hit
+    FROM customer
+    WHERE c_mktsegment ILIKE 'bUiLd%'
+       OR replace(c_name, '#', '_') LIKE 'Customer!_00000001%' ESCAPE '!'
+"""
+
+
 def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking + analytic windows (absent from both OGR dialect grammars;
     native here): per-customer order ranking with lag and running sum."""
@@ -170,6 +197,7 @@ def _ogr2ogr_oracle() -> str:
 
 
 SPARK = {
+    "ogr_ilike_escape": ogr_ilike_escape,
     "ogr2ogr_pipeline": ogr2ogr_pipeline,
     "window_rank_lag": window_rank_lag,
     "sql_datetime": sql_datetime,
@@ -178,6 +206,7 @@ SPARK = {
 }
 
 ORACLE = {
+    "ogr_ilike_escape": _ILIKE_ORACLE,
     "ogr2ogr_pipeline": _ogr2ogr_oracle(),
     "window_rank_lag": _WINDOW_ORACLE,
     "sql_datetime": _DATETIME_ORACLE,
