@@ -199,10 +199,16 @@ def hilbert_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = HB.with_hilbert_code(
         e.select("event_id", x.alias("sx"), y.alias("sy")), "sx", "sy"
     ).drop("sx", "sy")
-    w = Window.orderBy(F.col("hcode").asc(), F.col("event_id").asc())
-    return coded.withColumn("hrank", F.row_number().over(w)).filter(
-        F.col("hrank") <= 200
+    # Top-200 first via orderBy+limit (plans as TakeOrderedAndProject: each
+    # task keeps a 200-row heap, no global sort/shuffle), THEN rank only the
+    # 200 survivors. The window is bounded at 200 rows by construction, so
+    # the single-partition rank step is O(limit) at any input scale — never
+    # an unbounded global Window over the full table.
+    top = coded.orderBy(F.col("hcode").asc(), F.col("event_id").asc()).limit(200)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("hcode").asc(), F.col("event_id").asc()
     )
+    return top.withColumn("hrank", F.row_number().over(w))
 
 
 def _hilbert_oracle() -> str:
@@ -315,6 +321,11 @@ _COS_THRESH = 0.4
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs cosine near-dup — the ORACLE BASELINE only,
+    run at small sf to validate the LSH scale path. The production path is
+    ``dedup_embedding_lsh`` (similarity.py): band-bucket candidate join,
+    zero crossJoin. This one is intentionally O(N^2) and excluded from
+    bench.py and from any scale claim."""
     from gdal_spark.queries.similarity import _dot, _norm
 
     e = load(spark, sf_dir, "embeddings")

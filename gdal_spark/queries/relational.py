@@ -160,7 +160,13 @@ def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT/EXCEPT (SQLite dialect only in reference): nation keys of
     customers minus suppliers' nations, intersected with region 0..3."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    # Restrict the EXCEPT side to negative-balance suppliers so the expected
+    # result is non-empty at every sf (a green row on 0 rows proves nothing).
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nkey"))
+    )
     n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 3).select(
         F.col("n_nationkey").alias("nkey")
     )
@@ -173,14 +179,20 @@ def hstore_get_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR SQL HSTORE_GET_VALUE (ogr/swq_op_registrar.cpp:48-52) over the
     events props column (JSON key->value side data): extract + aggregate."""
     e = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # avg is emitted as an exact integer scaled by 1e4 (round-half-up via pure
+    # integer arithmetic) so Spark and the DuckDB oracle hash identical bits —
+    # sum(INT) widens differently (BIGINT vs HUGEINT) and round(avg) can flip a
+    # half-ulp between engines, so both are pinned to BIGINT.
     return (
         e.select(F.col("event_type").alias("etype"), k.alias("k"))
         .groupBy("etype")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.expr("(sum(k) * 20000 + count(k)) div (2 * count(k))")
+            .cast("long")
+            .alias("avg_k_e4"),
         )
     )
 
@@ -201,11 +213,15 @@ SPARK = {
 
 ORACLE = {
     "ogr_hstore_get_value": """
-        SELECT event_type AS etype,
+        SELECT etype,
                count(*) AS n,
-               sum(cast(json_extract_string(props, '$.k') as int)) AS sum_k,
-               round(avg(cast(json_extract_string(props, '$.k') as int)), 4) AS avg_k
-        FROM events GROUP BY event_type
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST((sum(k) * 20000 + count(k)) // (2 * count(k)) AS BIGINT) AS avg_k_e4
+        FROM (
+            SELECT event_type AS etype,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ) GROUP BY etype
     """,
     "ogr_select_where_like": """
         SELECT l_orderkey AS okey,
@@ -282,6 +298,8 @@ ORACLE = {
             INTERSECT
             SELECT n_nationkey AS nkey FROM nation WHERE n_regionkey <= 3
         )
-        WHERE nkey NOT IN (SELECT DISTINCT s_nationkey FROM supplier)
+        WHERE nkey NOT IN (
+            SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal < 0
+        )
     """,
 }

@@ -108,12 +108,38 @@ def _simhash_oracle() -> str:
     """
 
 
+JACCARD_DF_CAP_FRAC = 0.05  # drop shingles appearing in > 5% of the corpus
+
+
 def token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup pairs (n-gram Jaccard with n=1) among
-    doc_id < 80, threshold 0.5. Set intersection via token equi-join —
-    the distributed restatement of pairwise shingle comparison."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    toks = d.select("doc_id", F.explode(F.array_distinct(_tok(F.col("text")))).alias("t"))
+    """Word-bigram shingle Jaccard near-dup pairs over the WHOLE corpus,
+    threshold 0.5. Set intersection via shingle equi-join — the
+    distributed restatement of pairwise n-gram comparison.
+
+    Scale guard: shingles with document frequency > 5% of the corpus are
+    dropped before the join (standard prefix/stop-shingle filtering). A
+    shingle appearing in d docs contributes d^2 join rows, so an uncapped
+    hot shingle is quadratic in corpus size; the cap bounds the postings
+    join at ``(0.05 N)^2`` per shingle regardless of corpus skew. Both
+    set sizes and intersections are computed on the capped vocabulary, so
+    the semantics stay exact (and oracle-checkable) for the capped space.
+    """
+    n_docs = load(spark, sf_dir, "documents").count()  # scalar only
+    cap = max(1, int(JACCARD_DF_CAP_FRAC * n_docs))
+    d = load(spark, sf_dir, "documents")
+    ts = _tok(F.col("text"))
+    bigrams = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 2),
+            lambda i: F.concat(F.get(ts, i), F.lit(" "), F.get(ts, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = d.select("doc_id", F.explode(F.array_distinct(bigrams)).alias("t"))
+    keep = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= cap
+    ).select("t")
+    toks = toks.join(keep, "t", "left_semi")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -139,10 +165,23 @@ def token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_ORACLE = r"""
-    WITH toks AS (
-        SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS t
-        FROM documents WHERE doc_id < 80
+    WITH t0 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ts
+        FROM documents
     ),
+    sh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS t
+        FROM t0
+    ),
+    cap AS (
+        SELECT greatest(1, cast(floor(0.05 * count(*)) as bigint)) AS cap FROM documents
+    ),
+    keep AS (
+        SELECT t FROM sh0 GROUP BY t HAVING count(*) <= (SELECT cap FROM cap)
+    ),
+    toks AS (SELECT doc_id, t FROM sh0 SEMI JOIN keep USING (t)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -256,6 +295,258 @@ _LSH_ORACLE = """
 )
 
 
+# --------------------------------------------------------------------------
+# ANN scale path: sign-LSH bucket join -> within-bucket exact cosine
+# (reference analog: bounded-candidate search, alg/gdalgrid.cpp:257-325 —
+# the quadtree bounds candidates there; sign-LSH buckets bound them here)
+# --------------------------------------------------------------------------
+
+DIM = 64  # embeddings fixture dimensionality (TESTDATA.md)
+N_BANDS = 16
+BAND_BITS = 8
+
+
+def _emb_d(col: F.Column) -> F.Column:
+    """Embedding cast to array<double> with an unrolled (codegen'd) F.get
+    projection — HOF lambdas are CodegenFallback, F.get is not."""
+    return F.array(*[F.get(col, i).cast("double") for i in range(DIM)])
+
+
+def _dot_u(a: F.Column, b: F.Column) -> F.Column:
+    """Unrolled 64-term dot product over array<double> columns: stays inside
+    whole-stage codegen (F.aggregate/zip_with would drop to interpreted eval).
+    Summation is sequential i=0..63, bit-identical to DuckDB list_aggregate."""
+    s = None
+    for i in range(DIM):
+        t = F.get(a, i) * F.get(b, i)
+        s = t if s is None else s + t
+    return s
+
+
+def _norm_u(a: F.Column) -> F.Column:
+    return F.sqrt(_dot_u(a, a))
+
+
+def _hyperplane_bits(emb: F.Column) -> list:
+    """128 deterministic sign-LSH hyperplanes over a 64-dim embedding:
+    bits 0..63 = sign(x_i), bits 64..127 = sign(x_i + x_{(i+1) mod 64}).
+    Axis-aligned + pairwise-sum hyperplanes are SQL-expressible so the
+    whole banding scheme has an exact DuckDB mirror."""
+    bits = [F.get(emb, i) >= 0.0 for i in range(DIM)]
+    bits += [(F.get(emb, i) + F.get(emb, (i + 1) % DIM)) >= 0.0 for i in range(DIM)]
+    return bits
+
+
+def _band_key(bits: list, b: int) -> F.Column:
+    s = None
+    for j in range(BAND_BITS):
+        t = F.when(bits[b * BAND_BITS + j], F.lit(1 << j)).otherwise(F.lit(0))
+        s = t if s is None else s + t
+    return s.cast("int")
+
+
+def _bit_sql(i: int) -> str:
+    if i < DIM:
+        e = f"emb[{i + 1}]"
+    else:
+        k = i - DIM
+        e = f"(emb[{k + 1}] + emb[{(k + 1) % DIM + 1}])"
+    return f"({e} >= 0.0)"
+
+
+def _band_key_sql(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_bit_sql(b * BAND_BITS + j)} THEN {1 << j} ELSE 0 END)"
+        for j in range(BAND_BITS)
+    )
+
+
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus deterministic planted near-duplicates: for every
+    vector v, a copy v + 0.15*reverse(v) under vec_id+10000 (cosine vs the
+    original ~0.989; max cosine between distinct fixture vectors is 0.51).
+    Gives the near-dup queries a non-vacuous >=0.9 regime without external
+    data; arithmetic is double-precision on both engines so signs and
+    cosines hash identically."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    base = e.select("vec_id", _emb_d(emb).alias("emb"))
+    pert = F.array(
+        *[
+            (F.get(emb, i).cast("double") + F.lit(0.15) * F.get(emb, DIM - 1 - i).cast("double"))
+            for i in range(DIM)
+        ]
+    )
+    dup = e.select((F.col("vec_id") + F.lit(10000)).alias("vec_id"), pert.alias("emb"))
+    return base.unionByName(dup)
+
+
+_AUG_CTE = """
+    aug AS (
+        SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS emb
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> cast(embedding[i] as double)
+                        + 0.15 * cast(embedding[len(embedding) + 1 - i] as double)) AS emb
+        FROM embeddings
+    )
+"""
+
+DEDUP_LSH_THRESH = 0.9
+
+# multiprobe masks: all 1- and 2-bit flips of the 8-bit bucket
+_PROBE_MASKS = [1 << j for j in range(BAND_BITS)] + [
+    (1 << i) | (1 << j) for i in range(BAND_BITS) for j in range(i + 1, BAND_BITS)
+]
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cos >= 0.9) via the LSH scale path:
+    16 bands x 8 sign-bits -> band-bucket equi-join for candidates ->
+    exact cosine on candidates only. Zero crossJoin: candidate count is
+    bounded per band-bucket (AQE skew-join is the backstop for hot
+    buckets). Miss probability per true pair at cos 0.989 is ~1e-8
+    ((1-p^8)^16, p≈0.953), so the brute-force SQL oracle is exact in
+    practice — this query is validated against BRUTE FORCE, not a mirror.
+    """
+    aug = _augmented(spark, sf_dir)
+    bits = _hyperplane_bits(F.col("emb"))
+    keys = F.array(*[_band_key(bits, b) for b in range(N_BANDS)])
+    postings = aug.select("vec_id", F.posexplode(keys).alias("band", "bkey"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    base = aug.select("vec_id", "emb", _norm_u(F.col("emb")).alias("nrm"))
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    cos = _dot_u(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= DEDUP_LSH_THRESH)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))
+    )
+
+
+_DEDUP_LSH_ORACLE = f"""
+    WITH {_AUG_CTE},
+    base AS (
+        SELECT vec_id, emb,
+               sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+        FROM aug
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_aggregate(list_transform(list_zip(a.emb, b.emb),
+                    p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm) AS cos
+        FROM base a JOIN base b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 4) AS cos_r
+    FROM pairs WHERE cos >= {DEDUP_LSH_THRESH!r}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via sign-LSH buckets + multiprobe: query vectors
+    (vec_id < 8) probe their own 8-bit bucket plus all Hamming<=2
+    neighbors (1+8+28 = 37 buckets), exact cosine ranks only the probed
+    candidates. Candidates drop from N to ~37N/256 (a 7x reduction; the
+    probe radius is the recall/cost dial). The probe side is broadcast so
+    the base table never shuffles. The DuckDB oracle mirrors the
+    bucket/probe semantics exactly (recall vs brute force is measured
+    separately in tests/test_similarity_scale.py)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = _emb_d(F.col("embedding"))
+    bits = [F.get(F.col("emb"), i) >= 0.0 for i in range(BAND_BITS)]
+    bucket = None
+    for j in range(BAND_BITS):
+        t = F.when(bits[j], F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = t if bucket is None else bucket + t
+    base = e.select("vec_id", emb_d.alias("emb")).select(
+        "vec_id", "emb", _norm_u(F.col("emb")).alias("nrm"), bucket.alias("bucket")
+    )
+    q = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = q.select(
+        "query_id",
+        "qemb",
+        "qnrm",
+        F.explode(
+            F.array(
+                F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS]
+            )
+        ).alias("bucket"),
+    )
+    cand = base.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot_u(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos_r"))
+    )
+
+
+_ANN_LSH_ORACLE = """
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> cast(x as double)) AS emb,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> cast(x as double) * cast(x as double)), 'sum')) AS nrm,
+               {bucket} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm, bucket AS qb
+        FROM base WHERE vec_id < 8
+    ),
+    probes AS (
+        SELECT query_id, qemb, qnrm,
+               unnest([qb, {xors}]) AS bucket
+        FROM q
+    ),
+    cand AS (
+        SELECT p.query_id, b.vec_id,
+               list_aggregate(list_transform(list_zip(b.emb, p.qemb),
+                    pr -> pr[1] * pr[2]), 'sum') / (b.nrm * p.qnrm) AS cos
+        FROM base b JOIN probes p USING (bucket)
+        WHERE b.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM cand
+    )
+    SELECT query_id, rank, vec_id, round(cos, 4) AS cos_r FROM ranked WHERE rank <= 5
+""".format(
+    bucket=" + ".join(
+        f"(CASE WHEN embedding[{i}] >= 0.0 THEN {1 << (i - 1)} ELSE 0 END)" for i in range(1, 9)
+    ),
+    xors=", ".join(f"xor(qb, {m})" for m in _PROBE_MASKS),
+)
+
+
 SPARK = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -263,6 +554,8 @@ SPARK = {
     "token_jaccard_pairs": token_jaccard_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": lsh_bucket_counts,
+    "ann_lsh_topk": ann_lsh_topk,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 ORACLE = {
@@ -283,4 +576,6 @@ ORACLE = {
     "token_jaccard_pairs": _JACCARD_ORACLE,
     "ann_cosine_topk": _ANN_ORACLE,
     "ann_lsh_buckets": _LSH_ORACLE,
+    "ann_lsh_topk": _ANN_LSH_ORACLE,
+    "dedup_embedding_lsh": _DEDUP_LSH_ORACLE,
 }
