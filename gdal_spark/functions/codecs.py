@@ -10,13 +10,13 @@ This container has NO image libraries (no Pillow/cv2), so:
 
   * "png"  — a real, spec-compliant PNG codec in numpy + zlib (8-bit RGB,
     filter 0 rows). Lossless: round-trips bit-exact.
-  * "jpeg" — a deterministic lossy STAND-IN ("QDCT"): 8x8 orthonormal
-    DCT-II, uniform quantization, zlib entropy stage. It is NOT JPEG
-    bytes; it reproduces JPEG's loss characteristics deterministically
-    (quant step q=4 → pixel RMSE ≈ q/sqrt(12) ≈ 1.15 → PSNR ≈ 47 dB,
-    comfortably over the 40 dB gate). The Spark-side plumbing (schema,
-    batching, registry dispatch) is exactly what a real JPEG decoder
-    would use; swap `qdct_*` for a lib codec on a real cluster.
+  * "jpeg" — a REAL baseline JFIF codec in pure numpy (functions/jpeg.py):
+    SOF0, stream-transmitted quant + Huffman tables, 4:2:0/4:2:2/4:4:4
+    subsampling and restart markers on decode — reads libjpeg-produced
+    files (interop fixture: tests/data). Encodes at quality 90 by default
+    (2nd-generation round-trip PSNR ≈ 59-61 dB, over the 40 dB gate).
+  * "qdct" — a deterministic lossy stand-in kept from v1: 8x8 orthonormal
+    DCT-II, uniform quantization, zlib entropy stage (PSNR ≈ 47 dB).
 
 All functions operate on HxWx3 uint8 arrays.
 """
@@ -177,8 +177,17 @@ def qdct_decode(data: bytes) -> np.ndarray:
 # Registry (the "driver manager")
 # --------------------------------------------------------------------------
 
-DECODERS = {"png": png_decode, "jpeg": qdct_decode, "qdct": qdct_decode}
-ENCODERS = {"png": png_encode, "jpeg": qdct_encode, "qdct": qdct_encode}
+from gdal_spark.functions.jpeg import jpeg_decode, jpeg_encode  # noqa: E402
+
+JPEG_QUALITY = 90
+
+
+def _jpeg_encode_default(arr: np.ndarray) -> bytes:
+    return jpeg_encode(arr, JPEG_QUALITY)
+
+
+DECODERS = {"png": png_decode, "jpeg": jpeg_decode, "qdct": qdct_decode}
+ENCODERS = {"png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode}
 LOSSLESS = {"png"}
 
 

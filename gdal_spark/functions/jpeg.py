@@ -1,0 +1,538 @@
+"""Baseline JFIF (JPEG) codec in pure numpy — no Pillow/libjpeg.
+
+The engine's real `fmt="jpeg"` driver (reference: the libjpeg-backed
+driver under frmts/jpeg/ — JPEGDataset in frmts/jpeg/jpgdataset.cpp).
+Implements the interchange format of ITU-T T.81:
+
+  * decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+    arbitrary subsampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
+    restart markers (DRI/RSTn), multi-table DQT/DHT segments, 16-bit
+    quant tables. Quant + Huffman tables are read from the stream, so any
+    baseline JPEG from any encoder decodes (progressive SOF2 is rejected
+    with a clear error).
+  * encoder: baseline SOF0, 4:4:4, quality-scaled Annex-K-style quant
+    tables, canonical Huffman tables embedded in DHT (the decoder reads
+    tables from the stream, so validity never depends on table choice).
+
+Heavy math (DCT/IDCT, dequant, color transform, upsampling) is batched
+numpy over all blocks at once; only the entropy (Huffman) stage is a
+Python loop, accelerated by a 16-bit lookup table per Huffman table.
+
+All pixel interfaces are HxWx3 uint8 (grayscale JPEGs are replicated to
+3 channels on decode, matching the rest of the codec registry).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: ZIGZAG[k] = (row, col) flattened index of the k-th coeff
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZZ = np.argsort(_ZZ)
+
+# Annex-K-style base quantization tables (quality 50), zigzag order applied
+# at emit time; stored here in natural (row-major) order.
+_QL_BASE = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QC_BASE = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Huffman table definitions (BITS counts per code length 1..16 + value list).
+# Structure-valid canonical tables covering every symbol the encoder emits:
+# DC categories 0..11, AC (run<<4|size) for run 0..15 / size 1..10, EOB, ZRL.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+
+def _ac_vals() -> list[int]:
+    """All 162 baseline AC symbols: EOB, ZRL, and (run,size) pairs ordered
+    by size then run (ordering only affects code assignment, not validity —
+    the chosen tables are transmitted in DHT)."""
+    vals = [0x00, 0xF0]
+    for size in range(1, 11):
+        for run in range(16):
+            vals.append((run << 4) | size)
+    return vals
+
+
+# counts per length summing to 162, non-degenerate canonical shape
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = _ac_vals()
+assert sum(_AC_BITS) == len(_AC_VALS) == 162
+assert sum(_DC_BITS) == len(_DC_VALS) == 12
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for canonical Huffman (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffLUT:
+    """16-bit peek lookup: lut[peek16] = (length << 8) | symbol, as a plain
+    Python list (scalar list indexing is ~5x faster than numpy here)."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        arr = np.zeros(1 << 16, dtype=np.int32)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = lo + (1 << (16 - length))
+                arr[lo:hi] = (length << 8) | vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut = arr.tolist()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_QL_BASE * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QC_BASE * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    m = np.sqrt(0.25) * np.cos(np.pi * (x + 0.5) * k / 8.0)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_D8 = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# bit IO
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _component_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) quantized zigzag coefficients for one plane."""
+    h, w = plane.shape
+    h8 = (h + 7) // 8 * 8
+    w8 = (w + 7) // 8 * 8
+    pad = np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge")
+    blocks = pad.reshape(h8 // 8, 8, w8 // 8, 8).transpose(0, 2, 1, 3)
+    tf = np.einsum("ij,abjk,lk->abil", _D8, blocks - 128.0, _D8)
+    q = np.round(tf / qtab.reshape(8, 8)).astype(np.int32)
+    return q.reshape(h8 // 8, w8 // 8, 64)[:, :, _ZZ]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 85, gray: bool = False) -> bytes:
+    """Baseline JFIF encode of an HxWx3 (or HxW) uint8 array — 4:4:4
+    three-component, or single-component grayscale when ``gray=True``
+    (an HxWx3 input is converted via the BT.601 luma weights)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, _ = arr.shape
+    ql, qc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(arr)
+    if gray:
+        comps = [_component_blocks(ycc[..., 0], ql)]
+    else:
+        comps = [
+            _component_blocks(ycc[..., 0], ql),
+            _component_blocks(ycc[..., 1], qc),
+            _component_blocks(ycc[..., 2], qc),
+        ]
+    nc = len(comps)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    zrl = ac_codes[0xF0]
+    eob = ac_codes[0x00]
+    bw = _BitWriter()
+    put = bw.put
+    pred = [0] * nc
+    nby, nbx = comps[0].shape[:2]
+    # flatten blocks to python lists once; iterate only nonzero coefficients
+    blocks = [comps[ci].reshape(nby * nbx, 64) for ci in range(nc)]
+    nzmasks = [b != 0 for b in blocks]
+    for bi in range(nby * nbx):
+        for ci in range(nc):
+            zz = blocks[ci][bi]
+            dc = int(zz[0])
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            put(code, ln)
+            if size:
+                put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            nz = np.nonzero(nzmasks[ci][bi, 1:])[0]
+            prev = 0
+            for k in nz.tolist():
+                run = k - prev
+                prev = k + 1
+                while run > 15:
+                    put(zrl[0], zrl[1])
+                    run -= 16
+                v = int(zz[k + 1])
+                size = abs(v).bit_length()
+                code, ln = ac_codes[(run << 4) | size]
+                put(code, ln)
+                put(v if v >= 0 else v + (1 << size) - 1, size)
+            if prev < 63:
+                put(eob[0], eob[1])
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes(ql[_ZZ].astype(np.uint8)))
+    if nc == 3:
+        out += _seg(0xDB, b"\x01" + bytes(qc[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    if nc == 3:
+        sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:
+        sof += bytes([1, 0x11, 0])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if nc == 3:
+        out += _seg(0xC4, b"\x01" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        out += _seg(0xC4, b"\x11" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    else:
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "coeffs", "nbx", "nby")
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JFIF/JPEG byte stream to HxWx3 uint8."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], _HuffLUT] = {}
+    comps: list[_Component] = []
+    h = w = 0
+    restart = 0
+    pos = 2
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (may hold several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                p += 1
+                if pq:
+                    tab = np.frombuffer(payload[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    tab = np.frombuffer(payload[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                qtabs[tq] = tab[_UNZZ]  # store natural order
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                huffs[(tc, th)] = _HuffLUT(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
+            _, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            comps = []
+            for c in range(nc):
+                comp = _Component()
+                comp.cid = payload[6 + 3 * c]
+                comp.h = payload[7 + 3 * c] >> 4
+                comp.v = payload[7 + 3 * c] & 0x0F
+                comp.tq = payload[8 + 3 * c]
+                comps.append(comp)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG (SOF marker 0x{marker:02x}; baseline only)")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS -> entropy-coded scan follows
+            ns = payload[0]
+            order = []
+            for s in range(ns):
+                cs, tt = payload[1 + 2 * s], payload[2 + 2 * s]
+                comp = next(c for c in comps if c.cid == cs)
+                comp.td, comp.ta = tt >> 4, tt & 0x0F
+                order.append(comp)
+            scan_start = pos
+            scan_end, segments = _split_scan(data, scan_start)
+            _decode_scan(order, segments, huffs, restart, h, w)
+            pos = scan_end
+        # APPn/COM and anything else: skipped
+
+    if not comps or any(getattr(c, "coeffs", None) is None for c in comps):
+        raise ValueError("no decodable scan found")
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for c in comps:
+        q = qtabs[c.tq].reshape(8, 8)
+        blocks = c.coeffs.astype(np.float64) * q
+        spatial = np.einsum("ji,abjk,kl->abil", _D8, blocks, _D8) + 128.0
+        img = spatial.transpose(0, 2, 1, 3).reshape(c.nby * 8, c.nbx * 8)
+        ch = (h * c.v + vmax - 1) // vmax
+        cw = (w * c.h + hmax - 1) // hmax
+        img = img[:ch, :cw]
+        if c.v != vmax or c.h != hmax:
+            img = np.repeat(np.repeat(img, vmax // c.v, axis=0), hmax // c.h, axis=1)
+        planes.append(img[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _split_scan(data: bytes, start: int) -> tuple[int, list[bytes]]:
+    """Unstuff the entropy segment starting at `start`; split at RSTn.
+    Returns (index just past the scan, list of unstuffed segments)."""
+    segments = []
+    cur = bytearray()
+    pos = start
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = data[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next marker — scan over
+            break
+    segments.append(bytes(cur))
+    return pos, segments
+
+
+def _decode_scan(order, segments, huffs, restart, h, w) -> None:
+    hmax = max(c.h for c in order)
+    vmax = max(c.v for c in order)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in order:
+        c.nbx = mcux * c.h
+        c.nby = mcuy * c.v
+        c.coeffs = np.zeros((c.nby, c.nbx, 8, 8), dtype=np.int32)
+    n_mcu = mcux * mcuy
+    seg_i = 0
+    # bit-reader state kept in locals — the symbol loop is the decode hot
+    # path and method-call overhead would triple its cost
+    data = segments[0] + b"\xff\xff\xff"
+    pos = 0
+    acc = 0
+    nb = 0
+    pred = [0] * len(order)
+    # per-component flat block lists; reshaped into coeff arrays at the end
+    flat: list[list] = [[] for _ in order]
+    luts = [(huffs[(0, c.td)].lut, huffs[(1, c.ta)].lut) for c in order]
+    nblk = [c.h * c.v for c in order]
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            data = segments[seg_i] + b"\xff\xff\xff"
+            pos = 0
+            acc = 0
+            nb = 0
+            pred = [0] * len(order)
+        for ci in range(len(order)):
+            dc_lut, ac_lut = luts[ci]
+            for _ in range(nblk[ci]):
+                blk = [0] * 64
+                if nb < 16:
+                    acc &= (1 << nb) - 1  # mask consumed bits: bignum shifts are O(bits)
+                    while nb <= 24:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nb += 8
+                e = dc_lut[(acc >> (nb - 16)) & 0xFFFF]
+                ln = e >> 8
+                if ln == 0:
+                    raise ValueError("bad Huffman code (DC)")
+                size = e & 0xFF
+                nb -= ln
+                if size:
+                    if nb < size:
+                        acc &= (1 << nb) - 1  # mask consumed bits: bignum shifts are O(bits)
+                        while nb <= 24:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nb += 8
+                    v = (acc >> (nb - size)) & ((1 << size) - 1)
+                    nb -= size
+                    diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                else:
+                    diff = 0
+                pred[ci] += diff
+                blk[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    if nb < 16:
+                        acc &= (1 << nb) - 1  # mask consumed bits: bignum shifts are O(bits)
+                        while nb <= 24:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nb += 8
+                    e = ac_lut[(acc >> (nb - 16)) & 0xFFFF]
+                    ln = e >> 8
+                    if ln == 0:
+                        raise ValueError("bad Huffman code (AC)")
+                    sym = e & 0xFF
+                    nb -= ln
+                    if sym == 0x00:  # EOB
+                        break
+                    run = sym >> 4
+                    size = sym & 0x0F
+                    k += run
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 1  # ZRL consumed 16 zeros total
+                        continue
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    if nb < size:
+                        acc &= (1 << nb) - 1  # mask consumed bits: bignum shifts are O(bits)
+                        while nb <= 24:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nb += 8
+                    v = (acc >> (nb - size)) & ((1 << size) - 1)
+                    nb -= size
+                    blk[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    k += 1
+                flat[ci].append(blk)
+    for ci, c in enumerate(order):
+        # MCU-ordered flat blocks -> (nby, nbx) block grid
+        arr = np.asarray(flat[ci], dtype=np.int32)[:, _UNZZ].reshape(
+            mcuy, mcux, c.v, c.h, 8, 8
+        )
+        c.coeffs = arr.transpose(0, 2, 1, 3, 4, 5).reshape(c.nby, c.nbx, 8, 8)
