@@ -148,7 +148,8 @@ def polygon_area(rings: list[np.ndarray]) -> float:
 
 
 def wkb_area(wkb_buf: bytes) -> float:
-    return sum(polygon_area(rings) for rings in W.polygon_rings(wkb_buf))
+    # empty ring lists come from POLYGON EMPTY (e.g. ST_SymDifference(a, a))
+    return sum(polygon_area(rings) for rings in W.polygon_rings(wkb_buf) if rings)
 
 
 def bbox_intersects(

@@ -75,7 +75,20 @@ def _slab_intervals(edges: np.ndarray, x0: float, x1: float):
     xm = 0.5 * (x0 + x1)
     m = (edges[:, 0] <= x0 + _EPS) & (edges[:, 2] >= x1 - _EPS)
     e = edges[m]
-    if len(e) == 0 or len(e) % 2:
+    if len(e) == 0:
+        return []
+    if len(e) % 2:
+        # odd spanning-edge parity means the eps-based edge selection broke
+        # an even-odd invariant (tolerance/degeneracy artifact); surface it
+        # instead of silently dropping this feature's slab coverage
+        import warnings
+
+        warnings.warn(
+            f"polyunion: odd edge parity ({len(e)}) in slab [{x0}, {x1}] — "
+            "feature coverage dropped for this slab",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return []
     t0 = (x0 - e[:, 0]) / (e[:, 2] - e[:, 0])
     t1 = (x1 - e[:, 0]) / (e[:, 2] - e[:, 0])
@@ -201,6 +214,14 @@ def _simplify_ring(ring: np.ndarray) -> np.ndarray:
     return np.array(out, dtype=np.float64)
 
 
+def _slab_xs(feats: list[np.ndarray]) -> list[float]:
+    all_edges = np.vstack(feats)
+    return sorted(
+        set(np.round(np.r_[all_edges[:, 0], all_edges[:, 2]], 9).tolist())
+        | set(np.round(_crossing_xs(all_edges), 9).tolist())
+    )
+
+
 def union_rings(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
     """Union of features (each an even-odd ring list) -> flat boundary
     ring list (structure with polyclip.structure_rings for Region form)."""
@@ -208,11 +229,7 @@ def union_rings(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
     feats = [e for e in feats if len(e)]
     if not feats:
         return []
-    all_edges = np.vstack(feats)
-    xs = sorted(
-        set(np.round(np.r_[all_edges[:, 0], all_edges[:, 2]], 9).tolist())
-        | set(np.round(_crossing_xs(all_edges), 9).tolist())
-    )
+    xs = _slab_xs(feats)
     slabs: list[list[tuple]] = []
     for x0, x1 in zip(xs[:-1], xs[1:]):
         if x1 - x0 < _EPS:
@@ -222,7 +239,10 @@ def union_rings(ring_sets: list[list[np.ndarray]]) -> list[np.ndarray]:
         for e in feats:
             traps.extend(_slab_intervals(e, x0, x1))
         slabs.append(_merge_trapezoids(traps))
+    return _rings_from_slabs(xs, slabs)
 
+
+def _rings_from_slabs(xs: list[float], slabs: list[list[tuple]]) -> list[np.ndarray]:
     # DIRECTED boundary segments, interior on the left:
     #   bottom edges run +x, top edges run -x,
     #   left boundaries (covered only to the east) run -y,
@@ -272,15 +292,87 @@ def union_area_exact(ring_sets: list[list[np.ndarray]]) -> float:
     return total
 
 
-def union_region(ring_sets: list[list[np.ndarray]]):
-    """Union -> Region ([[exterior, holes...], ...]).
+# ---------------------------------------------------------------------------
+# general boolean ops on two ring-set collections (same sweep machinery)
+# ---------------------------------------------------------------------------
 
-    Classification comes from loop orientation (the sweep emits interior-
+_BOOL_OPS = {
+    "union": lambda a, b: a or b,
+    "intersection": lambda a, b: a and b,
+    "difference": lambda a, b: a and not b,
+    "symdifference": lambda a, b: a != b,
+}
+
+
+def boolean_rings(
+    a_sets: list[list[np.ndarray]],
+    b_sets: list[list[np.ndarray]],
+    op: str,
+) -> list[np.ndarray]:
+    """Boundary rings of op(A, B) where A/B are collections of even-odd
+    ring lists. Plane-sweep, so exact on the shared/collinear edges that
+    break the Greiner-Hormann kernel (polyclip). Inside a slab no edges
+    cross, so coverage combines by elementary vertical bands delimited by
+    the trapezoid boundary lines of both operands."""
+    pred = _BOOL_OPS[op]
+    fa = [e for e in (_edges_of(rs) for rs in a_sets if len(rs)) if len(e)]
+    fb = [e for e in (_edges_of(rs) for rs in b_sets if len(rs)) if len(e)]
+    if not fa and not fb:
+        return []
+    if not fb:
+        return union_rings(a_sets) if pred(True, False) else []
+    if not fa:
+        return union_rings(b_sets) if pred(False, True) else []
+    xs = _slab_xs(fa + fb)
+    slabs: list[list[tuple]] = []
+    for x0, x1 in zip(xs[:-1], xs[1:]):
+        if x1 - x0 < _EPS:
+            slabs.append([])
+            continue
+        ta = _merge_trapezoids([t for e in fa for t in _slab_intervals(e, x0, x1)])
+        tb = _merge_trapezoids([t for e in fb for t in _slab_intervals(e, x0, x1)])
+        # elementary bands: all distinct boundary lines, sorted by midline
+        lines = sorted(
+            {
+                (round(t[i], 9), round(t[i + 2], 9))
+                for t in ta + tb
+                for i in (0, 1)
+            },
+            key=lambda l: l[0] + l[1],
+        )
+        kept: list[tuple] = []
+        for l1, l2 in zip(lines[:-1], lines[1:]):
+            if (l2[0] - l1[0]) + (l2[1] - l1[1]) <= _EPS:
+                continue  # zero-area band
+            m = (l1[0] + l2[0] + l1[1] + l2[1]) / 4.0  # midline sample
+            in_a = any((t[0] + t[2]) / 2 - _EPS <= m <= (t[1] + t[3]) / 2 + _EPS for t in ta)
+            in_b = any((t[0] + t[2]) / 2 - _EPS <= m <= (t[1] + t[3]) / 2 + _EPS for t in tb)
+            if pred(in_a, in_b):
+                kept.append((l1[0], l2[0], l1[1], l2[1]))
+        slabs.append(_merge_trapezoids(kept))
+    return _rings_from_slabs(xs, slabs)
+
+
+def boolean_region(
+    a_sets: list[list[np.ndarray]],
+    b_sets: list[list[np.ndarray]],
+    op: str,
+):
+    """op(A, B) -> Region ([[exterior, holes...], ...])."""
+    return _region_from_rings(boolean_rings(a_sets, b_sets, op))
+
+
+def union_region(ring_sets: list[list[np.ndarray]]):
+    """Union -> Region ([[exterior, holes...], ...])."""
+    return _region_from_rings(union_rings(ring_sets))
+
+
+def _region_from_rings(rings: list[np.ndarray]):
+    """Classification comes from loop orientation (the sweep emits interior-
     on-the-left boundaries): CCW = exterior, CW = hole; each hole attaches
     to the smallest enclosing exterior."""
     from gdal_spark.functions import geom as G
 
-    rings = union_rings(ring_sets)
     exts = []
     holes = []
     for r in rings:

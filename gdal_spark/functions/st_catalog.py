@@ -161,15 +161,19 @@ def _intersects(a: bytes, b: bytes) -> bool:
 
 
 def _within(a: bytes, b: bytes) -> bool:
-    """a within b: area(a ∖ b) == 0."""
+    """a within b ⟺ area(a ∪ b) == area(b) (inclusion-exclusion through
+    the slab-sweep union — robust where subtracting along shared edges is
+    degenerate for vertex clipping)."""
+    from gdal_spark.functions import polyunion as PU
+
     ta, pa = W.parse(a)
     if ta == W.WKB_POINT:
         return bool(G.points_in_wkb(np.array([pa[0]]), np.array([pa[1]]), b)[0])
-    ra = [list(r) for r in W.polygon_rings(a)]
-    region = list(ra)
-    for pb in [list(r) for r in W.polygon_rings(b)]:
-        region = PC.region_minus_polygon(region, pb)
-    return PC.region_area(region) <= 1e-12 * G.wkb_area(a)
+    area_b = G.wkb_area(b)
+    ua = PU.union_area_exact(
+        [list(r) for r in W.polygon_rings(a)] + [list(r) for r in W.polygon_rings(b)]
+    )
+    return abs(ua - area_b) <= 1e-9 * max(area_b, G.wkb_area(a), 1e-300)
 
 
 def _distance(a: bytes, b: bytes) -> float:
@@ -284,6 +288,108 @@ def _transform(buf: bytes, src: int, dst: int) -> bytes:
     return W.write_polygon(polys[0]) if t == W.WKB_POLYGON else W.write_multipolygon(polys)
 
 
+def _ring_sets(buf: bytes) -> list:
+    """[[rings of poly 1], [rings of poly 2], ...] for the slab-sweep kernel."""
+    return [list(rings) for rings in W.polygon_rings(buf)]
+
+
+def _bool_geom(a: bytes, b: bytes, op: str):
+    """Boolean op via the robust slab-sweep kernel (polyunion.boolean_region)
+    — exact on shared/collinear edges where vertex clipping degenerates
+    (GDAL analog: OGRGeometry::Union/SymDifference, ogr/ogrgeometry.cpp —
+    GEOS-backed)."""
+    from gdal_spark.functions import polyunion as PU
+
+    return [p for p in PU.boolean_region(_ring_sets(a), _ring_sets(b), op) if p]
+
+
+def _union_geom(a: bytes, b: bytes):
+    return _bool_geom(a, b, "union")
+
+
+def _symdifference_geom(a: bytes, b: bytes):
+    return _bool_geom(a, b, "symdifference")
+
+
+def _region_wkb(region) -> bytearray:
+    if not region:
+        # GEOS returns an empty geometry (not NULL) for e.g. SymDiff(a, a);
+        # POLYGON EMPTY = polygon with zero rings, ST_Area -> 0.0
+        return bytearray(W.write_polygon([]))
+    return bytearray(
+        W.write_polygon(region[0]) if len(region) == 1 else W.write_multipolygon(region)
+    )
+
+
+def _inter_area(a: bytes, b: bytes) -> float:
+    """area(a ∩ b) via the robust slab-sweep union (inclusion-exclusion) —
+    immune to the shared-edge degeneracies that break vertex clipping."""
+    from gdal_spark.functions import polyunion as PU
+
+    ua = PU.union_area_exact(_ring_sets(a) + _ring_sets(b))
+    return max(0.0, G.wkb_area(a) + G.wkb_area(b) - ua)
+
+
+def _touches(a: bytes, b: bytes) -> bool:
+    """Boundaries meet but interiors don't (OGC Touches, area/area case)."""
+    if not _intersects(a, b):
+        return False
+    scale = max(G.wkb_area(a), G.wkb_area(b), 1e-300)
+    return _inter_area(a, b) <= 1e-9 * scale
+
+
+def _overlaps(a: bytes, b: bytes) -> bool:
+    """Interiors intersect, neither contains the other (OGC Overlaps)."""
+    scale = max(G.wkb_area(a), G.wkb_area(b), 1e-300)
+    if _inter_area(a, b) <= 1e-9 * scale:
+        return False
+    return not _within(a, b) and not _within(b, a)
+
+
+def _equals(a: bytes, b: bytes) -> bool:
+    return _within(a, b) and _within(b, a)
+
+
+def _crosses(a: bytes, b: bytes) -> bool:
+    """OGC Crosses: dimension-mixing intersection. Supported for
+    line/polygon (line has points both inside and outside) and line/line
+    (single-point crossing); polygon/polygon is always false per spec."""
+    ta, pa = W.parse(a)
+    tb, pb = W.parse(b)
+    if ta == W.WKB_LINESTRING and tb in (W.WKB_POLYGON, W.WKB_MULTIPOLYGON):
+        v = np.asarray(pa)
+        # sample segment midpoints as interior probes in addition to vertices
+        mids = (v[:-1] + v[1:]) / 2.0 if len(v) > 1 else v
+        probe = np.vstack([v, mids])
+        inside = G.points_in_wkb(probe[:, 0], probe[:, 1], b)
+        return bool(inside.any() and (~inside).any())
+    if tb == W.WKB_LINESTRING and ta in (W.WKB_POLYGON, W.WKB_MULTIPOLYGON):
+        return _crosses(b, a)
+    if ta == tb == W.WKB_LINESTRING:
+        va, vb = np.asarray(pa), np.asarray(pb)
+        s1 = PC._build_ring(va)
+        s2 = PC._build_ring(vb)
+        return PC._insert_intersections(s1, s2) > 0
+    return False
+
+
+def _length(buf: bytes) -> float:
+    """LINESTRING -> length; POLYGON/MULTIPOLYGON -> boundary perimeter;
+    POINT -> 0 (OGR_L_GetGeometryLength semantics)."""
+    t, p = W.parse(buf)
+    if t == W.WKB_POINT:
+        return 0.0
+    if t == W.WKB_LINESTRING:
+        v = np.asarray(p)
+        return float(np.sqrt(((v[1:] - v[:-1]) ** 2).sum(1)).sum())
+    tot = 0.0
+    for rings in W.polygon_rings(buf):
+        for r in rings:
+            rr = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+            tot += float(np.sqrt(((rr[1:] - rr[:-1]) ** 2).sum(1)).sum())
+    return tot
+
+
 def _is_valid(buf: bytes) -> bool:
     try:
         t, p = W.parse(buf)
@@ -390,22 +496,27 @@ def register_all(spark: SparkSession) -> None:
 
     def bin_geom(op):
         def fn(a, b):
-            ra = [list(r) for r in W.polygon_rings(a)]
-            rb = [list(r) for r in W.polygon_rings(b)]
-            if op == "intersection":
-                region = PC.region_intersection(ra, rb)
-            else:
-                region = list(ra)
-                for pb in rb:
-                    region = PC.region_minus_polygon(region, pb)
-            region = [p for p in region if p]
-            if not region:
-                return None
-            return bytearray(
-                W.write_polygon(region[0]) if len(region) == 1
-                else W.write_multipolygon(region)
-            )
+            return _region_wkb(_bool_geom(a, b, op))
+
         return fn
 
     reg2bin("ST_Intersection", bin_geom("intersection"), T.BinaryType())
     reg2bin("ST_Difference", bin_geom("difference"), T.BinaryType())
+
+    # second half of the sqlite-dialect list
+    # (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:1172-1240)
+    reg2bin("ST_Union", lambda a, b: _region_wkb(_union_geom(a, b)), T.BinaryType())
+    reg2bin(
+        "ST_SymDifference",
+        lambda a, b: _region_wkb(_symdifference_geom(a, b)),
+        T.BinaryType(),
+    )
+    reg2bin("ST_Touches", _touches, T.BooleanType())
+    reg2bin("ST_Crosses", _crosses, T.BooleanType())
+    reg2bin("ST_Overlaps", _overlaps, T.BooleanType())
+    reg2bin("ST_Equals", _equals, T.BooleanType())
+    reg1("ST_Length", _length, T.DoubleType())
+    # WKB is the engine's native wire format: AsBinary re-emits the buffer
+    # (validated), GeomFromWKB parse-validates and returns it
+    reg1("ST_AsBinary", lambda b: bytearray(b) if W.parse(b) else None, T.BinaryType())
+    reg1("ST_GeomFromWKB", lambda b: bytearray(b) if W.parse(b) else None, T.BinaryType())

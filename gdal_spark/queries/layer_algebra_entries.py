@@ -123,3 +123,123 @@ def st_sql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK["st_sql_functions"] = st_sql_functions
+
+
+# --------------------------------------------------------------------------
+# Oracle-backed ST_ predicate/set-op query: axis-aligned box fixtures make
+# every new ST_ function (Union/SymDifference/Touches/Crosses/Overlaps/
+# Equals/Length/AsBinary/GeomFromWKB) closed-form SQL-expressible, so the
+# engine kernels get a full value-hash gate, not just rows-only evidence.
+# --------------------------------------------------------------------------
+
+import struct as _struct
+
+
+@F.pandas_udf(T.BinaryType())
+def _box_wkb_udf(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+    def mk(a, b, c, d):
+        ring = [(a, b), (c, b), (c, d), (a, d), (a, b)]
+        out = [_struct.pack("<BII", 1, 3, 1), _struct.pack("<I", 5)]
+        out += [_struct.pack("<dd", x, y) for x, y in ring]
+        return b"".join(out)
+
+    return pd.Series([mk(*t) for t in zip(x0, y0, x1, y1)])
+
+
+# grid: col = k%5, row = k//5, cell pitch 10; even k -> w=10 (edge-touch
+# with the right neighbor), odd k -> w=12 (overlap); h=10 everywhere
+# (vertical neighbors always edge-touch; diagonals corner-touch or
+# edge-touch depending on parity)
+_BOX_GRID_SQL = """
+    SELECT n_nationkey AS k,
+           (n_nationkey % 5) * 10.0 AS x0,
+           (n_nationkey // 5) * 10.0 AS y0,
+           (n_nationkey % 5) * 10.0 + 10.0 + 2.0 * (n_nationkey % 2) AS x1,
+           (n_nationkey // 5) * 10.0 + 10.0 AS y1
+    FROM nation
+"""
+
+
+def st_sql_functions_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union/SymDifference/Touches/Crosses/Overlaps/Equals/Length/
+    AsBinary/GeomFromWKB over a touch/overlap/equal/corner box grid,
+    value-checked against closed-form box arithmetic in DuckDB (parity:
+    ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:1172-1240)."""
+    from gdal_spark.functions import st_catalog as ST
+    from gdal_spark.sources.tables import load
+
+    ST.register_all(spark)
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x0 = (k % 5).cast("double") * 10.0
+    y0 = F.floor(k / 5).cast("double") * 10.0
+    x1 = x0 + 10.0 + 2.0 * (k % 2).cast("double")
+    y1 = y0 + 10.0
+    boxes = n.select(
+        k.alias("k"), x0.alias("x0"), y0.alias("y0"), x1.alias("x1"), y1.alias("y1"),
+        _box_wkb_udf(x0, y0, x1, y1).alias("wkb"),
+    )
+    boxes.createOrReplaceTempView("st_boxes_q")
+    return spark.sql(
+        """
+        SELECT a.k AS a_id, b.k AS b_id,
+               cast(ST_Intersects(a.wkb, b.wkb) as int) AS inter,
+               cast(ST_Touches(a.wkb, b.wkb) as int) AS touches,
+               cast(ST_Overlaps(a.wkb, b.wkb) as int) AS overlaps,
+               cast(ST_Equals(a.wkb, b.wkb) as int) AS eq,
+               round(ST_Area(ST_Union(a.wkb, b.wkb)), 6) AS union_area,
+               round(ST_Area(ST_SymDifference(a.wkb, b.wkb)), 6) AS symdiff_area,
+               round(ST_Length(a.wkb), 6) AS perim_a,
+               cast(ST_Crosses(
+                   ST_GeomFromText(concat('LINESTRING (',
+                       a.x0 - 1.0 + 3.0 * (a.k % 2), ' ', (a.y0 + a.y1) / 2.0, ', ',
+                       (a.x0 + a.x1) / 2.0, ' ', (a.y0 + a.y1) / 2.0, ')')),
+                   a.wkb) as int) AS line_crosses,
+               length(ST_AsBinary(ST_GeomFromWKB(a.wkb))) AS wkb_len
+        FROM st_boxes_q a JOIN st_boxes_q b
+          ON (b.k - a.k) IN (0, 1, 5, 6)
+         AND NOT ((b.k - a.k) IN (1, 6) AND a.k % 5 = 4)
+         AND NOT ((b.k - a.k) IN (5, 6) AND (a.k div 5) = 4)
+        """
+    )
+
+
+_ST_BOX_ORACLE = f"""
+    WITH boxes AS ({_BOX_GRID_SQL}),
+    pairs AS (
+        SELECT a.k AS a_id, b.k AS b_id,
+               a.x0 AS ax0, a.y0 AS ay0, a.x1 AS ax1, a.y1 AS ay1,
+               b.x0 AS bx0, b.y0 AS by0, b.x1 AS bx1, b.y1 AS by1
+        FROM boxes a JOIN boxes b
+          ON (b.k - a.k) IN (0, 1, 5, 6)
+         AND NOT ((b.k - a.k) IN (1, 6) AND a.k % 5 = 4)
+         AND NOT ((b.k - a.k) IN (5, 6) AND a.k // 5 = 4)
+    ),
+    m AS (
+        SELECT *,
+               least(ax1, bx1) - greatest(ax0, bx0) AS cw,
+               least(ay1, by1) - greatest(ay0, by0) AS ch,
+               (ax1 - ax0) * (ay1 - ay0) AS area_a,
+               (bx1 - bx0) * (by1 - by0) AS area_b,
+               greatest(least(ax1, bx1) - greatest(ax0, bx0), 0)
+                 * greatest(least(ay1, by1) - greatest(ay0, by0), 0) AS ia
+        FROM pairs
+    )
+    SELECT a_id, b_id,
+           cast(cw >= 0 AND ch >= 0 as int) AS inter,
+           cast(cw >= 0 AND ch >= 0 AND ia = 0 as int) AS touches,
+           cast(ia > 0
+                AND NOT (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1)
+                AND NOT (ax0 >= bx0 AND ax1 <= bx1 AND ay0 >= by0 AND ay1 <= by1)
+                as int) AS overlaps,
+           cast(ax0 = bx0 AND ax1 = bx1 AND ay0 = by0 AND ay1 = by1 as int) AS eq,
+           round(area_a + area_b - ia, 6) AS union_area,
+           round(area_a + area_b - 2 * ia, 6) AS symdiff_area,
+           round(2 * ((ax1 - ax0) + (ay1 - ay0)), 6) AS perim_a,
+           cast(a_id % 2 = 0 as int) AS line_crosses,
+           93 AS wkb_len
+    FROM m
+"""
+
+SPARK["st_sql_functions_box"] = st_sql_functions_box
+ORACLE["st_sql_functions_box"] = _ST_BOX_ORACLE
