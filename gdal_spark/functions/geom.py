@@ -102,6 +102,15 @@ def boxes_intersect_wkb(
       4. any polygon vertex inside the box (vectorized) -> hit;
       5. undecided rows only: exact Sutherland-Hodgman clip (the only
          remaining true-hit shape is edge-crossing-without-containment).
+
+    Boundary semantics: steps 3/4 use closed comparisons, so a polygon
+    vertex lying ON the box boundary counts as a hit; but a pure
+    edge-touch with no vertex in the closed box falls to step 5, whose
+    zero-net-area clip reads as disjoint. I.e. this predicate tests
+    interior intersection (OPEN-set Intersects) in that corner case,
+    deviating from OGC/GEOS closed-set Intersects for zero-area contact.
+    ST_Intersects/ST_Touches in st_catalog handle boundary contact
+    exactly; use those when touch semantics matter.
     """
     x0 = np.asarray(x0, float); y0 = np.asarray(y0, float)  # noqa: E702
     x1 = np.asarray(x1, float); y1 = np.asarray(y1, float)  # noqa: E702

@@ -78,7 +78,9 @@ def raster_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.raster import morph
 
     def fn(gray):
-        return morph.proximity(gray > 200, max_dist=50.0)
+        # explicit nodata=cap: keeps the stat band bounded (GDAL default
+        # nodata is 65535.0 beyond MAXDIST)
+        return morph.proximity(gray > 200, max_dist=50.0, nodata=50.0)
 
     return _imgs(spark).mapInPandas(_stat_entry(fn), _STAT_SCHEMA)
 

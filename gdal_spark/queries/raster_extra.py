@@ -245,7 +245,7 @@ def raster_band_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nd_q = np.clip(np.round((nd + 1.0) * 127.5), 0, 255).astype(np.uint8)
                 ex = PF.apply_named(
                     "expression", bands,
-                    expr="np.clip(0.299*B1 + 0.587*B2 + 0.114*B3, 0, 255)",
+                    expr="clip(0.299*B1 + 0.587*B2 + 0.114*B3, 0, 255)",
                 )
                 db = PF.apply_named("dB", [bands[0] + 1.0], fact=20.0)
                 quant = PF.apply_named("expression", bands, expr="B1 // 64")

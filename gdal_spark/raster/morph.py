@@ -89,17 +89,17 @@ def proximity(
     nodata: float | None = None,
 ) -> np.ndarray:
     """Distance (in pixels * dist_mult) from every pixel to the nearest
-    True pixel of ``target``. Pixels farther than max_dist get max_dist
-    (or ``nodata`` when given) — GDALComputeProximity MAXDIST/NODATA
-    semantics (alg/gdalproximity.cpp:144,387-399)."""
+    True pixel of ``target``. Pixels farther than max_dist are written as
+    ``nodata`` — defaulting to 65535.0 like GDALComputeProximity when no
+    nodata is set (alg/gdalproximity.cpp:387-399)."""
     t = target.astype(bool)
     f = np.where(t, 0.0, _INF)
     d2 = _edt_1d(f)  # along rows
     d2 = _edt_1d(np.ascontiguousarray(d2.T)).T  # along columns
     d = np.sqrt(d2) * dist_mult
     if max_dist is not None:
-        cap = nodata if nodata is not None else max_dist
-        d = np.where(d > max_dist, cap, d)
+        fill = nodata if nodata is not None else 65535.0
+        d = np.where(d > max_dist, fill, d)
     return d
 
 

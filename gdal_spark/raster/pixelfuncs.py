@@ -16,6 +16,8 @@ The registry is the engine's "pixel function by name" dispatch —
 
 from __future__ import annotations
 
+import ast
+
 import numpy as np
 
 
@@ -150,17 +152,71 @@ def px_interpolate_linear(bands, t0: float = 0.0, dt: float = 1.0, t: float = 0.
     return s[i0] * (1 - frac) + s[i1] * frac
 
 
+# the muparser surface: arithmetic, comparisons, ternary-ish numpy calls —
+# no attribute access, no subscripts of arbitrary objects, no name smuggling
+_EXPR_FUNCS = {
+    "sqrt": np.sqrt, "abs": np.abs, "exp": np.exp, "log": np.log,
+    "log10": np.log10, "sin": np.sin, "cos": np.cos, "tan": np.tan,
+    "arcsin": np.arcsin, "arccos": np.arccos, "arctan": np.arctan,
+    "arctan2": np.arctan2, "floor": np.floor, "ceil": np.ceil,
+    "round": np.round, "minimum": np.minimum, "maximum": np.maximum,
+    "where": np.where, "clip": np.clip, "power": np.power,
+    "sign": np.sign, "fmod": np.fmod, "hypot": np.hypot,
+}
+
+_EXPR_NODES = (
+    ast.Expression, ast.BinOp, ast.UnaryOp, ast.BoolOp, ast.Compare,
+    ast.Call, ast.Name, ast.Load, ast.Constant, ast.IfExp, ast.Tuple,
+    # operators
+    ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod, ast.Pow,
+    ast.USub, ast.UAdd, ast.Not, ast.Invert, ast.And, ast.Or,
+    ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+    ast.BitAnd, ast.BitOr, ast.BitXor,
+)
+
+
+def _check_expr(tree: ast.Expression, allowed_names: set[str]) -> None:
+    """AST whitelist for px_expression (the reference uses muparser — a
+    real arithmetic parser with no code-exec surface,
+    frmts/vrt/vrtexpression_muparser.cpp). Rejects attribute access,
+    subscripts, lambdas, comprehensions, dunders — everything except
+    arithmetic over band names and the allowlisted numpy functions."""
+    for node in ast.walk(tree):
+        if not isinstance(node, _EXPR_NODES):
+            raise ValueError(
+                f"px_expression: disallowed syntax {type(node).__name__!r}"
+            )
+        if isinstance(node, ast.Name):
+            if node.id not in allowed_names and node.id not in _EXPR_FUNCS:
+                raise ValueError(f"px_expression: unknown name {node.id!r}")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.func.id not in _EXPR_FUNCS:
+                raise ValueError("px_expression: only allowlisted functions callable")
+            if node.keywords:
+                raise ValueError("px_expression: keyword arguments not allowed")
+        if isinstance(node, ast.Constant) and not isinstance(
+            node.value, (int, float, bool)
+        ):
+            raise ValueError("px_expression: only numeric constants allowed")
+
+
 def px_expression(bands, expr: str = "B1", names: list[str] | None = None):
     """muparser-style expression band (vrtexpression_muparser.cpp;
     vectorized the same way gdalalg_raster_calc.cpp:730 rewrites
-    per-pixel formulas to whole-array numpy ops). Only the variables
-    B1..Bn / provided names and numpy functions are visible."""
-    env = {"np": np}
+    per-pixel formulas to whole-array numpy ops). The expression is
+    parsed with `ast` and checked against a node/name whitelist before
+    evaluation — arithmetic over B1..Bn / provided names plus an
+    allowlisted numpy function set; no attribute access, no subscripts."""
+    env: dict[str, object] = dict(_EXPR_FUNCS)
     for i, b in enumerate(bands):
         env[f"B{i + 1}"] = np.asarray(b, dtype=np.float64)
         if names and i < len(names):
             env[names[i]] = env[f"B{i + 1}"]
-    return eval(expr, {"__builtins__": {}}, env)  # noqa: S307 - sandboxed names
+    tree = ast.parse(expr, mode="eval")
+    _check_expr(tree, set(env))
+    return eval(  # noqa: S307 - AST-whitelisted: names + arithmetic only
+        compile(tree, "<px_expression>", "eval"), {"__builtins__": {}}, env
+    )
 
 
 REGISTRY = {

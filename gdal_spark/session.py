@@ -11,6 +11,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem(cap_gb: int = 48, frac: float = 0.6) -> str:
+    """min(48g, ~60% of MemTotal) so smaller hosts don't OOM-kill the
+    local-mode JVM; SPARK_GRAFT_DRIVER_MEM overrides."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(cap_gb, int(total_gb * frac)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_session(
     app_name: str = "gdal_spark",
     master: str | None = None,
@@ -25,6 +39,7 @@ def get_session(
     to UTC so DuckDB-oracle comparisons are stable.
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         if cpus and cpus.isdigit():
@@ -47,7 +62,7 @@ def get_session(
         # local mode: the driver JVM hosts every task thread + shuffle
         # blocks, so an undersized heap turns N-way parallelism into GC
         # contention (measured: local[32] slower than local[8] at 8g)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -31,7 +31,7 @@ class TestProximity:
         t = np.zeros((16, 16), bool)
         t[0, 0] = True
         d = morph.proximity(t, max_dist=5.0)
-        assert d[15, 15] == 5.0
+        assert d[15, 15] == 65535.0  # GDAL default nodata beyond MAXDIST
         d2 = morph.proximity(t, max_dist=5.0, nodata=-1.0)
         assert d2[15, 15] == -1.0
         assert d2[0, 3] == 3.0

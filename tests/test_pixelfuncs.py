@@ -78,3 +78,35 @@ def test_interpolate_linear():
     np.testing.assert_allclose(mid, 5.0)
     at1 = PF.apply_named("interpolate_linear", [b0, b1], t0=0.0, dt=1.0, t=1.0)
     np.testing.assert_allclose(at1, 10.0)
+
+
+def test_expression_allowlisted_funcs():
+    a = np.array([[1.0, 4.0], [9.0, 16.0]])
+    out = PF.apply_named("expression", [a], expr="sqrt(B1) * 2")
+    np.testing.assert_allclose(out, np.sqrt(a) * 2)
+    out2 = PF.apply_named("expression", [a, a], expr="where(B1 > 4, B1, B2 / 2)")
+    np.testing.assert_allclose(out2, np.where(a > 4, a, a / 2))
+    out3 = PF.apply_named("expression", [a], expr="clip(B1, 2, 10)")
+    np.testing.assert_allclose(out3, np.clip(a, 2, 10))
+
+
+def test_expression_rejects_code_exec_surface():
+    import pytest
+
+    a = np.array([[1.0]])
+    hostile = [
+        "().__class__.__mro__[1].__subclasses__()",  # attribute escape
+        "B1.__class__",                              # dunder attribute
+        "getattr(B1, 'dtype')",                      # non-allowlisted call
+        "[x for x in (1,)][0]",                      # comprehension
+        "(lambda: 1)()",                             # lambda
+        "B1[0]",                                     # subscript
+        "__import__('os')",                          # import
+        "'abc'",                                     # non-numeric constant
+        "np.sqrt(B1)",                               # attribute access on np
+        "unknown_name + 1",                          # name smuggling
+        "sqrt(B1, out=B1)",                          # kwargs
+    ]
+    for expr in hostile:
+        with pytest.raises((ValueError, SyntaxError)):
+            PF.apply_named("expression", [a], expr=expr)
