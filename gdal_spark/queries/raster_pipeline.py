@@ -113,6 +113,49 @@ def raster_hillshade_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.checksums(ops.dem_hillshade(imgs, azimuth=315.0, altitude=45.0))
 
 
+def raster_warp_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -r with the full kernel/window method set: cubic
+    (Catmull-Rom), lanczos, and median decimation per-band checksums
+    (alg/gdalwarper.h:37-67; kernels validated vs scalar formulas in
+    tests/test_resample_family.py)."""
+    from gdal_spark.raster import ops
+
+    imgs = datagen.images_df(spark, 24, with_pixels=True, size_cap=96)
+    cub = ops.checksums(
+        ops.translate(imgs, outsize=(64, 48), resample="cubic", out_fmt="png")
+    ).select("image_id", F.lit("cubic").alias("method"), "cks_r", "cks_g", "cks_b")
+    lan = ops.checksums(
+        ops.translate(imgs, outsize=(64, 48), resample="lanczos", out_fmt="png")
+    ).select("image_id", F.lit("lanczos").alias("method"), "cks_r", "cks_g", "cks_b")
+    med = ops.checksums(
+        ops.translate(imgs, outsize=(24, 16), resample="med", out_fmt="png")
+    ).select("image_id", F.lit("med").alias("method"), "cks_r", "cks_g", "cks_b")
+    return cub.unionByName(lan).unionByName(med).orderBy("image_id", "method")
+
+
+def raster_dem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem TRI (Riley) / TPI / roughness over the luma band
+    (apps/gdaldem_lib.cpp:2312-2382), per-image mean/max summaries."""
+    from gdal_spark.raster import ops
+
+    imgs = datagen.images_df(spark, 24, with_pixels=True, size_cap=64)
+    out = []
+    for name, df in (
+        ("tri", ops.dem_tri(imgs)),
+        ("tpi", ops.dem_tpi(imgs)),
+        ("roughness", ops.dem_roughness(imgs)),
+    ):
+        out.append(
+            ops.checksums(df).select(
+                "image_id", F.lit(name).alias("metric"), "cks_r", "cks_g", "cks_b"
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("image_id", "metric")
+
+
 def raster_warp_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WGS84 -> web-mercator warp (bilinear, approx-transformer)."""
     from gdal_spark.raster import warp
@@ -191,6 +234,8 @@ SPARK = {
     "tile_cover_z8": tile_cover_z8,
     "raster_translate_checksum": raster_translate_checksum,
     "raster_hillshade_checksum": raster_hillshade_checksum,
+    "raster_warp_cubic": raster_warp_cubic,
+    "raster_dem_metrics": raster_dem_metrics,
     "raster_warp_mercator": raster_warp_mercator,
     "raster_polygonize": raster_polygonize,
     "zonal_pixel_stats": zonal_pixel_stats,

@@ -89,6 +89,187 @@ def _bilinear_gather(arr: np.ndarray, fx: np.ndarray, fy: np.ndarray) -> np.ndar
     return out.astype(arr.dtype)
 
 
+# ---- filter kernels (alg/gdalwarpkernel.cpp apfGWKFilter table): -----------
+#   cubic        = Catmull-Rom convolution  (GWKCubicComputeWeights, radius 2)
+#   cubicspline  = cubic B-spline           (GWKBSpline, radius 2)
+#   lanczos      = sinc windowed sinc, R=3  (GWKLanczosSinc, radius 3)
+# anGWKFilterRadius: cubic/bspline 2, lanczos 3 (alg/gdalwarpkernel.cpp:84-99)
+
+_FILTER_RADIUS = {"cubic": 2, "cubicspline": 2, "lanczos": 3}
+
+
+def _bspline(x: np.ndarray) -> np.ndarray:
+    """GWKBSpline (unnormalized; the 1/6 factor cancels in the weight sum)."""
+    xp2 = np.maximum(x + 2.0, 0.0)
+    xp1 = np.maximum(x + 1.0, 0.0)
+    x0 = np.maximum(x, 0.0)
+    xm1 = np.maximum(x - 1.0, 0.0)
+    return xp2**3 - 4.0 * xp1**3 + 6.0 * x0**3 - 4.0 * xm1**3
+
+
+def _lanczos(x: np.ndarray) -> np.ndarray:
+    """GWKLanczosSinc: sinc(pi x) * sinc(pi x / 3) for |x| < 3."""
+    pix = np.pi * x
+    pixr = pix / 3.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = np.sin(pix) * np.sin(pixr) / (pix * pixr)
+    v = np.where(x == 0.0, 1.0, v)
+    return np.where(np.abs(x) >= 3.0, 0.0, v)
+
+
+def _filter_weights(kernel: str, t: np.ndarray) -> np.ndarray:
+    """Separable tap weights at offsets -(R-1)..R for fraction t in [0,1).
+
+    Returns shape (2R, *t.shape), normalized to sum 1 (GWKResample divides
+    by the accumulated weight — alg/gdalwarpkernel.cpp:3160-3203)."""
+    if kernel == "cubic":
+        half = 0.5 * t
+        w = np.stack(
+            [
+                half * (-1 + t * (2 - t)),
+                1 + half * t * (-5 + 3 * t),
+                half * (1 + t * (4 - 3 * t)),
+                half * t * (-1 + t),
+            ]
+        )
+    else:
+        fn = _bspline if kernel == "cubicspline" else _lanczos
+        r = _FILTER_RADIUS[kernel]
+        w = np.stack([fn(t - off) for off in range(-(r - 1), r + 1)])
+    return w / w.sum(axis=0)
+
+
+def _kernel_gather(arr: np.ndarray, fx: np.ndarray, fy: np.ndarray, kernel: str) -> np.ndarray:
+    """Sample arr at fractional coords with a separable filter kernel
+    (cubic / cubicspline / lanczos) — same coord convention and edge
+    clamping as _bilinear_gather."""
+    h, w = arr.shape[:2]
+    r = _FILTER_RADIUS[kernel]
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    wx = _filter_weights(kernel, fx - x0)
+    wy = _filter_weights(kernel, fy - y0)
+    if arr.ndim == 3:
+        wx = wx[..., None]
+        wy = wy[..., None]
+    out = None
+    for j in range(2 * r):
+        yc = (y0 + (j - (r - 1))).clip(0, h - 1)
+        row = None
+        for i in range(2 * r):
+            xc = (x0 + (i - (r - 1))).clip(0, w - 1)
+            v = arr[yc, xc].astype(np.float64) * wx[i]
+            row = v if row is None else row + v
+        row = row * wy[j]
+        out = row if out is None else out + row
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        return np.clip(np.round(out), info.min, info.max).astype(arr.dtype)
+    return out.astype(arr.dtype)
+
+
+def resample_kernel(arr: np.ndarray, out_h: int, out_w: int, kernel: str) -> np.ndarray:
+    """Filter-kernel resize (cubic/cubicspline/lanczos) at back-mapped
+    output centers — the GWKResample taps for a scale transform."""
+    h, w = arr.shape[:2]
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    return _kernel_gather(arr, fx[None, :].repeat(out_h, 0), fy[:, None].repeat(out_w, 1), kernel)
+
+
+# window-reduce algorithms (GWKAverageOrMode, alg/gdalwarpkernel.cpp:7123+):
+# each output pixel reduces over the INTEGER source pixels covered by its
+# footprint [floor(min+eps), ceil(max-eps)) — quantiles pick the sorted
+# value at index ceil(q*n - 1) (alg/gdalwarpkernel.cpp:8334-8341)
+_WINDOW_METHODS = ("average", "rms", "min", "max", "sum", "mode", "med", "q1", "q3")
+_QUANT = {"med": 0.5, "q1": 0.25, "q3": 0.75}
+
+
+def resample_window(arr: np.ndarray, out_h: int, out_w: int, method: str) -> np.ndarray:
+    """Window-reduce resize for the GWKAverageOrMode family at arbitrary
+    (typically decimating) scale. Axis-aligned footprints: output pixel
+    (r, c) covers source rows [r*h/out_h, (r+1)*h/out_h) etc., reduced over
+    the integer pixels in that span (alg/gdalwarpkernel.cpp:6992-7003)."""
+    eps = 1e-10
+    h, w = arr.shape[:2]
+
+    def spans(n_out: int, n_src: int):
+        edges = np.arange(n_out + 1, dtype=np.float64) * n_src / n_out
+        lo = np.maximum(np.floor(edges[:-1] + eps), 0).astype(np.int64)
+        hi = np.minimum(np.ceil(edges[1:] - eps), n_src).astype(np.int64)
+        hi = np.maximum(hi, lo + 1)  # GDAL widens empty windows by one
+        return lo, np.minimum(hi, n_src)
+
+    ylo, yhi = spans(out_h, h)
+    xlo, xhi = spans(out_w, w)
+    ky = int((yhi - ylo).max())
+    kx = int((xhi - xlo).max())
+    # gather (out_h, out_w, ky, kx[, bands]) with NaN padding outside spans
+    yi = ylo[:, None] + np.arange(ky)[None, :]
+    xi = xlo[:, None] + np.arange(kx)[None, :]
+    yvalid = yi < yhi[:, None]
+    xvalid = xi < xhi[:, None]
+    yi = yi.clip(0, h - 1)
+    xi = xi.clip(0, w - 1)
+    vals = arr[yi[:, None, :, None], xi[None, :, None, :]].astype(np.float64)
+    valid = yvalid[:, None, :, None] & xvalid[None, :, None, :]
+    if arr.ndim == 3:
+        valid = valid[..., None]
+    vals = np.where(valid, vals, np.nan)
+    tail = vals.shape[4:]
+    flat = vals.reshape(out_h, out_w, ky * kx, *tail)
+    if tail:
+        flat = np.moveaxis(flat, 2, -1)  # (out_h, out_w, bands, taps)
+    with np.errstate(invalid="ignore"):
+        if method == "average":
+            out = np.nanmean(flat, axis=-1)
+        elif method == "rms":
+            out = np.sqrt(np.nanmean(flat**2, axis=-1))
+        elif method == "min":
+            out = np.nanmin(flat, axis=-1)
+        elif method == "max":
+            out = np.nanmax(flat, axis=-1)
+        elif method == "sum":
+            out = np.nansum(flat, axis=-1)
+        elif method == "mode":
+            srt = np.sort(flat, axis=-1)  # NaNs sort to the end
+            n = srt.shape[-1]
+            best_count = np.zeros(srt.shape[:-1], dtype=np.int64)
+            best_val = srt[..., 0].copy()
+            run = np.ones(srt.shape[:-1], dtype=np.int64)
+            for k in range(1, n):
+                same = srt[..., k] == srt[..., k - 1]
+                run = np.where(same, run + 1, 1)
+                better = (run > best_count) & ~np.isnan(srt[..., k])
+                best_count = np.where(better, run, best_count)
+                best_val = np.where(better, srt[..., k], best_val)
+            out = best_val
+        elif method in _QUANT:
+            srt = np.sort(flat, axis=-1)
+            n = np.sum(~np.isnan(flat), axis=-1)
+            idx = np.ceil(_QUANT[method] * n - 1).astype(np.int64).clip(0)
+            out = np.take_along_axis(srt, idx[..., None], axis=-1)[..., 0]
+        else:
+            raise ValueError(f"unknown window method {method}")
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        return np.clip(np.round(out), info.min, info.max).astype(arr.dtype)
+    return out.astype(arr.dtype)
+
+
+def resample(arr: np.ndarray, out_h: int, out_w: int, method: str = "near") -> np.ndarray:
+    """Full gdalwarp resample-method dispatch (alg/gdalwarper.h:37-67)."""
+    if method in ("near", "nearest"):
+        return resample_nearest(arr, out_h, out_w)
+    if method == "bilinear":
+        return resample_bilinear(arr, out_h, out_w)
+    if method in _FILTER_RADIUS:
+        return resample_kernel(arr, out_h, out_w, method)
+    if method in _WINDOW_METHODS:
+        return resample_window(arr, out_h, out_w, method)
+    raise ValueError(f"unknown resample method {method}")
+
+
 def block_reduce(arr: np.ndarray, fy: int, fx: int, method: str = "average") -> np.ndarray:
     """Integer-factor downsample — the overview kernel set
     (gcore/overview.cpp: near :85-219, average/RMS :1204, mode).
@@ -131,6 +312,15 @@ def block_reduce(arr: np.ndarray, fy: int, fx: int, method: str = "average") -> 
             best_count = np.where(better, run, best_count)
             best_val = np.where(better, srt[..., k], best_val)
         out = best_val.reshape(hh, ww, *tail) if tail else best_val.reshape(hh, ww)
+        return out.astype(arr.dtype)
+    elif method in _QUANT:
+        # GDAL quantile convention: sorted[ceil(q*n - 1)]
+        # (alg/gdalwarpkernel.cpp:8334-8341)
+        flat = blocks.reshape(hh, fy, ww, fx, -1).transpose(0, 2, 4, 1, 3).reshape(hh, ww, -1, fy * fx)
+        srt = np.sort(flat, axis=-1)
+        idx = max(0, int(np.ceil(_QUANT[method] * fy * fx - 1)))
+        out = srt[..., idx]
+        out = out.reshape(hh, ww, *tail) if tail else out.reshape(hh, ww)
         return out.astype(arr.dtype)
     else:
         raise ValueError(f"unknown reduce method {method}")
@@ -517,3 +707,72 @@ def aspect_deg(dem: np.ndarray, xres: float = 1.0, yres: float = 1.0) -> np.ndar
     out = np.where(out >= 360.0, out - 360.0, out)
     flat = (dzdx == 0) & (dzdy == 0)
     return np.where(flat, -9999.0, out)
+
+
+def _neighbors_3x3(dem: np.ndarray):
+    """The 8 neighbor planes of the 3x3 window (edge-replicated) —
+    afWin[0..8] minus the center, gdaldem's ComputeVal window order."""
+    z = np.pad(dem.astype(np.float64), 1, mode="edge")
+    return [
+        z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:],
+        z[1:-1, :-2],              z[1:-1, 2:],
+        z[2:, :-2],  z[2:, 1:-1],  z[2:, 2:],
+    ]
+
+
+def tri(dem: np.ndarray, alg: str = "riley") -> np.ndarray:
+    """Terrain Ruggedness Index (apps/gdaldem_lib.cpp:2312-2346):
+    riley = sqrt(sum (n - center)^2) [GDAL default], wilson = mean |n - center|."""
+    c = dem.astype(np.float64)
+    nbrs = _neighbors_3x3(dem)
+    if alg == "wilson":
+        return sum(np.abs(n - c) for n in nbrs) * 0.125
+    if alg == "riley":
+        return np.sqrt(sum((n - c) ** 2 for n in nbrs))
+    raise ValueError(f"unknown TRI alg {alg}")
+
+
+def tpi(dem: np.ndarray) -> np.ndarray:
+    """Topographic Position Index: center minus mean of the 8 neighbors
+    (apps/gdaldem_lib.cpp GDALTPIAlg)."""
+    c = dem.astype(np.float64)
+    return c - sum(_neighbors_3x3(dem)) * 0.125
+
+
+def roughness(dem: np.ndarray) -> np.ndarray:
+    """Largest difference between any two cells of the 3x3 window
+    (apps/gdaldem_lib.cpp GDALRoughnessAlg): max - min including center."""
+    c = dem.astype(np.float64)
+    nbrs = _neighbors_3x3(dem)
+    hi = c.copy()
+    lo = c.copy()
+    for n in nbrs:
+        np.maximum(hi, n, out=hi)
+        np.minimum(lo, n, out=lo)
+    return hi - lo
+
+
+def color_relief(
+    dem: np.ndarray, table: list[tuple[float, int, int, int]],
+    mode: str = "interpolate",
+) -> np.ndarray:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp:1536 GDALColorRelief*):
+    map elevation -> RGB through a sorted (value, r, g, b) color table.
+    mode='interpolate' blends linearly between adjacent entries (GDAL
+    default COLOR_SELECTION_INTERPOLATE); 'nearest' snaps to the closest
+    entry (COLOR_SELECTION_CLOSEST_ENTRY)."""
+    tab = sorted(table)
+    vals = np.array([t[0] for t in tab], dtype=np.float64)
+    cols = np.array([t[1:4] for t in tab], dtype=np.float64)
+    z = dem.astype(np.float64)
+    if mode == "nearest":
+        idx = np.abs(z[..., None] - vals[None, None, :]).argmin(axis=-1)
+        out = cols[idx]
+    else:
+        hi = np.searchsorted(vals, z, side="left").clip(1, len(vals) - 1)
+        lo = hi - 1
+        span = vals[hi] - vals[lo]
+        t = np.where(span > 0, (z - vals[lo]) / np.where(span > 0, span, 1.0), 0.0)
+        t = t.clip(0.0, 1.0)
+        out = cols[lo] + (cols[hi] - cols[lo]) * t[..., None]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -101,10 +101,9 @@ def translate(
             out = (out - smin) / (smax - smin) * (dmax - dmin) + dmin
         if outsize is not None:
             ow, oh = outsize
-            if resample == "bilinear":
-                out = K.resample_bilinear(out, oh, ow)
-            else:
-                out = K.resample_nearest(out, oh, ow)
+            # full -r method set: near/bilinear/cubic/cubicspline/lanczos +
+            # average/rms/min/max/sum/mode/med/q1/q3 (alg/gdalwarper.h:37-67)
+            out = K.resample(out, oh, ow, resample)
         return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
     return _map_images(df, fn, out_fmt)
@@ -135,6 +134,38 @@ def dem_slope(df: DataFrame) -> DataFrame:
     from gdal_spark.raster import kernels as K
 
     return _map_images(df, lambda a: np.clip(K.slope_deg(_luma(a)) / 90.0 * 255.0, 0, 255))
+
+
+def dem_tri(df: DataFrame, alg: str = "riley") -> DataFrame:
+    """Terrain Ruggedness Index (gdaldem TRI, apps/gdaldem_lib.cpp:2312)."""
+    from gdal_spark.raster import kernels as K
+
+    return _map_images(df, lambda a: np.clip(K.tri(_luma(a), alg=alg), 0, 255))
+
+
+def dem_tpi(df: DataFrame) -> DataFrame:
+    """Topographic Position Index (gdaldem TPI) — signed, shifted +128
+    for the uint8 image lane."""
+    from gdal_spark.raster import kernels as K
+
+    return _map_images(df, lambda a: np.clip(K.tpi(_luma(a)) + 128.0, 0, 255))
+
+
+def dem_roughness(df: DataFrame) -> DataFrame:
+    """3x3 max-min roughness (gdaldem roughness)."""
+    from gdal_spark.raster import kernels as K
+
+    return _map_images(df, lambda a: np.clip(K.roughness(_luma(a)), 0, 255))
+
+
+def dem_color_relief(
+    df: DataFrame, table: list[tuple[float, int, int, int]],
+    mode: str = "interpolate",
+) -> DataFrame:
+    """gdaldem color-relief over the luma band (apps/gdaldem_lib.cpp:1536)."""
+    from gdal_spark.raster import kernels as K
+
+    return _map_images(df, lambda a: K.color_relief(_luma(a), table, mode=mode))
 
 
 def checksums(df: DataFrame) -> DataFrame:

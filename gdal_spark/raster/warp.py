@@ -14,8 +14,10 @@ warps independently (chunk ≡ row; GDAL's ChunkAndWarpImage memory-driven
 chunking, alg/gdalwarpoperation.cpp:980, becomes Spark partitioning).
 
 CRS support: WGS84 lon/lat <-> spherical web-mercator (EPSG:4326 <->
-3857), the pair the tiling north star needs; both directions are exact
-closed forms.
+3857) as exact closed forms, plus every UTM zone (EPSG:326xx / 327xx)
+and their cross-pairs through the vectorized 6th-order Krueger series
+(functions/crs.py) — covering the reference's own warp benchmark
+(EPSG:32631 -> 4326, autotest/benchmark/test_gdalwarp.py:24).
 """
 
 from __future__ import annotations
@@ -59,6 +61,22 @@ TRANSFORMS = {
     ("EPSG:3857", "EPSG:4326"): lonlat_to_meters_np,  # src 3857, dst 4326
     None: lambda x, y: (x, y),
 }
+
+
+def get_inverse_transform(src_crs: str, dst_crs: str):
+    """dst geo -> src geo callable. Fast closed forms for the 4326/3857
+    pair; UTM zones (EPSG:326xx/327xx) and cross-pairs via the Krueger
+    series dispatcher (functions/crs.py)."""
+    key = None if src_crs == dst_crs else (src_crs, dst_crs)
+    fn = TRANSFORMS.get(key)
+    if fn is not None:
+        return fn
+    from gdal_spark.functions import crs as CRS
+
+    fn = CRS.inverse_transform_fn(src_crs, dst_crs)
+    if fn is None:
+        raise ValueError(f"unsupported CRS pair {src_crs} -> {dst_crs}")
+    return fn
 
 
 def suggested_output_grid(
@@ -145,13 +163,14 @@ def warp_array(
     return_mask=True also returns the bool validity mask (dst pixels whose
     back-mapped center falls inside the source) — the warp's density/alpha
     mask (GDALWarpKernel's papanBandSrcValid role)."""
-    key = None if src_crs == dst_crs else (src_crs, dst_crs)
-    inv = TRANSFORMS[key]
+    inv = get_inverse_transform(src_crs, dst_crs)
     spx, spy = _dst_to_src_pixels(src_gt, dst_gt, out_h, out_w, inv, approx_grid, max_err)
     h, w = arr.shape[:2]
     inside = (spx >= -0.5) & (spx <= w - 0.5) & (spy >= -0.5) & (spy <= h - 0.5)
     if resample == "bilinear":
         out = K._bilinear_gather(arr, spx, spy)
+    elif resample in K._FILTER_RADIUS:  # cubic / cubicspline / lanczos
+        out = K._kernel_gather(arr, spx, spy, resample)
     else:
         ix = np.round(spx).astype(np.int64).clip(0, w - 1)
         iy = np.round(spy).astype(np.int64).clip(0, h - 1)

@@ -159,9 +159,11 @@ def composite_tiles(patches: DataFrame) -> DataFrame:
     return patches.groupBy("tz", "tx", "ty").applyInPandas(paint, TILE_SCHEMA)
 
 
-def overview_zoom(tiles: DataFrame) -> DataFrame:
+def overview_zoom(tiles: DataFrame, method: str = "average") -> DataFrame:
     """One overview level: (tz-1, tx>>1, ty>>1) from <=4 children —
     create_overview_tile (gdal2tiles.py:1466): paste into 2x2, reduce 2x.
+    `method` is the gdal2tiles --resampling choice (average default;
+    filter kernels like cubic/lanczos route through the resample dispatch).
 
     TMS orientation: child with odd ty is the NORTH (top) half of the
     parent; child with even tx is the west (left) half.
@@ -190,7 +192,10 @@ def overview_zoom(tiles: DataFrame) -> DataFrame:
             big[y0 : y0 + TILE_SIZE, x0 : x0 + TILE_SIZE] = child
             srcs.extend(r.src_ids)
             n += int(r.n_src)
-        small = K.block_reduce(big, 2, 2, "average")
+        if method in K._FILTER_RADIUS:
+            small = K.resample(big, TILE_SIZE, TILE_SIZE, method)
+        else:
+            small = K.block_reduce(big, 2, 2, method)
         return pd.DataFrame(
             [
                 (tz, ptx, pty, (1 << tz) - 1 - pty, bytearray(codecs.png_encode(small)),
@@ -213,6 +218,7 @@ def resume_filter(patches_or_tiles: DataFrame, done_keys: DataFrame) -> DataFram
 def build_pyramid(
     images: DataFrame, tz_max: int, tz_min: int = 0,
     resample: str = "bilinear", existing: DataFrame | None = None,
+    overview_method: str = "average",
 ) -> dict[int, DataFrame]:
     """Full pyramid: base zoom then iterative overview reduces (one Spark
     stage per zoom, descending — gdal2tiles' overview loop).
@@ -233,7 +239,7 @@ def build_pyramid(
             existing.filter(F.col("tz") == tz_max).select(*children.columns)
         )
     for tz in range(tz_max - 1, tz_min - 1, -1):
-        parents = overview_zoom(children)
+        parents = overview_zoom(children, method=overview_method)
         if existing is not None:
             parents = resume_filter(parents, existing.filter(F.col("tz") == tz))
         new[tz] = parents
