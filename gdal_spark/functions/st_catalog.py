@@ -263,6 +263,7 @@ def _buffer(buf: bytes, dist: float, n: int = 32) -> bytes:
 
 
 def _transform(buf: bytes, src: int, dst: int) -> bytes:
+    from gdal_spark.functions import crs as CRS
     from gdal_spark.raster.warp import lonlat_to_meters_np, meters_to_lonlat_np
 
     if (src, dst) == (4326, 3857):
@@ -272,7 +273,13 @@ def _transform(buf: bytes, src: int, dst: int) -> bytes:
     elif src == dst:
         return bytes(buf)
     else:
-        raise ValueError(f"unsupported transform {src}->{dst}")
+        # UTM zones + cross pairs via the Krueger-series dispatcher
+        sc, dc = f"EPSG:{src}", f"EPSG:{dst}"
+        if not (CRS.supported(sc) and CRS.supported(dc)):
+            raise ValueError(f"unsupported transform {src}->{dst}")
+
+        def fn(x, y, _sc=sc, _dc=dc):
+            return CRS.transform(_sc, _dc, x, y)
 
     t, p = W.parse(buf)
     if t == W.WKB_POINT:

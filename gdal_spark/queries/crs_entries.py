@@ -1,0 +1,120 @@
+"""CRS contract queries: UTM (Transverse Mercator, Krueger series).
+
+The oracle re-evaluates the SAME published 6th-order series in DuckDB SQL
+(sinh/cosh/atanh composed from exp/ln) — an independent engine computing
+the same public formulas, so the value-hash gate checks the whole numeric
+path. Reference: GDAL warps UTM sources via PROJ (ogr/ogrct.cpp:1788);
+its own warp benchmark is EPSG:32631 -> 4326
+(autotest/benchmark/test_gdalwarp.py:24).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.functions import crs
+from gdal_spark.sources.tables import load
+
+_UTM_SCHEMA = T.StructType(
+    [T.StructField("e", T.DoubleType()), T.StructField("n", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_UTM_SCHEMA)
+def _utm31_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    e, n = crs.utm_forward(lon.to_numpy(), lat.to_numpy(), "EPSG:32631")
+    return pd.DataFrame({"e": e, "n": n})
+
+
+def _lonlat_31(key):
+    """Deterministic zone-31 test points from an integer key column."""
+    lon = 0.2 + (key.cast("double") * 0.0137) % 5.6
+    lat = -75.0 + (key.cast("double") * 1.618) % 155.0
+    return lon, lat
+
+
+def utm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 -> EPSG:32631 (UTM 31N) forward transform, Arrow-batched
+    Krueger series (functions/crs.py), with machine-precision round-trip
+    flags. Kilometre units keep the 4-decimal value-hash comparison well
+    inside double agreement between engines."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    lon, lat = _lonlat_31(F.col("event_id"))
+    pts = e.select("event_id", lon.alias("lon"), lat.alias("lat"))
+    utm = pts.withColumn("utm", _utm31_udf(F.col("lon"), F.col("lat")))
+
+    @F.pandas_udf(T.BooleanType())
+    def rt_ok(ev: pd.Series, nv: pd.Series, lonv: pd.Series, latv: pd.Series) -> pd.Series:
+        ilon, ilat = crs.utm_inverse(ev.to_numpy(), nv.to_numpy(), "EPSG:32631")
+        return pd.Series(
+            (abs(ilon - lonv.to_numpy()) < 1e-9) & (abs(ilat - latv.to_numpy()) < 1e-9)
+        )
+
+    return utm.select(
+        "event_id",
+        F.round(F.col("utm.e") / 1000.0, 4).alias("east_km"),
+        F.round(F.col("utm.n") / 1000.0, 4).alias("north_km"),
+        rt_ok(F.col("utm.e"), F.col("utm.n"), F.col("lon"), F.col("lat")).alias("rt_ok"),
+    )
+
+
+def _utm_oracle() -> str:
+    """The same Krueger forward series as a DuckDB SQL expression —
+    coefficients formatted at full double precision from crs.py."""
+    c = repr(crs._E2SN)
+    k0a = repr(crs._K0 * crs._ABAR)
+    a1, a2, a3, a4, a5, a6 = (repr(v) for v in crs._ALPHA)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         0.2 + fmod(event_id * 0.0137, 5.6) AS lon,
+         -75.0 + fmod(event_id * 1.618, 155.0) AS lat
+  FROM events WHERE event_id < 200
+),
+s1 AS (
+  SELECT event_id, sin(radians(lat)) AS s, radians(lon - 3.0) AS lam FROM pts
+),
+s2 AS (
+  SELECT event_id, lam,
+         0.5*ln((1.0+s)/(1.0-s)) - {c} * 0.5*ln((1.0+{c}*s)/(1.0-{c}*s)) AS q
+  FROM s1
+),
+s3 AS (
+  SELECT event_id, lam, (exp(q) - exp(-q)) / 2.0 AS t FROM s2
+),
+s4 AS (
+  SELECT event_id,
+         atan2(t, cos(lam)) AS xip,
+         ln(sin(lam)/sqrt(t*t + cos(lam)*cos(lam))
+            + sqrt(sin(lam)*sin(lam)/(t*t + cos(lam)*cos(lam)) + 1.0)) AS etap
+  FROM s3
+),
+s5 AS (
+  SELECT event_id,
+         xip + {a1}*sin(2*xip)*(exp(2*etap)+exp(-2*etap))/2.0
+             + {a2}*sin(4*xip)*(exp(4*etap)+exp(-4*etap))/2.0
+             + {a3}*sin(6*xip)*(exp(6*etap)+exp(-6*etap))/2.0
+             + {a4}*sin(8*xip)*(exp(8*etap)+exp(-8*etap))/2.0
+             + {a5}*sin(10*xip)*(exp(10*etap)+exp(-10*etap))/2.0
+             + {a6}*sin(12*xip)*(exp(12*etap)+exp(-12*etap))/2.0 AS xi,
+         etap + {a1}*cos(2*xip)*(exp(2*etap)-exp(-2*etap))/2.0
+              + {a2}*cos(4*xip)*(exp(4*etap)-exp(-4*etap))/2.0
+              + {a3}*cos(6*xip)*(exp(6*etap)-exp(-6*etap))/2.0
+              + {a4}*cos(8*xip)*(exp(8*etap)-exp(-8*etap))/2.0
+              + {a5}*cos(10*xip)*(exp(10*etap)-exp(-10*etap))/2.0
+              + {a6}*cos(12*xip)*(exp(12*etap)-exp(-12*etap))/2.0 AS eta
+  FROM s4
+)
+SELECT event_id,
+       round((500000.0 + {k0a} * eta) / 1000.0, 4) AS east_km,
+       round(({k0a} * xi) / 1000.0, 4) AS north_km,
+       true AS rt_ok
+FROM s5
+"""
+
+
+SPARK = {"utm_transform": utm_transform}
+ORACLE = {"utm_transform": _utm_oracle()}
