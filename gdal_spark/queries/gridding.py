@@ -367,10 +367,149 @@ _DEDUP_COS_ORACLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# per-quadrant IDW + average-distance data metrics (alg/gdalgrid.cpp:351
+# GDALGridInverseDistanceToAPowerNearestNeighborPerQuadrant; :2125
+# AverageDistance; :2419 AverageDistancePts)
+# --------------------------------------------------------------------------
+
+
+def grid_quadrant_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quadrant IDW (power=2): quadrant = (dx>=0) | ((dy>=0)<<1)
+    relative to the node (alg/gdalgrid.cpp:406-408), keep the <=4 nearest
+    per quadrant (max_points_per_quadrant), node -> nodata(-9999) unless
+    every quadrant contributed >=1 point (min_points_per_quadrant)."""
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir)
+    qs = _queries(spark, sf_dir)
+    dx = F.col("x") - F.col("qx")
+    dy = F.col("y") - F.col("qy")
+    d2 = dx * dx + dy * dy
+    cand = (
+        pts.crossJoin(F.broadcast(qs))
+        .filter(d2 <= F.lit(RADIUS * RADIUS))
+        .select(
+            "query_id", "pt_id", "z", d2.alias("d2"),
+            (
+                F.when(dx >= 0, F.lit(1)).otherwise(F.lit(0))
+                + F.when(dy >= 0, F.lit(2)).otherwise(F.lit(0))
+            ).alias("quad"),
+        )
+    )
+    w = Window.partitionBy("query_id", "quad").orderBy(F.col("d2").asc(), F.col("pt_id").asc())
+    kept = cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 4)
+    agg = kept.groupBy("query_id").agg(
+        (F.sum(F.col("z") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2"))).alias("idw"),
+        F.count(F.lit(1)).alias("n_used"),
+        F.countDistinct("quad").alias("n_quads"),
+    )
+    return agg.select(
+        "query_id",
+        F.round(
+            F.when(F.col("n_quads") == 4, F.col("idw")).otherwise(F.lit(-9999.0)), 4
+        ).alias("idw_q"),
+        "n_used",
+        "n_quads",
+    )
+
+
+def _grid_quadrant_oracle() -> str:
+    return f"""
+        WITH pts AS ({{pts}}), qs AS ({_QS_SQL}),
+        cand AS (
+            SELECT q.query_id, p.pt_id, p.z,
+                   (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS d2,
+                   (CASE WHEN p.x - q.qx >= 0 THEN 1 ELSE 0 END
+                    + CASE WHEN p.y - q.qy >= 0 THEN 2 ELSE 0 END) AS quad
+            FROM qs q JOIN pts p
+              ON (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)
+                 <= {RADIUS * RADIUS!r}),
+        kept AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id, quad ORDER BY d2 ASC, pt_id ASC) AS rk
+            FROM cand),
+        agg AS (
+            SELECT query_id,
+                   sum(z / d2) / sum(1.0 / d2) AS idw,
+                   count(*) AS n_used,
+                   count(DISTINCT quad) AS n_quads
+            FROM kept WHERE rk <= 4 GROUP BY query_id)
+        SELECT query_id,
+               round(CASE WHEN n_quads = 4 THEN idw ELSE -9999.0 END, 4) AS idw_q,
+               n_used, n_quads
+        FROM agg
+    """.format(pts=_pts_sql())
+
+
+def grid_avg_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-distance data metrics: node->point mean distance
+    (GDALGridDataMetricAverageDistance) and mean pairwise distance among
+    the points in the search circle (AverageDistancePts)."""
+    pts = _points(spark, sf_dir)
+    qs = _queries(spark, sf_dir)
+    d2 = (F.col("qx") - F.col("x")) ** 2 + (F.col("qy") - F.col("y")) ** 2
+    cand = (
+        pts.crossJoin(F.broadcast(qs))
+        .filter(d2 <= F.lit(RADIUS * RADIUS))
+        .select("query_id", "pt_id", "x", "y", F.sqrt(d2).alias("dist"))
+    )
+    node_avg = cand.groupBy("query_id").agg(
+        F.round(F.avg("dist"), 4).alias("avg_dist"), F.count(F.lit(1)).alias("n_pts")
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.pt_id") < F.col("b.pt_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.sqrt(
+                (F.col("a.x") - F.col("b.x")) ** 2 + (F.col("a.y") - F.col("b.y")) ** 2
+            ).alias("pd"),
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.avg("pd"), 4).alias("avg_dist_pts"))
+    )
+    return node_avg.join(pair, "query_id", "left").select(
+        "query_id", "avg_dist", F.coalesce("avg_dist_pts", F.lit(0.0)).alias("avg_dist_pts"),
+        "n_pts",
+    )
+
+
+def _grid_avgdist_oracle() -> str:
+    return f"""
+        WITH pts AS ({{pts}}), qs AS ({_QS_SQL}),
+        cand AS (
+            SELECT q.query_id, p.pt_id, p.x, p.y,
+                   sqrt((q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y)) AS dist
+            FROM qs q JOIN pts p
+              ON (q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y)
+                 <= {RADIUS * RADIUS!r}),
+        node AS (
+            SELECT query_id, round(avg(dist), 4) AS avg_dist, count(*) AS n_pts
+            FROM cand GROUP BY query_id),
+        pairs AS (
+            SELECT a.query_id,
+                   round(avg(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))), 4)
+                     AS avg_dist_pts
+            FROM cand a JOIN cand b
+              ON a.query_id = b.query_id AND a.pt_id < b.pt_id
+            GROUP BY a.query_id)
+        SELECT n.query_id, n.avg_dist,
+               coalesce(p.avg_dist_pts, 0.0) AS avg_dist_pts, n.n_pts
+        FROM node n LEFT JOIN pairs p ON n.query_id = p.query_id
+    """.format(pts=_pts_sql())
+
+
 SPARK = {
     "grid_nearest": grid_nearest,
     "knn_topk_cells": knn_topk_cells,
     "grid_metrics": grid_metrics,
+    "grid_quadrant_idw": grid_quadrant_idw,
+    "grid_avg_distance": grid_avg_distance,
     "hilbert_sort": hilbert_sort,
     "dissolve_boxes": dissolve_boxes,
     "ogr_special_fields": ogr_special_fields,
@@ -381,6 +520,8 @@ ORACLE = {
     "grid_nearest": _grid_nearest_oracle(),
     "knn_topk_cells": _knn_cells_oracle(),
     "grid_metrics": _grid_metrics_oracle(),
+    "grid_quadrant_idw": _grid_quadrant_oracle(),
+    "grid_avg_distance": _grid_avgdist_oracle(),
     "hilbert_sort": _hilbert_oracle(),
     "dissolve_boxes": _DISSOLVE_ORACLE,
     "ogr_special_fields": _SPECIAL_FIELDS_ORACLE,
