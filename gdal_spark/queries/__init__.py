@@ -8,9 +8,11 @@ sides (the driver sorts columns by name before value-hashing).
 from __future__ import annotations
 
 from gdal_spark.queries import (
+    crs_entries,
     gridding,
     layer_algebra_entries,
     morph_entries,
+    rat_entries,
     raster_entries,
     raster_extra,
     raster_pipeline,
@@ -24,7 +26,8 @@ from gdal_spark.queries import (
 MODULES = [
     relational, spatial_sql, textops, similarity,
     raster_entries, raster_pipeline, layer_algebra_entries,
-    morph_entries, gridding, raster_extra, sql_extra,
+    morph_entries, gridding, raster_extra, sql_extra, crs_entries,
+    rat_entries,
 ]
 
 
