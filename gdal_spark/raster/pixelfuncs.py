@@ -206,13 +206,29 @@ def px_expression(bands, expr: str = "B1", names: list[str] | None = None):
     per-pixel formulas to whole-array numpy ops). The expression is
     parsed with `ast` and checked against a node/name whitelist before
     evaluation — arithmetic over B1..Bn / provided names plus an
-    allowlisted numpy function set; no attribute access, no subscripts."""
+    allowlisted numpy function set; no attribute access, no subscripts.
+
+    Expressions in muparser's own C-like grammar (`&&`, `||`, `!`,
+    ternary `?:`, `^` as power — the syntax GDAL VRT expression bands
+    actually carry) route to the hand-written recursive-descent parser
+    in raster/muparser.py."""
     env: dict[str, object] = dict(_EXPR_FUNCS)
     for i, b in enumerate(bands):
         env[f"B{i + 1}"] = np.asarray(b, dtype=np.float64)
         if names and i < len(names):
             env[names[i]] = env[f"B{i + 1}"]
-    tree = ast.parse(expr, mode="eval")
+    # muparser-only tokens (&&, ||, !, ?:, ^-as-power): bands are float64
+    # so python-& / ^ would be type errors anyway — route to the grammar
+    if any(t in expr for t in ("&&", "||", "?", "^", "!")):
+        from gdal_spark.raster import muparser
+
+        return muparser.evaluate(expr, env)
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError:
+        from gdal_spark.raster import muparser
+
+        return muparser.evaluate(expr, env)
     _check_expr(tree, set(env))
     return eval(  # noqa: S307 - AST-whitelisted: names + arithmetic only
         compile(tree, "<px_expression>", "eval"), {"__builtins__": {}}, env
