@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
+from gdal_spark.functions import geodesic as GEOD
 from gdal_spark.functions import geom as G
 from gdal_spark.functions import polyclip as PC
 from gdal_spark.functions import wkb as W
@@ -411,6 +412,73 @@ def _is_valid(buf: bytes) -> bool:
         return False
 
 
+def _segments_cross(p1, p2, p3, p4) -> bool:
+    """Proper or improper crossing of segments p1p2 / p3p4 (shared
+    endpoints excluded by the caller's index filter)."""
+    d1 = np.cross(p4 - p3, p1 - p3)
+    d2 = np.cross(p4 - p3, p2 - p3)
+    d3 = np.cross(p2 - p1, p3 - p1)
+    d4 = np.cross(p2 - p1, p4 - p1)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+
+    def on_seg(a, b, c):
+        return (
+            abs(float(np.cross(b - a, c - a))) < 1e-12
+            and min(a[0], b[0]) - 1e-12 <= c[0] <= max(a[0], b[0]) + 1e-12
+            and min(a[1], b[1]) - 1e-12 <= c[1] <= max(a[1], b[1]) + 1e-12
+        )
+
+    return (
+        on_seg(p1, p2, p3) or on_seg(p1, p2, p4)
+        or on_seg(p3, p4, p1) or on_seg(p3, p4, p2)
+    )
+
+
+def _path_simple(v: np.ndarray, closed: bool) -> bool:
+    """No self-intersection among the path's segments; adjacent segments
+    (and the closing pair of a ring) only share their common endpoint."""
+    n = len(v) - 1
+    for i in range(n):
+        for j in range(i + 2, n):
+            if closed and i == 0 and j == n - 1:
+                continue  # ring closure adjacency
+            if _segments_cross(v[i], v[i + 1], v[j], v[j + 1]):
+                return True
+    return False
+
+
+def _is_simple(buf: bytes) -> bool:
+    """OGC IsSimple (OGRGeometry::IsSimple, GEOS-backed in GDAL): points
+    always simple; linestrings simple iff no self-intersection; polygons
+    simple iff every ring is non-self-intersecting."""
+    try:
+        t, p = W.parse(buf)
+        if t == W.WKB_POINT:
+            return True
+        if t == W.WKB_LINESTRING:
+            return not _path_simple(np.asarray(p, float), closed=False)
+        for rings in W.polygon_rings(buf):
+            for r in rings:
+                rr = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+                if _path_simple(np.asarray(rr, float), closed=True):
+                    return False
+        return True
+    except Exception:
+        return False
+
+
+def _make_valid(buf: bytes):
+    """ST_MakeValid (ogrsqlitesqlfunctions.cpp gbRegisterMakeValid path;
+    OGRGeometry::MakeValid): self-union through the slab-sweep region
+    kernel normalizes self-intersecting / mis-wound rings into a clean
+    even-odd region — the same 'structure' method GEOS MakeValid uses."""
+    t, _ = W.parse(buf)
+    if t not in (W.WKB_POLYGON, W.WKB_MULTIPOLYGON):
+        return bytearray(buf)
+    return _region_wkb(_bool_geom(buf, buf, "union"))
+
+
 # --------------------------------------------------------------------------
 # Registration
 # --------------------------------------------------------------------------
@@ -527,3 +595,10 @@ def register_all(spark: SparkSession) -> None:
     # (validated), GeomFromWKB parse-validates and returns it
     reg1("ST_AsBinary", lambda b: bytearray(b) if W.parse(b) else None, T.BinaryType())
     reg1("ST_GeomFromWKB", lambda b: bytearray(b) if W.parse(b) else None, T.BinaryType())
+    reg1("ST_IsSimple", _is_simple, T.BooleanType())
+    reg1("ST_MakeValid", _make_valid, T.BinaryType())
+    # the 2-arg ST_Area(geom, use_ellipsoid) / ST_Length(geom, use_ellipsoid)
+    # forms (ogrsqlitesqlfunctions.cpp:1226-1239) — Spark SQL UDFs cannot
+    # overload by arity, so they register under GDAL's own C entry names
+    reg1("ST_GeodesicArea", GEOD.wkb_geodesic_area, T.DoubleType())
+    reg1("ST_GeodesicLength", GEOD.wkb_geodesic_length, T.DoubleType())

@@ -195,7 +195,18 @@ def st_sql_functions_box(spark: SparkSession, sf_dir: str) -> DataFrame:
                        a.x0 - 1.0 + 3.0 * (a.k % 2), ' ', (a.y0 + a.y1) / 2.0, ', ',
                        (a.x0 + a.x1) / 2.0, ' ', (a.y0 + a.y1) / 2.0, ')')),
                    a.wkb) as int) AS line_crosses,
-               length(ST_AsBinary(ST_GeomFromWKB(a.wkb))) AS wkb_len
+               length(ST_AsBinary(ST_GeomFromWKB(a.wkb))) AS wkb_len,
+               cast(ST_IsSimple(CASE WHEN a.k % 2 = 1 THEN ST_GeomFromText(
+                   concat('POLYGON ((', a.x0, ' ', a.y0, ', ', a.x1, ' ', a.y1,
+                          ', ', a.x1, ' ', a.y0, ', ', a.x0, ' ', a.y1,
+                          ', ', a.x0, ' ', a.y0, '))'))
+                   ELSE a.wkb END) as int) AS simple_a,
+               round(ST_Area(ST_MakeValid(CASE WHEN a.k % 2 = 1 THEN
+                   ST_GeomFromText(
+                   concat('POLYGON ((', a.x0, ' ', a.y0, ', ', a.x1, ' ', a.y1,
+                          ', ', a.x1, ' ', a.y0, ', ', a.x0, ' ', a.y1,
+                          ', ', a.x0, ' ', a.y0, '))'))
+                   ELSE a.wkb END)), 6) AS mkvalid_area
         FROM st_boxes_q a JOIN st_boxes_q b
           ON (b.k - a.k) IN (0, 1, 5, 6)
          AND NOT ((b.k - a.k) IN (1, 6) AND a.k % 5 = 4)
@@ -237,7 +248,10 @@ _ST_BOX_ORACLE = f"""
            round(area_a + area_b - 2 * ia, 6) AS symdiff_area,
            round(2 * ((ax1 - ax0) + (ay1 - ay0)), 6) AS perim_a,
            cast(a_id % 2 = 0 as int) AS line_crosses,
-           93 AS wkb_len
+           93 AS wkb_len,
+           cast(a_id % 2 = 0 as int) AS simple_a,
+           round(CASE WHEN a_id % 2 = 1 THEN area_a / 2 ELSE area_a END, 6)
+               AS mkvalid_area
     FROM m
 """
 
