@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -504,7 +505,66 @@ def _grid_avgdist_oracle() -> str:
     """.format(pts=_pts_sql())
 
 
+# --------------------------------------------------------------------------
+# Linear (TIN) gridding — alg/gdalgrid.cpp GGA_Linear / alg/delaunay.c
+# --------------------------------------------------------------------------
+
+
+def grid_linear_tin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALGridLinear: Delaunay TIN + barycentric interpolation
+    (operators/tin.py Bowyer-Watson).  The fixture values lie on a plane
+    z = 0.3x - 0.2y + 7 with the domain corners included as data points,
+    so every grid node is inside the hull and linear interpolation must
+    reproduce the plane EXACTLY on any valid triangulation — a strong,
+    SQL-expressible oracle that IDW/nearest/average would all fail.
+
+    Scale shape: the data points are a driver-sized dim (the per-block
+    point set after the gridding halo partition); nodes partition across
+    executors and each Arrow batch interpolates locally."""
+    import pandas as pd
+
+    from gdal_spark.operators import tin
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 56)
+    px = (F.col("c_custkey").cast("double") * 7.77) % 100.0
+    py = (F.col("c_custkey").cast("double") * 13.13) % 100.0
+    pts_pdf = c.select(px.alias("x"), py.alias("y")).toPandas()
+    pts = np.vstack(
+        [pts_pdf[["x", "y"]].to_numpy(), [[0, 0], [100, 0], [100, 100], [0, 100]]]
+    )
+    vals = 0.3 * pts[:, 0] - 0.2 * pts[:, 1] + 7.0
+
+    @pandas_udf(T.DoubleType())
+    def tin_udf(gx: pd.Series, gy: pd.Series) -> pd.Series:
+        out = tin.tin_interpolate(pts, vals, gx.to_numpy(), gy.to_numpy(),
+                                  nodata=-9999.0)
+        return pd.Series(out)
+
+    nodes = spark.range(121).select(
+        F.col("id").cast("int").alias("node_id"),
+        (F.col("id") % 11).cast("double") * 10.0,
+        F.floor(F.col("id") / 11).cast("double") * 10.0,
+    ).toDF("node_id", "gx", "gy")
+    return nodes.select(
+        "node_id", "gx", "gy",
+        F.round(tin_udf("gx", "gy"), 4).alias("z_lin"),
+    )
+
+
+_TIN_ORACLE = """
+    WITH nodes AS (
+        SELECT cast(i.n * 11 + j.n as int) AS node_id,
+               cast(j.n as double) * 10.0 AS gx,
+               cast(i.n as double) * 10.0 AS gy
+        FROM generate_series(0, 10) i(n), generate_series(0, 10) j(n)
+    )
+    SELECT node_id, gx, gy, round(0.3 * gx - 0.2 * gy + 7.0, 4) AS z_lin
+    FROM nodes
+"""
+
+
 SPARK = {
+    "grid_linear_tin": grid_linear_tin,
     "grid_nearest": grid_nearest,
     "knn_topk_cells": knn_topk_cells,
     "grid_metrics": grid_metrics,
@@ -517,6 +577,7 @@ SPARK = {
 }
 
 ORACLE = {
+    "grid_linear_tin": _TIN_ORACLE,
     "grid_nearest": _grid_nearest_oracle(),
     "knn_topk_cells": _knn_cells_oracle(),
     "grid_metrics": _grid_metrics_oracle(),
