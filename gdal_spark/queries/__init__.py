@@ -20,6 +20,7 @@ from gdal_spark.queries import (
     similarity,
     spatial_sql,
     sql_extra,
+    vision_entries,
     textops,
 )
 
@@ -27,7 +28,7 @@ MODULES = [
     relational, spatial_sql, textops, similarity,
     raster_entries, raster_pipeline, layer_algebra_entries,
     morph_entries, gridding, raster_extra, sql_extra, crs_entries,
-    rat_entries,
+    rat_entries, vision_entries,
 ]
 
 
