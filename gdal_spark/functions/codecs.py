@@ -186,9 +186,17 @@ def _jpeg_encode_default(arr: np.ndarray) -> bytes:
     return jpeg_encode(arr, JPEG_QUALITY)
 
 
-DECODERS = {"png": png_decode, "jpeg": jpeg_decode, "qdct": qdct_decode}
-ENCODERS = {"png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode}
-LOSSLESS = {"png"}
+from gdal_spark.functions.tiff import tiff_decode, tiff_encode  # noqa: E402
+
+DECODERS = {
+    "png": png_decode, "jpeg": jpeg_decode, "qdct": qdct_decode,
+    "tiff": tiff_decode,
+}
+ENCODERS = {
+    "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,
+    "tiff": tiff_encode,
+}
+LOSSLESS = {"png", "tiff"}
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

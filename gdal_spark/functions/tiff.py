@@ -1,0 +1,394 @@
+"""Baseline TIFF / GeoTIFF codec in pure numpy.
+
+The reference's flagship driver (frmts/gtiff/, backed by libtiff).  This
+is a from-scratch TIFF 6.0 implementation of the baseline feature set
+GDAL's own test fixtures exercise:
+
+* both byte orders (II/MM), classic 32-bit offsets;
+* strips and tiles, chunky planar config, 8-bit samples, gray + RGB;
+* compression: none (1), LZW (5, with the TIFF early-change variant and
+  horizontal-predictor 2 support), PackBits (32773);
+* GeoTIFF georeferencing tags ModelPixelScale (33550) + ModelTiepoint
+  (33922) exposed as a GDAL-style geotransform, and GeoKeyDirectory
+  (34735) passed through for the CRS code.
+
+Writer emits little-endian, strip-organized files with compression
+none/packbits/lzw, and optional geotransform tags — every written file
+round-trips bit-exactly through the reader (LOSSLESS set in codecs).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# tag ids (TIFF 6.0 + GeoTIFF)
+T_WIDTH, T_LENGTH, T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 256, 257, 258, 259, 262
+T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
+T_PLANAR, T_PREDICTOR = 284, 317
+T_TILE_W, T_TILE_L, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
+T_PIXEL_SCALE, T_TIEPOINT, T_GEOKEYS = 33550, 33922, 34735
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
+
+
+class TiffError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# PackBits
+# ---------------------------------------------------------------------------
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            # literal stretch up to the next >=3 run
+            j = i + 1
+            while j < n and j - i < 128:
+                r = 1
+                while j + r < n and r < 3 and data[j + r] == data[j]:
+                    r += 1
+                if r >= 3:
+                    break
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF-variant LZW (MSB-first codes, early change)
+# ---------------------------------------------------------------------------
+
+_CLEAR, _EOI = 256, 257
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    bits, acc, nbits = 9, 0, 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            code = (acc >> (nbits - bits)) & ((1 << bits) - 1)
+            nbits -= bits
+            if code == _CLEAR:
+                reset()
+                bits = 9
+                prev = None
+                continue
+            if code == _EOI:
+                return bytes(out[:expected])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # TIFF early change; the decoder's table is one entry behind
+            # the encoder's, so it widens one entry earlier (libtiff:
+            # "if (nextcode == maxcode - 1) maxcode <<= 1")
+            if len(table) >= (1 << bits) - 2 and bits < 12:
+                bits += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc, nbits = 0, 0
+    bits = 9
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc = (acc << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_CLEAR)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+        else:
+            emit(table[w])
+            table[w + c] = next_code
+            next_code += 1
+            # early change: the decoder widens when ITS table (one entry
+            # behind ours) reaches 2^bits - 1
+            if next_code >= (1 << bits) - 1 and bits < 12:
+                bits += 1
+            if next_code > 4093:
+                emit(_CLEAR)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                bits = 9
+            w = c
+    if w:
+        emit(table[w])
+    emit(_EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, tuple[int, list]]:
+    (n,) = struct.unpack_from(bo + "H", data, off)
+    tags: dict[int, tuple[int, list]] = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off + 2 + 12 * i)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        vo = off + 2 + 12 * i + 8
+        if size > 4:
+            (vo,) = struct.unpack_from(bo + "I", data, vo)
+        if typ == 5:  # RATIONAL
+            vals = []
+            for k in range(cnt):
+                num, den = struct.unpack_from(bo + "II", data, vo + 8 * k)
+                vals.append(num / den if den else 0.0)
+        elif typ == 2:
+            vals = [data[vo : vo + cnt].split(b"\0")[0].decode("ascii", "replace")]
+        else:
+            fmt = _TYPE_FMT.get(typ)
+            if fmt is None:
+                continue
+            vals = list(struct.unpack_from(bo + str(cnt) + fmt, data, vo))
+        tags[tag] = (typ, vals)
+    return tags
+
+
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    # horizontal differencing: cumulative sum along the row axis mod 256
+    return np.cumsum(arr.astype(np.uint16), axis=1).astype(np.uint8)
+
+
+def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
+    """-> (array HxW or HxWx3 uint8, metadata dict with geotransform
+    when georeferencing tags are present)."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise TiffError("not a TIFF: bad byte-order mark")
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic != 42:
+        raise TiffError(f"bad TIFF magic {magic}")
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    tags = _read_ifd(data, bo, ifd_off)
+
+    def one(tag, default=None):
+        if tag in tags:
+            return tags[tag][1][0]
+        return default
+
+    w, h = one(T_WIDTH), one(T_LENGTH)
+    spp = one(T_SAMPLES, 1)
+    comp = one(T_COMPRESSION, 1)
+    pred = one(T_PREDICTOR, 1)
+    bits = tags.get(T_BITS, (3, [8]))[1]
+    if any(b != 8 for b in bits):
+        raise TiffError(f"only 8-bit samples supported, got {bits}")
+    planar = one(T_PLANAR, 1)
+    if planar != 1:
+        raise TiffError("only chunky planar config supported")
+
+    def decompress(chunk: bytes, nbytes: int) -> bytes:
+        if comp == 1:
+            return chunk[:nbytes]
+        if comp == 5:
+            return lzw_decode(chunk, nbytes)
+        if comp == 32773:
+            return packbits_decode(chunk, nbytes)
+        raise TiffError(f"unsupported compression {comp}")
+
+    out = np.zeros((h, w, spp), dtype=np.uint8)
+    if T_TILE_OFFSETS in tags:
+        tw, tl = one(T_TILE_W), one(T_TILE_L)
+        offs = tags[T_TILE_OFFSETS][1]
+        cnts = tags[T_TILE_COUNTS][1]
+        tiles_across = (w + tw - 1) // tw
+        for ti, (o, c) in enumerate(zip(offs, cnts)):
+            raw = decompress(data[o : o + c], tw * tl * spp)
+            tile = np.frombuffer(raw, np.uint8).reshape(tl, tw, spp)
+            if pred == 2:
+                tile = _undo_predictor(
+                    tile.reshape(tl, tw * spp)
+                ).reshape(tl, tw, spp) if spp == 1 else _undo_predictor_rgb(tile)
+            ty, tx = divmod(ti, tiles_across)
+            y0, x0 = ty * tl, tx * tw
+            ys, xs = min(tl, h - y0), min(tw, w - x0)
+            out[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+    else:
+        rps = one(T_ROWS_PER_STRIP, h)
+        offs = tags[T_STRIP_OFFSETS][1]
+        cnts = tags[T_STRIP_COUNTS][1]
+        y = 0
+        for o, c in zip(offs, cnts):
+            rows = min(rps, h - y)
+            raw = decompress(data[o : o + c], rows * w * spp)
+            strip = np.frombuffer(raw, np.uint8).reshape(rows, w, spp)
+            if pred == 2:
+                strip = (
+                    _undo_predictor(strip.reshape(rows, w)).reshape(rows, w, 1)
+                    if spp == 1
+                    else _undo_predictor_rgb(strip)
+                )
+            out[y : y + rows] = strip
+            y += rows
+
+    meta: dict = {"width": w, "height": h, "samples": spp, "compression": comp}
+    if T_PIXEL_SCALE in tags and T_TIEPOINT in tags:
+        sx, sy = tags[T_PIXEL_SCALE][1][0], tags[T_PIXEL_SCALE][1][1]
+        tp = tags[T_TIEPOINT][1]
+        # tiepoint (i, j, k, x, y, z): raster (i, j) pins world (x, y)
+        i, j, _, x, y_, _ = tp[:6]
+        meta["geotransform"] = (x - i * sx, sx, 0.0, y_ + j * sy, 0.0, -sy)
+    if T_GEOKEYS in tags:
+        meta["geokeys"] = tags[T_GEOKEYS][1]
+    arr = out[:, :, 0] if spp == 1 else out
+    return arr, meta
+
+
+def _undo_predictor_rgb(tile: np.ndarray) -> np.ndarray:
+    # per-sample horizontal differencing (predictor 2 on chunky RGB)
+    return np.cumsum(tile.astype(np.uint16), axis=1).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Writer (little-endian, strips)
+# ---------------------------------------------------------------------------
+
+
+def tiff_encode(
+    arr: np.ndarray,
+    compression: str = "none",
+    rows_per_strip: int = 64,
+    geotransform: tuple | None = None,
+) -> bytes:
+    """uint8 gray (h, w) or RGB (h, w, 3) -> TIFF bytes."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise TiffError("writer supports uint8 only")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    comp = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+
+    strips = []
+    for y in range(0, h, rows_per_strip):
+        raw = a[y : y + rows_per_strip].tobytes()
+        if comp == 5:
+            raw = lzw_encode(raw)
+        elif comp == 32773:
+            raw = packbits_encode(raw)
+        strips.append(raw)
+
+    # layout: header | strip data | overflow values | IFD
+    header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched later
+    pos = len(header)
+    strip_offsets, strip_counts = [], []
+    for s in strips:
+        strip_offsets.append(pos)
+        strip_counts.append(len(s))
+        pos += len(s)
+    body = b"".join(strips)
+
+    entries: list[tuple[int, int, int, list]] = [
+        (T_WIDTH, 4, 1, [w]),
+        (T_LENGTH, 4, 1, [h]),
+        (T_BITS, 3, spp, [8] * spp),
+        (T_COMPRESSION, 3, 1, [comp]),
+        (T_PHOTOMETRIC, 3, 1, [2 if spp == 3 else 1]),
+        (T_STRIP_OFFSETS, 4, len(strips), strip_offsets),
+        (T_SAMPLES, 3, 1, [spp]),
+        (T_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
+        (T_STRIP_COUNTS, 4, len(strips), strip_counts),
+        (T_PLANAR, 3, 1, [1]),
+    ]
+    if geotransform is not None:
+        gt = geotransform
+        if gt[2] or gt[4]:
+            raise TiffError("rotated geotransforms not supported")
+        entries.append((T_PIXEL_SCALE, 12, 3, [gt[1], -gt[5], 0.0]))
+        entries.append((T_TIEPOINT, 12, 6, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]))
+    entries.sort()
+
+    # compute overflow area
+    overflow = bytearray()
+    overflow_base = pos
+    packed_entries = []
+    for tag, typ, cnt, vals in entries:
+        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        payload = struct.pack("<" + str(cnt) + fmt, *vals)
+        if len(payload) <= 4:
+            packed_entries.append((tag, typ, cnt, payload.ljust(4, b"\0")))
+        else:
+            packed_entries.append(
+                (tag, typ, cnt, struct.pack("<I", overflow_base + len(overflow)))
+            )
+            overflow += payload
+    ifd_off = overflow_base + len(overflow)
+    ifd = struct.pack("<H", len(packed_entries))
+    for tag, typ, cnt, val4 in packed_entries:
+        ifd += struct.pack("<HHI", tag, typ, cnt) + val4
+    ifd += struct.pack("<I", 0)
+    header = struct.pack("<2sHI", b"II", 42, ifd_off)
+    return header + body + bytes(overflow) + ifd
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    arr, _ = tiff_parse(bytes(data))
+    return arr

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gdal_spark import datagen
 from gdal_spark.functions import mercator as M
@@ -111,6 +112,61 @@ def raster_hillshade_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = datagen.images_df(spark, 32, with_pixels=True, size_cap=96)
     return ops.checksums(ops.dem_hillshade(imgs, azimuth=315.0, altitude=45.0))
+
+
+def tiff_transcode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -of GTiff: transcode every image through the
+    baseline TIFF codec (functions/tiff.py, frmts/gtiff parity) in all
+    three compressions and verify losslessness in-row.  Reports the
+    checksum, compressed sizes, and a self-check boolean the bench
+    asserts on."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("cks", T.IntegerType()),
+            T.StructField("bytes_none", T.IntegerType()),
+            T.StructField("bytes_packbits", T.IntegerType()),
+            T.StructField("bytes_lzw", T.IntegerType()),
+            T.StructField("lossless_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs, tiff
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                sizes = {}
+                ok = True
+                for comp in ("none", "packbits", "lzw"):
+                    buf = tiff.tiff_encode(arr, compression=comp)
+                    sizes[comp] = len(buf)
+                    back, _ = tiff.tiff_parse(buf)
+                    ok = ok and bool((back == arr).all())
+                rows.append(
+                    (
+                        r.image_id,
+                        int(CK.checksum_image(arr)[0]),
+                        sizes["none"], sizes["packbits"], sizes["lzw"], ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "cks", "bytes_none", "bytes_packbits",
+                    "bytes_lzw", "lossless_ok",
+                ],
+            )
+
+    imgs = datagen.images_df(spark, 24, with_pixels=True, size_cap=64)
+    return imgs.mapInPandas(run, schema).orderBy("image_id")
 
 
 def raster_warp_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,6 +292,7 @@ SPARK = {
     "raster_hillshade_checksum": raster_hillshade_checksum,
     "raster_warp_cubic": raster_warp_cubic,
     "raster_dem_metrics": raster_dem_metrics,
+    "tiff_transcode_checksum": tiff_transcode_checksum,
     "raster_warp_mercator": raster_warp_mercator,
     "raster_polygonize": raster_polygonize,
     "zonal_pixel_stats": zonal_pixel_stats,
