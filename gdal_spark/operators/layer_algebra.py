@@ -110,14 +110,23 @@ def _candidates(
     )
     if broadcast_b:
         bc = F.broadcast(bc)
+    # exactly-once pairs WITHOUT a dedup shuffle: a pair discovered in
+    # several shared cells is kept only in the cell containing the
+    # lower-left corner of the bbox intersection (reference-point rule,
+    # same as spatial_join.py:353 — a Column filter, not dropDuplicates)
+    ref_cell = C.lonlat_cell(
+        F.greatest(F.col("axmin"), F.col("bxmin")),
+        F.greatest(F.col("aymin"), F.col("bymin")),
+        res,
+    )
     return (
         ac.join(bc, on="cell")
         .filter(
             (F.col("axmin") <= F.col("bxmax")) & (F.col("bxmin") <= F.col("axmax"))
             & (F.col("aymin") <= F.col("bymax")) & (F.col("bymin") <= F.col("aymax"))
         )
+        .filter(F.col("cell") == ref_cell)
         .drop("cell")
-        .dropDuplicates(["a_id", "b_id"])
     )
 
 

@@ -116,5 +116,86 @@ FROM s5
 """
 
 
-SPARK = {"utm_transform": utm_transform}
+def raster_warp_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own warp benchmark shape: EPSG:32631 -> EPSG:4326
+    (autotest/benchmark/test_gdalwarp.py:24).  Each image is georeferenced
+    as a 10 m UTM-31N tile near the zone meridian, warped with the
+    approx-transformer + bilinear kernel onto a SuggestedWarpOutput grid.
+    Self-check: the dst grid's corner maps back to the src corner through
+    the inverse series at machine precision (rt_ok)."""
+    from collections.abc import Iterator
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("lon0", T.DoubleType()),
+            T.StructField("lat0", T.DoubleType()),
+            T.StructField("cks", T.IntegerType()),
+            T.StructField("valid_frac", T.DoubleType()),
+            T.StructField("rt_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs
+        from gdal_spark.raster import warp
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                h, w = arr.shape[:2]
+                k = int(r.image_id[3:11])
+                src_gt = (
+                    400000.0 + (k % 50) * 1000.0, 10.0, 0.0,
+                    5400000.0 - (k % 30) * 1000.0, 0.0, -10.0,
+                )
+                def fwd(x, y):
+                    return crs.transform("EPSG:32631", "EPSG:4326", x, y)
+                dst_gt, out_w, out_h = warp.suggested_output_grid(
+                    src_gt, w, h, fwd
+                )
+                out, mask = warp.warp_array(
+                    arr, src_gt, dst_gt, out_h, out_w,
+                    src_crs="EPSG:32631", dst_crs="EPSG:4326",
+                    resample="bilinear", return_mask=True,
+                )
+                # inverse round-trip of the dst origin corner
+                ex, ny = crs.transform(
+                    "EPSG:4326", "EPSG:32631",
+                    np.array([dst_gt[0]]), np.array([dst_gt[3]]))
+                lon2, lat2 = fwd(ex, ny)
+                rt = bool(
+                    abs(lon2[0] - dst_gt[0]) < 1e-9
+                    and abs(lat2[0] - dst_gt[3]) < 1e-9
+                )
+                band = out[:, :, 0] if out.ndim == 3 else out
+                rows.append(
+                    (
+                        r.image_id, out_w, out_h,
+                        round(dst_gt[0], 6), round(dst_gt[3], 6),
+                        int(CK.checksum(band)),
+                        round(float(mask.mean()), 4), rt,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "out_w", "out_h", "lon0", "lat0",
+                    "cks", "valid_frac", "rt_ok",
+                ],
+            )
+
+    from gdal_spark import datagen
+
+    imgs = datagen.images_df(spark, 24, with_pixels=True, size_cap=64)
+    return imgs.mapInPandas(run, schema).orderBy("image_id")
+
+
+SPARK = {"utm_transform": utm_transform, "raster_warp_utm": raster_warp_utm}
 ORACLE = {"utm_transform": _utm_oracle()}
