@@ -1,0 +1,312 @@
+"""Additional raster format drivers: BMP, PNM (PPM P6), GIF.
+
+GDAL ships each of these as a standalone driver (frmts/bmp/bmpdataset.cpp,
+frmts/pnm/pnmdataset.cpp, frmts/gif/gifdataset.cpp); here each is a
+pure-numpy codec registered in the same ``fmt`` dict the engine's Arrow
+decode UDFs dispatch on (functions/codecs.py), so new formats need zero
+changes anywhere else in the engine.
+
+  * "bmp" — Windows V3 DIB, 24-bit BI_RGB, bottom-up, BGR byte order,
+    4-byte row padding. Lossless.
+  * "pnm" — binary PPM ("P6", maxval 255), with comment/whitespace
+    tolerant header parsing. Lossless.
+  * "gif" — GIF89a, single frame, global color table, GIF-flavor LZW
+    (LSB-first bit packing, variable initial code size — distinct from
+    TIFF's MSB-first early-change variant in functions/tiff.py). Encode
+    uses the exact palette when the image has <= 256 distinct colors
+    (then the codec is lossless); otherwise it falls back to the
+    engine's median-cut quantizer (raster/quantize.py) and is lossy by
+    nature, like any GIF writer. Decode supports interlaced and
+    non-interlaced frames and local color tables.
+
+All codecs operate on (h, w, 3) uint8 arrays, the engine-wide contract.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP (frmts/bmp/bmpdataset.cpp: BITMAPFILEHEADER + BITMAPINFOHEADER,
+# 24 bpp BI_RGB)
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BMP core-header (OS/2) variant not supported")
+    w, h, _planes, bpp, comp = struct.unpack_from("<iiHHI", data, 18)
+    if comp != 0:
+        raise ValueError(f"BMP compression {comp} not supported (BI_RGB only)")
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(data, np.uint8, h * stride, off).reshape(h, stride)
+        arr = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 32:
+        stride = w * 4
+        rows = np.frombuffer(data, np.uint8, h * stride, off).reshape(h, w, 4)
+        arr = rows[:, :, 2::-1]  # BGRA -> RGB
+    elif bpp == 8:
+        # palette image: color table follows the info header (BGRX quads)
+        ncol = struct.unpack_from("<I", data, 46)[0] or 256
+        pal = np.frombuffer(data, np.uint8, ncol * 4, 14 + hdr_size)
+        pal = pal.reshape(ncol, 4)[:, 2::-1]  # -> RGB
+        stride = (w + 3) & ~3
+        idx = np.frombuffer(data, np.uint8, h * stride, off).reshape(h, stride)
+        arr = pal[idx[:, :w]]
+    else:
+        raise ValueError(f"BMP bpp {bpp} not supported")
+    return np.ascontiguousarray(arr if top_down else arr[::-1])
+
+
+# ---------------------------------------------------------------------------
+# PNM / PPM  (frmts/pnm/pnmdataset.cpp: "P6" binary, maxval <= 255)
+# ---------------------------------------------------------------------------
+
+
+def pnm_encode(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr).tobytes()
+
+
+def _pnm_tokens(data: bytes, n: int, pos: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated ints, skipping '#' comments."""
+    vals: list[int] = []
+    while len(vals) < n:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    return vals, pos
+
+
+def pnm_decode(data: bytes) -> np.ndarray:
+    if data[:2] not in (b"P6", b"P5"):
+        raise ValueError("only binary PPM (P6) / PGM (P5) supported")
+    gray = data[:2] == b"P5"
+    (w, h, maxval), pos = _pnm_tokens(data, 3, 2)
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    pos += 1  # exactly one whitespace byte after maxval per spec
+    nch = 1 if gray else 3
+    pix = np.frombuffer(data, np.uint8, h * w * nch, pos)
+    if gray:
+        return np.repeat(pix.reshape(h, w, 1), 3, axis=2)
+    return pix.reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# GIF  (frmts/gif/gifdataset.cpp via giflib; LZW per GIF89a appendix F)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(idx: np.ndarray, min_code: int) -> bytes:
+    """GIF-flavor LZW: LSB-first packing, clear=2^min, eoi=clear+1,
+    code width grows AFTER the table holds 2^bits entries (no early
+    change), table freeze at 4096 until the next clear."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    bits = min_code + 1
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += bits
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for byte in idx.tobytes():
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code > (1 << bits) and bits < 12:
+                bits += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            bits = min_code + 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytes:
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    bits = min_code + 1
+    acc = nbits = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, bits, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        bits = min_code + 1
+        prev = None
+
+    reset()
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= bits:
+            code = acc & ((1 << bits) - 1)
+            acc >>= bits
+            nbits -= bits
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return bytes(out[:expected])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) >= (1 << bits) and bits < 12:
+                bits += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
+
+
+def _subblocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) <= 256:
+        palette, idx = colors, inverse.astype(np.uint8)
+    else:  # lossy path: engine median-cut quantizer
+        from gdal_spark.raster import quantize as Q
+
+        palette = Q.median_cut_pct(arr, 256)
+        idx = Q.nearest_index(arr, palette).reshape(-1).astype(np.uint8)
+    ct_bits = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    ct = np.zeros((1 << ct_bits, 3), dtype=np.uint8)
+    ct[: len(palette)] = palette
+    min_code = max(2, ct_bits)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((ct_bits - 1) << 4) | (ct_bits - 1), 0, 0)
+    out += ct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(min_code)
+    out += _subblocks(_gif_lzw_encode(idx, min_code))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF frame without color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(lzw), min_code, w * h), np.uint8
+            ).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                deinterlaced = np.empty_like(idx)
+                deinterlaced[order] = idx
+                idx = deinterlaced
+            return np.ascontiguousarray(ct[idx])
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF stream contains no image frame")

@@ -286,8 +286,63 @@ def raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("level", "length")
 
 
+def image_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -of {BMP,PNM,GIF,GTiff,PNG}: transcode every fixture
+    image through the full driver registry (functions/codecs.py DECODERS —
+    the engine's analog of frmts/gdalallregister.cpp) and verify in-row:
+    lossless formats round-trip bit-exact; gif round-trips bit-exact on a
+    palette-reduced (<=256 color) rendition of the image, like the
+    reference GIF driver which only writes palette rasters
+    (frmts/gif/gifdataset.cpp)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("cks", T.IntegerType()),
+            T.StructField("exact_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs
+        from gdal_spark.raster import quantize as Q
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                pal = Q.median_cut_pct(arr, 256)
+                palettized = Q.apply_pct(Q.nearest_index(arr, pal), pal)
+                for fmt in ("png", "tiff", "bmp", "pnm", "gif"):
+                    src = palettized if fmt == "gif" else arr
+                    buf = codecs.encode_image(src, fmt)
+                    back = codecs.decode_image(buf, fmt)
+                    rows.append(
+                        (
+                            r.image_id, fmt, len(buf),
+                            int(CK.checksum_image(back)[0]),
+                            bool(np.array_equal(back, src)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "n_bytes", "cks", "exact_ok"]
+            )
+
+    imgs = datagen.images_df(spark, 24, with_pixels=True, size_cap=64)
+    return imgs.mapInPandas(run, schema).orderBy("image_id", "fmt")
+
+
 SPARK = {
     "tile_cover_z8": tile_cover_z8,
+    "image_format_matrix": image_format_matrix,
     "raster_translate_checksum": raster_translate_checksum,
     "raster_hillshade_checksum": raster_hillshade_checksum,
     "raster_warp_cubic": raster_warp_cubic,
