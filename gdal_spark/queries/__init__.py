@@ -10,6 +10,7 @@ from __future__ import annotations
 from gdal_spark.queries import (
     crs_entries,
     gridding,
+    gti_entries,
     layer_algebra_entries,
     morph_entries,
     rat_entries,
@@ -28,7 +29,7 @@ MODULES = [
     relational, spatial_sql, textops, similarity,
     raster_entries, raster_pipeline, layer_algebra_entries,
     morph_entries, gridding, raster_extra, sql_extra, crs_entries,
-    rat_entries, vision_entries,
+    rat_entries, vision_entries, gti_entries,
 ]
 
 
