@@ -1,0 +1,457 @@
+"""Multidimensional (N-D) arrays — GDAL's multidim API re-expressed as
+chunked DataFrames.
+
+Reference surface: GDALMDArray and its lazy view classes —
+slicing/field views (gcore/multidim/gdalmultidim_array_view.cpp),
+Transpose (gcore/multidim/gdalmultidim_array_transposed.cpp), per-array
+statistics (gcore/multidim/gdalmultidim_abstract_array.cpp:1441
+GetStatistics), elementwise math (gdalmultidim_array_maths.cpp), and the
+`gdal mdim convert/translate` subset+transpose pipeline
+(apps/gdalmdimtranslate_lib.cpp, apps/gdalalg_mdim_convert.cpp).
+
+Spark restatement: an MDArray is a DataFrame of CHUNK rows —
+``(c0..c{k-1} int, data binary)`` where data is the C-order float64
+payload of that chunk (edge chunks ragged) — plus driver-side metadata
+(shape, chunk shape, dim names). The op mapping:
+
+  * slice       -> Column predicates on chunk coords (Catalyst prunes
+                   whole chunks at the scan — the distributed analog of a
+                   view reading only intersecting blocks), then ONE
+                   shuffle keyed by output chunk coords to re-tile the
+                   unaligned remainder; each input chunk contributes to
+                   <= 2^k output chunks and bytes moved ∝ OUTPUT volume;
+  * transpose   -> ZERO shuffle: permute the chunk-coord columns + a
+                   per-chunk np.transpose inside Arrow batches;
+  * reduce      -> per-chunk partial along the reduced axes (numpy,
+                   chunk-local = map-side combine), then ONE shuffle on
+                   the surviving chunk coords combining partials;
+  * statistics  -> per-chunk scalar partials + a built-in global agg
+                   (whole-stage-codegen combine, no applyInPandas);
+  * elementwise -> chunk-local mapInPandas, no shuffle.
+
+At 10^12 elements the chunk table is parquet with chunk-coord min/max
+stats; every op above moves bytes proportional to its OUTPUT, which is
+what keeps `mdim translate` linear on a cluster.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _coords_cols(ndim: int) -> list[str]:
+    return [f"c{a}" for a in range(ndim)]
+
+
+def _chunk_schema(ndim: int) -> T.StructType:
+    fields = [T.StructField(f"c{a}", T.IntegerType()) for a in range(ndim)]
+    fields.append(T.StructField("data", T.BinaryType()))
+    return T.StructType(fields)
+
+
+def _extent(coords, shape, chunks) -> tuple[int, ...]:
+    return tuple(min(c, s - i * c) for i, s, c in zip(coords, shape, chunks))
+
+
+@dataclass
+class MDArray:
+    """Driver-side handle: chunk DataFrame + geometry metadata (the
+    GDALMDArray object; the pixels live distributed)."""
+
+    df: DataFrame
+    shape: tuple[int, ...]
+    chunks: tuple[int, ...]
+    dims: tuple[str, ...]
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def grid(self) -> tuple[int, ...]:
+        return tuple(-(-s // c) for s, c in zip(self.shape, self.chunks))
+
+    def collect_numpy(self) -> np.ndarray:
+        """Assemble the full array on the driver — test/oracle use only."""
+        out = np.zeros(self.shape, np.float64)
+        cols = _coords_cols(self.ndim)
+        for r in self.df.collect():
+            coords = tuple(r[c] for c in cols)
+            ext = _extent(coords, self.shape, self.chunks)
+            sl = tuple(
+                slice(i * c, i * c + e) for i, c, e in zip(coords, self.chunks, ext)
+            )
+            out[sl] = np.frombuffer(bytes(r["data"]), np.float64).reshape(ext)
+        return out
+
+
+def create(
+    spark: SparkSession,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    value_fn,
+    dims: tuple[str, ...] | None = None,
+) -> MDArray:
+    """Materialize an MDArray whose value at global index (i0..ik) is
+    ``value_fn(I0, .., Ik)`` (vectorized over int64 index grids) —
+    generated distributed, chunk rows from spark.range."""
+    ndim = len(shape)
+    grid = tuple(-(-s // c) for s, c in zip(shape, chunks))
+    n_chunks = math.prod(grid)
+    schema = _chunk_schema(ndim)
+    shape = tuple(shape)
+    chunks = tuple(chunks)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid in pdf["id"]:
+                rem = int(cid)
+                coords = []
+                for g in reversed(grid):
+                    coords.append(rem % g)
+                    rem //= g
+                coords = tuple(reversed(coords))
+                ext = _extent(coords, shape, chunks)
+                idx = np.meshgrid(
+                    *[
+                        np.arange(i * c, i * c + e, dtype=np.int64)
+                        for i, c, e in zip(coords, chunks, ext)
+                    ],
+                    indexing="ij",
+                )
+                block = np.asarray(value_fn(*idx), dtype=np.float64)
+                rows.append((*coords, bytearray(block.tobytes())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    df = spark.range(n_chunks).repartition(min(n_chunks, 64)).mapInPandas(gen, schema)
+    return MDArray(df, shape, chunks, dims or tuple(f"dim{a}" for a in range(ndim)))
+
+
+def slice_view(md: MDArray, starts: tuple[int, ...], stops: tuple[int, ...]) -> MDArray:
+    """``array[start0:stop0, ...]`` (gdalmultidim_array_view.cpp slicing;
+    gdalmdimtranslate_lib.cpp -array "view=[...]"): chunk-prune with
+    Column predicates, then re-tile onto the output chunk grid with one
+    shuffle. Fragments carry (out-chunk coords, dst offsets, sizes)."""
+    ndim = md.ndim
+    starts = tuple(int(v) for v in starts)
+    stops = tuple(int(v) for v in stops)
+    out_shape = tuple(b - a for a, b in zip(starts, stops))
+    cols = _coords_cols(ndim)
+    chunks, in_shape = md.chunks, md.shape
+
+    pruned = md.df
+    for a in range(ndim):
+        lo, hi = starts[a] // chunks[a], (stops[a] - 1) // chunks[a]
+        pruned = pruned.filter((F.col(cols[a]) >= lo) & (F.col(cols[a]) <= hi))
+
+    frag_schema = T.StructType(
+        [T.StructField(f"c{a}", T.IntegerType()) for a in range(ndim)]
+        + [T.StructField(f"o{a}", T.IntegerType()) for a in range(ndim)]
+        + [T.StructField(f"s{a}", T.IntegerType()) for a in range(ndim)]
+        + [T.StructField("data", T.BinaryType())]
+    )
+
+    def shatter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in frag_schema.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                coords = tuple(getattr(r, c) for c in cols)
+                ext = _extent(coords, in_shape, chunks)
+                block = np.frombuffer(bytes(r.data), np.float64).reshape(ext)
+                g0 = [max(i * c, st) for i, c, st in zip(coords, chunks, starts)]
+                g1 = [
+                    min(i * c + e, sp)
+                    for i, c, e, sp in zip(coords, chunks, ext, stops)
+                ]
+                if any(a0 >= b0 for a0, b0 in zip(g0, g1)):
+                    continue
+                # per-axis pieces split on OUTPUT chunk boundaries
+                per_axis = []
+                for a in range(ndim):
+                    pieces = []
+                    o0 = (g0[a] - starts[a]) // chunks[a]
+                    o1 = (g1[a] - 1 - starts[a]) // chunks[a]
+                    for oc in range(o0, o1 + 1):
+                        w0 = max(g0[a], starts[a] + oc * chunks[a])
+                        w1 = min(g1[a], starts[a] + (oc + 1) * chunks[a])
+                        pieces.append((oc, w0, w1))
+                    per_axis.append(pieces)
+                idxs = [0] * ndim
+                while True:
+                    sel = [per_axis[a][idxs[a]] for a in range(ndim)]
+                    ocs = [p[0] for p in sel]
+                    w0s = [p[1] for p in sel]
+                    w1s = [p[2] for p in sel]
+                    sl = tuple(
+                        slice(w0 - i * c, w1 - i * c)
+                        for w0, w1, i, c in zip(w0s, w1s, coords, chunks)
+                    )
+                    offs = [
+                        w0 - starts[a] - ocs[a] * chunks[a]
+                        for a, w0 in enumerate(w0s)
+                    ]
+                    sizes = [w1 - w0 for w0, w1 in zip(w0s, w1s)]
+                    rows.append(
+                        (
+                            *ocs, *offs, *sizes,
+                            bytearray(np.ascontiguousarray(block[sl]).tobytes()),
+                        )
+                    )
+                    a = ndim - 1
+                    while a >= 0:
+                        idxs[a] += 1
+                        if idxs[a] < len(per_axis[a]):
+                            break
+                        idxs[a] = 0
+                        a -= 1
+                    if a < 0:
+                        break
+            yield pd.DataFrame(rows, columns=names)
+
+    frags = pruned.mapInPandas(shatter, frag_schema)
+    out_chunks = md.chunks
+    chunk_schema = _chunk_schema(ndim)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        coords = tuple(int(k) for k in key)
+        ext = _extent(coords, out_shape, out_chunks)
+        canvas = np.zeros(ext, np.float64)
+        for r in pdf.itertuples(index=False):
+            offs = tuple(getattr(r, f"o{a}") for a in range(ndim))
+            sizes = tuple(getattr(r, f"s{a}") for a in range(ndim))
+            sl = tuple(slice(o, o + s) for o, s in zip(offs, sizes))
+            canvas[sl] = np.frombuffer(bytes(r.data), np.float64).reshape(sizes)
+        return pd.DataFrame(
+            [(*coords, bytearray(canvas.tobytes()))],
+            columns=[f.name for f in chunk_schema.fields],
+        )
+
+    df = frags.groupBy(*cols).applyInPandas(assemble, chunk_schema)
+    return MDArray(df, out_shape, out_chunks, md.dims)
+
+
+def transpose(md: MDArray, axes: tuple[int, ...]) -> MDArray:
+    """GDALMDArray::Transpose (gdalmultidim_array_transposed.cpp) — a
+    pure relabeling: chunk coords permute as columns, chunk payloads
+    np.transpose chunk-locally. No shuffle anywhere in the plan."""
+    ndim = md.ndim
+    cols = _coords_cols(ndim)
+    schema = _chunk_schema(ndim)
+    chunks, shape = md.chunks, md.shape
+
+    def flip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                coords = tuple(getattr(r, c) for c in cols)
+                ext = _extent(coords, shape, chunks)
+                block = np.frombuffer(bytes(r.data), np.float64).reshape(ext)
+                rows.append(
+                    (
+                        *[coords[a] for a in axes],
+                        bytearray(
+                            np.ascontiguousarray(block.transpose(axes)).tobytes()
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=names)
+
+    return MDArray(
+        md.df.mapInPandas(flip, schema),
+        tuple(md.shape[a] for a in axes),
+        tuple(md.chunks[a] for a in axes),
+        tuple(md.dims[a] for a in axes),
+    )
+
+
+def elementwise(md: MDArray, fn) -> MDArray:
+    """Unary math view (gdalmultidim_array_maths.cpp / GetUnscaled):
+    chunk-local, zero shuffle."""
+    ndim = md.ndim
+    schema = _chunk_schema(ndim)
+    cols = _coords_cols(ndim)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["data"] = pdf["data"].map(
+                lambda b: bytearray(
+                    np.asarray(
+                        fn(np.frombuffer(bytes(b), np.float64)), np.float64
+                    ).tobytes()
+                )
+            )
+            yield pdf[[*cols, "data"]]
+
+    return MDArray(md.df.mapInPandas(run, schema), md.shape, md.chunks, md.dims)
+
+
+_REDUCERS = {
+    "sum": (np.sum, "sum"),
+    "min": (np.min, "min"),
+    "max": (np.max, "max"),
+    "mean": (np.sum, "mean"),  # partial=sum + count, combined at the end
+}
+
+
+def reduce(md: MDArray, axis: int, op: str = "mean") -> MDArray:
+    """Axis reduction (the mdim analog of gdal mdim's aggregate
+    processing; statistics per gdalmultidim_abstract_array.cpp:1441 are
+    the 0-D case). Chunk-local partial -> one shuffle on surviving chunk
+    coords -> elementwise combine."""
+    ndim = md.ndim
+    if ndim < 2:
+        raise ValueError("reduce to 0-D: use statistics()")
+    np_op, kind = _REDUCERS[op]
+    cols = _coords_cols(ndim)
+    keep = [a for a in range(ndim) if a != axis]
+    chunks, shape = md.chunks, md.shape
+    reduced_n = shape[axis]
+
+    part_schema = T.StructType(
+        [T.StructField(f"k{j}", T.IntegerType()) for j in range(len(keep))]
+        + [T.StructField("data", T.BinaryType()),
+           T.StructField("n", T.LongType())]
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in part_schema.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                coords = tuple(getattr(r, c) for c in cols)
+                ext = _extent(coords, shape, chunks)
+                block = np.frombuffer(bytes(r.data), np.float64).reshape(ext)
+                red = np_op(block, axis=axis)
+                rows.append(
+                    (
+                        *[coords[a] for a in keep],
+                        bytearray(np.ascontiguousarray(red).tobytes()),
+                        ext[axis],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=names)
+
+    out_shape = tuple(shape[a] for a in keep)
+    out_chunks = tuple(chunks[a] for a in keep)
+    out_dims = tuple(md.dims[a] for a in keep)
+    chunk_schema = _chunk_schema(len(keep))
+
+    def combine(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        coords = tuple(int(k) for k in key)
+        ext = _extent(coords, out_shape, out_chunks)
+        acc = None
+        n_total = 0
+        for r in pdf.itertuples(index=False):
+            arr = np.frombuffer(bytes(r.data), np.float64).reshape(ext)
+            n_total += int(r.n)
+            if acc is None:
+                acc = arr.copy()
+            elif kind in ("sum", "mean"):
+                acc += arr
+            elif kind == "min":
+                acc = np.minimum(acc, arr)
+            else:
+                acc = np.maximum(acc, arr)
+        if kind == "mean":
+            assert n_total == reduced_n, (n_total, reduced_n)
+            acc = acc / n_total
+        return pd.DataFrame(
+            [(*coords, bytearray(acc.tobytes()))],
+            columns=[f.name for f in chunk_schema.fields],
+        )
+
+    parts = md.df.mapInPandas(partial, part_schema)
+    df = parts.groupBy(*[f"k{j}" for j in range(len(keep))]).applyInPandas(
+        combine, chunk_schema
+    )
+    return MDArray(df, out_shape, out_chunks, out_dims)
+
+
+def statistics(md: MDArray) -> DataFrame:
+    """GetStatistics (gdalmultidim_abstract_array.cpp:1441): per-chunk
+    scalar partials, combined by a codegen'd built-in aggregate."""
+    ndim = md.ndim
+    part = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("s2", T.DoubleType()),
+            T.StructField("mn", T.DoubleType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for b in pdf["data"]:
+                v = np.frombuffer(bytes(b), np.float64)
+                rows.append(
+                    (v.size, float(v.sum()), float((v * v).sum()),
+                     float(v.min()), float(v.max()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in part.fields])
+
+    p = md.df.mapInPandas(partials, part)
+    return p.agg(
+        F.sum("n").alias("n"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"),
+        (F.sum("s") / F.sum("n")).alias("mean_v"),
+        F.sqrt(F.sum("s2") / F.sum("n") - (F.sum("s") / F.sum("n")) ** 2).alias(
+            "std_v"
+        ),
+    )
+
+
+def to_rows(md: MDArray, limit_cells: int = 2_000_000) -> DataFrame:
+    """Explode to (i0..ik, v) rows — the bridge to SQL engines (the
+    mdiminfo/classic-band bridge, gdalmultidim_array_bridge_classic.cpp).
+    Guarded: row form is only for oracle/interop-sized arrays."""
+    if math.prod(md.shape) > limit_cells:
+        raise ValueError("to_rows is for oracle-scale arrays only")
+    ndim = md.ndim
+    cols = _coords_cols(ndim)
+    schema = T.StructType(
+        [T.StructField(f"i{a}", T.LongType()) for a in range(ndim)]
+        + [T.StructField("v", T.DoubleType())]
+    )
+    chunks, shape = md.chunks, md.shape
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in schema.fields]
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                coords = tuple(getattr(r, c) for c in cols)
+                ext = _extent(coords, shape, chunks)
+                block = np.frombuffer(bytes(r.data), np.float64).reshape(ext)
+                idx = np.meshgrid(
+                    *[
+                        np.arange(i * c, i * c + e, dtype=np.int64)
+                        for i, c, e in zip(coords, chunks, ext)
+                    ],
+                    indexing="ij",
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            **{f"i{a}": idx[a].ravel() for a in range(ndim)},
+                            "v": block.ravel(),
+                        }
+                    )[names]
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(columns=names)
+
+    return md.df.mapInPandas(explode, schema)

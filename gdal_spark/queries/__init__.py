@@ -12,6 +12,7 @@ from gdal_spark.queries import (
     gridding,
     gti_entries,
     layer_algebra_entries,
+    mdim_entries,
     morph_entries,
     rat_entries,
     raster_entries,
@@ -29,7 +30,7 @@ MODULES = [
     relational, spatial_sql, textops, similarity,
     raster_entries, raster_pipeline, layer_algebra_entries,
     morph_entries, gridding, raster_extra, sql_extra, crs_entries,
-    rat_entries, vision_entries, gti_entries,
+    rat_entries, vision_entries, gti_entries, mdim_entries,
 ]
 
 
