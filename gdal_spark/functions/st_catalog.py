@@ -479,6 +479,63 @@ def _make_valid(buf: bytes):
     return _region_wkb(_bool_geom(buf, buf, "union"))
 
 
+def _all_vertices(buf: bytes) -> np.ndarray:
+    t, p = W.parse(buf)
+    if t == W.WKB_POINT:
+        return np.asarray([p], float)
+    if t == W.WKB_LINESTRING:
+        return np.asarray(p, float)
+    return np.vstack([r for rings in W.polygon_rings(buf) for r in rings])
+
+
+def _convex_hull(buf: bytes):
+    """ST_ConvexHull (OGRGeometry::ConvexHull, ogr/ogrgeometry.cpp —
+    GEOS-backed): Andrew monotone chain over every vertex of the input
+    geometry; degenerate (<3 distinct points) inputs return themselves,
+    matching GEOS's point/segment hulls."""
+    pts = np.unique(_all_vertices(buf), axis=0)
+    if len(pts) == 1:
+        return W.write_point(float(pts[0, 0]), float(pts[0, 1]))
+    if len(pts) == 2:
+        return W.write_linestring(pts)
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out = []
+        for q in seq:
+            while len(out) >= 2:
+                u, v = out[-1] - out[-2], q - out[-2]
+                if u[0] * v[1] - u[1] * v[0] <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(q)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1], float)
+    if len(hull) < 3:  # all collinear
+        return W.write_linestring(np.asarray([pts[0], pts[-1]], float))
+    # CCW ring, closed
+    return W.write_polygon([np.vstack([hull, hull[:1]])])
+
+
+def _union_cascaded(buf: bytes):
+    """ST_UnionCascaded (OGRGeometry::UnionCascaded,
+    ogr/ogrgeometry.cpp — GEOSUnionCascaded): n-ary union of a
+    MultiPolygon's members in one slab sweep (polyunion.union_rings),
+    re-structured into proper exterior/hole nesting."""
+    from gdal_spark.functions import polyclip as PC
+    from gdal_spark.functions import polyunion as PU
+
+    t, _ = W.parse(buf)
+    if t not in (W.WKB_POLYGON, W.WKB_MULTIPOLYGON):
+        return bytearray(buf)
+    flat = PU.union_rings(W.polygon_rings(buf))
+    return _region_wkb(PC.structure_rings(flat))
+
+
 # --------------------------------------------------------------------------
 # Registration
 # --------------------------------------------------------------------------
@@ -597,6 +654,8 @@ def register_all(spark: SparkSession) -> None:
     reg1("ST_GeomFromWKB", lambda b: bytearray(b) if W.parse(b) else None, T.BinaryType())
     reg1("ST_IsSimple", _is_simple, T.BooleanType())
     reg1("ST_MakeValid", _make_valid, T.BinaryType())
+    reg1("ST_ConvexHull", _convex_hull, T.BinaryType())
+    reg1("ST_UnionCascaded", _union_cascaded, T.BinaryType())
     # the 2-arg ST_Area(geom, use_ellipsoid) / ST_Length(geom, use_ellipsoid)
     # forms (ogrsqlitesqlfunctions.cpp:1226-1239) — Spark SQL UDFs cannot
     # overload by arity, so they register under GDAL's own C entry names

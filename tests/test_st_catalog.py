@@ -124,3 +124,33 @@ class TestSqlLevel:
         ).collect()[0]
         assert row.a == pytest.approx(4.0)
         assert row.d == pytest.approx(12.0)
+
+    def test_convex_hull_sql(self, session_with_catalog):
+        row = session_with_catalog.sql(
+            """
+            select ST_Area(ST_ConvexHull(
+                     ST_GeomFromText('POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4, 0 0))')
+                   )) as a,
+                   ST_NPoints(ST_ConvexHull(
+                     ST_GeomFromText('POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4, 0 0))')
+                   )) as n,
+                   ST_AsText(ST_ConvexHull(ST_MakePoint(3.0, 7.0))) as pt_wkt
+            """
+        ).collect()[0]
+        # hull of the concave hexagon is the 4x4 square
+        assert row.a == pytest.approx(16.0)
+        assert row.n == 5  # closed ring: 4 corners + closure
+        assert row.pt_wkt == "POINT (3 7)"
+
+    def test_union_cascaded_sql(self, session_with_catalog):
+        row = session_with_catalog.sql(
+            """
+            select ST_Area(ST_UnionCascaded(ST_GeomFromText(
+              'MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),
+                             ((1 1, 3 1, 3 3, 1 3, 1 1)),
+                             ((10 10, 11 10, 11 11, 10 11, 10 10)))'
+            ))) as a
+            """
+        ).collect()[0]
+        # 4 + 4 - 1 overlap + 1 disjoint island
+        assert row.a == pytest.approx(8.0)
