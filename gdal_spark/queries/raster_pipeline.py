@@ -189,6 +189,79 @@ def raster_warp_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cub.unionByName(lan).unionByName(med).orderBy("image_id", "method")
 
 
+def raster_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -cutline: 4326->3857 warp masked by a diamond cutline
+    inscribed in each footprint (apps/gdalwarp_lib.cpp -cutline;
+    GDALWarpCutlineMasker, alg/gdalwarper.cpp:1530). Self-checks in-row:
+    cut pixels are a strict subset of the uncut warp's, and the valid
+    ratio is ~the diamond/bbox area ratio (1/2)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("cks", T.IntegerType()),
+            T.StructField("full_frac", T.DoubleType()),
+            T.StructField("cut_frac", T.DoubleType()),
+            T.StructField("subset_ok", T.BooleanType()),
+            T.StructField("ratio_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs
+        from gdal_spark.raster.warp import lonlat_to_meters_np
+        from gdal_spark.raster import warp
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                h, w = arr.shape[:2]
+                src_gt = warp.footprint_gt(r.lon_min, r.lat_min, r.lon_max, r.lat_max, w, h)
+                # diamond cutline = midpoints of the footprint edges, in
+                # dst (mercator) coords
+                mx = [(r.lon_min + r.lon_max) / 2, r.lon_max, (r.lon_min + r.lon_max) / 2, r.lon_min]
+                my = [r.lat_max, (r.lat_min + r.lat_max) / 2, r.lat_min, (r.lat_min + r.lat_max) / 2]
+                cx, cy = lonlat_to_meters_np(np.asarray(mx), np.asarray(my))
+                cut = [np.column_stack([cx, cy])]
+                x0, y0 = lonlat_to_meters_np(np.float64(r.lon_min), np.float64(r.lat_min))
+                x1, y1 = lonlat_to_meters_np(np.float64(r.lon_max), np.float64(r.lat_max))
+                out_w, out_h = 72, 48
+                dst_gt = (float(x0), float(x1 - x0) / out_w, 0.0,
+                          float(y1), 0.0, -float(y1 - y0) / out_h)
+                full, fmask = warp.warp_array(
+                    arr, src_gt, dst_gt, out_h, out_w,
+                    resample="bilinear", return_mask=True)
+                cutw, cmask = warp.warp_array(
+                    arr, src_gt, dst_gt, out_h, out_w,
+                    resample="bilinear", return_mask=True, cutline=cut)
+                band = cutw[:, :, 0] if cutw.ndim == 3 else cutw
+                subset = bool((~fmask & cmask).sum() == 0) and bool(
+                    np.array_equal(cutw[cmask], full[cmask])
+                )
+                ratio = float(cmask.sum()) / max(1, int(fmask.sum()))
+                rows.append(
+                    (
+                        r.image_id, int(CK.checksum(band)),
+                        round(float(fmask.mean()), 4),
+                        round(float(cmask.mean()), 4),
+                        subset, bool(0.4 < ratio < 0.6),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    imgs = datagen.with_footprint(
+        datagen.images_df(spark, 24, with_pixels=True, size_cap=64)
+    )
+    return imgs.mapInPandas(run, schema).orderBy("image_id")
+
+
 def raster_dem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem TRI (Riley) / TPI / roughness over the luma band
     (apps/gdaldem_lib.cpp:2312-2382), per-image mean/max summaries."""
@@ -346,6 +419,7 @@ SPARK = {
     "raster_translate_checksum": raster_translate_checksum,
     "raster_hillshade_checksum": raster_hillshade_checksum,
     "raster_warp_cubic": raster_warp_cubic,
+    "raster_warp_cutline": raster_warp_cutline,
     "raster_dem_metrics": raster_dem_metrics,
     "tiff_transcode_checksum": tiff_transcode_checksum,
     "raster_warp_mercator": raster_warp_mercator,

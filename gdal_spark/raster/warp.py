@@ -157,16 +157,24 @@ def warp_array(
     src_crs: str = "EPSG:4326", dst_crs: str = "EPSG:3857",
     resample: str = "near", approx_grid: int = 16, max_err: float = 0.125,
     nodata: float = 0.0, return_mask: bool = False,
+    cutline: list[np.ndarray] | None = None,
 ):
     """Warp one decoded array onto a destination grid (inverse mapping).
 
     return_mask=True also returns the bool validity mask (dst pixels whose
     back-mapped center falls inside the source) — the warp's density/alpha
-    mask (GDALWarpKernel's papanBandSrcValid role)."""
+    mask (GDALWarpKernel's papanBandSrcValid role).
+
+    cutline: optional polygon ring list in DST-CRS geo coords — the
+    gdalwarp -cutline path (apps/gdalwarp_lib.cpp; GDALWarpCutlineMasker,
+    alg/gdalwarper.cpp:1530 rasterizes the cutline into the validity
+    mask). Pixels whose centers fall outside the cutline become nodata."""
     inv = get_inverse_transform(src_crs, dst_crs)
     spx, spy = _dst_to_src_pixels(src_gt, dst_gt, out_h, out_w, inv, approx_grid, max_err)
     h, w = arr.shape[:2]
     inside = (spx >= -0.5) & (spx <= w - 0.5) & (spy >= -0.5) & (spy <= h - 0.5)
+    if cutline is not None:
+        inside &= K.rasterize_rings(cutline, out_h, out_w, dst_gt)
     if resample == "bilinear":
         out = K._bilinear_gather(arr, spx, spy)
     elif resample in K._FILTER_RADIUS:  # cubic / cubicspline / lanczos
@@ -178,6 +186,20 @@ def warp_array(
     inside2 = inside[:, :, None] if arr.ndim == 3 else inside
     out = np.where(inside2, out, np.asarray(nodata, dtype=out.dtype))
     return (out, inside) if return_mask else out
+
+
+def cutline_output_grid(
+    cutline: list[np.ndarray], res_x: float, res_y: float | None = None
+) -> tuple[tuple, int, int]:
+    """gdalwarp -crop_to_cutline: dst grid = cutline envelope at the
+    requested resolution (apps/gdalwarp_lib.cpp CropToCutline)."""
+    res_y = res_y or res_x
+    pts = np.vstack(cutline)
+    x0, y0 = pts[:, 0].min(), pts[:, 1].min()
+    x1, y1 = pts[:, 0].max(), pts[:, 1].max()
+    out_w = max(1, int(np.ceil((x1 - x0) / res_x)))
+    out_h = max(1, int(np.ceil((y1 - y0) / res_y)))
+    return (x0, res_x, 0.0, y1, 0.0, -res_y), out_w, out_h
 
 
 # --------------------------------------------------------------------------

@@ -259,3 +259,69 @@ class TestDem:
     def test_hillshade_flat(self):
         hs = K.hillshade(np.zeros((6, 6)), altitude=30.0)
         assert np.all(hs == np.round(255 * np.sin(np.deg2rad(30.0))))
+
+
+class TestCutlineWarp:
+    """gdalwarp -cutline semantics (alg/gdalwarper.cpp:1530 masker)."""
+
+    def _setup(self):
+        import numpy as np
+
+        from gdal_spark.raster import warp
+
+        rng = np.random.default_rng(42)
+        arr = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+        src_gt = (10.0, 0.01, 0.0, 45.0, 0.0, -0.01)  # 4326
+        from gdal_spark.raster.warp import lonlat_to_meters_np
+        x0, y0 = lonlat_to_meters_np(np.float64(10.0), np.float64(44.6))
+        x1, y1 = lonlat_to_meters_np(np.float64(10.6), np.float64(45.0))
+        dst_gt = (float(x0), float(x1 - x0) / 80, 0.0, float(y1), 0.0, -float(y1 - y0) / 50)
+        return arr, src_gt, dst_gt, (float(x0), float(y0), float(x1), float(y1))
+
+    def test_full_cover_cutline_is_identity(self):
+        import numpy as np
+
+        from gdal_spark.raster import warp
+
+        arr, src_gt, dst_gt, (x0, y0, x1, y1) = self._setup()
+        big = [np.array([[x0 - 1e5, y0 - 1e5], [x1 + 1e5, y0 - 1e5],
+                         [x1 + 1e5, y1 + 1e5], [x0 - 1e5, y1 + 1e5]])]
+        a, ma = warp.warp_array(arr, src_gt, dst_gt, 50, 80, return_mask=True)
+        b, mb = warp.warp_array(arr, src_gt, dst_gt, 50, 80, return_mask=True, cutline=big)
+        np.testing.assert_array_equal(ma, mb)
+        np.testing.assert_array_equal(a, b)
+
+    def test_disjoint_cutline_masks_everything(self):
+        import numpy as np
+
+        from gdal_spark.raster import warp
+
+        arr, src_gt, dst_gt, (x0, y0, x1, y1) = self._setup()
+        off = [np.array([[x1 + 1e6, y1 + 1e6], [x1 + 2e6, y1 + 1e6],
+                         [x1 + 2e6, y1 + 2e6], [x1 + 1e6, y1 + 2e6]])]
+        out, m = warp.warp_array(arr, src_gt, dst_gt, 50, 80, return_mask=True, cutline=off)
+        assert not m.any() and (out == 0).all()
+
+    def test_diamond_cutline_halves_area(self):
+        import numpy as np
+
+        from gdal_spark.raster import warp
+
+        arr, src_gt, dst_gt, (x0, y0, x1, y1) = self._setup()
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        diamond = [np.array([[cx, y1], [x1, cy], [cx, y0], [x0, cy]])]
+        _, full = warp.warp_array(arr, src_gt, dst_gt, 50, 80, return_mask=True)
+        _, cut = warp.warp_array(arr, src_gt, dst_gt, 50, 80, return_mask=True, cutline=diamond)
+        assert (~full & cut).sum() == 0  # subset
+        ratio = cut.sum() / full.sum()
+        assert 0.45 < ratio < 0.55
+
+    def test_crop_to_cutline_grid(self):
+        import numpy as np
+
+        from gdal_spark.raster import warp
+
+        ring = [np.array([[100.0, 10.0], [300.0, 10.0], [300.0, 160.0], [100.0, 160.0]])]
+        gt, w, h = warp.cutline_output_grid(ring, 50.0)
+        assert (w, h) == (4, 3)
+        assert gt == (100.0, 50.0, 0.0, 160.0, 0.0, -50.0)
