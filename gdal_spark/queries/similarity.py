@@ -547,6 +547,43 @@ _ANN_LSH_ORACLE = """
 )
 
 
+
+# --------------------------------------------------------------------------
+# Near-dup clusters (connected components over the Jaccard pair graph)
+# --------------------------------------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of the dedup pipeline: group near-dup PAIRS
+    (token_jaccard_pairs, threshold 0.5) into CLUSTERS via distributed
+    min-label propagation (operators/components.py); cluster_id = min
+    doc_id of the component = the canonical survivor. Oracle: DuckDB
+    recursive-CTE transitive closure over the identical pair set."""
+    from gdal_spark.operators.components import connected_components
+
+    pairs = token_jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ORDER BY doc_id
+"""
+
 SPARK = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -556,6 +593,7 @@ SPARK = {
     "ann_lsh_buckets": lsh_bucket_counts,
     "ann_lsh_topk": ann_lsh_topk,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLE = {
@@ -578,4 +616,5 @@ ORACLE = {
     "ann_lsh_buckets": _LSH_ORACLE,
     "ann_lsh_topk": _ANN_LSH_ORACLE,
     "dedup_embedding_lsh": _DEDUP_LSH_ORACLE,
+    "dedup_clusters": _CLUSTERS_ORACLE,
 }
