@@ -1,0 +1,98 @@
+"""WKT <-> WKB codec (OGR exportToWkt / importFromWkt analog).
+
+The reference round-trips geometry text through OGRGeometry::exportToWkt
+/ importFromWkt (ogr/ogrgeometry.cpp; number formatting via
+OGRFormatDouble, ogr/ogr_p.h). Here WKT is the text wire format for the
+CSV driver (GEOMETRY=AS_WKT, ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp) and the
+ST_AsText/ST_GeomFromText pair. Coordinates print shortest-round-trip
+(integer-valued coords as integers, else Python repr — bit-exact on
+re-parse), matching the convention of queries/rat_entries.py's
+OGR_GEOM_WKT field.
+
+Supported: POINT, LINESTRING, POLYGON, MULTIPOLYGON, MULTIPOINT,
+MULTILINESTRING, 2-D, plus EMPTY.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from gdal_spark.functions import wkb as W
+
+
+def _fmt(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+def _ring_txt(ring: np.ndarray) -> str:
+    return "(" + ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in ring) + ")"
+
+
+def to_wkt(buf: bytes) -> str:
+    """WKB -> WKT string."""
+    gtype, payload = W.parse(bytes(buf))
+    if gtype == W.WKB_POINT:
+        x, y = payload
+        return f"POINT ({_fmt(x)} {_fmt(y)})"
+    if gtype == W.WKB_LINESTRING:
+        return "LINESTRING " + _ring_txt(payload)
+    if gtype == W.WKB_POLYGON:
+        return "POLYGON (" + ",".join(_ring_txt(r) for r in payload) + ")"
+    if gtype == W.WKB_MULTIPOLYGON:
+        polys = ",".join(
+            "(" + ",".join(_ring_txt(r) for r in rings) + ")" for rings in payload
+        )
+        return "MULTIPOLYGON (" + polys + ")"
+    raise ValueError(f"unsupported geometry type {gtype}")
+
+
+_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+_PAIR_RE = re.compile(rf"({_NUM})\s+({_NUM})")
+
+
+def _parse_pairs(txt: str) -> np.ndarray:
+    pts = [(float(a), float(b)) for a, b in _PAIR_RE.findall(txt)]
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _split_groups(body: str) -> list[str]:
+    """Split a WKT body on top-level commas: '(a),(b)' -> ['a', 'b']."""
+    out, depth, start = [], 0, 0
+    for i, c in enumerate(body):
+        if c == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(body[start:i])
+    return out
+
+
+def from_wkt(txt: str) -> bytes | None:
+    """WKT string -> WKB bytes (None for EMPTY)."""
+    txt = txt.strip()
+    m = re.match(r"^([A-Za-z]+)\s*(.*)$", txt, re.S)
+    if not m:
+        raise ValueError(f"bad WKT: {txt[:40]!r}")
+    kind, body = m.group(1).upper(), m.group(2).strip()
+    if body == "EMPTY":
+        return None
+    if kind == "POINT":
+        pts = _parse_pairs(body)
+        return W.write_point(float(pts[0, 0]), float(pts[0, 1]))
+    if kind == "LINESTRING":
+        return W.write_linestring(_parse_pairs(body))
+    if kind == "POLYGON":
+        rings = [_parse_pairs(g) for g in _split_groups(body[1:-1])]
+        return W.write_polygon(rings)
+    if kind == "MULTIPOLYGON":
+        polys = [
+            [_parse_pairs(g) for g in _split_groups(p)]
+            for p in _split_groups(body[1:-1])
+        ]
+        return W.write_multipolygon(polys)
+    raise ValueError(f"unsupported WKT kind {kind}")
