@@ -197,5 +197,88 @@ def raster_warp_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(run, schema).orderBy("image_id")
 
 
-SPARK = {"utm_transform": utm_transform, "raster_warp_utm": raster_warp_utm}
+def raster_warp_gcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -order 3 / -tps: each image is georeferenced by a 5x5
+    lattice of GCPs sampled from a smooth non-affine map (no
+    geotransform at all — the GCP model IS the georeferencing, as for
+    raw scanned/satellite imagery; alg/gdal_crs.c,
+    alg/thinplatespline.cpp). Warped twice (polynomial order 3 and TPS)
+    onto each model's suggested grid; model_ok checks both fitted
+    models against the exact generating map at off-GCP probe points
+    (<0.05 px) — the per-row invariant that the fit, not luck, produced
+    the pixels."""
+    from collections.abc import Iterator
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("poly_w", T.IntegerType()),
+            T.StructField("poly_h", T.IntegerType()),
+            T.StructField("cks_poly", T.IntegerType()),
+            T.StructField("cks_tps", T.IntegerType()),
+            T.StructField("model_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs
+        from gdal_spark.raster import gcp as G
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                if arr.ndim == 3:
+                    arr = arr[:, :, 0]
+                h, w = arr.shape
+                k = int(r.image_id[3:11])
+
+                def fwd(px, py):
+                    gx = 1000.0 + (k % 7) * 50.0 + px * 3.0 + 0.4 * np.sin(py / 11.0)
+                    gy = 2000.0 - py * 3.0 + 0.3 * np.cos(px / 13.0)
+                    return gx, gy
+
+                gx5, gy5 = np.meshgrid(np.linspace(0, w, 5), np.linspace(0, h, 5))
+                ggx, ggy = fwd(gx5.ravel(), gy5.ravel())
+                gcps = np.stack([gx5.ravel(), gy5.ravel(), ggx, ggy], axis=1)
+                out_p, _ = G.warp_array_gcp(
+                    arr.astype(np.float64), gcps, "poly3", resample="bilinear"
+                )
+                out_t, _ = G.warp_array_gcp(
+                    arr.astype(np.float64), gcps, "tps", resample="bilinear"
+                )
+                qx = np.linspace(3, w - 3, 9)
+                qy = np.linspace(3, h - 3, 9)
+                ex, ey = fwd(qx, qy)
+                ok = True
+                for m in ("poly3", "tps"):
+                    tr = G.GCPTransformer(gcps, m)
+                    mx, my = tr.pixel_to_geo(qx, qy)
+                    # geo residual over the 3.0 units/px map scale -> px
+                    ok &= bool(np.max(np.hypot(mx - ex, my - ey)) / 3.0 < 0.05)
+                rows.append(
+                    (
+                        r.image_id, out_p.shape[1], out_p.shape[0],
+                        int(CK.checksum(out_p)), int(CK.checksum(out_t)), ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "poly_w", "poly_h", "cks_poly", "cks_tps", "model_ok"],
+            )
+
+    from gdal_spark import datagen
+
+    imgs = datagen.images_df(spark, 24, with_pixels=True, size_cap=64)
+    return imgs.mapInPandas(run, schema).orderBy("image_id")
+
+
+SPARK = {
+    "utm_transform": utm_transform,
+    "raster_warp_utm": raster_warp_utm,
+    "raster_warp_gcp": raster_warp_gcp,
+}
 ORACLE = {"utm_transform": _utm_oracle()}
