@@ -139,6 +139,190 @@ def utm_zone_epsg(lon: float, lat: float) -> str:
 
 
 # --------------------------------------------------------------------------
+# Conic / azimuthal / pseudocylindrical families (EPSG Guidance Note 7-2
+# formulas: Lambert Conformal Conic 2SP §3.1.1.1, Albers Equal Area
+# §3.1.2, Polar Stereographic §3.1.3.2, plus the spherical sinusoidal of
+# the MODIS grid). Each projection is parameterized over its own
+# ellipsoid (GRS80 national grids differ from WGS84 only in the 9th
+# decimal of f); datum shift WGS84<->NAD83/RGF93 is treated as identity,
+# the same ballpark default PROJ uses without late-binding grids.
+# --------------------------------------------------------------------------
+
+_GRS80_F = 1.0 / 298.257222101
+
+
+def _m(phi, e):
+    return np.cos(phi) / np.sqrt(1.0 - (e * np.sin(phi)) ** 2)
+
+
+def _t(phi, e):
+    s = np.sin(phi)
+    return np.tan(math.pi / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
+
+def _phi_from_t(t, e, iters=12):
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(iters):
+        s = e * np.sin(phi)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+    return phi
+
+
+class _LCC2SP:
+    def __init__(self, a, f, lat1, lat2, lat0, lon0, fe, fn):
+        self.a, self.lon0, self.fe, self.fn = a, lon0, fe, fn
+        self.e = math.sqrt(2 * f - f * f)
+        p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+        m1, m2 = _m(np.float64(p1), self.e), _m(np.float64(p2), self.e)
+        t1, t2, t0 = (_t(np.float64(p), self.e) for p in (p1, p2, p0))
+        self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = a * self.F * t0 ** self.n
+
+    def forward(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        rho = self.a * self.F * _t(phi, self.e) ** self.n
+        th = self.n * np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.sign(self.n) * np.hypot(dx, dy)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
+        lon = np.rad2deg(th / self.n) + self.lon0
+        return lon, np.rad2deg(_phi_from_t(t, self.e))
+
+
+class _Albers2SP:
+    def __init__(self, a, f, lat1, lat2, lat0, lon0, fe, fn):
+        self.a, self.lon0, self.fe, self.fn = a, lon0, fe, fn
+        e2 = 2 * f - f * f
+        self.e = math.sqrt(e2)
+        self.e2 = e2
+
+        def q(phi):
+            s = np.sin(phi)
+            return (1.0 - e2) * (
+                s / (1.0 - e2 * s * s)
+                - (1.0 / (2.0 * self.e)) * np.log((1.0 - self.e * s) / (1.0 + self.e * s))
+            )
+
+        p1, p2, p0 = (np.float64(math.radians(v)) for v in (lat1, lat2, lat0))
+        m1, m2 = _m(p1, self.e), _m(p2, self.e)
+        q1, q2, q0 = q(p1), q(p2), q(p0)
+        self.q = q
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = a * np.sqrt(self.C - self.n * q0) / self.n
+
+    def forward(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        rho = self.a * np.sqrt(self.C - self.n * self.q(phi)) / self.n
+        th = self.n * np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.hypot(dx, dy)
+        qv = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        th = np.arctan2(dx, dy)
+        lon = np.rad2deg(th / self.n) + self.lon0
+        phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
+        for _ in range(12):
+            s = np.sin(phi)
+            phi = phi + (1.0 - self.e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                qv / (1.0 - self.e2)
+                - s / (1.0 - self.e2 * s * s)
+                + (1.0 / (2.0 * self.e)) * np.log((1.0 - self.e * s) / (1.0 + self.e * s))
+            )
+        return lon, np.rad2deg(phi)
+
+
+class _PolarStereo:
+    """Variant B (standard parallel): north aspect for lat_f > 0, south
+    otherwise (EPSG 9829; EPSG:3413 / EPSG:3031 shapes)."""
+
+    def __init__(self, a, f, lat_f, lon0, fe, fn):
+        self.a, self.lon0, self.fe, self.fn = a, lon0, fe, fn
+        self.e = math.sqrt(2 * f - f * f)
+        self.south = lat_f < 0
+        pf = np.float64(math.radians(abs(lat_f)))
+        e = self.e
+        self.ecof = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        self.k0 = float(_m(pf, e)) * self.ecof / (2.0 * float(_t(pf, e)))
+
+    def forward(self, lon, lat):
+        lam = np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        if self.south:
+            phi = -phi
+            lam = -lam
+        rho = 2.0 * self.a * self.k0 * _t(phi, self.e) / self.ecof
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if self.south:
+            x, y = -x, -y
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        if self.south:
+            dx, dy = -dx, -dy
+        rho = np.hypot(dx, dy)
+        t = rho * self.ecof / (2.0 * self.a * self.k0)
+        phi = _phi_from_t(t, self.e)
+        lam = np.arctan2(dx, -dy)
+        if self.south:
+            phi, lam = -phi, -lam
+        return np.rad2deg(lam) + self.lon0, np.rad2deg(phi)
+
+
+class _Sinusoidal:
+    """Spherical sinusoidal on the MODIS authalic radius (the SIN grid of
+    MOD09/MCD43 etc.; equal-area, pseudocylindrical)."""
+
+    def __init__(self, r=6371007.181, lon0=0.0):
+        self.r, self.lon0 = r, lon0
+
+    def forward(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        lam = np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        return self.r * lam * np.cos(phi), self.r * phi
+
+    def inverse(self, x, y):
+        phi = np.asarray(y, np.float64) / self.r
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(
+                np.abs(np.cos(phi)) > 1e-12,
+                np.asarray(x, np.float64) / (self.r * np.cos(phi)),
+                0.0,
+            )
+        return np.rad2deg(lam) + self.lon0, np.rad2deg(phi)
+
+
+_PROJECTIONS = {
+    # France: RGF93 / Lambert-93 (the national grid)
+    "EPSG:2154": _LCC2SP(_A, _GRS80_F, 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+    # Canada: NAD83 / Statistics Canada Lambert
+    "EPSG:3347": _LCC2SP(
+        _A, _GRS80_F, 49.0, 77.0, 63.390675, -91.86666666666667, 6200000.0, 3000000.0
+    ),
+    # USA: NAD83 / Conus Albers
+    "EPSG:5070": _Albers2SP(_A, _GRS80_F, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    "EPSG:3413": _PolarStereo(_A, _F, 70.0, -45.0, 0.0, 0.0),
+    # WGS84 / Antarctic Polar Stereographic
+    "EPSG:3031": _PolarStereo(_A, _F, -71.0, 0.0, 0.0, 0.0),
+    # MODIS sinusoidal grid (ESRI:54008-compatible sphere form)
+    "ESRI:54008": _Sinusoidal(),
+}
+
+
+# --------------------------------------------------------------------------
 # generic pair dispatch through the EPSG:4326 hub
 # --------------------------------------------------------------------------
 
@@ -152,6 +336,8 @@ def _to_4326(code: str, x: np.ndarray, y: np.ndarray):
         return meters_to_lonlat_np(x, y)
     if _parse_utm(code):
         return utm_inverse(x, y, code)
+    if code in _PROJECTIONS:
+        return _PROJECTIONS[code].inverse(x, y)
     raise ValueError(f"unsupported CRS {code}")
 
 
@@ -164,11 +350,17 @@ def _from_4326(code: str, lon: np.ndarray, lat: np.ndarray):
         return lonlat_to_meters_np(lon, lat)
     if _parse_utm(code):
         return utm_forward(lon, lat, code)
+    if code in _PROJECTIONS:
+        return _PROJECTIONS[code].forward(lon, lat)
     raise ValueError(f"unsupported CRS {code}")
 
 
 def supported(code: str) -> bool:
-    return code in ("EPSG:4326", "EPSG:3857") or _parse_utm(code) is not None
+    return (
+        code in ("EPSG:4326", "EPSG:3857")
+        or _parse_utm(code) is not None
+        or code in _PROJECTIONS
+    )
 
 
 def transform(src: str, dst: str, x: np.ndarray, y: np.ndarray):

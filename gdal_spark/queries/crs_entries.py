@@ -276,9 +276,122 @@ def raster_warp_gcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(run, schema).orderBy("image_id")
 
 
+_LCC_SCHEMA = T.StructType(
+    [T.StructField("e", T.DoubleType()), T.StructField("n", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_LCC_SCHEMA)
+def _l93_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    x, y = crs.transform("EPSG:4326", "EPSG:2154", lon.to_numpy(), lat.to_numpy())
+    return pd.DataFrame({"e": x, "n": y})
+
+
+def _lonlat_fr(key):
+    """Deterministic points in the Lambert-93 domain (metropolitan France)."""
+    lon = -4.5 + (key.cast("double") * 0.0173) % 13.0
+    lat = 41.5 + (key.cast("double") * 0.923) % 9.5
+    return lon, lat
+
+
+def lcc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 -> EPSG:2154 (RGF93 / Lambert-93, LCC-2SP): the
+    vectorized ellipsoidal conic forward (functions/crs.py _LCC2SP,
+    EPSG Guidance Note 7-2 §3.1.1.1). The DuckDB oracle evaluates the
+    identical closed-form t/rho/theta expressions — an independent
+    engine re-deriving every coefficient, so the hash gate covers the
+    full numeric path."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    lon, lat = _lonlat_fr(F.col("event_id"))
+    pts = e.select("event_id", lon.alias("lon"), lat.alias("lat"))
+    out = pts.withColumn("l93", _l93_udf(F.col("lon"), F.col("lat")))
+    return out.select(
+        "event_id",
+        F.round(F.col("l93.e") / 1000.0, 4).alias("east_km"),
+        F.round(F.col("l93.n") / 1000.0, 4).alias("north_km"),
+    )
+
+
+def _lcc_oracle() -> str:
+    p = crs._PROJECTIONS["EPSG:2154"]
+    e_, n_, aF = repr(p.e), repr(p.n), repr(p.a * p.F)
+    rho0, fe, fn, lon0 = repr(float(p.rho0)), repr(p.fe), repr(p.fn), repr(p.lon0)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         -4.5 + fmod(event_id * 0.0173, 13.0) AS lon,
+         41.5 + fmod(event_id * 0.923, 9.5) AS lat
+  FROM events WHERE event_id < 200
+),
+s1 AS (
+  SELECT event_id,
+         tan(pi()/4.0 - radians(lat)/2.0)
+           / pow((1.0 - {e_} * sin(radians(lat))) / (1.0 + {e_} * sin(radians(lat))), {e_}/2.0) AS t,
+         {n_} * radians(lon - {lon0}) AS th
+  FROM pts
+),
+s2 AS (
+  SELECT event_id, {aF} * pow(t, {n_}) AS rho, th FROM s1
+)
+SELECT event_id,
+       round(({fe} + rho * sin(th)) / 1000.0, 4) AS east_km,
+       round(({fn} + {rho0} - rho * cos(th)) / 1000.0, 4) AS north_km
+FROM s2
+"""
+
+
+_R_SIN = 6371007.181
+_T_SIN = 1111950.519667  # MODIS tile size in meters (2400 x 463.3127m cells)
+
+
+def sinusoidal_modis_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODIS SIN grid addressing: lon/lat -> sinusoidal meters -> (h, v)
+    tile indices (the standard 36x18 tiling of the MODIS land products)
+    with per-tile point counts. The projection is pure Column math
+    (spherical sinusoidal: x = R*lam*cos(phi), y = R*phi) — whole-stage
+    codegen, no UDF; the oracle mirrors it symbolically."""
+    ev = load(spark, sf_dir, "events")
+    lon = -180.0 + (F.col("event_id").cast("double") * 0.7177) % 360.0
+    lat = -60.0 + (F.col("event_id").cast("double") * 0.3923) % 120.0
+    x = F.lit(_R_SIN) * F.radians(lon) * F.cos(F.radians(lat))
+    y = F.lit(_R_SIN) * F.radians(lat)
+    h = F.floor((x + F.lit(18.0 * _T_SIN)) / F.lit(_T_SIN)).cast("int")
+    v = F.floor((F.lit(9.0 * _T_SIN) - y) / F.lit(_T_SIN)).cast("int")
+    return (
+        ev.select(h.alias("h"), v.alias("v"))
+        .groupBy("h", "v")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .filter(F.col("n_pts") >= 3)
+    )
+
+
+_SIN_ORACLE = f"""
+WITH pts AS (
+  SELECT -180.0 + fmod(event_id * 0.7177, 360.0) AS lon,
+         -60.0 + fmod(event_id * 0.3923, 120.0) AS lat
+  FROM events
+),
+xy AS (
+  SELECT {_R_SIN!r} * radians(lon) * cos(radians(lat)) AS x,
+         {_R_SIN!r} * radians(lat) AS y
+  FROM pts
+)
+SELECT CAST(floor((x + 18.0 * {_T_SIN!r}) / {_T_SIN!r}) AS INT) AS h,
+       CAST(floor((9.0 * {_T_SIN!r} - y) / {_T_SIN!r}) AS INT) AS v,
+       count(*) AS n_pts
+FROM xy GROUP BY h, v HAVING count(*) >= 3
+"""
+
+
 SPARK = {
     "utm_transform": utm_transform,
     "raster_warp_utm": raster_warp_utm,
     "raster_warp_gcp": raster_warp_gcp,
+    "lcc_transform": lcc_transform,
+    "sinusoidal_modis_tile": sinusoidal_modis_tile,
 }
-ORACLE = {"utm_transform": _utm_oracle()}
+ORACLE = {
+    "utm_transform": _utm_oracle(),
+    "lcc_transform": _lcc_oracle(),
+    "sinusoidal_modis_tile": _SIN_ORACLE,
+}
