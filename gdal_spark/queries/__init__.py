@@ -22,6 +22,7 @@ from gdal_spark.queries import (
     similarity,
     spatial_sql,
     sql_extra,
+    streaming_entries,
     vector_fmt_entries,
     vision_entries,
     textops,
@@ -32,7 +33,7 @@ MODULES = [
     raster_entries, raster_pipeline, layer_algebra_entries,
     morph_entries, gridding, raster_extra, sql_extra, crs_entries,
     rat_entries, vision_entries, gti_entries, mdim_entries,
-    vector_fmt_entries,
+    vector_fmt_entries, streaming_entries,
 ]
 
 
