@@ -88,5 +88,61 @@ _CHAIN_ORACLE = """
     FROM nation
 """
 
-SPARK = {"ogr2ogr_format_chain": ogr2ogr_format_chain}
-ORACLE = {"ogr2ogr_format_chain": _CHAIN_ORACLE}
+GRID_H = GRID_W = 16
+
+
+def grid_format_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate across the geo-grid formats: a deterministic DEM
+    (value = ((r*37 + c*101) mod 97) / 4 — exact quarter steps, so text
+    round-trips are bit-exact) is pushed AAIGrid -> XYZ -> ENVI on disk,
+    then ingested with the distributed read_grid_files loader; returns
+    per-row sums off the final array. Oracle recomputes them from the
+    closed form (frmts/aaigrid, frmts/xyz, frmts/raw ENVI semantics)."""
+    import numpy as np
+
+    from gdal_spark.functions import gridfmts as GF
+
+    r, c = np.meshgrid(np.arange(GRID_H), np.arange(GRID_W), indexing="ij")
+    dem = ((r * 37 + c * 101) % 97) * 0.25
+    gt = (500.0, 2.0, 0.0, 800.0, 0.0, -2.0)
+    root = tempfile.mkdtemp(prefix="grid_chain_")
+    a, agt, _ = GF.aaigrid_decode(GF.aaigrid_encode(dem, gt))
+    x, xgt, _ = GF.xyz_decode(GF.xyz_encode(a, agt))
+    raw, hdr = GF.envi_encode(x, xgt)
+    p = os.path.join(root, "chain.dat")
+    open(p, "wb").write(raw)
+    open(os.path.join(root, "chain.hdr"), "w").write(hdr)
+    df = GF.read_grid_files(spark, [(p, "envi")])
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def row_sums(data: pd.Series, h: pd.Series, w: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d, hh, ww in zip(data, h, w):
+            arr = np.frombuffer(bytes(d), "<f8").reshape(int(hh), int(ww))
+            out.append([float(v) for v in arr.sum(axis=1)])
+        return pd.Series(out)
+
+    return df.select(
+        F.posexplode(row_sums(F.col("data"), F.col("h"), F.col("w"))).alias(
+            "row_id", "row_sum"
+        )
+    )
+
+
+_GRID_ORACLE = f"""
+    SELECT r.range AS row_id,
+           sum(((r.range * 37 + c.range * 101) % 97) * 0.25) AS row_sum
+    FROM range({GRID_H}) r CROSS JOIN range({GRID_W}) c
+    GROUP BY r.range
+"""
+
+SPARK = {
+    "ogr2ogr_format_chain": ogr2ogr_format_chain,
+    "grid_format_chain": grid_format_chain,
+}
+ORACLE = {
+    "ogr2ogr_format_chain": _CHAIN_ORACLE,
+    "grid_format_chain": _GRID_ORACLE,
+}
