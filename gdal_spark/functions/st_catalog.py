@@ -274,8 +274,12 @@ def _transform(buf: bytes, src: int, dst: int) -> bytes:
     elif src == dst:
         return bytes(buf)
     else:
-        # UTM zones + cross pairs via the Krueger-series dispatcher
-        sc, dc = f"EPSG:{src}", f"EPSG:{dst}"
+        # UTM zones, conic/azimuthal/sinusoidal families + cross pairs
+        # via the crs.py dispatcher (54008 = ESRI sinusoidal SRID)
+        def code(n: int) -> str:
+            return "ESRI:54008" if n == 54008 else f"EPSG:{n}"
+
+        sc, dc = code(src), code(dst)
         if not (CRS.supported(sc) and CRS.supported(dc)):
             raise ValueError(f"unsupported transform {src}->{dst}")
 

@@ -584,6 +584,133 @@ _CLUSTERS_ORACLE = f"""
     ORDER BY doc_id
 """
 
+# --------------------------------------------------------------------------
+# Multimodal near-dup: perceptual-hash hamming pairs (banded)
+# --------------------------------------------------------------------------
+
+PHASH_HAM_MAX = 6
+
+
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual hash: pairs with hamming(ph_a, ph_b)
+    <= 6 over a corpus of 64-bit phashes (documents-fingerprint base +
+    planted 3-bit-flip variants under id+10000 — the multimodal twin of
+    the text pipelines, same shape as the real images.phash column).
+
+    Scale path: 4 bands x 16 bits. By pigeonhole, any pair within
+    hamming 3 shares at least one untouched 16-bit band, so the band
+    equi-join has GUARANTEED recall for the planted radius — candidates
+    are per-band-bucket, never all-pairs; exact bit_count(xor) reranks.
+    Pure Column bit math end-to-end (codegen; no UDF), mirrored exactly
+    by the DuckDB oracle."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    ph = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    base = d.select(F.col("doc_id").cast("long").alias("img_id"), ph.alias("ph"))
+    k = F.col("img_id")
+    flips = (
+        F.shiftleft(F.lit(1), 0) * F.lit(0)  # placeholder to start the sum
+        + F.expr("shiftleft(1L, cast((img_id * 7) % 60 as int))")
+        + F.expr("shiftleft(1L, cast((img_id * 13 + 1) % 60 as int))")
+        + F.expr("shiftleft(1L, cast((img_id * 29 + 2) % 60 as int))")
+    )
+    dup = base.select(
+        (k + 10000).alias("img_id"), F.col("ph").bitwiseXOR(flips).alias("ph")
+    )
+    allp = base.unionByName(dup)
+    bands = allp.select(
+        "img_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(ph >> {16 * b}) & 65535").alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("img_id", "ph", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.img_id") < F.col("b.img_id"))
+        .select(
+            F.col("a.img_id").alias("id_a"),
+            F.col("b.img_id").alias("id_b"),
+            F.expr("bit_count(a.ph ^ b.ph)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= PHASH_HAM_MAX)
+
+
+_PHASH_ORACLE = r"""
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS img_id,
+               ('0x' || substring(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 15))::BIGINT AS ph
+        FROM documents
+    ),
+    flips AS (
+        SELECT img_id,
+               (1::BIGINT << CAST((img_id * 7) % 60 AS INT))
+             + (1::BIGINT << CAST((img_id * 13 + 1) % 60 AS INT))
+             + (1::BIGINT << CAST((img_id * 29 + 2) % 60 AS INT)) AS f
+        FROM base
+    ),
+    allp AS (
+        SELECT img_id, ph FROM base
+        UNION ALL
+        SELECT b.img_id + 10000, xor(b.ph, f.f) FROM base b JOIN flips f USING (img_id)
+    ),
+    bands AS (
+        SELECT img_id, ph, band, (ph >> (16 * band)) & 65535 AS bkey
+        FROM allp, range(4) t(band)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+               bit_count(xor(a.ph, b.ph)::BIT) AS hamming
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                  AND a.img_id < b.img_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full embedding-dedup pipeline end to end: sign-LSH candidate
+    pairs -> exact cosine >= 0.9 (dedup_embedding_lsh) -> connected
+    components -> (vec_id, cluster_id) with min-id canonical survivors.
+    This is what a 100 TB dedup job actually materializes: the keep/drop
+    assignment, not the pair list."""
+    from gdal_spark.operators.components import connected_components
+
+    pairs = dedup_embedding_lsh(spark, sf_dir)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    return cc.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
+_EMB_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE lsh AS ({_DEDUP_LSH_ORACLE}),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM lsh
+        UNION
+        SELECT vec_b AS a, vec_a AS b FROM lsh
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 SPARK = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -594,6 +721,8 @@ SPARK = {
     "ann_lsh_topk": ann_lsh_topk,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_clusters": dedup_clusters,
+    "dedup_phash_hamming": dedup_phash_hamming,
+    "dedup_embedding_clusters": dedup_embedding_clusters,
 }
 
 ORACLE = {
@@ -617,4 +746,6 @@ ORACLE = {
     "ann_lsh_topk": _ANN_LSH_ORACLE,
     "dedup_embedding_lsh": _DEDUP_LSH_ORACLE,
     "dedup_clusters": _CLUSTERS_ORACLE,
+    "dedup_phash_hamming": _PHASH_ORACLE,
+    "dedup_embedding_clusters": _EMB_CLUSTERS_ORACLE,
 }

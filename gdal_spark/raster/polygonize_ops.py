@@ -148,38 +148,21 @@ def polygonize(
         .distinct()
     )
 
-    # C: hash-min connected components over the region graph.
-    # Iteration count ~ adjacency-graph diameter (tiles a region spans),
-    # each round one small shuffle; for planet-scale runs swap in the
-    # two-phase large-star/small-star variant — same contract.
-    sym = pairs.unionByName(
-        pairs.select(F.col("rid_b").alias("rid_a"), F.col("rid_a").alias("rid_b"))
-    ).persist()
-    comp = regions.select(F.col("rid"), F.col("rid").alias("comp")).persist()
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(comp, on=F.col("rid_b") == F.col("rid"))
-            .groupBy("rid_a")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_comp = (
-            comp.join(nbr_min, on=F.col("rid") == F.col("rid_a"), how="left")
-            .select(
-                "rid",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-            )
-            .persist()
-        )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), on="rid")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        comp.unpersist()
-        comp = new_comp
-        if changed == 0:
-            break
+    # C: min-label connected components over the region graph via the
+    # shared fixpoint operator (operators/components.py): each round is
+    # one join + one groupBy-min with localCheckpoint lineage truncation,
+    # so the logical plan stays O(1) per round — the original in-module
+    # loop used persist() only, and its plan grew per iteration until
+    # Catalyst analysis dominated wall time on high-diameter graphs
+    # (a region spanning all tiles). Iterations ~ adjacency diameter.
+    from gdal_spark.operators.components import connected_components
+
+    cc = connected_components(pairs, src="rid_a", dst="rid_b", max_iter=max_iters)
+    comp = regions.select("rid").join(
+        cc.withColumnRenamed("node", "rid"), on="rid", how="left"
+    ).select(
+        "rid", F.coalesce(F.col("component"), F.col("rid")).alias("comp")
+    )
 
     # D: merge ring sets per component
     member = regions.join(comp, on="rid")

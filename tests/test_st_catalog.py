@@ -70,6 +70,16 @@ class TestScalarKernels:
         _, (x, y) = W.parse(back)
         assert (x, y) == pytest.approx((12.5, 48.25), rel=1e-12)
 
+    def test_transform_projection_families(self):
+        # Lambert-93 SRID and the ESRI sinusoidal alias dispatch too
+        p = W.write_point(2.3522, 48.8566)
+        l93 = ST._transform(p, 4326, 2154)
+        _, (x, y) = W.parse(l93)
+        assert (x, y) == pytest.approx((652469.02, 6862035.26), abs=0.01)
+        back = ST._transform(ST._transform(p, 4326, 54008), 54008, 4326)
+        _, (x2, y2) = W.parse(back)
+        assert (x2, y2) == pytest.approx((2.3522, 48.8566), rel=1e-9)
+
     def test_buffer_area(self):
         c = ST._buffer(W.write_point(1, 1), 2.0, n=256)
         assert G.wkb_area(c) == pytest.approx(np.pi * 4, rel=1e-3)
