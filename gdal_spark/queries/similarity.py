@@ -585,6 +585,128 @@ _CLUSTERS_ORACLE = f"""
 """
 
 # --------------------------------------------------------------------------
+# ANN scale path #2: IVF (inverted-file) coarse quantizer
+# --------------------------------------------------------------------------
+
+IVF_CENT_MOD = 31  # centroids = vectors with vec_id % 31 == 3 (~N/31 lists)
+IVF_NPROBE = 2
+
+
+def _ivf_parts(spark: SparkSession, sf_dir: str, nprobe: int):
+    """Shared IVF construction: (assignments, probes, base) DataFrames.
+
+    Coarse quantizer: a deterministic sample of the corpus itself serves
+    as centroids (vec_id % 31 == 3) — the quantizer's training is
+    irrelevant to IVF's *search* semantics, and a deterministic one makes
+    the whole index SQL-mirrorable. Assignment = nearest centroid by
+    squared L2 (rank-1 window over the broadcast centroid set); probes =
+    the query's nprobe nearest centroid lists."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", _emb_d(F.col("embedding")).alias("emb")).select(
+        "vec_id", "emb", _norm_u(F.col("emb")).alias("nrm")
+    )
+    cent = base.filter(F.col("vec_id") % IVF_CENT_MOD == 3).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
+    # squared L2 = |a|^2 + |c|^2 - 2 a.c (unrolled codegen dot)
+    d2 = (
+        F.col("nrm") * F.col("nrm")
+        + F.col("cnrm") * F.col("cnrm")
+        - F.lit(2.0) * _dot_u(F.col("emb"), F.col("cemb"))
+    )
+    pairs = base.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    ranked = pairs.withColumn("crank", F.row_number().over(w))
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") < 8) & (F.col("crank") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    return assign, probes, base
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via an IVF index (the quadtree-analog scale path next to
+    sign-LSH; reference analog alg/gdalgrid.cpp:257-325 bounded search):
+    vectors are assigned to their nearest coarse-centroid list, queries
+    probe their IVF_NPROBE nearest lists, exact cosine reranks only the
+    probed lists' members (~nprobe*N/C candidates instead of N). With
+    nprobe = C the result equals brute force exactly — the property
+    tests/test_similarity_scale.py asserts."""
+    from pyspark.sql import Window
+
+    assign, probes, base = _ivf_parts(spark, sf_dir, IVF_NPROBE)
+    qs = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = (
+        assign.join(probes, "cid")
+        .join(base, "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = _dot_u(F.col("emb"), F.col("qemb")) / (F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos_r"))
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> cast(x as double)) AS emb,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> cast(x as double) * cast(x as double)), 'sum')) AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM base
+        WHERE vec_id % {IVF_CENT_MOD} = 3
+    ),
+    ranked AS (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY b.nrm*b.nrm + c.cnrm*c.cnrm
+                        - 2.0 * list_aggregate(list_transform(list_zip(b.emb, c.cemb),
+                              p -> p[1] * p[2]), 'sum') ASC,
+                          c.cid ASC
+               ) AS crank
+        FROM base b CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM ranked
+        WHERE vec_id < 8 AND crank <= {IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id,
+               list_aggregate(list_transform(list_zip(b.emb, q.emb),
+                    pr -> pr[1] * pr[2]), 'sum') / (b.nrm * q.nrm) AS cos
+        FROM assign a
+        JOIN probes p USING (cid)
+        JOIN base b ON b.vec_id = a.vec_id
+        JOIN base q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    rr AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM cand
+    )
+    SELECT query_id, rank, vec_id, round(cos, 4) AS cos_r FROM rr WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal near-dup: perceptual-hash hamming pairs (banded)
 # --------------------------------------------------------------------------
 
@@ -723,6 +845,7 @@ SPARK = {
     "dedup_clusters": dedup_clusters,
     "dedup_phash_hamming": dedup_phash_hamming,
     "dedup_embedding_clusters": dedup_embedding_clusters,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLE = {
@@ -748,4 +871,5 @@ ORACLE = {
     "dedup_clusters": _CLUSTERS_ORACLE,
     "dedup_phash_hamming": _PHASH_ORACLE,
     "dedup_embedding_clusters": _EMB_CLUSTERS_ORACLE,
+    "ann_ivf_topk": _IVF_ORACLE,
 }

@@ -82,13 +82,72 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document quality rules (Rae et al. 2021 §A1.1
+    heuristics re-expressed on the fixture's scale): word-count bounds,
+    mean-word-length band, repetition (distinct-token ratio) floor, and
+    stopword presence; ``keep`` = all rules pass. Pure Column expressions
+    (array_join/array_distinct, no HOF lambdas, no UDF) — whole-stage
+    codegen, the exact shape a 100 TB filter sweep wants."""
+    d = load(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n = F.size(ts)
+    mean_wlen = F.length(F.array_join(ts, "")) / n
+    distinct_ratio = F.size(F.array_distinct(ts)) / n
+    stop_ok = (
+        F.array_contains(ts, "the").cast("int") + F.array_contains(ts, "a").cast("int")
+    ) >= 1
+    r_count = (n >= 20) & (n <= 90)
+    r_wlen = (mean_wlen >= 3.0) & (mean_wlen <= 8.0)
+    r_rep = distinct_ratio >= 0.35
+    out = d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_wlen"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        r_count.alias("r_count"),
+        r_wlen.alias("r_wlen"),
+        r_rep.alias("r_rep"),
+        stop_ok.alias("r_stop"),
+        (r_count & r_wlen & r_rep & stop_ok).alias("keep"),
+    )
+    return out
+
+
 SPARK = {
     "text_token_count": token_count,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
     "dedup_exact": dedup_exact,
+    "text_gopher_filters": gopher_filters,
 }
+
+_GOPHER_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ts) AS n_words,
+               length(list_aggregate(ts, 'string_agg', '')) / len(ts) AS mean_wlen,
+               len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE) AS distinct_ratio,
+               (list_contains(ts, 'the') OR list_contains(ts, 'a')) AS r_stop
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           round(mean_wlen, 4) AS mean_wlen,
+           round(distinct_ratio, 4) AS distinct_ratio,
+           (n_words >= 20 AND n_words <= 90) AS r_count,
+           (mean_wlen >= 3.0 AND mean_wlen <= 8.0) AS r_wlen,
+           (distinct_ratio >= 0.35) AS r_rep,
+           r_stop,
+           ((n_words >= 20 AND n_words <= 90) AND (mean_wlen >= 3.0 AND mean_wlen <= 8.0)
+            AND distinct_ratio >= 0.35 AND r_stop) AS keep
+    FROM m
+"""
 
 _STOP_HITS_SQL = " + ".join(
     f"(length(text) - length(replace(text, ' {sw} ', ''))) / {len(sw) + 2}"
@@ -96,6 +155,7 @@ _STOP_HITS_SQL = " + ".join(
 )
 
 ORACLE = {
+    "text_gopher_filters": _GOPHER_ORACLE,
     "text_token_count": r"""
         SELECT doc_id,
                len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,

@@ -116,3 +116,42 @@ def test_token_jaccard_df_cap(spark):
     out = S.token_jaccard_pairs(spark, SF).collect()
     # jaccard is symmetric + thresholded; fixture must keep it non-vacuous
     assert all(0.5 <= r["jaccard"] <= 1.0 for r in out)
+
+
+def test_ann_ivf_full_probe_equals_brute_force(spark, monkeypatch):
+    """IVF with nprobe = #lists degenerates to exact search: its top-5
+    must equal the brute-force baseline bit for bit (the defining
+    correctness property of an inverted-file index)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.queries import similarity as S
+
+    n_cent = (
+        S.load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") % S.IVF_CENT_MOD == 3)
+        .count()
+    )
+    monkeypatch.setattr(S, "IVF_NPROBE", n_cent)
+    ivf = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cos_r"])
+        for r in S.ann_ivf_topk(spark, SF).collect()
+    }
+    bf = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cos_r"])
+        for r in S.ann_cosine_topk(spark, SF).collect()
+    }
+    assert ivf == bf
+
+
+def test_ann_ivf_candidates_bounded(spark):
+    """With nprobe=2 the candidate set must be well under the corpus size
+    (the scale claim: ~nprobe/C of N per query)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.queries import similarity as S
+
+    assign, probes, base = S._ivf_parts(spark, SF, S.IVF_NPROBE)
+    n = base.count()
+    cand = assign.join(probes, "cid").count()
+    n_queries = probes.select("query_id").distinct().count()
+    assert cand < 0.5 * n * n_queries  # far below all-pairs
