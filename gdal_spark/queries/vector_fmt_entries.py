@@ -138,11 +138,57 @@ _GRID_ORACLE = f"""
     GROUP BY r.range
 """
 
+def xml_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KML -> GPX interchange (ogr/ogrsf_frmts/kml, gpx drivers): nation
+    points written as KML placemarks, parsed back, re-written as GPX
+    waypoints, parsed back and ingested with the distributed XML loader;
+    the oracle recomputes name + coordinates straight from the table."""
+    import numpy as np
+
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.sources import xml_formats as XF
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    feats = [
+        {
+            "layer": "placemarks",
+            "wkb": W.write_point(
+                (r["n_nationkey"] % 12) * 30.0 - 180.0 + 0.25,
+                (r["n_nationkey"] % 7) * 25.0 - 87.5 + 0.125,
+            ),
+            "name": r["n_name"],
+        }
+        for r in sorted(n, key=lambda r: r["n_nationkey"])
+    ]
+    root = tempfile.mkdtemp(prefix="xmlfmt_")
+    kml = os.path.join(root, "nations.kml")
+    XF.write_kml(feats, kml)
+    back = XF.parse_kml(open(kml, "rb").read())
+    gpx = os.path.join(root, "nations.gpx")
+    XF.write_gpx(back, gpx)
+    df = XF.read_xml_features(spark, [gpx])
+    xy = _point_xy(F.col("wkb"))
+    return df.select(
+        "name",
+        F.round(xy["x"], 4).alias("x"),
+        F.round(xy["y"], 4).alias("y"),
+    )
+
+
+_XML_ORACLE = """
+    SELECT n_name AS name,
+           round((n_nationkey % 12) * 30.0 - 180.0 + 0.25, 4) AS x,
+           round((n_nationkey % 7) * 25.0 - 87.5 + 0.125, 4) AS y
+    FROM nation
+"""
+
 SPARK = {
     "ogr2ogr_format_chain": ogr2ogr_format_chain,
     "grid_format_chain": grid_format_chain,
+    "xml_format_roundtrip": xml_format_roundtrip,
 }
 ORACLE = {
     "ogr2ogr_format_chain": _CHAIN_ORACLE,
     "grid_format_chain": _GRID_ORACLE,
+    "xml_format_roundtrip": _XML_ORACLE,
 }
