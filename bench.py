@@ -193,8 +193,14 @@ def _cpu_calibration(nproc: int) -> float:
         f"    p=mp.Pool({nproc}); t0=time.time(); p.map(burn,range({nproc}))\n"
         "    print(time.time()-t0)\n"
     )
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
-    return float(out.stdout.strip().splitlines()[-1])
+    best = None
+    for _ in range(3):
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        )
+        sec = float(out.stdout.strip().splitlines()[-1])
+        best = sec if best is None else min(best, sec)
+    return best
 
 
 def scaling_report() -> None:
@@ -220,7 +226,11 @@ def scaling_report() -> None:
     speedup = r4n["images_per_sec"] / rn["images_per_sec"]
     efficiency = speedup / 4.0
     cal_n, cal_4n = _cpu_calibration(SCALE_N), _cpu_calibration(SCALE_4N)
-    cal_eff = (4.0 * cal_n / cal_4n) / 4.0
+    # A measured ceiling > 1.0 is physically impossible (4x the work on 4x
+    # the procs finishing faster than linear) — it means the N-proc
+    # calibration itself absorbed neighbor noise. Clamp so noise never
+    # *inflates* the normalized figure's denominator.
+    cal_eff = min(1.0, (4.0 * cal_n / cal_4n) / 4.0)
     normalized = min(1.0, efficiency / cal_eff) if cal_eff > 0 else efficiency
     from gdal_spark.session import get_session
 

@@ -665,3 +665,29 @@ def register_all(spark: SparkSession) -> None:
     # overload by arity, so they register under GDAL's own C entry names
     reg1("ST_GeodesicArea", GEOD.wkb_geodesic_area, T.DoubleType())
     reg1("ST_GeodesicLength", GEOD.wkb_geodesic_length, T.DoubleType())
+
+    # simplify / segmentize (apps/gdalalg_vector_simplify.cpp,
+    # apps/gdalalg_vector_segmentize.cpp; OGRGeometry::Simplify /
+    # SimplifyPreserveTopology / segmentize, ogr/ogrgeometry.cpp:866)
+    from gdal_spark.functions import simplify as SIMP
+
+    def reg_bin_double(name, fn):
+        @pandas_udf(T.BinaryType())
+        def udf(col: pd.Series, arg: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    None if v is None else
+                    (lambda r: None if r is None else bytearray(r))(
+                        fn(bytes(v), float(d))
+                    )
+                    for v, d in zip(col, arg)
+                ]
+            )
+        spark.udf.register(name, udf)
+
+    reg_bin_double("ST_Simplify", lambda b, t: SIMP.simplify_wkb(b, t))
+    reg_bin_double(
+        "ST_SimplifyPreserveTopology",
+        lambda b, t: SIMP.simplify_wkb(b, t, preserve=True),
+    )
+    reg_bin_double("ST_Segmentize", SIMP.segmentize_wkb)

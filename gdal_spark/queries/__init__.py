@@ -20,6 +20,7 @@ from gdal_spark.queries import (
     raster_pipeline,
     relational,
     similarity,
+    simplify_entries,
     spatial_sql,
     sql_extra,
     streaming_entries,
@@ -33,7 +34,7 @@ MODULES = [
     raster_entries, raster_pipeline, layer_algebra_entries,
     morph_entries, gridding, raster_extra, sql_extra, crs_entries,
     rat_entries, vision_entries, gti_entries, mdim_entries,
-    vector_fmt_entries, streaming_entries,
+    vector_fmt_entries, streaming_entries, simplify_entries,
 ]
 
 

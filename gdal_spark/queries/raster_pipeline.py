@@ -359,6 +359,26 @@ def raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("level", "length")
 
 
+def raster_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour -p: banded polygons of the same radial field
+    (classify -> cross-tile polygonize -> band bounds). Per-band pixel
+    totals partition the raster exactly (tests/test_contour.py)."""
+    from gdal_spark.raster.contour import contour_polygons
+
+    yy, xx = np.mgrid[0:64, 0:80].astype(np.float64)
+    g = np.hypot(xx - 40.0, yy - 32.0) + 3.0 * np.sin(xx / 7.0)
+    out = contour_polygons(spark, g, [10.0, 20.0, 30.0], tile=32)
+    return (
+        out.groupBy("band", "level_min", "level_max")
+        .agg(
+            F.count(F.lit(1)).alias("n_regions"),
+            F.sum("npix").alias("n_pix"),
+            F.round(F.sum("area"), 4).alias("band_area"),
+        )
+        .orderBy("band")
+    )
+
+
 def image_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_translate -of {BMP,PNM,GIF,GTiff,PNG}: transcode every fixture
     image through the full driver registry (functions/codecs.py DECODERS —
@@ -427,6 +447,7 @@ SPARK = {
     "zonal_pixel_stats": zonal_pixel_stats,
     "tile_pyramid_z8": tile_pyramid_z8,
     "raster_contour": raster_contour,
+    "raster_contour_polygons": raster_contour_polygons,
 }
 
 ORACLE = {

@@ -100,3 +100,47 @@ class TestOperatorOutputs:
             lines = by_level[lv]
             assert len(lines) == 1 and lines[0].closed
             assert lines[0].length == pytest.approx(expect_len, rel=0.02)
+
+
+class TestContourPolygons:
+    def test_bands_partition_the_raster(self, spark):
+        """Every pixel lands in exactly one band polygon; per-band pixel
+        counts match a numpy classification."""
+        import numpy as np
+
+        from gdal_spark.raster.contour import contour_polygons
+
+        rng = np.random.default_rng(3)
+        yy, xx = np.mgrid[0:48, 0:40]
+        grid = 50.0 + 30.0 * np.sin(xx / 7.0) * np.cos(yy / 9.0) + rng.uniform(0, 1, (48, 40))
+        levels = [30.0, 50.0, 70.0]
+        out = contour_polygons(spark, grid, levels, tile=16).collect()
+        total = sum(r["npix"] for r in out)
+        assert total == grid.size
+        want = np.bincount(
+            np.searchsorted(np.array(levels), grid, side="right").ravel(), minlength=4
+        )
+        got = np.zeros(4, dtype=int)
+        for r in out:
+            got[r["band"]] += r["npix"]
+        np.testing.assert_array_equal(got, want)
+        # band bounds attached correctly
+        for r in out:
+            if r["band"] == 0:
+                assert r["level_max"] == 30.0
+            if r["band"] == 3:
+                assert r["level_min"] == 70.0
+
+    def test_single_band_one_polygon(self, spark):
+        import numpy as np
+
+        from gdal_spark.functions import wkb as W
+        from gdal_spark.raster.contour import contour_polygons
+
+        grid = np.full((20, 30), 5.0)
+        out = contour_polygons(spark, grid, [10.0], tile=8).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["band"] == 0 and r["npix"] == 600 and r["area"] == 600.0
+        rings = W.polygon_rings(bytes(r["wkb"]))[0]
+        assert len(rings) == 1  # plain rectangle, no holes
