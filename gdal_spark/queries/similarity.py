@@ -833,9 +833,101 @@ _EMB_CLUSTERS_ORACLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Production-parameter MinHash LSH: 128 permutations, 16 bands x 8 rows
+# --------------------------------------------------------------------------
+#
+# The 4-perm / 2x2 banding above is the readable sketch demo; real corpus
+# dedup needs 100+ permutations for usable recall at ~0.8 Jaccard. Doing
+# 128 md5 calls per token would be 128x the hash cost, so this uses the
+# standard universal-hash family instead (datasketch-style): ONE md5 per
+# token folded to a 28-bit base value x, then h_j = (a_j*x + b_j) mod p
+# with p = 2^31-1 — 128 pure-arithmetic codegen columns, no extra hashing.
+# Products stay < 2^59, no BIGINT overflow in either engine.
+# Banding: each band's 8 mins fold into one key via a mod-p polynomial
+# roll; candidates equi-join on (band, key) — one explode + one shuffle,
+# the same scale shape as the embedding LSH path above.
+
+N_PERM = 128
+MH_BANDS = 16
+MH_ROWS = 8
+MH_P = 2147483647  # 2^31 - 1
+MH_FOLD = 1000003
+_MH_A = [(j * 2654435761 + 12345) % MH_P for j in range(N_PERM)]
+_MH_B = [(j * 40503 + 7) % MH_P for j in range(N_PERM)]
+assert all(a != 0 for a in _MH_A)
+
+
+def minhash128_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tok(F.col("text"))).alias("t"))
+    x = F.conv(F.substring(F.md5(F.col("t")), 1, 7), 16, 10).cast("long")
+    toks = toks.select("doc_id", x.alias("x"))
+    aggs = [
+        F.min((F.lit(_MH_A[j]) * F.col("x") + F.lit(_MH_B[j])) % F.lit(MH_P)).alias(
+            f"h{j}"
+        )
+        for j in range(N_PERM)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _mh_band_key(b: int) -> F.Column:
+    acc = F.col(f"h{8 * b}")
+    for r in range(1, MH_ROWS):
+        acc = (acc * F.lit(MH_FOLD) + F.col(f"h{8 * b + r}")) % F.lit(MH_P)
+    return acc
+
+
+def minhash128_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs at production LSH parameters (128 perms,
+    16 bands x 8 rows -> S-curve threshold ~0.77 Jaccard). One band-key
+    explode + one equi-join shuffle; AQE skew-join backstops hot buckets."""
+    sigs = minhash128_signatures(spark, sf_dir)
+    keys = F.array(*[_mh_band_key(b) for b in range(MH_BANDS)])
+    postings = sigs.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _mh128_oracle() -> str:
+    mins = ", ".join(
+        f"min(({_MH_A[j]} * x + {_MH_B[j]}) % {MH_P}) AS h{j}" for j in range(N_PERM)
+    )
+    def band_key(b):
+        expr = f"h{8 * b}"
+        for r in range(1, MH_ROWS):
+            expr = f"(({expr}) * {MH_FOLD} + h{8 * b + r}) % {MH_P}"
+        return expr
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {band_key(b)} AS bkey FROM sigs"
+        for b in range(MH_BANDS)
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(unnest(list_filter(
+                        string_split_regex(text, '\s+'), t -> t <> ''))), 1, 7))::BIGINT AS x
+            FROM documents
+        ),
+        sigs AS (SELECT doc_id, {mins} FROM toks GROUP BY doc_id),
+        bands AS ({bands})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
 SPARK = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "minhash128_lsh_pairs": minhash128_lsh_pairs,
     "simhash16": simhash16,
     "token_jaccard_pairs": token_jaccard_pairs,
     "ann_cosine_topk": ann_cosine_topk,
@@ -862,6 +954,7 @@ ORACLE = {
         )
         SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
     """,
+    "minhash128_lsh_pairs": _mh128_oracle(),
     "simhash16": _simhash_oracle(),
     "token_jaccard_pairs": _JACCARD_ORACLE,
     "ann_cosine_topk": _ANN_ORACLE,

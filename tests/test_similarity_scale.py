@@ -155,3 +155,49 @@ def test_ann_ivf_candidates_bounded(spark):
     cand = assign.join(probes, "cid").count()
     n_queries = probes.select("query_id").distinct().count()
     assert cand < 0.5 * n * n_queries  # far below all-pairs
+
+
+def test_minhash128_recall_vs_exact_jaccard(spark):
+    """Production LSH parameters (128 perms, 16 bands x 8 rows): every
+    token-set pair with exact Jaccard >= 0.9 must surface as a candidate
+    (per-pair miss probability (1-0.9^8)^16 ~ 1.2e-4)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.queries import similarity as S
+
+    docs = S.load(spark, SF, "documents").select("doc_id", "text").collect()
+    sets = {r["doc_id"]: set(r["text"].split()) for r in docs}
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = len(sets[a] | sets[b])
+            if u and len(sets[a] & sets[b]) / u >= 0.9:
+                want.add((a, b))
+    assert want, "fixture must contain >=0.9-Jaccard near-dup pairs"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in S.minhash128_lsh_pairs(spark, SF).collect()
+    }
+    assert want <= got  # full recall at 0.9; extra candidates are fine
+
+
+def test_minhash128_plan_no_cartesian(spark):
+    from gdal_spark.queries import similarity as S
+
+    df = S.minhash128_lsh_pairs(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash128_hash_family_bounds(spark):
+    """Universal-hash family stays inside [0, 2^31-1): no BIGINT overflow
+    anywhere (base x < 2^28, a_j < 2^31 -> product < 2^59)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.queries import similarity as S
+
+    sig = S.minhash128_signatures(spark, SF)
+    mx = sig.select(F.greatest(*[F.col(f"h{j}") for j in range(S.N_PERM)]).alias("m"))
+    assert mx.agg(F.max("m")).first()[0] < S.MH_P
