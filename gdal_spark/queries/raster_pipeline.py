@@ -114,6 +114,29 @@ def raster_hillshade_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.checksums(ops.dem_hillshade(imgs, azimuth=315.0, altitude=45.0))
 
 
+def raster_hillshade_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade full variant set: standard/combined/
+    multidirectional/igor x Horn/ZevenbergenThorne
+    (apps/gdaldem_lib.cpp GDALHillshadeAlg:1046, CombinedAlg:1151,
+    MultiDirectionalAlg:1255, IgorAlg:947, Gradient::calc:777).
+    Per-image checksum per (variant, alg) — pixel math is pinned by the
+    scalar-transcription goldens in tests/test_hillshade_variants.py."""
+    from gdal_spark.raster import ops
+
+    imgs = datagen.images_df(spark, 16, with_pixels=True, size_cap=96)
+    out = None
+    for variant in ("standard", "combined", "multidirectional", "igor"):
+        for alg in ("horn", "zevenbergen-thorne"):
+            cks = ops.checksums(ops.dem_hillshade_ex(imgs, variant, alg)).select(
+                "image_id",
+                F.lit(variant).alias("variant"),
+                F.lit(alg).alias("alg"),
+                F.col("cks_r").alias("cks"),
+            )
+            out = cks if out is None else out.unionByName(cks)
+    return out
+
+
 def tiff_transcode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_translate -of GTiff: transcode every image through the
     baseline TIFF codec (functions/tiff.py, frmts/gtiff parity) in all
@@ -448,6 +471,7 @@ SPARK = {
     "tile_pyramid_z8": tile_pyramid_z8,
     "raster_contour": raster_contour,
     "raster_contour_polygons": raster_contour_polygons,
+    "raster_hillshade_variants": raster_hillshade_variants,
 }
 
 ORACLE = {

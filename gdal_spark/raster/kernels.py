@@ -752,6 +752,104 @@ def roughness(dem: np.ndarray) -> np.ndarray:
     return hi - lo
 
 
+def _gdal_gradient(dem: np.ndarray, xres: float, yres: float, alg: str):
+    """Gradient<T, alg>::calc (apps/gdaldem_lib.cpp:777-806) — GDAL's own
+    sign convention: x = (west - east), scaled by 1/(8*res) for Horn and
+    1/(2*res) for ZevenbergenThorne (the reference folds the 8/2 divisor
+    into the z factor at gdaldem_lib.cpp:1196).
+    Callers pass positive pixel sizes; the reference divides by the raw
+    geotransform nsres, which is NEGATIVE for north-up rasters
+    (gdaldem_lib.cpp:1181 inv_nsres_yscale = 1/adfGeoTransform[5]) — so the
+    y term here is (north - south)/yres."""
+    w = _neighbors_3x3(dem)
+    if alg == "horn":
+        x = ((w[0] + 2 * w[3] + w[5]) - (w[2] + 2 * w[4] + w[7])) / (8.0 * xres)
+        y = ((w[0] + 2 * w[1] + w[2]) - (w[5] + 2 * w[6] + w[7])) / (8.0 * yres)
+    elif alg == "zevenbergen-thorne":
+        x = (w[3] - w[4]) / (2.0 * xres)
+        y = (w[1] - w[6]) / (2.0 * yres)
+    else:
+        raise ValueError(f"unknown gradient alg {alg}")
+    return x, y
+
+
+def _angle_diff(a: np.ndarray, b: float, norm: float) -> np.ndarray:
+    """DifferenceBetweenAngles (apps/gdaldem_lib.cpp:925-944)."""
+    d = np.abs(np.mod(a, norm) - np.mod(b, norm))
+    return np.where(d > norm * 0.5, norm - d, d)
+
+
+def hillshade_ex(
+    dem: np.ndarray, xres: float = 1.0, yres: float = 1.0,
+    azimuth: float = 315.0, altitude: float = 45.0, zfactor: float = 1.0,
+    variant: str = "standard", alg: str = "horn",
+) -> np.ndarray:
+    """gdaldem hillshade with the reference's full variant set
+    (apps/gdaldem_lib.cpp):
+
+      standard          GDALHillshadeAlg:1046 — 1 + 254*cang, 0 kept for
+                        nodata (output range 1..255)
+      combined          GDALHillshadeCombinedAlg:1151 — multiplies the
+                        acos-shade by atan(sqrt(slope)) / (pi/2)^2
+      multidirectional  GDALHillshadeMultiDirectionalAlg:1255 — USGS
+                        OF 92-422 sin^2-weighted blend of az 225/270/315/360
+      igor              GDALHillshadeIgorAlg:947 — shadow strength from
+                        slope * angular distance to the light azimuth
+
+    alg picks the gradient stencil: 'horn' or 'zevenbergen-thorne'.
+    The z factor is pre-multiplied into the DEM (identical math to the
+    reference's folded constants)."""
+    z = dem.astype(np.float64) * zfactor
+    x, y = _gdal_gradient(z, xres, yres, alg)
+    alt = np.deg2rad(altitude)
+    az = np.deg2rad(azimuth)
+    xx_plus_yy = x * x + y * y
+    if variant == "standard" or variant == "combined":
+        num = np.sin(alt) - (y * np.cos(az) * np.cos(alt) - x * np.sin(az) * np.cos(alt))
+        cang = num / np.sqrt(1.0 + xx_plus_yy)
+        if variant == "combined":
+            acang = np.arccos(np.clip(cang, -1.0, 1.0))
+            cang = 1.0 - acang * np.arctan(np.sqrt(xx_plus_yy)) * (
+                1.0 / ((np.pi * np.pi) / 4.0)
+            )
+        out = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+    elif variant == "multidirectional":
+        sin_alt_127 = 127.0 * np.sin(alt)
+        cos_alt = np.cos(alt)
+        cos225 = np.cos(np.deg2rad(225.0))  # = -sqrt(2)/2
+        v225 = np.maximum(0.0, sin_alt_127 + (x - y) * cos225 * cos_alt * 127.0)
+        v270 = np.maximum(0.0, sin_alt_127 - x * cos_alt * 127.0)
+        v315 = np.maximum(0.0, sin_alt_127 + (x + y) * cos225 * cos_alt * 127.0)
+        v360 = np.maximum(0.0, sin_alt_127 - y * cos_alt * 127.0)
+        w225 = 0.5 * xx_plus_yy - x * y
+        w270 = x * x
+        w315 = xx_plus_yy - w225
+        w360 = y * y
+        with np.errstate(invalid="ignore", divide="ignore"):
+            blend = (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360) / xx_plus_yy
+            cang127 = blend / np.sqrt(1.0 + xx_plus_yy)
+        out = np.where(xx_plus_yy == 0.0, 1.0 + 254.0 * np.sin(alt), 1.0 + cang127)
+    elif variant == "igor":
+        slope_degrees = np.degrees(np.arctan(np.sqrt(xx_plus_yy)))
+        # aspect uses the unscaled window sums with GDAL's Igor-specific
+        # signs (gdaldem_lib.cpp:983-1002)
+        w = _neighbors_3x3(z)
+        if alg == "horn":
+            dx = (w[2] + 2 * w[4] + w[7]) - (w[0] + 2 * w[3] + w[5])
+            dy2 = (w[5] + 2 * w[6] + w[7]) - (w[0] + 2 * w[1] + w[2])
+        else:
+            dx = w[4] - w[3]
+            dy2 = w[6] - w[1]
+        aspect = np.arctan2(dy2, -dx)
+        slope_strength = slope_degrees / 90.0
+        aspect_diff = _angle_diff(aspect, 1.5 * np.pi - az, 2.0 * np.pi)
+        aspect_strength = 1.0 - aspect_diff / np.pi
+        out = 255.0 * (1.0 - slope_strength * aspect_strength)
+    else:
+        raise ValueError(f"unknown hillshade variant {variant}")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def color_relief(
     dem: np.ndarray, table: list[tuple[float, int, int, int]],
     mode: str = "interpolate",

@@ -130,6 +130,20 @@ def dem_hillshade(df: DataFrame, azimuth: float = 315.0, altitude: float = 45.0,
                                                  altitude=altitude, zfactor=zfactor))
 
 
+def dem_hillshade_ex(df: DataFrame, variant: str, alg: str = "horn",
+                     azimuth: float = 315.0, altitude: float = 45.0,
+                     zfactor: float = 1.0) -> DataFrame:
+    """gdaldem hillshade -combined / -multidirectional / -igor and
+    -alg ZevenbergenThorne (apps/gdaldem_lib.cpp GDALHillshade*Alg)."""
+    from gdal_spark.raster import kernels as K
+
+    return _map_images(
+        df,
+        lambda a: K.hillshade_ex(_luma(a), azimuth=azimuth, altitude=altitude,
+                                 zfactor=zfactor, variant=variant, alg=alg),
+    )
+
+
 def dem_slope(df: DataFrame) -> DataFrame:
     from gdal_spark.raster import kernels as K
 
