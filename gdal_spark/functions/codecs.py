@@ -193,22 +193,24 @@ from gdal_spark.functions.morefmts import (  # noqa: E402
     gif_encode,
     pnm_decode,
     pnm_encode,
+    tga_decode,
+    tga_encode,
 )
 from gdal_spark.functions.tiff import tiff_decode, tiff_encode  # noqa: E402
 
 DECODERS = {
     "png": png_decode, "jpeg": jpeg_decode, "qdct": qdct_decode,
     "tiff": tiff_decode, "bmp": bmp_decode, "pnm": pnm_decode,
-    "gif": gif_decode,
+    "gif": gif_decode, "tga": tga_decode,
 }
 ENCODERS = {
     "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,
     "tiff": tiff_encode, "bmp": bmp_encode, "pnm": pnm_encode,
-    "gif": gif_encode,
+    "gif": gif_encode, "tga": tga_encode,
 }
 # gif is lossless only for <=256-color inputs; it is excluded here and its
 # contract entry asserts exactness on palette-sized fixtures instead
-LOSSLESS = {"png", "tiff", "bmp", "pnm"}
+LOSSLESS = {"png", "tiff", "bmp", "pnm", "tga"}
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

@@ -310,3 +310,85 @@ def gif_decode(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError("GIF stream contains no image frame")
+
+
+# --------------------------------------------------------------------------
+# TGA (frmts/tga/tgadataset.cpp — Truevision TARGA). The reference driver
+# is read-only; decode here covers its surface (types 1/2/10, 24/32-bit,
+# both row orders, id-field and colormap skip) and encode exists to
+# produce fixtures (type 10 RLE, 24-bit, top-down).
+# --------------------------------------------------------------------------
+
+
+def tga_encode(arr: np.ndarray) -> bytes:
+    """Type-10 (RLE truecolor) 24-bit, top-down (descriptor bit 5)."""
+    a = np.ascontiguousarray(arr[:, :, :3].astype(np.uint8))
+    h, w = a.shape[:2]
+    head = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, w, h, 24, 0x20
+    )
+    out = [head]
+    bgr = a[:, :, ::-1]
+    for row in bgr:
+        x = 0
+        while x < w:
+            # measure the run of identical pixels starting at x
+            run = 1
+            while x + run < w and run < 128 and (row[x + run] == row[x]).all():
+                run += 1
+            if run >= 2:
+                out.append(bytes([0x80 | (run - 1)]) + row[x].tobytes())
+                x += run
+            else:
+                # collect raw literals until the next >=2 run (max 128)
+                start = x
+                x += 1
+                while x < w and x - start < 128:
+                    nxt = 1
+                    while x + nxt < w and nxt < 2 and (row[x + nxt] == row[x]).all():
+                        nxt += 1
+                    if nxt >= 2:
+                        break
+                    x += 1
+                out.append(bytes([x - start - 1]) + row[start:x].tobytes())
+    return b"".join(out)
+
+
+def tga_decode(data: bytes) -> np.ndarray:
+    (id_len, cmap_type, img_type, cm_first, cm_len, cm_bits,
+     _x0, _y0, w, h, bpp, desc) = struct.unpack("<BBBHHBHHHHBB", data[:18])
+    pos = 18 + id_len
+    if cmap_type:
+        pos += cm_len * ((cm_bits + 7) // 8)
+        cmap_raw = data[18 + id_len : pos]
+    if img_type in (2, 10):  # truecolor
+        if bpp not in (24, 32):
+            raise ValueError(f"unsupported TGA bpp {bpp}")
+        nch = bpp // 8
+        if img_type == 2:
+            px = np.frombuffer(data, np.uint8, h * w * nch, pos)
+        else:
+            buf = bytearray()
+            need = h * w * nch
+            while len(buf) < need:
+                ctrl = data[pos]
+                pos += 1
+                n = (ctrl & 0x7F) + 1
+                if ctrl & 0x80:
+                    buf += data[pos : pos + nch] * n
+                    pos += nch
+                else:
+                    buf += data[pos : pos + n * nch]
+                    pos += n * nch
+            px = np.frombuffer(bytes(buf), np.uint8)
+        img = px.reshape(h, w, nch)[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
+    elif img_type == 1:  # colormapped, 8-bit indices
+        step = (cm_bits + 7) // 8
+        ct = np.frombuffer(cmap_raw, np.uint8).reshape(cm_len, step)
+        idx = np.frombuffer(data, np.uint8, h * w, pos).reshape(h, w)
+        img = ct[idx - cm_first][:, :, :3][:, :, ::-1]
+    else:
+        raise ValueError(f"unsupported TGA image type {img_type}")
+    if not (desc & 0x20):  # bottom-up unless top-down bit set
+        img = img[::-1]
+    return np.ascontiguousarray(img)

@@ -437,7 +437,7 @@ def image_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = codecs.decode_image(bytes(r.bytes), r.fmt)
                 pal = Q.median_cut_pct(arr, 256)
                 palettized = Q.apply_pct(Q.nearest_index(arr, pal), pal)
-                for fmt in ("png", "tiff", "bmp", "pnm", "gif"):
+                for fmt in ("png", "tiff", "bmp", "pnm", "gif", "tga"):
                     src = palettized if fmt == "gif" else arr
                     buf = codecs.encode_image(src, fmt)
                     back = codecs.decode_image(buf, fmt)

@@ -143,5 +143,183 @@ _SIMPLIFY_ORACLE = """
     FROM base
 """
 
-SPARK = {"vector_simplify": vector_simplify}
-ORACLE = {"vector_simplify": _SIMPLIFY_ORACLE}
+# --------------------------------------------------------------------------
+# Coverage simplification (gdal vector simplify-coverage /
+# GEOS CoverageSimplifier via apps/gdalalg_vector_simplify_coverage.cpp)
+# --------------------------------------------------------------------------
+#
+# Per nation key k: one 3-polygon noded coverage instance at x-offset
+# 100k —  A = (0,0)-(20,10) below,  B = (0,10)-(10,20) and
+# C = (10,10)-(20,20) above.  (10,10) is a T-node on A's top edge: the
+# owner pair changes {A,C} -> {A,B} there, so coverage simplify MUST keep
+# it even though it is collinear along A's edge (independent per-polygon
+# DP drops it and breaks the coverage).  The A-B shared chain carries a
+# bump vertex at (5, 10-d), d = (k%5)*0.04 (off the 0.1 knife-edge):
+# removed iff d <= 0.1, identically on BOTH sides, transferring the
+# 5d bump-triangle area from B back to A.  All unshared edges and the
+# B-C shared edge carry m-1 collinear subdivision vertices that always
+# vanish.  Everything is closed-form for the DuckDB oracle, including
+# the A+B+C = 400 conservation the naive path would violate.
+
+COV_TOL = 0.1
+
+
+def _coverage_polys(k: int):
+    from gdal_spark.functions import wkb as W
+
+    X = float(k) * 100.0
+    m = 2 + k % 3
+    d = (k % 5) * 0.04
+
+    def sub(a, b):
+        """Interior subdivision points of segment a->b (m parts), computed
+        from the lexicographically smaller endpoint so both owners of a
+        shared edge get BIT-IDENTICAL vertices (a noded coverage requires
+        exact vertex equality; 10+10*j/3 != 20-10*(m-j)/3 in floats)."""
+        lo, hi = (a, b) if a <= b else (b, a)
+        pts = [
+            (lo[0] + (hi[0] - lo[0]) * j / m, lo[1] + (hi[1] - lo[1]) * j / m)
+            for j in range(1, m)
+        ]
+        if a > b:
+            pts.reverse()
+        return pts
+
+    bump = (X + 5.0, 10.0 - d)
+    a_ring = (
+        [(X, 0.0)] + sub((X, 0.0), (X + 20.0, 0.0))
+        + [(X + 20.0, 0.0)] + sub((X + 20.0, 0.0), (X + 20.0, 10.0))
+        + [(X + 20.0, 10.0), (X + 10.0, 10.0), bump, (X, 10.0)]
+        + sub((X, 10.0), (X, 0.0))
+        + [(X, 0.0)]
+    )
+    b_ring = (
+        [(X, 10.0), bump, (X + 10.0, 10.0)]
+        + sub((X + 10.0, 10.0), (X + 10.0, 20.0))
+        + [(X + 10.0, 20.0)] + sub((X + 10.0, 20.0), (X, 20.0))
+        + [(X, 20.0)] + sub((X, 20.0), (X, 10.0))
+        + [(X, 10.0)]
+    )
+    c_ring = (
+        [(X + 10.0, 10.0), (X + 20.0, 10.0)]
+        + sub((X + 20.0, 10.0), (X + 20.0, 20.0))
+        + [(X + 20.0, 20.0)] + sub((X + 20.0, 20.0), (X + 10.0, 20.0))
+        + [(X + 10.0, 20.0)] + sub((X + 10.0, 20.0), (X + 10.0, 10.0))
+        + [(X + 10.0, 10.0)]
+    )
+    return [
+        W.write_polygon([np.array(r, dtype=np.float64)])
+        for r in (a_ring, b_ring, c_ring)
+    ]
+
+
+def coverage_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.coverage import simplify_coverage
+
+    n = load(spark, sf_dir, "nation")
+
+    fixture_schema = T.StructType(
+        [
+            T.StructField("poly_id", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("poly", T.StringType()),
+            T.StructField("wkb", T.BinaryType()),
+            T.StructField("n_in", T.IntegerType()),
+            T.StructField("area_in", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        from gdal_spark.functions import geom as G
+        from gdal_spark.functions import simplify as S
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                for i, (name, buf) in enumerate(
+                    zip("ABC", _coverage_polys(k))
+                ):
+                    rows.append(
+                        (
+                            k * 4 + i, k, name, bytearray(buf),
+                            S.n_points_wkb(buf), G.wkb_area(buf),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["poly_id", "k", "poly", "wkb", "n_in", "area_in"],
+            )
+
+    fixture = n.select("n_nationkey").mapInPandas(gen, schema=fixture_schema)
+    out = simplify_coverage(fixture.select("poly_id", "wkb"), COV_TOL)
+
+    meas_schema = T.StructType(
+        [
+            T.StructField("poly_id", T.LongType()),
+            T.StructField("n_out", T.IntegerType()),
+            T.StructField("area_out", T.DoubleType()),
+        ]
+    )
+
+    def measure(batches):
+        from gdal_spark.functions import geom as G
+        from gdal_spark.functions import simplify as S
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "poly_id": pdf["poly_id"],
+                    "n_out": [S.n_points_wkb(bytes(b)) for b in pdf["wkb"]],
+                    "area_out": [G.wkb_area(bytes(b)) for b in pdf["wkb"]],
+                }
+            )
+
+    meas = out.mapInPandas(measure, schema=meas_schema)
+    return (
+        fixture.drop("wkb")
+        .join(meas, "poly_id")
+        .select(
+            "k", "poly", "n_in", "n_out",
+            F.round("area_in", 6).alias("area_in"),
+            F.round("area_out", 6).alias("area_out"),
+        )
+    )
+
+
+_COVERAGE_ORACLE = """
+    WITH base AS (
+        SELECT n_nationkey AS k,
+               2 + (n_nationkey % 3) AS m,
+               (n_nationkey % 5) * 0.04 AS d,
+               CAST((n_nationkey % 5) >= 3 AS INT) AS kept
+        FROM nation
+    ),
+    polys AS (
+        SELECT k, 'A' AS poly,
+               7 + 3 * (m - 1) AS n_in, 6 + kept AS n_out,
+               200.0 - 5.0 * d AS area_in,
+               CASE WHEN kept = 1 THEN 200.0 - 5.0 * d ELSE 200.0 END AS area_out
+        FROM base
+        UNION ALL
+        SELECT k, 'B',
+               6 + 3 * (m - 1), 5 + kept,
+               100.0 + 5.0 * d,
+               CASE WHEN kept = 1 THEN 100.0 + 5.0 * d ELSE 100.0 END
+        FROM base
+        UNION ALL
+        SELECT k, 'C', 5 + 3 * (m - 1), 5, 100.0, 100.0 FROM base
+    )
+    SELECT k, poly, CAST(n_in AS INT) AS n_in, CAST(n_out AS INT) AS n_out,
+           round(area_in, 6) AS area_in, round(area_out, 6) AS area_out
+    FROM polys
+"""
+
+SPARK = {
+    "vector_simplify": vector_simplify,
+    "coverage_simplify": coverage_simplify,
+}
+ORACLE = {
+    "vector_simplify": _SIMPLIFY_ORACLE,
+    "coverage_simplify": _COVERAGE_ORACLE,
+}

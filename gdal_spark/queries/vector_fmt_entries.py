@@ -182,13 +182,65 @@ _XML_ORACLE = """
     FROM nation
 """
 
+def arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC / Feather v2 driver (ogr/ogrsf_frmts/arrow
+    OGRFeatherDriver): nation-derived point features written as
+    one-IPC-file-per-partition with the geoarrow.wkb column tag, read
+    back one-file-per-task; attributes and coordinates must survive
+    bit-exactly (full-precision doubles, int64, utf8)."""
+    from gdal_spark.sources import vector_formats as VF
+
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x = (k % 12).cast("double") * 30.0 - 180.0 + 0.25
+    y = (k % 7).cast("double") * 25.0 - 87.5 + 0.125
+
+    @pandas_udf(T.BinaryType())
+    def mk_point(xx: pd.Series, yy: pd.Series) -> pd.Series:
+        from gdal_spark.functions import wkb as W
+
+        return pd.Series(
+            [W.write_point(float(a), float(b)) for a, b in zip(xx, yy)]
+        )
+
+    feats = n.select(
+        k.cast("long").alias("fid"),
+        mk_point(x, y).alias("wkb"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("long").alias("rkey"),
+    )
+    root = tempfile.mkdtemp(prefix="arrow_ipc_")
+    VF.write_arrow_ipc(feats.repartition(4), os.path.join(root, "pts_arrow"))
+    back = VF.read_arrow_ipc(spark, os.path.join(root, "pts_arrow"))
+    xy = _point_xy(F.col("wkb"))
+    return back.select(
+        "fid",
+        "name",
+        "rkey",
+        F.round(xy["x"], 4).alias("x"),
+        F.round(xy["y"], 4).alias("y"),
+    )
+
+
+_ARROW_ORACLE = """
+    SELECT CAST(n_nationkey AS BIGINT) AS fid,
+           n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS rkey,
+           round((n_nationkey % 12) * 30.0 - 180.0 + 0.25, 4) AS x,
+           round((n_nationkey % 7) * 25.0 - 87.5 + 0.125, 4) AS y
+    FROM nation
+"""
+
+
 SPARK = {
     "ogr2ogr_format_chain": ogr2ogr_format_chain,
+    "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "grid_format_chain": grid_format_chain,
     "xml_format_roundtrip": xml_format_roundtrip,
 }
 ORACLE = {
     "ogr2ogr_format_chain": _CHAIN_ORACLE,
+    "arrow_ipc_roundtrip": _ARROW_ORACLE,
     "grid_format_chain": _GRID_ORACLE,
     "xml_format_roundtrip": _XML_ORACLE,
 }

@@ -832,6 +832,114 @@ def read_gpkg(
 
 
 # --------------------------------------------------------------------------
+# Arrow IPC / Feather v2 (ogr/ogrsf_frmts/arrow OGRFeatherDriver)
+# --------------------------------------------------------------------------
+#
+# GDAL's Feather driver reads/writes the Arrow IPC file format with the
+# geometry column as WKB binary carrying the geoarrow.wkb extension-name
+# metadata (GEOARROW_EXTENSION_NAME, ogrfeatherwriterdataset.cpp). The
+# engine's wire format is already WKB, so the mapping is direct: one IPC
+# file per Spark partition on write (embarrassingly parallel), one file
+# per task on read — the same splittability contract as the reference's
+# per-record-batch scan (GetArrowStream).
+
+_ARROW_GEO_META = {b"ARROW:extension:name": b"geoarrow.wkb"}
+
+
+def _arrow_to_spark_type(t) -> T.DataType:
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_integer(t):
+        return T.LongType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_floating(t):
+        return T.DoubleType()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BinaryType()
+    return T.StringType()
+
+
+def write_arrow_ipc(df: DataFrame, path: str, wkb_col: str = "wkb") -> None:
+    """Arrow IPC sink: each partition streams its rows into its own
+    .arrow file (Feather v2 layout), geometry column tagged with the
+    geoarrow.wkb extension name exactly like OGRFeatherWriter."""
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    out_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def sink(batches):
+        import pyarrow as pa
+        import pyarrow.ipc
+
+        tables = [
+            pa.Table.from_pandas(pdf, preserve_index=False) for pdf in batches
+        ]
+        n = 0
+        if tables:
+            t = pa.concat_tables(tables)
+            if wkb_col in t.column_names:
+                i = t.column_names.index(wkb_col)
+                f = t.schema.field(i).with_metadata(_ARROW_GEO_META)
+                t = t.cast(pa.schema([
+                    f if j == i else t.schema.field(j)
+                    for j in range(len(t.column_names))
+                ]))
+            fn = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+            with pa.OSFile(fn, "wb") as fh, pa.ipc.new_file(fh, t.schema) as w:
+                w.write_table(t)
+            n = t.num_rows
+        yield pd.DataFrame({"n": [n]})
+
+    # force the write to happen (count of part sizes, driver-side scalar)
+    df.mapInPandas(sink, schema=out_schema).agg({"n": "sum"}).collect()
+
+
+def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow IPC scan: footer schema read driver-side, then one file per
+    task (mapInPandas over the file list — the distributed analog of the
+    reference's per-record-batch ArrowStream read)."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".arrow")
+        )
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no .arrow files under {path}")
+    arrow_schema = pa.ipc.open_file(files[0]).schema
+    out_schema = T.StructType(
+        [
+            T.StructField(f.name, _arrow_to_spark_type(f.type))
+            for f in arrow_schema
+        ]
+    )
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+
+    def load(batches):
+        import pyarrow as pa
+        import pyarrow.ipc
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                yield pa.ipc.open_file(p).read_all().to_pandas()
+
+    return fdf.mapInPandas(load, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
 # ogr2ogr-style dispatch
 # --------------------------------------------------------------------------
 
@@ -841,6 +949,7 @@ READERS = {
     "csv": read_csv_wkt,
     "shapefile": read_shapefile,
     "gpkg": read_gpkg,
+    "arrow": read_arrow_ipc,
 }
 WRITERS = {
     "geojson": write_geojson,
@@ -848,6 +957,7 @@ WRITERS = {
     "csv": write_csv_wkt,
     "shapefile": write_shapefile,
     "gpkg": write_gpkg,
+    "arrow": write_arrow_ipc,
 }
 
 

@@ -1,0 +1,112 @@
+"""Distributed coverage simplification (operators/coverage.py) vs the
+properties GEOS CoverageSimplifier guarantees: shared boundaries simplify
+identically on both sides, junction (T-)nodes survive, area transfers
+balance. Reference: apps/gdalalg_vector_simplify_coverage.cpp."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import geom as G
+from gdal_spark.functions import simplify as S
+from gdal_spark.functions import wkb as W
+from gdal_spark.operators.coverage import simplify_coverage
+from gdal_spark.queries.simplify_entries import COV_TOL, _coverage_polys
+
+
+def _cov_df(spark, ks):
+    rows = []
+    for k in ks:
+        for i, buf in enumerate(_coverage_polys(k)):
+            rows.append((k * 4 + i, bytearray(buf)))
+    return spark.createDataFrame(rows, "poly_id: long, wkb: binary")
+
+
+def _seg_multiset(buf):
+    segs = set()
+    for poly in W.polygon_rings(bytes(buf)):
+        for ring in poly:
+            v = np.asarray(ring)
+            for i in range(len(v) - 1):
+                a, b = tuple(v[i]), tuple(v[i + 1])
+                segs.add((min(a, b), max(a, b)))
+    return segs
+
+
+class TestCoverageSimplify:
+    def test_tnode_preserved_but_naive_drops_it(self, spark):
+        out = {
+            r["poly_id"]: bytes(r["wkb"])
+            for r in simplify_coverage(_cov_df(spark, [0]), COV_TOL).collect()
+        }
+        a_simplified = out[0]
+        # coverage result keeps the T-node at (10,10): 6 ring points
+        assert S.n_points_wkb(a_simplified) == 6
+        ring = W.polygon_rings(a_simplified)[0][0]
+        assert any(tuple(v) == (10.0, 10.0) for v in ring)
+        # naive per-polygon DP on the same input drops it
+        naive = S.simplify_wkb(bytes(_coverage_polys(0)[0]), COV_TOL)
+        assert S.n_points_wkb(naive) == 5
+
+    @pytest.mark.parametrize("k", [0, 1, 3, 7, 13])
+    def test_shared_boundaries_conformal(self, spark, k):
+        """Every interior boundary segment of the simplified coverage
+        appears exactly twice (once per owner) -> no slivers or gaps."""
+        out = [
+            bytes(r["wkb"])
+            for r in simplify_coverage(_cov_df(spark, [k]), COV_TOL).collect()
+        ]
+        assert len(out) == 3
+        from collections import Counter
+
+        counts = Counter()
+        for buf in out:
+            for s in _seg_multiset(buf):
+                counts[s] += 1
+        # interior segments are exactly the doubles; they must form the
+        # A-B, A-C and B-C boundaries and nothing may appear 3+ times
+        assert max(counts.values()) == 2
+        doubles = [s for s, c in counts.items() if c == 2]
+        assert len(doubles) >= 3
+
+    def test_bump_threshold_and_area_transfer(self, spark):
+        # k=1 -> d=0.04 removed; k=4 -> d=0.16 kept
+        for k, kept in [(1, False), (4, True)]:
+            res = {
+                r["poly_id"] % 4: bytes(r["wkb"])
+                for r in simplify_coverage(_cov_df(spark, [k]), COV_TOL).collect()
+            }
+            d = (k % 5) * 0.04
+            area_a = G.wkb_area(res[0])
+            area_b = G.wkb_area(res[1])
+            if kept:
+                assert area_a == pytest.approx(200.0 - 5 * d)
+                assert area_b == pytest.approx(100.0 + 5 * d)
+            else:
+                assert area_a == pytest.approx(200.0)
+                assert area_b == pytest.approx(100.0)
+            # conservation either way
+            total = area_a + area_b + G.wkb_area(res[2])
+            assert total == pytest.approx(400.0)
+
+    def test_multiple_instances_dont_interact(self, spark):
+        out = simplify_coverage(_cov_df(spark, [0, 1, 2]), COV_TOL)
+        rows = out.collect()
+        assert len(rows) == 9
+        total = sum(G.wkb_area(bytes(r["wkb"])) for r in rows)
+        assert total == pytest.approx(3 * 400.0)
+
+    def test_island_ring_single_label(self, spark):
+        """A polygon with no neighbors (island): its whole ring is one
+        closed chain, simplified like plain ring DP, identically stable."""
+        ring = np.array(
+            [(0, 0), (2, 0), (4, 0), (4, 4), (0, 4), (0, 0)], dtype=float
+        )
+        df = spark.createDataFrame(
+            [(99, bytearray(W.write_polygon([ring])))], "poly_id: long, wkb: binary"
+        )
+        out = simplify_coverage(df, 0.1).collect()
+        assert len(out) == 1
+        got = W.polygon_rings(bytes(out[0]["wkb"]))[0][0]
+        assert len(got) == 5  # collinear midpoint removed, ring closed
+        assert G.wkb_area(bytes(out[0]["wkb"])) == pytest.approx(16.0)

@@ -139,3 +139,68 @@ def test_registry_dispatch():
         np.testing.assert_array_equal(back, arr)
     for fmt in ("bmp", "pnm"):
         assert fmt in codecs.LOSSLESS
+
+
+# ---- TGA (frmts/tga/tgadataset.cpp) --------------------------------------
+
+
+class TestTGA:
+    def test_rle_roundtrip(self):
+        import numpy as np
+
+        from gdal_spark.functions.morefmts import tga_decode, tga_encode
+
+        rng = np.random.default_rng(5)
+        for shape in [(17, 23, 3), (1, 1, 3), (64, 64, 3)]:
+            a = rng.integers(0, 256, shape, dtype=np.uint8)
+            a[::3] = a[0, 0]  # runs, to exercise both packet kinds
+            assert np.array_equal(tga_decode(tga_encode(a)), a)
+
+    def test_rle_compresses_flat(self):
+        import numpy as np
+
+        from gdal_spark.functions.morefmts import tga_decode, tga_encode
+
+        flat = np.full((32, 40, 3), 77, np.uint8)
+        buf = tga_encode(flat)
+        assert len(buf) < 32 * 40 * 3 / 10
+        assert np.array_equal(tga_decode(buf), flat)
+
+    def test_foreign_type2_bottom_up_32bit(self):
+        import struct
+
+        import numpy as np
+
+        from gdal_spark.functions.morefmts import tga_decode
+
+        rng = np.random.default_rng(6)
+        h, w = 5, 4
+        px = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        head = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 32, 0)
+        raw = head + px[::-1][:, :, [2, 1, 0, 3]].tobytes()
+        assert np.array_equal(tga_decode(raw), px[:, :, :3])
+
+    def test_foreign_type1_colormapped(self):
+        import struct
+
+        import numpy as np
+
+        from gdal_spark.functions.morefmts import tga_decode
+
+        rng = np.random.default_rng(7)
+        ct = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+        idx = rng.integers(0, 7, (6, 9), dtype=np.uint8)
+        head = struct.pack("<BBBHHBHHHHBB", 0, 1, 1, 0, 7, 24, 0, 0, 9, 6, 8, 0)
+        raw = head + ct[:, ::-1].tobytes() + idx[::-1].tobytes()
+        assert np.array_equal(tga_decode(raw), ct[idx])
+
+    def test_registry(self):
+        import numpy as np
+
+        from gdal_spark.functions import codecs
+
+        a = np.full((8, 8, 3), 9, np.uint8)
+        assert "tga" in codecs.LOSSLESS
+        assert np.array_equal(
+            codecs.decode_image(codecs.encode_image(a, "tga"), "tga"), a
+        )

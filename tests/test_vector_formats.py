@@ -225,3 +225,87 @@ def test_convert_chain(spark, feats, tmp_path):
     assert n == 40
     back = VF.read_csv_wkt(spark, str(tmp_path / "c_csv"))
     assert _collect(back) == _collect(feats)
+
+
+# ---- Arrow IPC / Feather v2 ---------------------------------------------
+
+
+def test_arrow_ipc_roundtrip(spark, feats, tmp_path):
+    p = str(tmp_path / "pts_arrow")
+    VF.write_arrow_ipc(feats.repartition(3), p)
+    parts = [f for f in os.listdir(p) if f.endswith(".arrow")]
+    assert len(parts) == 3  # one IPC file per partition
+    back = VF.read_arrow_ipc(spark, p)
+    assert _collect(back) == _collect(feats)
+
+
+def test_arrow_ipc_geo_metadata_tag(spark, feats, tmp_path):
+    """OGRFeatherWriter tags the geometry column geoarrow.wkb — foreign
+    GeoArrow readers key on that (ogr/ogrsf_frmts/arrow)."""
+    import pyarrow as pa
+
+    p = str(tmp_path / "tagged")
+    VF.write_arrow_ipc(feats.coalesce(1), p)
+    f = os.path.join(p, os.listdir(p)[0])
+    sch = pa.ipc.open_file(f).schema
+    md = sch.field("wkb").metadata
+    assert md and md[b"ARROW:extension:name"] == b"geoarrow.wkb"
+    assert pa.types.is_binary(sch.field("wkb").type) or pa.types.is_large_binary(
+        sch.field("wkb").type
+    )
+
+
+def test_arrow_ipc_single_file_read(spark, feats, tmp_path):
+    import pyarrow as pa
+
+    p = str(tmp_path / "one")
+    VF.write_arrow_ipc(feats.coalesce(1), p)
+    f = os.path.join(p, os.listdir(p)[0])
+    back = VF.read_arrow_ipc(spark, f)  # direct file path, not a dir
+    assert _collect(back) == _collect(feats)
+
+
+def test_arrow_ipc_schema_types(spark, tmp_path):
+    """int32/float32/bool survive with exact Spark type mapping."""
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    t = pa.table(
+        {
+            "fid": pa.array([1, 2], pa.int64()),
+            "i32": pa.array([7, -7], pa.int32()),
+            "f32": pa.array([0.5, 1.5], pa.float32()),
+            "flag": pa.array([True, False]),
+            "txt": pa.array(["a", "b"]),
+        }
+    )
+    os.makedirs(str(tmp_path / "mixed"))
+    fn = str(tmp_path / "mixed" / "part-0.arrow")
+    with pa.OSFile(fn, "wb") as fh, pa.ipc.new_file(fh, t.schema) as w:
+        w.write_table(t)
+    df = VF.read_arrow_ipc(spark, str(tmp_path / "mixed"))
+    types = dict(df.dtypes)
+    assert types == {
+        "fid": "bigint", "i32": "int", "f32": "float",
+        "flag": "boolean", "txt": "string",
+    }
+    assert df.count() == 2
+
+
+def test_convert_through_arrow(spark, feats, tmp_path):
+    n = VF.convert(
+        spark,
+        _write_seq_for_convert(feats, tmp_path),
+        "geojsonseq",
+        str(tmp_path / "x_arrow"),
+        "arrow",
+    )
+    assert n == 40
+    back = VF.read_arrow_ipc(spark, str(tmp_path / "x_arrow"))
+    assert back.count() == 40
+
+
+def _write_seq_for_convert(feats, tmp_path):
+    p = str(tmp_path / "seq_src")
+    VF.write_geojson_seq(feats, p)
+    return p
