@@ -267,8 +267,85 @@ def raster_band_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _imgs(spark).mapInPandas(run, _BANDALG_SCHEMA)
 
 
+_TOOLBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cks_multiply", T.IntegerType()),
+        T.StructField("cks_hsv_value", T.IntegerType()),
+        T.StructField("cks_screen", T.IntegerType()),
+        T.StructField("darken_le_base", T.BooleanType()),
+        T.StructField("collar_px", T.LongType()),
+        T.StructField("interior_kept", T.BooleanType()),
+        T.StructField("alpha_zero_px", T.LongType()),
+        T.StructField("unscale_mean", T.DoubleType()),
+    ]
+)
+
+
+def raster_toolbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal raster blend/clean-collar/nodata-to-alpha/stack/unscale`
+    (apps/gdalalg_raster_blend.h CompositionMode set,
+    apps/nearblack_lib.cpp, apps/gdalalg_raster_nodata_to_alpha.cpp):
+    per-image checksums for three blend modes over a hillshade overlay,
+    a planted near-black collar cleaned by flood fill (interior speck
+    must survive), alpha from nodata, and unscale mean. Pixel math is
+    pinned by tests/test_toolbox.py closed-form goldens."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import checksum as CK
+        from gdal_spark.functions import codecs
+        from gdal_spark.raster import kernels as K
+        from gdal_spark.raster import toolbox as TB
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(r.bytes, r.fmt)
+                luma = (
+                    0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+                    + 0.114 * arr[:, :, 2]
+                )
+                hs = K.hillshade(luma)
+                over = np.dstack([hs, hs, hs])
+                cks = {
+                    m: int(CK.checksum(TB.blend(arr, over, m)[:, :, 0]))
+                    for m in ("multiply", "hsv_value", "screen")
+                }
+                dk = TB.blend(arr, over, "darken")
+                darken_ok = bool((dk <= arr).all())
+                framed = arr.copy()
+                framed[:3, :] = 4
+                framed[:, :2] = 9
+                cy, cx = arr.shape[0] // 2, arr.shape[1] // 2
+                framed[cy, cx] = 2
+                cleaned, mask = TB.clean_collar(framed)
+                interior_kept = bool(
+                    not mask[cy, cx] and (cleaned[cy, cx] == 2).all()
+                )
+                nd = arr.copy()
+                nd[:4, :4] = 0
+                alpha = TB.nodata_to_alpha(nd, 0)
+                us = TB.unscale(arr, 0.5, 100.0)
+                rows.append(
+                    (
+                        r.image_id,
+                        cks["multiply"], cks["hsv_value"], cks["screen"],
+                        darken_ok,
+                        int(mask.sum()), interior_kept,
+                        int((alpha[:, :, 3] == 0).sum()),
+                        float(us.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _TOOLBOX_SCHEMA.fields]
+            )
+
+    return _imgs(spark).mapInPandas(run, _TOOLBOX_SCHEMA)
+
+
 SPARK = {
     "raster_band_algebra": raster_band_algebra,
+    "raster_toolbox": raster_toolbox,
     "raster_rasterize": raster_rasterize,
     "raster_histogram": raster_histogram,
     "raster_as_features": raster_as_features,
