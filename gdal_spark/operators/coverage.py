@@ -241,3 +241,126 @@ def simplify_coverage(df: DataFrame, tol: float) -> DataFrame:
         .groupBy("poly_id")
         .applyInPandas(_reassemble, schema=out_schema)
     )
+
+
+# --------------------------------------------------------------------------
+# Coverage validation (`gdal vector check-coverage` /
+# GEOS CoverageValidator via apps/gdalalg_vector_check_coverage.cpp)
+# --------------------------------------------------------------------------
+
+
+def boundary_segment_stats(df: DataFrame) -> DataFrame:
+    """Per boundary segment: how many polygons own it. In a valid noded
+    coverage every segment has 1 owner (outer boundary) or 2 (shared
+    interior boundary); >= 3 means duplicated/overlapping geometry.
+    One hash-keyed shuffle; segment explode is embarrassingly parallel."""
+    segs = df.mapInPandas(_explode_segments, schema=_SEG_SCHEMA)
+    return segs.groupBy("skey").agg(
+        F.countDistinct("poly_id").alias("n_owners"),
+        F.min("poly_id").alias("min_owner"),
+    )
+
+
+def overlap_pairs(df: DataFrame, cell: float) -> DataFrame:
+    """Pairs of polygons whose INTERIORS overlap (positive intersection
+    area) — invalid in a coverage. Candidates come from a bbox cover-cell
+    equi-join (each polygon explodes to the grid cells its bbox covers;
+    pairs sharing a cell are deduped by the reference-cell rule, no
+    dropDuplicates shuffle); the exact area uses the slab-sweep
+    inclusion-exclusion kernel, immune to shared-edge degeneracies.
+    `cell` should be on the order of a typical polygon diameter."""
+    box_schema = T.StructType(
+        [
+            T.StructField("poly_id", T.LongType()),
+            T.StructField("x0", T.DoubleType()),
+            T.StructField("y0", T.DoubleType()),
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y1", T.DoubleType()),
+        ]
+    )
+
+    def boxes(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                bx = W.bbox(bytes(r.wkb))
+                rows.append((r.poly_id, *bx))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in box_schema.fields]
+            )
+
+    bx = df.mapInPandas(boxes, schema=box_schema)
+    cells = bx.select(
+        "poly_id", "x0", "y0", "x1", "y1",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("x0") / cell), F.floor(F.col("x1") / cell)
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("y0") / cell), F.floor(F.col("y1") / cell)
+            )
+        ).alias("cy"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.poly_id") < F.col("b.poly_id"))
+            # bbox overlap test
+            & (F.col("a.x0") <= F.col("b.x1"))
+            & (F.col("b.x0") <= F.col("a.x1"))
+            & (F.col("a.y0") <= F.col("b.y1"))
+            & (F.col("b.y0") <= F.col("a.y1")),
+        )
+        # reference-cell rule: count each pair once, at the cell holding
+        # the intersection bbox's lower-left corner (no distinct shuffle)
+        .filter(
+            (F.col("a.cx") == F.floor(
+                F.greatest(F.col("a.x0"), F.col("b.x0")) / cell))
+            & (F.col("a.cy") == F.floor(
+                F.greatest(F.col("a.y0"), F.col("b.y0")) / cell))
+        )
+        .select(
+            F.col("a.poly_id").alias("poly_a"),
+            F.col("b.poly_id").alias("poly_b"),
+        )
+    )
+    wkbs_a = df.select(
+        F.col("poly_id").alias("poly_a"), F.col("wkb").alias("wkb_a")
+    )
+    wkbs_b = df.select(
+        F.col("poly_id").alias("poly_b"), F.col("wkb").alias("wkb_b")
+    )
+    paired = cand.join(wkbs_a, "poly_a").join(wkbs_b, "poly_b")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("poly_a", T.LongType()),
+            T.StructField("poly_b", T.LongType()),
+            T.StructField("inter_area", T.DoubleType()),
+        ]
+    )
+
+    def exact(batches):
+        from gdal_spark.functions import st_catalog as ST
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                area = ST._inter_area(bytes(r.wkb_a), bytes(r.wkb_b))
+                rows.append((r.poly_a, r.poly_b, float(area)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return (
+        paired.mapInPandas(exact, schema=out_schema)
+        .filter(F.col("inter_area") > 1e-9)
+    )

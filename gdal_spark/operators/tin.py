@@ -131,3 +131,90 @@ def tin_interpolate(
         )
         done |= inside
     return out
+
+
+# --------------------------------------------------------------------------
+# Concave hull (gdal vector concave-hull, apps/gdalalg_vector_concave_hull
+# -> GEOS ConcaveHullOfPoints): chi-shape erosion of the Delaunay
+# triangulation. threshold = shortest + ratio*(longest - shortest) over
+# all triangulation edges; boundary triangles whose exposed edge exceeds
+# the threshold are eaten, unless removal would pinch the shape (the
+# opposite vertex already lies on the boundary). ratio=1.0 erodes nothing
+# and returns the convex hull.
+# --------------------------------------------------------------------------
+
+
+def _edge(a: int, b: int) -> tuple[int, int]:
+    return (a, b) if a < b else (b, a)
+
+
+def concave_hull(points: np.ndarray, ratio: float) -> np.ndarray:
+    """Returns the hull ring as an (n+1, 2) closed CCW coordinate array."""
+    pts = np.asarray(points, dtype=np.float64)
+    tris = delaunay(pts)
+    if not tris:
+        raise ValueError("concave_hull needs >= 3 non-collinear points")
+    edge_tris: dict[tuple[int, int], list[tuple]] = {}
+    for t in tris:
+        for i in range(3):
+            edge_tris.setdefault(_edge(t[i], t[(i + 1) % 3]), []).append(t)
+
+    def elen(e):
+        return float(np.hypot(*(pts[e[0]] - pts[e[1]])))
+
+    lens = [elen(e) for e in edge_tris]
+    thresh = min(lens) + ratio * (max(lens) - min(lens))
+
+    alive = set(tris)
+    boundary = {e for e, ts in edge_tris.items() if len(ts) == 1}
+    bverts = {v for e in boundary for v in e}
+    import heapq
+
+    heap = [(-elen(e), e) for e in boundary]
+    heapq.heapify(heap)
+    frozen: set[tuple[int, int]] = set()
+    while heap:
+        neg, e = heapq.heappop(heap)
+        if e not in boundary or e in frozen:
+            continue
+        if -neg <= thresh:
+            break  # longest remaining boundary edge is short enough
+        ts = [t for t in edge_tris[e] if t in alive]
+        if len(ts) != 1:
+            continue
+        t = ts[0]
+        opp = next(v for v in t if v not in e)
+        if opp in bverts or len(alive) == 1:
+            frozen.add(e)  # removal would pinch or empty the shape
+            continue
+        alive.remove(t)
+        boundary.discard(e)
+        for i in range(3):
+            ne = _edge(t[i], t[(i + 1) % 3])
+            if ne == e:
+                continue
+            boundary.add(ne)
+            heapq.heappush(heap, (-elen(ne), ne))
+        bverts.add(opp)
+
+    # walk the boundary cycle
+    adj: dict[int, list[int]] = {}
+    for a, b in boundary:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    start = min(adj)
+    ring = [start]
+    prev, cur = -1, start
+    while True:
+        nxts = [v for v in adj[cur] if v != prev]
+        nxt = nxts[0] if nxts else prev
+        ring.append(nxt)
+        if nxt == start:
+            break
+        prev, cur = cur, nxt
+    coords = pts[ring]
+    # orient CCW (positive shoelace)
+    x, y = coords[:, 0], coords[:, 1]
+    if 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])) < 0:
+        coords = coords[::-1]
+    return coords

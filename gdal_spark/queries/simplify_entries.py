@@ -315,11 +315,189 @@ _COVERAGE_ORACLE = """
     FROM polys
 """
 
+# --------------------------------------------------------------------------
+# Coverage validation (gdal vector check-coverage /
+# GEOS CoverageValidator via apps/gdalalg_vector_check_coverage.cpp)
+# --------------------------------------------------------------------------
+#
+# Per nation key k: a 2x2 grid of 10x10 cells (A,B,C,D) at x-offset 200k,
+# with a planted defect by k%3 —
+#   k%3==0  valid coverage
+#   k%3==1  D shifted by (-1,-1): overlaps A (area 1), B (9), C (9);
+#           B-D and C-D edges stop being shared
+#   k%3==2  E duplicates A: two triple-owned edges, one full overlap (100)
+# Segment-ownership histogram and overlap pairs/areas are all closed-form.
+
+CHECK_CELL = 20.0
+
+
+def _check_polys(k: int):
+    from gdal_spark.functions import wkb as W
+
+    X = float(k) * 200.0
+
+    def box(x0, y0):
+        return W.write_polygon(
+            [
+                np.array(
+                    [
+                        (x0, y0), (x0 + 10.0, y0), (x0 + 10.0, y0 + 10.0),
+                        (x0, y0 + 10.0), (x0, y0),
+                    ],
+                    dtype=np.float64,
+                )
+            ]
+        )
+
+    polys = [box(X, 0.0), box(X + 10.0, 0.0), box(X, 10.0)]
+    if k % 3 == 1:
+        polys.append(box(X + 9.0, 9.0))  # shifted D
+    else:
+        polys.append(box(X + 10.0, 10.0))
+    if k % 3 == 2:
+        polys.append(box(X, 0.0))  # E = duplicate of A
+    return polys
+
+
+def coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.coverage import (
+        boundary_segment_stats,
+        overlap_pairs,
+    )
+
+    n = load(spark, sf_dir, "nation")
+
+    fx_schema = T.StructType(
+        [
+            T.StructField("poly_id", T.LongType()),
+            T.StructField("wkb", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                for i, buf in enumerate(_check_polys(k)):
+                    rows.append((k * 8 + i, bytearray(buf)))
+            yield pd.DataFrame(rows, columns=["poly_id", "wkb"])
+
+    fixture = n.select("n_nationkey").mapInPandas(gen, schema=fx_schema)
+    stats = boundary_segment_stats(fixture).withColumn(
+        "k", F.floor(F.col("min_owner") / 8)
+    )
+    seg = stats.groupBy("k").agg(
+        F.sum(F.when(F.col("n_owners") == 1, 1).otherwise(0)).alias("n_seg1"),
+        F.sum(F.when(F.col("n_owners") == 2, 1).otherwise(0)).alias("n_seg2"),
+        F.sum(F.when(F.col("n_owners") >= 3, 1).otherwise(0)).alias(
+            "n_seg_over"
+        ),
+    )
+    ov = (
+        overlap_pairs(fixture, CHECK_CELL)
+        .withColumn("k", F.floor(F.col("poly_a") / 8))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_pairs"),
+            F.round(F.sum("inter_area"), 6).alias("overlap_area"),
+        )
+    )
+    return (
+        seg.join(ov, "k", "left")
+        .fillna({"n_overlap_pairs": 0, "overlap_area": 0.0})
+        .select(
+            "k", "n_seg1", "n_seg2", "n_seg_over",
+            "n_overlap_pairs", "overlap_area",
+        )
+    )
+
+
+_CHECK_ORACLE = """
+    SELECT n_nationkey AS k,
+           CASE n_nationkey % 3 WHEN 0 THEN 8 WHEN 1 THEN 12 ELSE 6 END
+               AS n_seg1,
+           CASE n_nationkey % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 4 END
+               AS n_seg2,
+           CASE n_nationkey % 3 WHEN 2 THEN 2 ELSE 0 END AS n_seg_over,
+           CASE n_nationkey % 3 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END
+               AS n_overlap_pairs,
+           round(CASE n_nationkey % 3 WHEN 1 THEN 19.0 WHEN 2 THEN 100.0
+                 ELSE 0.0 END, 6) AS overlap_area
+    FROM nation
+"""
+
+# --------------------------------------------------------------------------
+# Concave hull (gdal vector concave-hull / GEOS ConcaveHullOfPoints)
+# --------------------------------------------------------------------------
+#
+# Fixture: per nation key, the 21-point L-grid (5x5 minus the 2x2 corner
+# block) scaled by s = 1 + k%3. ratio=1.0 -> convex hull (14 ring points,
+# area 14*s^2 — the notch is bridged by the long diagonal); ratio=0.4 ->
+# the chi-shape erodes the notch down to its sqrt(2)-diagonal corner cut
+# (16 ring points, area 12.5*s^2). Both closed-form; derivation in
+# tests/test_concave_hull.py.
+
+
+def concave_hull_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("n_pts", T.IntegerType()),
+            T.StructField("area", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        from gdal_spark.operators.tin import concave_hull
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                s = float(1 + k % 3)
+                pts = np.array(
+                    [
+                        (x, y)
+                        for x in range(5)
+                        for y in range(5)
+                        if not (x >= 3 and y >= 3)
+                    ],
+                    dtype=np.float64,
+                ) * s
+                for kind, ratio in (("convex", 1.0), ("concave", 0.4)):
+                    ring = concave_hull(pts, ratio)
+                    x, yy = ring[:, 0], ring[:, 1]
+                    area = 0.5 * abs(
+                        float(np.sum(x[:-1] * yy[1:] - x[1:] * yy[:-1]))
+                    )
+                    rows.append((k, kind, len(ring), round(area, 6)))
+            yield pd.DataFrame(rows, columns=["k", "kind", "n_pts", "area"])
+
+    return n.select("n_nationkey").mapInPandas(run, schema=schema)
+
+
+_CONCAVE_ORACLE = """
+    SELECT n_nationkey AS k, kind,
+           CASE kind WHEN 'convex' THEN 14 ELSE 16 END AS n_pts,
+           round(CASE kind WHEN 'convex' THEN 14.0 ELSE 12.5 END
+                 * (1 + n_nationkey % 3) * (1 + n_nationkey % 3), 6) AS area
+    FROM nation
+    CROSS JOIN (SELECT 'convex' AS kind UNION ALL SELECT 'concave') kinds
+"""
+
 SPARK = {
     "vector_simplify": vector_simplify,
     "coverage_simplify": coverage_simplify,
+    "coverage_check": coverage_check,
+    "vector_concave_hull": concave_hull_entry,
 }
 ORACLE = {
     "vector_simplify": _SIMPLIFY_ORACLE,
     "coverage_simplify": _COVERAGE_ORACLE,
+    "coverage_check": _CHECK_ORACLE,
+    "vector_concave_hull": _CONCAVE_ORACLE,
 }

@@ -110,3 +110,55 @@ class TestCoverageSimplify:
         got = W.polygon_rings(bytes(out[0]["wkb"]))[0][0]
         assert len(got) == 5  # collinear midpoint removed, ring closed
         assert G.wkb_area(bytes(out[0]["wkb"])) == pytest.approx(16.0)
+
+
+class TestCoverageCheck:
+    def test_planted_defects_detected(self, spark):
+        from gdal_spark.operators.coverage import (
+            boundary_segment_stats,
+            overlap_pairs,
+        )
+        from gdal_spark.queries.simplify_entries import (
+            CHECK_CELL,
+            _check_polys,
+        )
+
+        rows = []
+        for k in (0, 1, 2):
+            for i, buf in enumerate(_check_polys(k)):
+                rows.append((k * 8 + i, bytearray(buf)))
+        df = spark.createDataFrame(rows, "poly_id: long, wkb: binary")
+        stats = boundary_segment_stats(df).collect()
+        by_k = {}
+        for r in stats:
+            kk = r["min_owner"] // 8
+            by_k.setdefault(kk, []).append(r["n_owners"])
+        assert sorted(by_k[0]) == [1] * 8 + [2] * 4       # valid
+        assert sorted(by_k[1]) == [1] * 12 + [2] * 2      # shifted D
+        assert sorted(by_k[2]) == [1] * 6 + [2] * 4 + [3] * 2  # dup E
+        ov = overlap_pairs(df, CHECK_CELL).collect()
+        got = {(r["poly_a"], r["poly_b"]): round(r["inter_area"], 6) for r in ov}
+        assert got == {
+            (8, 11): 1.0, (9, 11): 9.0, (10, 11): 9.0,  # k=1 shifted D
+            (16, 20): 100.0,                             # k=2 duplicate
+        }
+
+    def test_overlap_join_no_cartesian(self, spark):
+        from gdal_spark.operators.coverage import overlap_pairs
+        from gdal_spark.queries.simplify_entries import (
+            CHECK_CELL,
+            _check_polys,
+        )
+
+        rows = [
+            (k * 8 + i, bytearray(buf))
+            for k in range(4)
+            for i, buf in enumerate(_check_polys(k))
+        ]
+        df = spark.createDataFrame(rows, "poly_id: long, wkb: binary")
+        plan = (
+            overlap_pairs(df, CHECK_CELL)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
