@@ -563,8 +563,92 @@ _TIN_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# invdistnn: IDW restricted to the nMaxPoints nearest neighbors inside the
+# search radius, ordered by SMOOTHED distance (alg/gdalgrid.cpp:242-341
+# GDALGridInverseDistanceToAPowerNearestNeighbor): w = (d2 + smoothing^2)
+# ^(-power/2); node -> nodata unless n >= nMinPoints.
+# --------------------------------------------------------------------------
+
+_NN_SMOOTH2 = 1.0  # smoothing = 1.0
+_NN_MAX = 8
+_NN_MIN = 2
+
+
+def grid_invdistnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """invdistnn, power=2 smoothing=1 max_points=8 min_points=2.
+
+    Broadcast the (small) node table against the point cloud — same shape
+    as grid_quadrant_idw; knn_join_cells is the path for large node sets.
+    """
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir)
+    qs = _queries(spark, sf_dir)
+    dx = F.col("x") - F.col("qx")
+    dy = F.col("y") - F.col("qy")
+    d2 = dx * dx + dy * dy
+    cand = (
+        pts.crossJoin(F.broadcast(qs))
+        .filter(d2 <= F.lit(RADIUS * RADIUS))
+        .select(
+            "query_id", "pt_id", "z", (d2 + F.lit(_NN_SMOOTH2)).alias("d2s")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2s").asc(), F.col("pt_id").asc()
+    )
+    kept = cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _NN_MAX
+    )
+    agg = kept.groupBy("query_id").agg(
+        (F.sum(F.col("z") / F.col("d2s")) / F.sum(F.lit(1.0) / F.col("d2s"))).alias(
+            "idw"
+        ),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    return agg.select(
+        "query_id",
+        F.round(
+            F.when(F.col("n_used") >= _NN_MIN, F.col("idw")).otherwise(
+                F.lit(-9999.0)
+            ),
+            4,
+        ).alias("idw_nn"),
+        "n_used",
+    )
+
+
+def _grid_invdistnn_oracle() -> str:
+    return f"""
+        WITH pts AS ({{pts}}), qs AS ({_QS_SQL}),
+        cand AS (
+            SELECT q.query_id, p.pt_id, p.z,
+                   (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)
+                   + {_NN_SMOOTH2!r} AS d2s
+            FROM qs q JOIN pts p
+              ON (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)
+                 <= {RADIUS * RADIUS!r}),
+        kept AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY d2s ASC, pt_id ASC) AS rk
+            FROM cand),
+        agg AS (
+            SELECT query_id,
+                   sum(z / d2s) / sum(1.0 / d2s) AS idw,
+                   count(*) AS n_used
+            FROM kept WHERE rk <= {_NN_MAX} GROUP BY query_id)
+        SELECT query_id,
+               round(CASE WHEN n_used >= {_NN_MIN} THEN idw
+                          ELSE -9999.0 END, 4) AS idw_nn,
+               n_used
+        FROM agg
+    """.format(pts=_pts_sql())
+
+
 SPARK = {
     "grid_linear_tin": grid_linear_tin,
+    "grid_invdistnn": grid_invdistnn,
     "grid_nearest": grid_nearest,
     "knn_topk_cells": knn_topk_cells,
     "grid_metrics": grid_metrics,
@@ -578,6 +662,7 @@ SPARK = {
 
 ORACLE = {
     "grid_linear_tin": _TIN_ORACLE,
+    "grid_invdistnn": _grid_invdistnn_oracle(),
     "grid_nearest": _grid_nearest_oracle(),
     "knn_topk_cells": _knn_cells_oracle(),
     "grid_metrics": _grid_metrics_oracle(),

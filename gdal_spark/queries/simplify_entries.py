@@ -489,15 +489,308 @@ _CONCAVE_ORACLE = """
     CROSS JOIN (SELECT 'convex' AS kind UNION ALL SELECT 'concave') kinds
 """
 
+# --------------------------------------------------------------------------
+# explode-collections + swap-xy (ogr2ogr -explodecollections,
+# apps/gdalalg_vector_explode_collections.cpp, gdalalg_vector_swap_xy.cpp)
+# --------------------------------------------------------------------------
+#
+# Per nation key: a multipolygon of p = 2 + k%2 square parts, part j a
+# (2+j)x(2+j) square at (100k + 30j, 10j). Explode to parts, swap x/y,
+# report per-part area and the swapped bbox corner — all closed-form.
+
+
+def vector_explode_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.operators.vectorops import explode_collections, swap_xy
+
+    n = load(spark, sf_dir, "nation")
+
+    fx_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("wkb", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        from gdal_spark.functions import wkb as W
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                polys = []
+                for j in range(2 + k % 2):
+                    x0, y0 = k * 100.0 + 30.0 * j, 10.0 * j
+                    s = 2.0 + j
+                    polys.append(
+                        [
+                            np.array(
+                                [
+                                    (x0, y0), (x0 + s, y0), (x0 + s, y0 + s),
+                                    (x0, y0 + s), (x0, y0),
+                                ],
+                                dtype=np.float64,
+                            )
+                        ]
+                    )
+                rows.append((k, bytearray(W.write_multipolygon(polys))))
+            yield pd.DataFrame(rows, columns=["k", "wkb"])
+
+    fixture = n.select("n_nationkey").mapInPandas(gen, schema=fx_schema)
+    parts = swap_xy(explode_collections(fixture))
+
+    meas_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part_idx", T.IntegerType()),
+            T.StructField("area", T.DoubleType()),
+            T.StructField("sx", T.DoubleType()),
+            T.StructField("sy", T.DoubleType()),
+        ]
+    )
+
+    def measure(batches):
+        from gdal_spark.functions import geom as G
+        from gdal_spark.functions import wkb as W
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = bytes(r.wkb)
+                x0, y0, _, _ = W.bbox(buf)
+                rows.append(
+                    (r.k, r.part_idx, round(G.wkb_area(buf), 6), x0, y0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["k", "part_idx", "area", "sx", "sy"]
+            )
+
+    return parts.mapInPandas(measure, schema=meas_schema)
+
+
+_EXPLODE_ORACLE = """
+    SELECT n_nationkey AS k, j AS part_idx,
+           round((2.0 + j) * (2.0 + j), 6) AS area,
+           10.0 * j AS sx,
+           n_nationkey * 100.0 + 30.0 * j AS sy
+    FROM nation
+    CROSS JOIN (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2) parts
+    WHERE j < 2 + n_nationkey % 2
+"""
+
+# --------------------------------------------------------------------------
+# clean-coverage (apps/gdalalg_vector_clean_coverage.cpp, GEOS
+# CoverageCleaner with snapping-distance + min-index overlap merge)
+# --------------------------------------------------------------------------
+#
+# Fixture: nation k -> 10x10 square at (8k, 0.5k): every square overlaps
+# its right neighbor in a 2 x 9.5 rectangle, and the 0.5 vertical stagger
+# makes every boundary intersection a PROPER crossing (collinear shared
+# edges are a documented degeneracy of the GH clipping kernel). All
+# coords are jittered by 0.002 * ((k % 3) - 1) so the snap stage
+# (tol 0.01, which divides 0.5) must recover the exact grid first.
+# min-index: k keeps the overlap, k+1 loses a 2 x 9.5 bottom-left notch.
+# Closed-form: area = 100 - 19*(k>0); the notch leaves the top strip, so
+# bbox xmin stays 8k and ymin stays 0.5k.
+
+
+def coverage_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import geom as G
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.operators.coverage import clean_coverage
+
+    n = load(spark, sf_dir, "nation")
+
+    fx_schema = T.StructType(
+        [
+            T.StructField("poly_id", T.LongType()),
+            T.StructField("wkb", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                j = 0.002 * ((k % 3) - 1)
+                x0, y0, s = k * 8.0 + j, 0.5 * k + j, 10.0
+                ring = np.array(
+                    [
+                        (x0, y0), (x0 + s, y0), (x0 + s, y0 + s),
+                        (x0, y0 + s), (x0, y0),
+                    ],
+                    dtype=np.float64,
+                )
+                rows.append((k, bytearray(W.write_polygon([ring]))))
+            yield pd.DataFrame(rows, columns=["poly_id", "wkb"])
+
+    fixture = n.select("n_nationkey").mapInPandas(gen, schema=fx_schema)
+    cleaned = clean_coverage(fixture, snap_tol=0.01, cell=16.0)
+
+    meas_schema = T.StructType(
+        [
+            T.StructField("poly_id", T.LongType()),
+            T.StructField("area", T.DoubleType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+        ]
+    )
+
+    def measure(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = bytes(r.wkb)
+                x0, y0, _, _ = W.bbox(buf)
+                rows.append(
+                    (r.poly_id, round(G.wkb_area(buf), 6), x0, y0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "area", "xmin", "ymin"]
+            )
+
+    return cleaned.mapInPandas(measure, schema=meas_schema)
+
+
+_CLEAN_ORACLE = """
+    SELECT n_nationkey AS poly_id,
+           CASE WHEN n_nationkey = 0 THEN 100.0 ELSE 81.0 END AS area,
+           n_nationkey * 8.0 AS xmin,
+           n_nationkey * 0.5 AS ymin
+    FROM nation
+"""
+
+# --------------------------------------------------------------------------
+# make-point + check-geometry (apps/gdalalg_vector_make_point.cpp,
+# apps/gdalalg_vector_check_geometry.cpp)
+# --------------------------------------------------------------------------
+#
+# make-point: points from supplier coords, roundtripped back out of the WKB.
+# check-geometry: per nation key k, k%3 selects the fixture defect —
+#   0: bowtie quad (proper self-intersection at the square center)
+#   1: square with one repeated consecutive vertex
+#   2: valid square
+# include_valid=True keeps valid rows with NULL error, so the row count is
+# deterministic and the oracle is a closed-form CASE on k%3.
+
+
+def vector_make_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.operators.vectorops import make_point
+
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("fid"),
+        ((F.col("s_suppkey") % 360) - 180).cast("double").alias("px"),
+        ((F.col("s_suppkey") % 170) - 85).cast("double").alias("py"),
+    )
+    pts = make_point(s, "px", "py").drop("px", "py")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("fid", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t, p = W.parse(bytes(r.wkb))
+                assert t == W.WKB_POINT
+                rows.append((r.fid, float(p[0]), float(p[1])))
+            yield pd.DataFrame(rows, columns=["fid", "x", "y"])
+
+    return pts.mapInPandas(roundtrip, schema=out_schema)
+
+
+_MAKE_POINT_ORACLE = """
+    SELECT s_suppkey AS fid,
+           cast(s_suppkey % 360 - 180 AS double) AS x,
+           cast(s_suppkey % 170 - 85 AS double) AS y
+    FROM supplier
+"""
+
+
+def vector_check_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.operators.vectorops import check_geometry
+
+    n = load(spark, sf_dir, "nation")
+
+    fx_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("wkb", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                x0 = k * 100.0
+                if k % 3 == 0:  # bowtie: crosses at (x0+1, 1)
+                    ring = [(x0, 0.0), (x0 + 2, 2.0), (x0 + 2, 0.0),
+                            (x0, 2.0), (x0, 0.0)]
+                elif k % 3 == 1:  # repeated consecutive vertex at (x0+2, 0)
+                    ring = [(x0, 0.0), (x0 + 2, 0.0), (x0 + 2, 0.0),
+                            (x0 + 2, 2.0), (x0, 2.0), (x0, 0.0)]
+                else:  # valid square
+                    ring = [(x0, 0.0), (x0 + 2, 0.0), (x0 + 2, 2.0),
+                            (x0, 2.0), (x0, 0.0)]
+                buf = W.write_polygon([np.array(ring, dtype=np.float64)])
+                rows.append((k, bytearray(buf)))
+            yield pd.DataFrame(rows, columns=["k", "wkb"])
+
+    fixture = n.select("n_nationkey").mapInPandas(gen, schema=fx_schema)
+    checked = check_geometry(fixture, include_valid=True)
+    # sentinel instead of NULL so both engines hash identical values
+    return checked.select(
+        "k",
+        F.coalesce("error", F.lit("valid")).alias("error"),
+        F.coalesce("err_x", F.lit(-1.0)).alias("err_x"),
+        F.coalesce("err_y", F.lit(-1.0)).alias("err_y"),
+    )
+
+
+_CHECK_GEOM_ORACLE = """
+    SELECT n_nationkey AS k,
+           CASE n_nationkey % 3
+                WHEN 0 THEN 'self-intersection'
+                WHEN 1 THEN 'repeated point'
+                ELSE 'valid' END AS error,
+           CASE n_nationkey % 3
+                WHEN 0 THEN n_nationkey * 100.0 + 1.0
+                WHEN 1 THEN n_nationkey * 100.0 + 2.0
+                ELSE -1.0 END AS err_x,
+           CASE n_nationkey % 3
+                WHEN 0 THEN 1.0
+                WHEN 1 THEN 0.0
+                ELSE -1.0 END AS err_y
+    FROM nation
+"""
+
 SPARK = {
     "vector_simplify": vector_simplify,
+    "coverage_clean": coverage_clean,
+    "vector_make_point": vector_make_point,
+    "vector_check_geometry": vector_check_geometry,
     "coverage_simplify": coverage_simplify,
     "coverage_check": coverage_check,
     "vector_concave_hull": concave_hull_entry,
+    "vector_explode_swap": vector_explode_swap,
 }
 ORACLE = {
     "vector_simplify": _SIMPLIFY_ORACLE,
+    "coverage_clean": _CLEAN_ORACLE,
+    "vector_make_point": _MAKE_POINT_ORACLE,
+    "vector_check_geometry": _CHECK_GEOM_ORACLE,
     "coverage_simplify": _COVERAGE_ORACLE,
     "coverage_check": _CHECK_ORACLE,
     "vector_concave_hull": _CONCAVE_ORACLE,
+    "vector_explode_swap": _EXPLODE_ORACLE,
 }

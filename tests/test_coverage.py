@@ -162,3 +162,53 @@ class TestCoverageCheck:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------------------------------
+# clean_coverage (gdalalg_vector_clean_coverage.cpp / GEOS CoverageCleaner)
+# ----------------------------------------------------------------------------
+
+
+def _sq(x0, y0, s):
+    import numpy as np
+
+    return np.array(
+        [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)],
+        dtype=np.float64,
+    )
+
+
+def test_clean_coverage_min_index(spark):
+    from pyspark.sql import types as T
+
+    from gdal_spark.functions import geom as G
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.operators.coverage import clean_coverage
+
+    schema = T.StructType(
+        [
+            T.StructField("poly_id", T.LongType()),
+            T.StructField("wkb", T.BinaryType()),
+        ]
+    )
+    rows = [
+        # 0 and 1 overlap in a 2 x 9.5 staggered notch; 2 is disjoint;
+        # 3 sits entirely inside 0 -> fully ceded and dropped
+        (0, bytearray(W.write_polygon([_sq(0.001, 0.001, 10)]))),
+        (1, bytearray(W.write_polygon([_sq(8, 0.5, 10)]))),
+        (2, bytearray(W.write_polygon([_sq(100, 0, 5)]))),
+        (3, bytearray(W.write_polygon([_sq(2, 2, 3)]))),
+    ]
+    df = spark.createDataFrame(rows, schema=schema)
+    out = (
+        clean_coverage(df, snap_tol=0.01, cell=16.0)
+        .toPandas()
+        .set_index("poly_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 2]  # 3 fully ceded
+    areas = {i: G.wkb_area(bytes(out.loc[i, "wkb"])) for i in out.index}
+    assert abs(areas[0] - 100.0) < 1e-9  # snap removed the 0.001 jitter
+    assert abs(areas[1] - 81.0) < 1e-9  # lost the 2 x 9.5 notch
+    assert abs(areas[2] - 25.0) < 1e-9
+    assert W.bbox(bytes(out.loc[0, "wkb"]))[0] == 0.0
