@@ -252,15 +252,14 @@ def _centroid(buf: bytes) -> bytes:
     return W.write_point(cx / aa, cy / aa)
 
 
-def _buffer(buf: bytes, dist: float, n: int = 32) -> bytes:
-    """Point buffer -> n-gon (the tiling engine's only buffer need;
-    GDAL: OGRGeometry::Buffer ogrgeometry.cpp:4949)."""
-    t, p = W.parse(buf)
-    if t != W.WKB_POINT:
-        raise ValueError("ST_Buffer supports point geometries in this engine")
-    ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
-    ring = np.column_stack([p[0] + dist * np.cos(ang), p[1] + dist * np.sin(ang)])
-    return W.write_polygon([ring])
+def _buffer(buf: bytes, dist: float, quadsegs: int = 8) -> bytes | None:
+    """OGRGeometry::Buffer (ogrgeometry.cpp:4949 -> GEOS Buffer) with the
+    GEOS quadsegs arc convention: points (disc), 2-point lines (capsule),
+    convex polygons (positive = edges+arcs, negative = half-plane erosion);
+    see functions/buffer.py for the documented concave deviation."""
+    from gdal_spark.functions import buffer as B
+
+    return B.buffer_wkb(buf, dist, quadsegs)
 
 
 def _transform(buf: bytes, src: int, dst: int) -> bytes:
@@ -610,10 +609,13 @@ def register_all(spark: SparkSession) -> None:
 
     @pandas_udf(T.BinaryType())
     def buffer_udf(col: pd.Series, dist: pd.Series) -> pd.Series:
-        return pd.Series(
-            [None if v is None else bytearray(_buffer(bytes(v), float(d)))
-             for v, d in zip(col, dist)]
-        )
+        def one(v, d):
+            if v is None:
+                return None
+            out = _buffer(bytes(v), float(d))
+            return None if out is None else bytearray(out)
+
+        return pd.Series([one(v, d) for v, d in zip(col, dist)])
     spark.udf.register("ST_Buffer", buffer_udf)
 
     @pandas_udf(T.BinaryType())

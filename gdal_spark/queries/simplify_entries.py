@@ -774,8 +774,103 @@ _CHECK_GEOM_ORACLE = """
     FROM nation
 """
 
+# --------------------------------------------------------------------------
+# buffer (apps/gdalalg_vector_buffer.cpp, OGRGeometry::Buffer -> GEOS
+# Buffer with quadsegs=8 arc discretization, vertices ON the circle)
+# --------------------------------------------------------------------------
+#
+# Per nation k and four geometry kinds, every output is closed-form:
+#   poly+  square side s=4+k%3, d=1+(k%2)*0.5: area = s^2 + 4sd + C(d),
+#          37 ring points (4 corner arcs x 9 + closure)
+#   poly-  same square, -1: area (s-2)^2, 5 points
+#   point  disc: area C(d), 33 points
+#   line   capsule over a 6-long segment: area 12d + C(d), 35 points
+# where C(d) = (d^2/2) * 32 * sin(pi/16) is the discretized full circle.
+
+_QUADSEGS = 8
+
+
+def vector_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import buffer as B
+    from gdal_spark.functions import geom as G
+    from gdal_spark.functions import simplify as SIMP
+    from gdal_spark.functions import wkb as W
+
+    n = load(spark, sf_dir, "nation")
+    kinds = spark.createDataFrame(
+        [("poly_pos",), ("poly_neg",), ("point",), ("line",)], "kind string"
+    )
+    base = n.select(F.col("n_nationkey").alias("k")).crossJoin(kinds)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("area", T.DoubleType()),
+            T.StructField("npts", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                k = int(r.k)
+                x0 = k * 40.0
+                s = 4.0 + k % 3
+                d = 1.0 + (k % 2) * 0.5
+                if r.kind in ("poly_pos", "poly_neg"):
+                    ring = np.array(
+                        [(x0, 0.0), (x0 + s, 0.0), (x0 + s, s), (x0, s), (x0, 0.0)],
+                        dtype=np.float64,
+                    )
+                    g = W.write_polygon([ring])
+                    dist = d if r.kind == "poly_pos" else -1.0
+                elif r.kind == "point":
+                    g = W.write_point(x0, 20.0)
+                    dist = d
+                else:
+                    g = W.write_linestring(
+                        np.array([(x0, 30.0), (x0 + 6.0, 30.0)], dtype=np.float64)
+                    )
+                    dist = d
+                buf = B.buffer_wkb(g, dist, _QUADSEGS)
+                rows.append(
+                    (
+                        k,
+                        r.kind,
+                        round(G.wkb_area(buf), 6),
+                        SIMP.n_points_wkb(buf),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["k", "kind", "area", "npts"])
+
+    return base.mapInPandas(run, schema=out_schema)
+
+
+_BUFFER_ORACLE = """
+    WITH base AS (
+        SELECT n_nationkey AS k, kind,
+               4.0 + n_nationkey % 3 AS s,
+               1.0 + (n_nationkey % 2) * 0.5 AS d
+        FROM nation
+        CROSS JOIN (SELECT 'poly_pos' AS kind UNION ALL SELECT 'poly_neg'
+                    UNION ALL SELECT 'point' UNION ALL SELECT 'line') kinds
+    )
+    SELECT k, kind,
+           round(CASE kind
+                 WHEN 'poly_pos' THEN s*s + 4*s*d + d*d/2*32*sin(pi()/16)
+                 WHEN 'poly_neg' THEN (s-2)*(s-2)
+                 WHEN 'point'    THEN d*d/2*32*sin(pi()/16)
+                 ELSE 12.0*d + d*d/2*32*sin(pi()/16) END, 6) AS area,
+           CAST(CASE kind WHEN 'poly_pos' THEN 37 WHEN 'poly_neg' THEN 5
+                          WHEN 'point' THEN 33 ELSE 35 END AS INT) AS npts
+    FROM base
+"""
+
 SPARK = {
     "vector_simplify": vector_simplify,
+    "vector_buffer": vector_buffer,
     "coverage_clean": coverage_clean,
     "vector_make_point": vector_make_point,
     "vector_check_geometry": vector_check_geometry,
@@ -786,6 +881,7 @@ SPARK = {
 }
 ORACLE = {
     "vector_simplify": _SIMPLIFY_ORACLE,
+    "vector_buffer": _BUFFER_ORACLE,
     "coverage_clean": _CLEAN_ORACLE,
     "vector_make_point": _MAKE_POINT_ORACLE,
     "vector_check_geometry": _CHECK_GEOM_ORACLE,

@@ -81,8 +81,14 @@ class TestScalarKernels:
         assert (x2, y2) == pytest.approx((2.3522, 48.8566), rel=1e-9)
 
     def test_buffer_area(self):
-        c = ST._buffer(W.write_point(1, 1), 2.0, n=256)
+        c = ST._buffer(W.write_point(1, 1), 2.0, quadsegs=64)
         assert G.wkb_area(c) == pytest.approx(np.pi * 4, rel=1e-3)
+        # polygon dilation / erosion (post point-only upgrade)
+        sq = W.write_polygon(
+            [np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], float)]
+        )
+        assert G.wkb_area(ST._buffer(sq, -1.0)) == pytest.approx(4.0)
+        assert G.wkb_area(ST._buffer(sq, 1.0)) > 16 + 16
 
 
 class TestSqlLevel:
