@@ -797,10 +797,12 @@ def vector_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_spark.functions import wkb as W
 
     n = load(spark, sf_dir, "nation")
-    kinds = spark.createDataFrame(
-        [("poly_pos",), ("poly_neg",), ("point",), ("line",)], "kind string"
+    base = n.select(
+        F.col("n_nationkey").alias("k"),
+        F.explode(
+            F.array(*[F.lit(x) for x in ("poly_pos", "poly_neg", "point", "line")])
+        ).alias("kind"),
     )
-    base = n.select(F.col("n_nationkey").alias("k")).crossJoin(kinds)
 
     out_schema = T.StructType(
         [
