@@ -29,6 +29,7 @@ T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 27
 T_PLANAR, T_PREDICTOR = 284, 317
 T_TILE_W, T_TILE_L, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_PIXEL_SCALE, T_TIEPOINT, T_GEOKEYS = 33550, 33922, 34735
+T_GDAL_NODATA = 42113  # ASCII nodata value (GDAL extension tag)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
@@ -298,6 +299,11 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
         meta["geotransform"] = (x - i * sx, sx, 0.0, y_ + j * sy, 0.0, -sy)
     if T_GEOKEYS in tags:
         meta["geokeys"] = tags[T_GEOKEYS][1]
+    if T_GDAL_NODATA in tags:
+        try:
+            meta["nodata"] = float(tags[T_GDAL_NODATA][1][0])
+        except (TypeError, ValueError):
+            pass
     arr = out[:, :, 0] if spp == 1 else out
     return arr, meta
 

@@ -19,9 +19,10 @@ below use standard published algorithms restated in numpy):
 * sieve: GDALSieveFilter (alg/gdalsievefilter.cpp:178) — remove connected
   components smaller than a size threshold by merging each into its
   largest neighboring component (4- or 8-connected).
-* fillnodata: GDALFillNodata (alg/rasterfill.cpp:394) — inverse-distance
-  interpolation of nodata holes from nearby valid pixels found by
-  directional scanline search within max_search_dist.
+* fillnodata: GDALFillNodata (alg/rasterfill.cpp:396) — exact port:
+  column-carry passes + per-pixel quadrant-nearest search, 1/distance
+  weighting, optional NEAREST mode, NODATA exclusion and 3x3 masked
+  smoothing iterations (GDALMultiFilter).
 * focal stats: `gdal raster neighbors` (apps/gdalalg_raster_neighbors.cpp:
   34-58,207) — sliding-window mean/sum/min/max/stddev/median/mode and
   named convolution kernels; edges handled by window shrink (only in-image
@@ -103,51 +104,150 @@ def proximity(
     return d
 
 
+def compute_proximity(
+    src: np.ndarray,
+    values: list[int] | None = None,
+    max_dist: float | None = None,
+    nodata: float | None = None,
+    use_input_nodata: bool = False,
+    src_nodata: float | None = None,
+    fixed_buf_val: float | None = None,
+    dist_mult: float = 1.0,
+) -> np.ndarray:
+    """GDALComputeProximity option semantics (alg/gdalproximity.cpp:100-230)
+    over the exact-EDT kernel:
+
+    * target = nonzero pixels, or membership in ``values``;
+    * MAXDIST default = width + height; distances beyond it -> NODATA
+      (default 65535.0);
+    * USE_INPUT_NODATA: source-nodata pixels -> NODATA regardless;
+    * FIXED_BUF_VAL replaces every in-buffer distance > 0 (targets stay 0);
+    * DISTUNITS=GEO == dist_mult = |pixel size|.
+
+    The reference's two-pass dead-reckoning sweep can overestimate rare
+    distances; this exact-EDT form is verified bit-equal to the reference
+    on its own autotest fixtures (autotest/alg/proximity.py, all three
+    checksums) in tests/test_autotest_parity.py.
+    """
+    h, w = src.shape
+    maxd = float(max_dist) if max_dist is not None else float(w + h)
+    nod = float(nodata) if nodata is not None else 65535.0
+    target = (src != 0) if values is None else np.isin(src, values)
+    d = proximity(target)
+    out = np.where(d <= maxd, d * dist_mult, np.float64(nod))
+    if fixed_buf_val is not None:
+        out = np.where((d <= maxd) & (d > 0), float(fixed_buf_val), out)
+    if use_input_nodata and src_nodata is not None:
+        # target pixels keep 0 even when src==nodata (the reference's write
+        # guard only gates non-target updates)
+        out = np.where((src == src_nodata) & ~target, nod, out)
+    return out.astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Sieve filter
 # ---------------------------------------------------------------------------
 
 
-def sieve(values: np.ndarray, threshold: int, connect: int = 4) -> np.ndarray:
-    """Replace every connected component smaller than ``threshold`` pixels
-    with the value of its largest neighboring component
-    (GDALSieveFilter, alg/gdalsievefilter.cpp:178)."""
+def sieve(
+    values: np.ndarray,
+    threshold: int,
+    connect: int = 4,
+    mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """GDALSieveFilter (alg/gdalsievefilter.cpp:178) — exact semantics:
+
+    1. label equal-value components at the given connectedness;
+    2. every polygon tracks its single BIGGEST neighbour — scanning
+       comparisons in GDAL's pixel order (up / up-left / up-right when
+       8-connected / left), updated only on strictly-larger size, so the
+       first maximal-size neighbour in scan order wins ties
+       (CompareNeighbour, :94-126);
+    3. each small (< threshold) polygon walks the biggest-neighbour chain
+       until a polygon >= threshold (cycle-guarded); unreachable ->
+       unmergeable, left as-is (:466-541);
+    4. one rewrite pass — no fixed-point iteration.
+
+    Verified against the reference autotest checksums
+    (autotest/alg/sieve.py) in tests/test_autotest_parity.py.
+    """
     from gdal_spark.raster.kernels import label_components
 
+    h, w = values.shape
+    labels = label_components(values, connect=connect, mask=mask)
+    nlab = int(labels.max()) + 1 if labels.size else 0
+    if nlab == 0:
+        return values.copy()
+    valid = labels >= 0
+    sizes = np.bincount(labels[valid].ravel(), minlength=nlab)
+
+    # neighbour comparisons in GDAL scan order. CompareNeighbour updates
+    # BOTH sides, so emit each ordered pair twice (p,q) and (q,p).
+    # Per pixel (y, x), comparisons happen in code order: up, up-left,
+    # up-right (8-conn only), left — encode that as an explicit sequence
+    # index so strictly-larger-wins ties resolve exactly like GDAL.
+    ps, qs, seqs = [], [], []
+    seq_base = np.arange(h * w, dtype=np.int64).reshape(h, w) * 4
+
+    def emit_seq(a, b, sl, fam):
+        m = (a != b) & (a >= 0) & (b >= 0)
+        ps.append(a[m].ravel())
+        qs.append(b[m].ravel())
+        seqs.append((seq_base[sl] + fam)[m].ravel())
+
+    emit_seq(labels[1:, :], labels[:-1, :], np.s_[1:, :], 0)  # up
+    if connect == 8:
+        emit_seq(labels[1:, 1:], labels[:-1, :-1], np.s_[1:, 1:], 1)  # up-left
+        emit_seq(labels[1:, :-1], labels[:-1, 1:], np.s_[1:, :-1], 2)  # up-right
+    emit_seq(labels[:, 1:], labels[:, :-1], np.s_[:, 1:], 3)  # left
+
+    if ps:
+        p_all = np.concatenate(ps + qs)
+        q_all = np.concatenate(qs + ps)
+        s_all = np.concatenate(seqs + seqs)
+    else:
+        p_all = q_all = s_all = np.empty(0, dtype=np.int64)
+
+    big = np.full(nlab, -1, dtype=np.int64)
+    if len(p_all):
+        # winner per p: max neighbour size, earliest comparison among ties
+        order = np.lexsort((s_all, -sizes[q_all], p_all))
+        p_sorted = p_all[order]
+        first = np.ones(len(p_sorted), dtype=bool)
+        first[1:] = p_sorted[1:] != p_sorted[:-1]
+        big[p_sorted[first]] = q_all[order][first]
+
+    # chain walk for small polygons
+    final = np.arange(nlab, dtype=np.int64)
+    for poly in range(nlab):
+        if sizes[poly] >= threshold:
+            continue
+        seen = {poly}
+        cur = int(poly)
+        found = -1
+        while True:
+            cur = int(big[cur])
+            if cur < 0 or cur in seen:
+                break
+            if sizes[cur] >= threshold:
+                found = cur
+                break
+            seen.add(cur)
+        if found >= 0:
+            final[poly] = found
+
+    # one rewrite pass: replace each small polygon by its final value
+    flat_lab = labels.ravel()
+    vidx = np.flatnonzero(valid.ravel())
+    # first pixel of each label (value is constant per label)
+    first_idx = np.full(nlab, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_idx, flat_lab[vidx], vidx)
+    val_of = values.ravel()[np.clip(first_idx, 0, values.size - 1)]
     out = values.copy()
-    # iterate: merging can create new merge candidates (GDAL's merge list
-    # reprocessing loop has the same fixed-point behavior)
-    for _ in range(64):
-        labels = label_components(out, connect=connect)
-        ids, sizes = np.unique(labels, return_counts=True)
-        size_of = dict(zip(ids.tolist(), sizes.tolist()))
-        small = [i for i, s in zip(ids.tolist(), sizes.tolist()) if s < threshold]
-        if not small:
-            break
-        # neighbor pairs across horizontal and vertical pixel edges
-        pairs = set()
-        a, b = labels[:, :-1], labels[:, 1:]
-        m = a != b
-        pairs.update(zip(a[m].tolist(), b[m].tolist()))
-        a, b = labels[:-1, :], labels[1:, :]
-        m = a != b
-        pairs.update(zip(a[m].tolist(), b[m].tolist()))
-        nbrs: dict[int, set[int]] = {}
-        for p, q in pairs:
-            nbrs.setdefault(p, set()).add(q)
-            nbrs.setdefault(q, set()).add(p)
-        changed = False
-        for lab in sorted(small, key=lambda i: size_of[i]):
-            cand = nbrs.get(lab, set())
-            if not cand:
-                continue
-            best = max(cand, key=lambda i: (size_of[i], -i))
-            mask = labels == lab
-            out[mask] = out[labels == best].flat[0]
-            changed = True
-        if not changed:
-            break
-    return out
+    remap = val_of[final]
+    out_flat = out.ravel()
+    out_flat[vidx] = remap[flat_lab[vidx]]
+    return out_flat.reshape(h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -156,70 +256,135 @@ def sieve(values: np.ndarray, threshold: int, connect: int = 4) -> np.ndarray:
 
 
 def fillnodata(
-    arr: np.ndarray, valid: np.ndarray, max_search_dist: int = 100
+    arr: np.ndarray,
+    valid: np.ndarray,
+    max_search_dist: float = 100,
+    smoothing_iterations: int = 0,
+    nearest: bool = False,
+    nodata: float | None = None,
 ) -> np.ndarray:
-    """Fill pixels where ``valid`` is False by inverse-distance weighting
-    of the nearest valid pixel found in each of 8 scan directions within
-    ``max_search_dist`` (GDALFillNodata semantics, alg/rasterfill.cpp:394:
-    four-direction nearest-valid search + 3/4-power IDW; we use the 8
-    axis/diagonal directions and power-1 IDW — documented deviation, the
-    hole interiors differ only in smoothness, not coverage)."""
-    h, w = arr.shape[:2]
-    out = arr.astype(np.float64).copy()
-    vals = np.zeros((8, h, w))
-    dists = np.full((8, h, w), np.inf)
+    """GDALFillNodata (alg/rasterfill.cpp:396) — exact semantics.
 
-    # initialize all direction layers with self (0 for valid, inf else)
-    base_v = np.where(valid, arr.astype(np.float64), 0.0)
-    base_d = np.where(valid, 0.0, np.inf)
-    for k in range(8):
-        vals[k] = base_v
-        dists[k] = base_d
+    Two column-carry passes (top-down then bottom-up, each carrying the
+    per-column last-valid (value, y) no farther than max_search_dist), then
+    per nodata pixel a quadrant search: stepping left/right, each of the
+    four quadrants (top-left incl. the center column and current line,
+    bottom-left, top-right, bottom-right) keeps its strictly-nearest
+    candidate; fill = 1/distance-weighted mean of the quadrant candidates
+    within max_search_dist (or the single nearest with ``nearest``).
+    ``nodata`` values are excluded from the weighting (NODATA option).
+    Then ``smoothing_iterations`` passes of GDALMultiFilter: a 3x3
+    valid-masked average applied to the filled pixels only.
 
-    steps = [
-        ((0, -1), 1.0), ((0, 1), 1.0), ((-1, 0), 1.0), ((1, 0), 1.0),
-        ((-1, -1), np.sqrt(2)), ((-1, 1), np.sqrt(2)),
-        ((1, -1), np.sqrt(2)), ((1, 1), np.sqrt(2)),
-    ]
-    for k, ((dy, dx), step) in enumerate(steps):
-        v, d = vals[k], dists[k]
-        ys = range(h) if dy >= 0 else range(h - 1, -1, -1)
-        for y in ys:
-            py = y - dy
-            if py < 0 or py >= h:
-                continue
-            if dx == 0:
-                better = d[py] + step < d[y]
-                d[y] = np.where(better, d[py] + step, d[y])
-                v[y] = np.where(better, v[py], v[y])
-            else:
-                if dx > 0:
-                    cur, prev = slice(1, w), slice(0, w - 1)
-                else:
-                    cur, prev = slice(0, w - 1), slice(1, w)
-                cand_d = d[py, prev] + step
-                better = cand_d < d[y, cur]
-                d[y, cur] = np.where(better, cand_d, d[y, cur])
-                v[y, cur] = np.where(better, v[py, prev], v[y, cur])
-        if dy == 0:
-            # pure-horizontal directions need a column sweep instead
-            v[:] = np.where(valid, arr, 0.0)
-            d[:] = np.where(valid, 0.0, np.inf)
-            xs = range(w) if dx > 0 else range(w - 1, -1, -1)
-            for x in xs:
-                px = x - dx
-                if px < 0 or px >= w:
-                    continue
-                better = d[:, px] + step < d[:, x]
-                d[:, x] = np.where(better, d[:, px] + step, d[:, x])
-                v[:, x] = np.where(better, v[:, px], v[:, x])
+    Verified bit-equal against the reference's autotest expectations
+    (autotest/alg/fillnodata.py) in tests/test_autotest_parity.py.
+    """
+    h, w = arr.shape
+    maxd = float(max_search_dist)
+    nsteps = int(np.floor(maxd))
+    vals = arr.astype(np.float32)
+    valid = valid.astype(bool)
 
-    within = (dists > 0) & (dists <= max_search_dist)
-    wgt = np.where(within, 1.0 / np.maximum(dists, 1e-9), 0.0)
-    num = (vals * wgt).sum(axis=0)
-    den = wgt.sum(axis=0)
-    filled = np.where((~valid) & (den > 0), num / np.maximum(den, 1e-12), out)
-    return filled
+    # pass 1: top-down per-column carry -> per-line (value, y) snapshots
+    td_val = np.zeros((h, w), np.float32)
+    td_y = np.full((h, w), -1, np.int64)
+    carry_v = np.zeros(w, np.float32)
+    carry_y = np.full(w, -(10**9), np.int64)
+    for y in range(h):
+        m = valid[y]
+        carry_v = np.where(m, vals[y], carry_v)
+        carry_y = np.where(m, y, carry_y)
+        live = y <= maxd + carry_y
+        td_val[y] = carry_v
+        td_y[y] = np.where(live, carry_y, -1)
+
+    out = vals.copy()
+    filled_mask = valid.copy()
+    filt_mask = np.zeros((h, w), bool)
+    xs = np.arange(w)
+
+    # pass 2: bottom-up carry + interpolation per line
+    carry_v = np.zeros(w, np.float32)
+    carry_y = np.full(w, 10**9, np.int64)
+    for y in range(h - 1, -1, -1):
+        # bottom-up carry EXCLUDES the current line during interpolation
+        bu_val = carry_v.copy()
+        bu_y = np.where(carry_y - y <= maxd, carry_y, -1)
+
+        quad_d = np.full((4, w), maxd + 1.0)
+        quad_v = np.zeros((4, w), np.float32)
+
+        def quad_check(qi, cx, cy_arr, cv_arr):
+            cyv = cy_arr[cx]
+            ok = cyv >= 0
+            dx = cx.astype(np.float64) - xs
+            dy = cyv.astype(np.float64) - y
+            dist = np.sqrt(dx * dx + dy * dy)
+            better = ok & (dist * dist < quad_d[qi] * quad_d[qi])
+            quad_d[qi] = np.where(better, dist, quad_d[qi])
+            quad_v[qi] = np.where(better, cv_arr[cx], quad_v[qi])
+
+        for s in range(nsteps + 1):
+            lx = np.maximum(0, xs - s)
+            rx = np.minimum(w - 1, xs + s)
+            quad_check(0, lx, td_y[y], td_val[y])  # top-left (incl. line)
+            quad_check(1, lx, bu_y, bu_val)  # bottom-left
+            if s > 0:
+                quad_check(2, rx, td_y[y], td_val[y])  # top-right
+                quad_check(3, rx, bu_y, bu_val)  # bottom-right
+
+        hole = ~valid[y]
+        within = quad_d <= maxd
+        not_nod = (
+            np.ones((4, w), bool)
+            if nodata is None
+            else quad_v != np.float32(nodata)
+        )
+        if nearest:
+            use = within & not_nod
+            d_eff = np.where(use, quad_d, np.inf)
+            best = d_eff.argmin(axis=0)
+            got = use[best, xs]
+            fill_v = quad_v[best, xs]
+            do = hole & got
+        else:
+            use = within & not_nod
+            wgt = np.where(use, 1.0 / np.maximum(quad_d, 1e-30), 0.0)
+            wsum = wgt.sum(axis=0)
+            vsum = (quad_v.astype(np.float64) * wgt).sum(axis=0)
+            do = hole & (wsum > 0.0)
+            fill_v = np.where(
+                wsum > 0.0, (vsum / np.maximum(wsum, 1e-30)), 0.0
+            ).astype(np.float32)
+        out[y] = np.where(do, fill_v, out[y])
+        filled_mask[y] = valid[y] | do
+        filt_mask[y] = do
+
+        # update carry with the ORIGINAL valid pixels of this line
+        m = valid[y]
+        carry_v = np.where(m, vals[y], carry_v)
+        carry_y = np.where(m, y, carry_y)
+
+    # GDALMultiFilter: 3x3 valid-masked average over filled pixels only
+    for _ in range(int(smoothing_iterations)):
+        padded = np.zeros((h + 2, w + 2), np.float64)
+        pmask = np.zeros((h + 2, w + 2), bool)
+        padded[1:-1, 1:-1] = out
+        pmask[1:-1, 1:-1] = filled_mask
+        ssum = np.zeros((h, w))
+        scnt = np.zeros((h, w))
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                ssum += np.where(
+                    pmask[dy : dy + h, dx : dx + w],
+                    padded[dy : dy + h, dx : dx + w],
+                    0.0,
+                )
+                scnt += pmask[dy : dy + h, dx : dx + w]
+        smoothed = (ssum / np.maximum(scnt, 1)).astype(np.float32)
+        out = np.where(filt_mask & (scnt > 0), smoothed, out)
+
+    return out.astype(np.float64)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,287 @@
+"""Exact-checksum parity with the reference's own autotest suites.
+
+Each case reproduces a reference autotest (fixture file + options +
+expected GDALChecksumImage value) end to end through THIS engine's
+decoders and kernels: AAIGrid/TIFF decode -> kernel -> checksum port.
+The expected values are the ones hard-coded in the reference autotests —
+matching them is bit-level parity on the reference's own data.
+
+Sources: autotest/alg/proximity.py, autotest/alg/sieve.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from gdal_spark.functions import checksum as CK
+from gdal_spark.functions import gridfmts, tiff
+from gdal_spark.raster import morph
+
+ALG_DATA = "/root/reference/autotest/alg/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ALG_DATA), reason="reference autotest data not present"
+)
+
+
+def _read_grd(name: str) -> np.ndarray:
+    arr, _, _ = gridfmts.aaigrid_decode(
+        open(os.path.join(ALG_DATA, name), "rb").read()
+    )
+    return arr.astype(np.int32)
+
+
+def _pat():
+    arr, meta = tiff.tiff_parse(
+        open(os.path.join(ALG_DATA, "pat.tif"), "rb").read()
+    )
+    return arr.astype(np.int32), meta
+
+
+def _gdal_write_u8(f: np.ndarray) -> np.ndarray:
+    """GDALCopyWord float->uint8: clamp then round half up."""
+    return np.clip(np.floor(f.astype(np.float64) + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# autotest/alg/proximity.py
+# ---------------------------------------------------------------------------
+
+
+def test_proximity_1_default():
+    src, _ = _pat()
+    out = morph.compute_proximity(src)
+    assert CK.checksum(_gdal_write_u8(out)) == 1941
+
+
+def test_proximity_2_fixed_buf_float_band():
+    src, _ = _pat()
+    out = morph.compute_proximity(
+        src, values=[65, 64], max_dist=12, nodata=-1, fixed_buf_val=255
+    )
+    # dest band is GDT_Float32 in the autotest: checksum the float values
+    assert CK.checksum(out) == 3256
+
+
+def test_proximity_3_input_nodata():
+    src, meta = _pat()
+    assert meta["nodata"] == 255.0  # GDAL_NODATA tag round-trips
+    out = morph.compute_proximity(
+        src,
+        values=[65, 64],
+        max_dist=12,
+        nodata=0,
+        use_input_nodata=True,
+        src_nodata=meta["nodata"],
+    )
+    assert CK.checksum(_gdal_write_u8(out)) == 1465
+
+
+# ---------------------------------------------------------------------------
+# autotest/alg/sieve.py
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "fname,threshold,connect,expected",
+    [
+        ("sieve_src.grd", 2, 4, 364),  # test_sieve_1
+        ("sieve_src.grd", 2, 8, 370),  # test_sieve_2
+        ("unmergeable.grd", 2, 8, 451),  # test_sieve_3
+        ("sieve_2634.grd", 2, 4, 98),  # test_sieve_4
+    ],
+)
+def test_sieve_grd_cases(fname, threshold, connect, expected):
+    out = morph.sieve(_read_grd(fname), threshold, connect=connect)
+    assert CK.checksum(out.astype(np.int32)) == expected
+
+
+def test_sieve_6_diagonals():
+    size = 102
+    ar = np.zeros((size, size + 1), dtype=np.int32)
+    for i in range(size):
+        for j in range(size // 3):
+            ar[i][size - 1 - i - 3 * j] = 255
+            ar[i][size - i - 3 * j] = 255
+        ar[i][0] = 255
+    ar[size - 1] = 255
+    out = morph.sieve(ar, 2, connect=4)
+    assert CK.checksum(out) == 60955
+
+
+def test_sieve_7_nodata_mask():
+    grid = np.array(
+        [
+            [0, 0, 0, 0, 0, 0, 0],
+            [0, 1, 1, 1, 1, 1, 1],
+            [0, 1, 0, 0, 1, 1, 1],
+            [0, 1, 0, 2, 2, 2, 1],
+            [0, 1, 1, 2, 1, 2, 1],
+            [0, 1, 1, 2, 2, 2, 1],
+            [0, 1, 1, 1, 1, 1, 1],
+        ],
+        dtype=np.int32,
+    )
+    out = morph.sieve(grid, 4, connect=4, mask=grid != 0)
+    assert CK.checksum(out) == 42
+
+
+def test_sieve_8_chain_propagation():
+    grid = np.array(
+        [
+            [0, 0, 0, 0, 0, 0, 0],
+            [0, 5, 5, 0, 0, 0, 0],
+            [0, 5, 2, 3, 4, 0, 0],
+            [0, 0, 8, 1, 5, 0, 0],
+            [0, 0, 7, 6, 5, 9, 0],
+            [0, 0, 0, 0, 9, 9, 0],
+            [0, 0, 0, 0, 0, 0, 0],
+        ],
+        dtype=np.int32,
+    )
+    out = morph.sieve(grid, 4, connect=4)
+    assert CK.checksum(out) == 0  # everything merges into the 0 polygon
+
+
+def test_sieve_all_masked_passthrough():
+    src = np.ones((10, 10), dtype=np.int32)
+    out = morph.sieve(src, 4, connect=4, mask=np.zeros((10, 10), dtype=bool))
+    assert np.array_equal(out, src)
+
+
+# ---------------------------------------------------------------------------
+# autotest/alg/polygonize.py — feature count + DN multiset parity, with the
+# distributed cross-tile merge exercised (tile=4 splits the 5x7 fixture)
+# ---------------------------------------------------------------------------
+
+
+def _polygonize_grd(spark, fname, connect=4, exclude=None, tile=4):
+    from gdal_spark.raster import polygonize_ops as P
+
+    arr = _read_grd(fname).astype(np.uint8)
+    tiles = P.tiles_from_array(spark, arr, tile)
+    return (
+        P.polygonize(tiles, tile, connect=connect, exclude_value=exclude)
+        .toPandas()
+        .sort_values("region_id")
+    )
+
+
+def test_polygonize_1_masked(spark):
+    out = _polygonize_grd(spark, "polygonize_in.grd", exclude=132)
+    assert len(out) == 13
+    assert sorted(out["cls"]) == sorted(
+        [107, 123, 115, 115, 140, 148, 123, 140, 100, 101, 102, 156, 103]
+    )
+    # DN=156 polygon: 3x3 exterior with a 1px hole (area 8 px)
+    dn156 = out[out["cls"] == 156]
+    assert len(dn156) == 1
+    assert float(dn156.iloc[0]["area"]) == 8.0
+
+
+def test_polygonize_2_unmasked(spark):
+    out = _polygonize_grd(spark, "polygonize_in.grd")
+    assert len(out) == 17
+    assert sorted(out["cls"]) == sorted(
+        [107, 123, 115, 132, 115, 140, 132, 132, 148, 123, 140, 132,
+         100, 101, 102, 156, 103]
+    )
+
+
+def test_polygonize_3_complex_loop(spark):
+    out = _polygonize_grd(spark, "polygonize_in_2.grd")
+    assert len(out) == 125
+
+
+def test_polygonize_4_8connected(spark):
+    out = _polygonize_grd(spark, "polygonize_in.grd", connect=8)
+    assert len(out) == 16
+    assert sorted(out["cls"]) == sorted(
+        [107, 123, 115, 132, 115, 140, 132, 148, 123, 140, 132,
+         100, 101, 102, 156, 103]
+    )
+
+
+def test_polygonize_5_touching_holes(spark):
+    out = _polygonize_grd(spark, "polygonize_in_3.grd")
+    assert len(out) == 3
+    assert sorted(out["cls"]) == [0, 0, 1]
+    areas = sorted(float(a) for a in out["area"])
+    assert areas == [1.0, 1.0, 14.0]  # 4x4 minus two 1px holes
+
+
+# ---------------------------------------------------------------------------
+# autotest/alg/fillnodata.py — exact expected arrays
+# ---------------------------------------------------------------------------
+
+FILL_CASES = [
+    # (input, max_search_dist, raster_nodata, option_nodata, expected, smooth)
+    ([[1]], 1, 0, None, [[1]], 0),
+    ([[0]], 1, 0, None, [[0]], 0),
+    ([[1, 0]], 1, 0, None, [[1, 1]], 0),
+    ([[0, 1]], 1, 0, None, [[1, 1]], 0),
+    ([[2, 0, 4]], 1, 0, None, [[2, 3, 4]], 0),
+    ([[2, 0, 0, 4]], 1, 0, None, [[2, 2, 4, 4]], 0),
+    ([[1], [0]], 1, 0, None, [[1], [1]], 0),
+    ([[0], [1]], 1, 0, None, [[1], [1]], 0),
+    ([[2], [0], [4]], 1, 0, None, [[2], [3], [4]], 0),
+    ([[2], [0], [0], [4]], 1, 0, None, [[2], [2], [4], [4]], 0),
+    ([[2, 0, 4], [4, 0, 6], [6, 0, 8]], 1, 0, None,
+     [[2, 3, 4], [4, 5, 6], [6, 7, 8]], 0),
+    ([[2, 3, 4], [0, 0, 0], [6, 7, 8]], 1, 0, None,
+     [[2, 3, 4], [4, 5, 6], [6, 7, 8]], 0),
+    ([[2, 0, 4], [0, 0, 0], [6, 0, 8]], 1, 0, None,
+     [[2, 3, 4], [4, 0, 6], [6, 7, 8]], 0),
+    ([[2, 0, 4], [0, 0, 0], [6, 0, 8]], 1.5, 0, None,
+     [[2, 3, 4], [4, 5, 6], [6, 7, 8]], 0),  # 1.5 > sqrt(2): diagonals in
+    ([[20, 30, 40], [50, 1, 60], [70, 80, 90]], 1, 1, 30,
+     [[20, 30, 40], [50, 70, 60], [70, 80, 90]], 0),  # NODATA option
+    ([[20, 30, 40, 50], [30, 0, 0, 60], [40, 0, 0, 70], [50, 60, 70, 80]],
+     1, 0, None,
+     [[20, 30, 40, 50], [30, 30, 50, 60], [40, 50, 70, 70], [50, 60, 70, 80]],
+     0),
+    ([[20, 30, 40, 50], [30, 0, 0, 60], [40, 0, 0, 70], [50, 60, 70, 80]],
+     1, 0, None,
+     [[20, 30, 40, 50], [30, 40, 50, 60], [40, 50, 60, 70], [50, 60, 70, 80]],
+     1),  # one smoothing iteration
+]
+
+
+@pytest.mark.parametrize("case", range(len(FILL_CASES)))
+def test_fillnodata_weighted(case):
+    inp, maxd, rnod, onod, exp, smooth = FILL_CASES[case]
+    a = np.array(inp, dtype=float)
+    out = morph.fillnodata(
+        a, a != rnod, max_search_dist=maxd,
+        smoothing_iterations=smooth, nodata=onod,
+    )
+    assert np.allclose(out, np.array(exp, dtype=float), atol=1e-5)
+
+
+FILL_NEAREST_CASES = [
+    ([[20, 30, 40], [50, 0, 60], [70, 80, 90]], 1, 0, None,
+     [[20, 30, 40], [50, 30, 60], [70, 80, 90]]),
+    ([[20, 30, 40], [50, 1, 60], [70, 80, 90]], 1, 1, 30,
+     [[20, 30, 40], [50, 80, 60], [70, 80, 90]]),
+    ([[20, 30, 40], [50, 0, 60], [70, 80, 90]], 0.9, 0, None,
+     [[20, 30, 40], [50, 0, 60], [70, 80, 90]]),
+    ([[20, 30, 40, 50], [60, 0, 0, 70], [80, 0, 0, 90], [91, 92, 93, 94]],
+     1, 0, None,
+     [[20, 30, 40, 50], [60, 30, 40, 70], [80, 80, 93, 90], [91, 92, 93, 94]]),
+    ([[20, 30, 40, 50], [60, 0, 0, 70], [80, 0, 0, 90], [91, 92, 93, 94]],
+     0.9, 0, None,
+     [[20, 30, 40, 50], [60, 0, 0, 70], [80, 0, 0, 90], [91, 92, 93, 94]]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(FILL_NEAREST_CASES)))
+def test_fillnodata_nearest(case):
+    inp, maxd, rnod, onod, exp = FILL_NEAREST_CASES[case]
+    a = np.array(inp, dtype=float)
+    out = morph.fillnodata(
+        a, a != rnod, max_search_dist=maxd, nearest=True, nodata=onod
+    )
+    assert np.allclose(out, np.array(exp, dtype=float), atol=1e-5)
