@@ -430,8 +430,12 @@ def rasterize_rings(
         valid = np.isfinite(x1p)
         if not valid.any():
             break
-        start = np.ceil(np.nan_to_num(x0, posinf=w) - 0.5).astype(np.int64).clip(0, w)
-        end = np.ceil(np.nan_to_num(x1p, posinf=w) - 0.5).astype(np.int64).clip(0, w)
+        # GDAL rounds crossings with floor(x + 0.5) (llrasterize.cpp
+        # GDALdllImageFilledPolygon "polyInts[ints++] = floor(intersect+0.5)")
+        # == ceil(x - 0.5) everywhere except exact half-integer crossings,
+        # where GDAL rounds UP — load-bearing for autotest checksum parity.
+        start = np.floor(np.nan_to_num(x0, posinf=w) + 0.5).astype(np.int64).clip(0, w)
+        end = np.floor(np.nan_to_num(x1p, posinf=w) + 0.5).astype(np.int64).clip(0, w)
         vr = rows[valid & (end > start)]
         np.add.at(delta, (vr, start[valid & (end > start)]), 1)
         np.add.at(delta, (vr, end[valid & (end > start)]), -1)
@@ -874,3 +878,272 @@ def color_relief(
         t = t.clip(0.0, 1.0)
         out = cols[lo] + (cols[hi] - cols[lo]) * t[..., None]
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def rasterize_line_mask(
+    coords: np.ndarray, h: int, w: int, gt: tuple | None = None
+) -> np.ndarray:
+    """Bresenham line burn -> bool mask, exact GDALdllImageLine semantics
+    (alg/llrasterize.cpp:256): floor()-ed endpoints, segment endpoints not
+    re-burned between consecutive segments, off-target segments skipped.
+    GDALCollectRingsFromGeometry pushes LINESTRING vertices in REVERSE
+    order (alg/gdalrasterize.cpp wkbLineString branch), which flips the
+    Bresenham tie-stepping — replicated here, and load-bearing for the
+    autotest/alg/rasterize.py checksum parity."""
+    pts = np.asarray(coords, dtype=np.float64)[::-1]
+    if gt is not None:
+        px, py = gt_geo_to_pixel(gt, pts[:, 0], pts[:, 1])
+        pts = np.column_stack([px, py])
+    mask = np.zeros((h, w), dtype=bool)
+    n = len(pts)
+    for j in range(1, n):
+        x0, y0 = float(pts[j - 1, 0]), float(pts[j - 1, 1])
+        x1, y1 = float(pts[j, 0]), float(pts[j, 1])
+        if (
+            (y0 < 0.0 and y1 < 0.0) or (y0 > h and y1 > h)
+            or (x0 < 0.0 and x1 < 0.0) or (x0 > w and x1 > w)
+        ):
+            continue
+        ix, iy = int(np.floor(x0)), int(np.floor(y0))
+        ix1, iy1 = int(np.floor(x1)), int(np.floor(y1))
+        dx, dy = abs(ix1 - ix), abs(iy1 - iy)
+        sx = -1 if ix > ix1 else 1
+        sy = -1 if iy > iy1 else 1
+        if dx >= dy:
+            xerr = dy << 1
+            yerr = xerr - (dx << 1)
+            err = xerr - dx
+            if j != n - 1:
+                dx -= 1
+            while dx >= 0:
+                if 0 <= ix < w and 0 <= iy < h:
+                    mask[iy, ix] = True
+                ix += sx
+                if err > 0:
+                    iy += sy
+                    err += yerr
+                else:
+                    err += xerr
+                dx -= 1
+        else:
+            xerr = dx << 1
+            yerr = xerr - (dy << 1)
+            err = xerr - dy
+            if j != n - 1:
+                dy -= 1
+            while dy >= 0:
+                if 0 <= ix < w and 0 <= iy < h:
+                    mask[iy, ix] = True
+                iy += sy
+                if err > 0:
+                    ix += sx
+                    err += yerr
+                else:
+                    err += xerr
+                dy -= 1
+    return mask
+
+
+def rasterize_point_mask(
+    coords: np.ndarray, h: int, w: int, gt: tuple | None = None
+) -> np.ndarray:
+    """GDALdllImagePoint (alg/llrasterize.cpp:233): burn floor(x), floor(y)."""
+    pts = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    if gt is not None:
+        px, py = gt_geo_to_pixel(gt, pts[:, 0], pts[:, 1])
+        pts = np.column_stack([px, py])
+    mask = np.zeros((h, w), dtype=bool)
+    ix = np.floor(pts[:, 0]).astype(np.int64)
+    iy = np.floor(pts[:, 1]).astype(np.int64)
+    ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    mask[iy[ok], ix[ok]] = True
+    return mask
+
+
+def rasterize_line_all_touched(
+    coords: np.ndarray,
+    h: int,
+    w: int,
+    gt: tuple | None = None,
+    intersect_only: bool = False,
+) -> np.ndarray:
+    """ALL_TOUCHED line burn -> bool mask, exact GDALdllImageLineAllTouched
+    semantics (alg/llrasterize.cpp:407): every pixel the segment passes
+    through; axis-aligned segments snapped within 0.01 get the dedicated
+    fast paths (with the 1e-4 pixel-aligned skip under ``intersect_only``,
+    the mode polygons use for their boundary so shared edges don't double-
+    burn). Verified against autotest/alg/rasterize.py checksums."""
+    eps = 1e-4
+    pts = np.asarray(coords, dtype=np.float64)
+    if gt is not None:
+        px, py = gt_geo_to_pixel(gt, pts[:, 0], pts[:, 1])
+        pts = np.column_stack([px, py])
+    mask = np.zeros((h, w), dtype=bool)
+    for j in range(1, len(pts)):
+        x0, y0 = float(pts[j - 1, 0]), float(pts[j - 1, 1])
+        x1, y1 = float(pts[j, 0]), float(pts[j, 1])
+        if (
+            (y0 < 0.0 and y1 < 0.0) or (y0 > h and y1 > h)
+            or (x0 < 0.0 and x1 < 0.0) or (x0 > w and x1 > w)
+        ):
+            continue
+        if x0 > x1:
+            x0, x1, y0, y1 = x1, x0, y1, y0
+        if abs(x0 - x1) < 0.01:  # vertical
+            if (
+                intersect_only
+                and abs(x0 - round(x0)) < eps and abs(x1 - round(x1)) < eps
+            ):
+                continue
+            if y1 < y0:
+                y0, y1 = y1, y0
+            ix = int(np.floor(x1))
+            iy = int(np.floor(y0))
+            iy_end = int(np.floor(y1 - eps))
+            if ix < 0 or ix >= w:
+                continue
+            for yy in range(max(iy, 0), min(iy_end, h - 1) + 1):
+                mask[yy, ix] = True
+            continue
+        if abs(y0 - y1) < 0.01:  # horizontal
+            if (
+                intersect_only
+                and abs(y0 - round(y0)) < eps and abs(y1 - round(y1)) < eps
+            ):
+                continue
+            iy = int(np.floor(y0))
+            ix = int(np.floor(x0))
+            ix_end = int(np.floor(x1 - eps))
+            if iy < 0 or iy >= h:
+                continue
+            for xx in range(max(ix, 0), min(ix_end, w - 1) + 1):
+                mask[iy, xx] = True
+            continue
+        # general sloped case, clipped then stepped pixel to pixel
+        slope = (y1 - y0) / (x1 - x0)
+        if x1 > w:
+            y1 -= (x1 - w) * slope
+            x1 = float(w)
+        if x0 < 0.0:
+            y0 += (0.0 - x0) * slope
+            x0 = 0.0
+        if y1 > y0:
+            if y0 < 0.0:
+                x0 += (0.0 - y0) / slope
+                y0 = 0.0
+            if y1 >= h:
+                x1 += (y1 - h) / slope
+                if x1 > w:
+                    x1 = float(w)
+        else:
+            if y0 >= h:
+                x0 += (h - y0) / slope
+                y0 = float(h)
+            if y1 < 0.0:
+                x1 -= y1 / slope
+        x, y = x0, y0
+        while x >= 0.0 and x < x1:
+            ix = int(np.floor(x))
+            iy = int(np.floor(y))
+            if 0 <= iy < h:
+                mask[iy, ix] = True
+            step_x = np.floor(x + 1.0) - x
+            step_y = step_x * slope
+            if int(np.floor(y + step_y)) == iy:
+                x += step_x
+                y += step_y
+            elif slope < 0:
+                step_y = min(iy - y, -1e-9)
+                x += step_y / slope
+                y += step_y
+            else:
+                step_y = max((iy + 1) - y, 1e-9)
+                x += step_y / slope
+                y += step_y
+    return mask
+
+
+def rasterize_rings_all_touched(
+    rings: list[np.ndarray], h: int, w: int, gt: tuple | None = None
+) -> np.ndarray:
+    """ALL_TOUCHED polygon burn: scanline interior fill plus the
+    intersect-only all-touched boundary (gdalrasterize.cpp polygon path
+    with bAllTouched: GDALdllImageLineAllTouched(..., bIntersectOnly=true)
+    then GDALdllImageFilledPolygon)."""
+    mask = rasterize_rings(rings, h, w, gt=gt)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        mask |= rasterize_line_all_touched(r, h, w, gt=gt, intersect_only=True)
+    return mask
+
+
+def rasterize_line_z(
+    coords: np.ndarray, z: np.ndarray, h: int, w: int, gt: tuple | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """BURN_VALUE_FROM=Z line burn -> (mask, z values): GDALdllImageLine
+    with the variant channel (alg/llrasterize.cpp:256, dfVariant stepping
+    dfDeltaVariant per major-axis step). Points reversed like
+    GDALCollectRingsFromGeometry's wkbLineString branch."""
+    pts = np.asarray(coords, dtype=np.float64)[::-1]
+    zs = np.asarray(z, dtype=np.float64)[::-1]
+    if gt is not None:
+        px, py = gt_geo_to_pixel(gt, pts[:, 0], pts[:, 1])
+        pts = np.column_stack([px, py])
+    mask = np.zeros((h, w), dtype=bool)
+    vals = np.zeros((h, w), dtype=np.float64)
+    n = len(pts)
+    for j in range(1, n):
+        x0, y0 = float(pts[j - 1, 0]), float(pts[j - 1, 1])
+        x1, y1 = float(pts[j, 0]), float(pts[j, 1])
+        if (
+            (y0 < 0.0 and y1 < 0.0) or (y0 > h and y1 > h)
+            or (x0 < 0.0 and x1 < 0.0) or (x0 > w and x1 > w)
+        ):
+            continue
+        var, var1 = float(zs[j - 1]), float(zs[j])
+        ix, iy = int(np.floor(x0)), int(np.floor(y0))
+        ix1, iy1 = int(np.floor(x1)), int(np.floor(y1))
+        dx, dy = abs(ix1 - ix), abs(iy1 - iy)
+        sx = -1 if ix > ix1 else 1
+        sy = -1 if iy > iy1 else 1
+        if dx >= dy:
+            xerr = dy << 1
+            yerr = xerr - (dx << 1)
+            err = xerr - dx
+            dvar = 0.0 if dx == 0 else (var1 - var) / dx
+            if j != n - 1:
+                dx -= 1
+            while dx >= 0:
+                if 0 <= ix < w and 0 <= iy < h:
+                    mask[iy, ix] = True
+                    vals[iy, ix] = var
+                var += dvar
+                ix += sx
+                if err > 0:
+                    iy += sy
+                    err += yerr
+                else:
+                    err += xerr
+                dx -= 1
+        else:
+            xerr = dx << 1
+            yerr = xerr - (dy << 1)
+            err = xerr - dy
+            dvar = 0.0 if dy == 0 else (var1 - var) / dy
+            if j != n - 1:
+                dy -= 1
+            while dy >= 0:
+                if 0 <= ix < w and 0 <= iy < h:
+                    mask[iy, ix] = True
+                    vals[iy, ix] = var
+                var += dvar
+                iy += sy
+                if err > 0:
+                    ix += sx
+                    err += yerr
+                else:
+                    err += xerr
+                dy -= 1
+    return mask, vals

@@ -285,3 +285,77 @@ def test_fillnodata_nearest(case):
         a, a != rnod, max_search_dist=maxd, nearest=True, nodata=onod
     )
     assert np.allclose(out, np.array(exp, dtype=float), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# autotest/alg/rasterize.py — exact burn checksums
+# ---------------------------------------------------------------------------
+
+RAST_GT = (1000, 1, 0, 1100, 0, -1)
+
+
+def test_rasterize_1_poly_plus_line():
+    from gdal_spark.raster import kernels as K
+
+    poly = np.array(
+        [(1020, 1030), (1020, 1045), (1050, 1045), (1050, 1030), (1020, 1030)],
+        dtype=float,
+    )
+    line = np.array([(1000, 1000), (1100, 1050)], dtype=float)
+    mp = K.rasterize_rings([poly], 100, 100, gt=RAST_GT)
+    ml = K.rasterize_line_mask(line, 100, 100, gt=RAST_GT)
+    band2 = np.where(mp | ml, 220, 0).astype(np.uint8)
+    assert CK.checksum(band2) == 6452
+    # burn 256 clamps to 255 on uint8; burn -1 clamps to 0
+    assert _gdal_write_u8(np.where(mp | ml, 256.0, 0.0)).max() == 255
+    assert _gdal_write_u8(np.where(mp | ml, -1.0, 0.0)).min() == 0
+
+
+def test_rasterize_2_all_touched():
+    from gdal_spark.raster import kernels as K
+
+    gt = (0, 1, 0, 12, 0, -1)
+    polys = [  # data/cutline.csv
+        [(6.25, 1.25), (7.25, 1.25), (7.25, 2.25), (6.25, 2.25), (6.25, 1.25)],
+        [(4.25, 4.25), (6.25, 4.25), (6.25, 6.25), (4.25, 6.25), (4.25, 4.25)],
+        [(1.001, 1.001), (3.999, 3.999), (3.2, 1.6), (1.001, 1.001)],
+    ]
+    m = np.zeros((12, 12), dtype=bool)
+    for p in polys:
+        m |= K.rasterize_rings_all_touched(
+            [np.array(p, dtype=float)], 12, 12, gt=gt
+        )
+    assert CK.checksum(np.where(m, 220, 0).astype(np.uint8)) == 121
+
+
+def test_rasterize_3_burn_value_from_z():
+    from gdal_spark.raster import kernels as K
+
+    burn = 10.0
+    shapes = [
+        ("poly", [[(1020, 1030, 40), (1020, 1045, 30), (1050, 1045, 20),
+                   (1050, 1030, 35), (1020, 1030, 40)]]),
+        ("poly", [[(1010, 1046, 85), (1015, 1055, 35), (1055, 1060, 26),
+                   (1054, 1048, 35), (1010, 1046, 85)]]),
+        ("poly", [[(1020, 1076, 190), (1025, 1085, 35), (1065, 1090, 26),
+                   (1064, 1078, 35), (1020, 1076, 190)],
+                  [(1023, 1079, 5), (1061, 1081, 35), (1062, 1087, 26),
+                   (1028, 1082, 35), (1023, 1079, 85)]]),
+        ("line", [(1005, 1000, 10), (1100, 1050, 120)]),
+        ("line", [(1000, 1000, 150), (1095, 1050, -5), (1080, 1080, 200)]),
+    ]
+    out = np.zeros((100, 100), dtype=np.uint8)
+    for kind, data in shapes:
+        if kind == "poly":
+            rings = [np.array([(p[0], p[1]) for p in ring], dtype=float)
+                     for ring in data]
+            m = K.rasterize_rings(rings, 100, 100, gt=RAST_GT)
+            # filled polygons burn dfVariant[0]: the first exterior vertex Z
+            v = burn + data[0][0][2]
+            out = np.where(m, _gdal_write_u8(np.full((100, 100), v)), out)
+        else:
+            coords = np.array([(p[0], p[1]) for p in data], dtype=float)
+            zs = np.array([p[2] for p in data], dtype=float)
+            m, vals = K.rasterize_line_z(coords, zs, 100, 100, gt=RAST_GT)
+            out = np.where(m, _gdal_write_u8(burn + vals), out)
+    assert CK.checksum(out) == 15037
