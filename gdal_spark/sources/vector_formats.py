@@ -494,6 +494,54 @@ def read_shapefile(
     return rng_df.mapInPandas(read_ranges, schema=out_schema)
 
 
+def read_dbf(
+    spark: SparkSession, dbf_path: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Standalone dBase table -> (fid, *attributes) — OGR's ESRI Shapefile
+    driver opens bare .dbf files as geometry-less layers
+    (ogr/ogrsf_frmts/shape); record-range partitioned like read_shapefile."""
+    nrec, hdr_len, rec_len, fields = _read_dbf_header(dbf_path)
+    if num_partitions is None:
+        num_partitions = min(
+            max(1, nrec // 2048), spark.sparkContext.defaultParallelism
+        )
+    splits = np.array_split(np.arange(nrec), num_partitions)
+    ranges = [(int(sp[0]), int(sp[-1]) + 1) for sp in splits if len(sp)]
+    rng_df = spark.createDataFrame(ranges, "rec_lo: long, rec_hi: long")
+
+    schema_fields = [T.StructField("fid", T.LongType())]
+    for name, ftype, flen, fdec in fields:
+        if ftype in ("N", "F"):
+            t = T.DoubleType() if (fdec > 0) else T.LongType()
+        elif ftype == "L":
+            t = T.BooleanType()
+        else:
+            t = T.StringType()
+        schema_fields.append(T.StructField(name, t))
+    out_schema = T.StructType(schema_fields)
+
+    def read_ranges(batches):
+        for pdf in batches:
+            for _, rr in pdf.iterrows():
+                lo, hi = int(rr["rec_lo"]), int(rr["rec_hi"])
+                rows: dict = {f.name: [] for f in out_schema.fields}
+                with open(dbf_path, "rb") as fdb:
+                    fdb.seek(hdr_len + lo * rec_len)
+                    blob = fdb.read((hi - lo) * rec_len)
+                for rec in range(hi - lo):
+                    r = blob[rec * rec_len : (rec + 1) * rec_len]
+                    rows["fid"].append(lo + rec)
+                    pos = 1
+                    for name, ftype, flen, fdec in fields:
+                        rows[name].append(
+                            _dbf_value(r[pos : pos + flen], ftype, fdec)
+                        )
+                        pos += flen
+                yield pd.DataFrame(rows)
+
+    return rng_df.mapInPandas(read_ranges, schema=out_schema)
+
+
 def _wkb_to_shp_parts(buf: bytes) -> tuple[int, list[np.ndarray]]:
     gtype, payload = W.parse(bytes(buf))
     if gtype == W.WKB_POINT:

@@ -359,3 +359,61 @@ def test_rasterize_3_burn_value_from_z():
             m, vals = K.rasterize_line_z(coords, zs, 100, 100, gt=RAST_GT)
             out = np.where(m, _gdal_write_u8(burn + vals), out)
     assert CK.checksum(out) == 15037
+
+
+# ---------------------------------------------------------------------------
+# autotest/alg/contour.py — envelope parity on its synthetic terraced
+# fixture (nested squares 1/10/20/25), through the distributed
+# halo-tile + cross-tile stitch path
+# ---------------------------------------------------------------------------
+
+CONTOUR_SIZE = 160
+CONTOUR_PREC = 1.0 / CONTOUR_SIZE
+CONTOUR_GT = (1.0, CONTOUR_PREC, 0.0, 50.0, 0.0, -CONTOUR_PREC)
+
+
+def _contour_fixture() -> np.ndarray:
+    arr = np.ones((CONTOUR_SIZE, CONTOUR_SIZE), dtype=np.float64)
+    arr[40:120, 40:120] = 10
+    arr[60:100, 60:100] = 20
+    arr[70:90, 70:90] = 25
+    return arr
+
+
+def _contour_envelopes(spark, levels):
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.raster import contour as C
+    from gdal_spark.raster.kernels import gt_pixel_to_geo
+
+    tiles = C.halo_tiles_from_array(spark, _contour_fixture(), 64)
+    out = C.contour(tiles, 64, levels).toPandas().sort_values("level")
+    envs = {}
+    for _, r in out.iterrows():
+        _, pts = W.parse(bytes(r["wkb"]))
+        pts = np.asarray(pts)
+        # contour vertices interpolate between pixel CENTERS: geo position
+        # of node (px, py) is the center of that pixel
+        gx, gy = gt_pixel_to_geo(CONTOUR_GT, pts[:, 0] + 0.5, pts[:, 1] + 0.5)
+        envs[float(r["level"])] = (gx.min(), gx.max(), gy.min(), gy.max())
+    return envs
+
+
+def _assert_env(got, exp):
+    tol = CONTOUR_PREC / 2 * 1.001  # the autotest's own tolerance
+    for g, e in zip(got, exp):
+        assert g == pytest.approx(e, abs=tol), (got, exp)
+
+
+def test_contour_1_interval(spark):
+    envs = _contour_envelopes(spark, [10.0, 20.0])
+    assert sorted(envs) == [10.0, 20.0]
+    _assert_env(envs[10.0], (1.25, 1.75, 49.25, 49.75))
+    _assert_env(envs[20.0], (1.375, 1.625, 49.375, 49.625))
+
+
+def test_contour_2_fixed_levels(spark):
+    envs = _contour_envelopes(spark, [10.0, 20.0, 25.0])
+    assert sorted(envs) == [10.0, 20.0, 25.0]
+    _assert_env(envs[10.0], (1.25, 1.75, 49.25, 49.75))
+    _assert_env(envs[20.0], (1.375, 1.625, 49.375, 49.625))
+    _assert_env(envs[25.0], (1.4375, 1.5625, 49.4375, 49.5625))
