@@ -243,8 +243,8 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
     if any(b != 8 for b in bits):
         raise TiffError(f"only 8-bit samples supported, got {bits}")
     planar = one(T_PLANAR, 1)
-    if planar != 1:
-        raise TiffError("only chunky planar config supported")
+    if planar not in (1, 2):
+        raise TiffError(f"unsupported planar config {planar}")
 
     def decompress(chunk: bytes, nbytes: int) -> bytes:
         if comp == 1:
@@ -253,6 +253,10 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
             return lzw_decode(chunk, nbytes)
         if comp == 32773:
             return packbits_decode(chunk, nbytes)
+        if comp in (8, 32946):  # Deflate / Adobe Deflate
+            import zlib
+
+            return zlib.decompress(chunk)[:nbytes]
         raise TiffError(f"unsupported compression {comp}")
 
     out = np.zeros((h, w, spp), dtype=np.uint8)
@@ -272,6 +276,24 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
             y0, x0 = ty * tl, tx * tw
             ys, xs = min(tl, h - y0), min(tw, w - x0)
             out[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+    elif planar == 2 and spp > 1:
+        # band-sequential strips: offsets ordered band-major
+        # (TIFF 6.0 PlanarConfiguration=2), one sample per strip row
+        rps = one(T_ROWS_PER_STRIP, h)
+        offs = tags[T_STRIP_OFFSETS][1]
+        cnts = tags[T_STRIP_COUNTS][1]
+        spb = (h + rps - 1) // rps  # strips per band
+        for b in range(spp):
+            y = 0
+            for sidx in range(spb):
+                o, c = offs[b * spb + sidx], cnts[b * spb + sidx]
+                rows = min(rps, h - y)
+                raw = decompress(data[o : o + c], rows * w)
+                strip = np.frombuffer(raw, np.uint8).reshape(rows, w)
+                if pred == 2:
+                    strip = _undo_predictor(strip)
+                out[y : y + rows, :, b] = strip
+                y += rows
     else:
         rps = one(T_ROWS_PER_STRIP, h)
         offs = tags[T_STRIP_OFFSETS][1]

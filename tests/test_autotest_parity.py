@@ -417,3 +417,35 @@ def test_contour_2_fixed_levels(spark):
     _assert_env(envs[10.0], (1.25, 1.75, 49.25, 49.75))
     _assert_env(envs[20.0], (1.375, 1.625, 49.375, 49.625))
     _assert_env(envs[25.0], (1.4375, 1.5625, 49.4375, 49.5625))
+
+
+# ---------------------------------------------------------------------------
+# autotest/alg/dither.py — median-cut color table + dither checksum on the
+# reference's own rgbsmall.tif (planar-config deflate TIFF)
+# ---------------------------------------------------------------------------
+
+GDRIVERS_DATA = "/root/reference/autotest/gdrivers/data"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GDRIVERS_DATA), reason="gdrivers data not present"
+)
+def test_dither_1_median_cut_and_dither():
+    from gdal_spark.raster import quantize as Q
+
+    arr, _ = tiff.tiff_parse(
+        open(os.path.join(GDRIVERS_DATA, "rgbsmall.tif"), "rb").read()
+    )
+    assert arr.shape == (50, 50, 3)
+    # the engine's TIFF decoder reproduces GDAL's canonical band checksums
+    assert CK.checksum_image(arr) == [21212, 21053, 21349]
+
+    pal = Q.median_cut_pct_gdal(arr, 8)
+    ref_ct = [
+        (36, 48, 32), (92, 120, 20), (88, 96, 20), (92, 132, 56),
+        (0, 0, 0), (96, 152, 24), (60, 112, 32), (164, 164, 108),
+    ]
+    assert pal.tolist() == [list(c) for c in ref_ct]  # entry-for-entry
+
+    idx = Q.dither_rgb2pct_gdal(arr, pal)
+    assert CK.checksum(idx.astype(np.int32)) == 8803
