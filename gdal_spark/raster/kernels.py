@@ -85,7 +85,8 @@ def _bilinear_gather(arr: np.ndarray, fx: np.ndarray, fy: np.ndarray) -> np.ndar
     out = top + (bot - top) * ty
     if np.issubdtype(arr.dtype, np.integer):
         info = np.iinfo(arr.dtype)
-        return np.clip(np.round(out), info.min, info.max).astype(arr.dtype)
+        r = np.where(out >= 0, np.floor(out + 0.5), np.ceil(out - 0.5))
+        return np.clip(r, info.min, info.max).astype(arr.dtype)
     return out.astype(arr.dtype)
 
 
@@ -164,7 +165,8 @@ def _kernel_gather(arr: np.ndarray, fx: np.ndarray, fy: np.ndarray, kernel: str)
         out = row if out is None else out + row
     if np.issubdtype(arr.dtype, np.integer):
         info = np.iinfo(arr.dtype)
-        return np.clip(np.round(out), info.min, info.max).astype(arr.dtype)
+        r = np.where(out >= 0, np.floor(out + 0.5), np.ceil(out - 0.5))
+        return np.clip(r, info.min, info.max).astype(arr.dtype)
     return out.astype(arr.dtype)
 
 
@@ -253,7 +255,8 @@ def resample_window(arr: np.ndarray, out_h: int, out_w: int, method: str) -> np.
             raise ValueError(f"unknown window method {method}")
     if np.issubdtype(arr.dtype, np.integer):
         info = np.iinfo(arr.dtype)
-        return np.clip(np.round(out), info.min, info.max).astype(arr.dtype)
+        r = np.where(out >= 0, np.floor(out + 0.5), np.ceil(out - 0.5))
+        return np.clip(r, info.min, info.max).astype(arr.dtype)
     return out.astype(arr.dtype)
 
 
@@ -270,12 +273,20 @@ def resample(arr: np.ndarray, out_h: int, out_w: int, method: str = "near") -> n
     raise ValueError(f"unknown resample method {method}")
 
 
-def block_reduce(arr: np.ndarray, fy: int, fx: int, method: str = "average") -> np.ndarray:
+def block_reduce(
+    arr: np.ndarray, fy: int, fx: int, method: str = "average",
+    nodata: float | None = None,
+) -> np.ndarray:
     """Integer-factor downsample — the overview kernel set
     (gcore/overview.cpp: near :85-219, average/RMS :1204, mode).
 
     Pads by edge replication when shape isn't a multiple of the factor
-    (GDAL clamps the partial edge window the same way).
+    (GDAL clamps the partial edge window the same way). With ``nodata``,
+    average/rms/min/max/sum exclude nodata source pixels and emit nodata
+    when a block has none valid (GDALResampleChunk32R_Average nodata
+    path — verified against autotest/gcore/tiff_ovr.py test 5's
+    checksum). Integer outputs round half away from zero (GDALCopyWord),
+    NOT numpy's half-to-even.
     """
     h, w = arr.shape[:2]
     ph = (-h) % fy
@@ -289,7 +300,24 @@ def block_reduce(arr: np.ndarray, fy: int, fx: int, method: str = "average") -> 
     if method == "near":
         return blocks[:, fy // 2, :, fx // 2]
     vals = blocks.astype(np.float64)
-    if method == "average":
+    if nodata is not None and method in ("average", "rms", "max", "min", "sum"):
+        valid = vals != nodata
+        cnt = valid.sum(axis=(1, 3))
+        some = cnt > 0
+        cnt = np.maximum(cnt, 1)
+        masked0 = np.where(valid, vals, 0.0)
+        if method == "average":
+            out = masked0.sum(axis=(1, 3)) / cnt
+        elif method == "rms":
+            out = np.sqrt((masked0**2).sum(axis=(1, 3)) / cnt)
+        elif method == "sum":
+            out = masked0.sum(axis=(1, 3))
+        elif method == "max":
+            out = np.where(valid, vals, -np.inf).max(axis=(1, 3))
+        else:
+            out = np.where(valid, vals, np.inf).min(axis=(1, 3))
+        out = np.where(some, out, float(nodata))
+    elif method == "average":
         out = vals.mean(axis=(1, 3))
     elif method == "rms":
         out = np.sqrt((vals**2).mean(axis=(1, 3)))
@@ -326,7 +354,9 @@ def block_reduce(arr: np.ndarray, fy: int, fx: int, method: str = "average") -> 
         raise ValueError(f"unknown reduce method {method}")
     if np.issubdtype(arr.dtype, np.integer):
         info = np.iinfo(arr.dtype)
-        return np.clip(np.round(out), info.min, info.max).astype(arr.dtype)
+        # GDALCopyWord: round half AWAY from zero (numpy rounds half-to-even)
+        r = np.where(out >= 0, np.floor(out + 0.5), np.ceil(out - 0.5))
+        return np.clip(r, info.min, info.max).astype(arr.dtype)
     return out.astype(arr.dtype)
 
 

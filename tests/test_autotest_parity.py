@@ -449,3 +449,35 @@ def test_dither_1_median_cut_and_dither():
 
     idx = Q.dither_rgb2pct_gdal(arr, pal)
     assert CK.checksum(idx.astype(np.int32)) == 8803
+
+
+# ---------------------------------------------------------------------------
+# autotest/gcore/tiff_ovr.py test 5 — AVERAGE overview with nodata
+# ---------------------------------------------------------------------------
+
+GCORE_DATA = "/root/reference/autotest/gcore/data"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+def test_tiff_ovr_5_average_nodata():
+    from gdal_spark.raster import kernels as K
+
+    arr, meta = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, "nodata_byte.tif"), "rb").read()
+    )
+    assert meta["nodata"] == 0.0
+    out = K.block_reduce(arr, 2, 2, "average", nodata=meta["nodata"])
+    assert CK.checksum(out.astype(np.int32)) == 1130
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+def test_gcore_byte_tif_checksum():
+    """The canonical 20x20 byte.tif golden (autotest/gcore/algorithm.py)."""
+    arr, _ = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, "byte.tif"), "rb").read()
+    )
+    assert CK.checksum(arr.astype(np.int32)) == 4672
