@@ -481,3 +481,49 @@ def test_gcore_byte_tif_checksum():
         open(os.path.join(GCORE_DATA, "byte.tif"), "rb").read()
     )
     assert CK.checksum(arr.astype(np.int32)) == 4672
+
+
+# ---------------------------------------------------------------------------
+# autotest/gcore/rasterio.py test 9 — RasterIO resampled-read checksums
+# (scale-adjusted convolution + Gauss, this engine's resample_convolution
+# and resample_gauss)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+@pytest.mark.parametrize(
+    "out_sz,kernel,expected",
+    [
+        (10, "bilinear", 1211),
+        (10, "lanczos", 1154),
+        (10, "cubic", 1059),
+        (5, "cubic", 214),  # >=8x8 source samples per dest sample
+        (40, "cubic", 19556),  # supersampling
+        (40, "cubicspline", 19041),
+    ],
+)
+def test_rasterio_9_convolution(out_sz, kernel, expected):
+    from gdal_spark.raster import kernels as K
+
+    arr, _ = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, "byte.tif"), "rb").read()
+    )
+    # the 10x10 bilinear case reads into an Int16 buffer in the autotest;
+    # values stay in byte range so the dtype only matters for clamping
+    out = K.resample_convolution(arr.astype(np.int16), out_sz, out_sz, kernel)
+    assert CK.checksum(out.astype(np.int32)) == expected
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+def test_rasterio_9_gauss():
+    from gdal_spark.raster import kernels as K
+
+    arr, _ = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, "byte.tif"), "rb").read()
+    )
+    out = K.resample_gauss(arr, 10, 10)
+    assert CK.checksum(out.astype(np.int32)) == 1089
