@@ -101,9 +101,19 @@ def translate(
             out = (out - smin) / (smax - smin) * (dmax - dmin) + dmin
         if outsize is not None:
             ow, oh = outsize
-            # full -r method set: near/bilinear/cubic/cubicspline/lanczos +
-            # average/rms/min/max/sum/mode/med/q1/q3 (alg/gdalwarper.h:37-67)
-            out = K.resample(out, oh, ow, resample)
+            # gdal_translate -r goes through RasterIO resampled reads,
+            # whose bilinear/cubic/cubicspline/lanczos are the
+            # scale-adjusted CONVOLUTION kernels (anti-aliased on
+            # downsample) — not the warp GWK point-sampling kernels
+            # (gcore/rasterio.cpp GDALRasterIOResampled; checksum-verified
+            # in tests/test_autotest_parity.py). Upsampling convolution ==
+            # point sampling, so dispatching all sizes here is exact.
+            if resample in ("bilinear", "cubic", "cubicspline", "lanczos"):
+                out = K.resample_convolution(out, oh, ow, resample)
+            else:
+                # near + window reducers
+                # (average/rms/min/max/sum/mode/med/q1/q3)
+                out = K.resample(out, oh, ow, resample)
         return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
     return _map_images(df, fn, out_fmt)
