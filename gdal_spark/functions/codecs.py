@@ -60,29 +60,11 @@ def png_encode(arr: np.ndarray) -> bytes:
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    assert data[:8] == PNG_SIG, "not a PNG"
-    pos = 8
-    w = h = None
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
-            assert depth == 8 and ctype == 2 and interlace == 0, "unsupported PNG flavor"
-        elif tag == b"IDAT":
-            idat.extend(payload)
-        elif tag == b"IEND":
-            break
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = 1 + w * 3
-    rows = raw.reshape(h, stride)
-    out = np.zeros((h, w * 3), dtype=np.uint8)
-    prev = np.zeros(w * 3, dtype=np.uint8)
-    bpp = 3
+def _png_unfilter(raw: np.ndarray, h: int, nb: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters over an (h, 1+nb) filtered block."""
+    rows = raw.reshape(h, 1 + nb)
+    out = np.zeros((h, nb), dtype=np.uint8)
+    prev = np.zeros(nb, dtype=np.uint8)
     for y in range(h):
         ftype = rows[y, 0]
         line = rows[y, 1:].astype(np.int32)
@@ -92,16 +74,16 @@ def png_decode(data: bytes) -> np.ndarray:
             rec = (line + prev) & 0xFF
         elif ftype == 1:  # Sub — sequential along the row
             rec = line.copy()
-            for x in range(bpp, w * 3):
+            for x in range(bpp, nb):
                 rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
         elif ftype == 3:  # Average
             rec = line.copy()
-            for x in range(w * 3):
+            for x in range(nb):
                 left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             rec = line.copy()
-            for x in range(w * 3):
+            for x in range(nb):
                 a = rec[x - bpp] if x >= bpp else 0
                 b = int(prev[x])
                 cc = int(prev[x - bpp]) if x >= bpp else 0
@@ -113,7 +95,61 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = rec.astype(np.uint8)
         prev = out[y]
-    return out.reshape(h, w, 3)
+    return out
+
+
+# Adam7 pass geometry: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """8-bit PNG decode, all color types + Adam7 interlace (frmts/png
+    parity): 0 gray -> (h, w); 2 RGB -> (h, w, 3); 3 palette -> expanded
+    (h, w, 3); 4 gray+alpha -> (h, w, 2); 6 RGBA -> (h, w, 4)."""
+    assert data[:8] == PNG_SIG, "not a PNG"
+    pos = 8
+    w = h = ctype = interlace = None
+    plte = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            assert depth == 8, "unsupported PNG bit depth"
+            assert ctype in (0, 2, 3, 4, 6), f"unsupported PNG color type {ctype}"
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        out = _png_unfilter(raw, h, w * bpp, bpp)
+    else:  # Adam7: seven independently-filtered sub-images
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        img = out.reshape(h, w, bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            n = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[off : off + n], ph, pw * bpp, bpp)
+            off += n
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if ctype == 3:
+        assert plte is not None, "palette PNG without PLTE"
+        return plte[out.reshape(h, w)]
+    if bpp == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, bpp)
 
 
 # --------------------------------------------------------------------------

@@ -527,3 +527,27 @@ def test_rasterio_9_gauss():
     )
     out = K.resample_gauss(arr, 10, 10)
     assert CK.checksum(out.astype(np.int32)) == 1089
+
+
+# ---------------------------------------------------------------------------
+# PNG decoder vs the reference's own RGBA fixture — cross-format oracle:
+# stefan_full_rgba exists as BOTH .png (Adam7-interlaced RGBA) and .tif;
+# decoding each with this engine's own codecs must agree bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+def test_png_adam7_rgba_cross_format():
+    from gdal_spark.functions import codecs
+
+    png = codecs.png_decode(
+        open(os.path.join(GCORE_DATA, "stefan_full_rgba.png"), "rb").read()
+    )
+    tif, _ = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, "stefan_full_rgba.tif"), "rb").read()
+    )
+    assert png.shape == (150, 162, 4)
+    assert np.array_equal(png, tif)
+    assert CK.checksum_image(png) == [12603, 58561, 36064, 10807]
