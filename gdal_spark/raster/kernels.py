@@ -142,27 +142,51 @@ def _filter_weights(kernel: str, t: np.ndarray) -> np.ndarray:
 
 def _kernel_gather(arr: np.ndarray, fx: np.ndarray, fy: np.ndarray, kernel: str) -> np.ndarray:
     """Sample arr at fractional coords with a separable filter kernel
-    (cubic / cubicspline / lanczos) — same coord convention and edge
-    clamping as _bilinear_gather."""
+    (cubic / cubicspline / lanczos), GWK edge semantics: out-of-image
+    taps are DROPPED and the remaining weights renormalized (GWKResample
+    accumulates dfAccumulatorWeight over in-range taps,
+    alg/gdalwarpkernel.cpp:3160-3203); the optimized 4-sample cubic path
+    additionally falls back to BILINEAR whenever its 4x4 window leaves
+    the image (GWKCubicResampleNoMasks4SampleT) — both verified against
+    the autotest/alg/warp.py golden rasters."""
     h, w = arr.shape[:2]
     r = _FILTER_RADIUS[kernel]
     x0 = np.floor(fx).astype(np.int64)
     y0 = np.floor(fy).astype(np.int64)
-    wx = _filter_weights(kernel, fx - x0)
+    wx = _filter_weights(kernel, fx - x0)  # (2r, ...)
     wy = _filter_weights(kernel, fy - y0)
+    vx = np.stack([(x0 + (i - (r - 1)) >= 0) & (x0 + (i - (r - 1)) < w)
+                   for i in range(2 * r)]).astype(np.float64)
+    vy = np.stack([(y0 + (j - (r - 1)) >= 0) & (y0 + (j - (r - 1)) < h)
+                   for j in range(2 * r)]).astype(np.float64)
+    wxm = wx * vx
+    wym = wy * vy
+    norm = wxm.sum(axis=0) * wym.sum(axis=0)
+    norm = np.where(norm == 0.0, 1.0, norm)
     if arr.ndim == 3:
-        wx = wx[..., None]
-        wy = wy[..., None]
+        wxm = wxm[..., None]
+        wym = wym[..., None]
+        norm = norm[..., None]
     out = None
     for j in range(2 * r):
         yc = (y0 + (j - (r - 1))).clip(0, h - 1)
         row = None
         for i in range(2 * r):
             xc = (x0 + (i - (r - 1))).clip(0, w - 1)
-            v = arr[yc, xc].astype(np.float64) * wx[i]
+            v = arr[yc, xc].astype(np.float64) * wxm[i]
             row = v if row is None else row + v
-        row = row * wy[j]
+        row = row * wym[j]
         out = row if out is None else out + row
+    out = out / norm
+    if kernel == "cubic":
+        # 4-sample fast-path fallback: bilinear wherever the 4x4 window
+        # leaves the image
+        partial = (vx.min(axis=0) * vy.min(axis=0)) == 0.0
+        if partial.any():
+            bl = _bilinear_gather(arr.astype(np.float64), fx, fy)
+            out = np.where(
+                partial[..., None] if arr.ndim == 3 else partial, bl, out
+            )
     if np.issubdtype(arr.dtype, np.integer):
         info = np.iinfo(arr.dtype)
         r = np.where(out >= 0, np.floor(out + 0.5), np.ceil(out - 0.5))

@@ -551,3 +551,56 @@ def test_png_adam7_rgba_cross_format():
     assert png.shape == (150, 162, 4)
     assert np.array_equal(png, tif)
     assert CK.checksum_image(png) == [12603, 58561, 36064, 10807]
+
+
+# ---------------------------------------------------------------------------
+# autotest/alg/warp.py — upsampling warp vs the reference's golden rasters
+# (utmsmall.tif 60m -> 500x500 @ 10m, all five GWK resamplers; the
+# autotest gate is maxdiff <= 1 vs the stored reference outputs)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+@pytest.mark.parametrize(
+    "kernel,golden",
+    [
+        ("near", "near"),
+        ("bilinear", "blinear"),
+        ("cubic", "cubic"),
+        ("cubicspline", "cubicspline"),
+        ("lanczos", "lanczos"),
+    ],
+)
+def test_warp_1_to_5_goldens(kernel, golden):
+    from gdal_spark.raster import kernels as K
+
+    src, smeta = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, "utmsmall.tif"), "rb").read()
+    )
+    sgt = smeta["geotransform"]
+    dgt = (440720.0, 10.0, 0.0, 3751320.0, 0.0, -10.0)
+    h = w = 500
+    px = np.arange(w) + 0.5
+    py = np.arange(h) + 0.5
+    gx, gy = K.gt_pixel_to_geo(
+        dgt, px[None, :].repeat(h, 0), py[:, None].repeat(w, 1)
+    )
+    sx, sy = K.gt_geo_to_pixel(sgt, gx, gy)
+    if kernel == "near":
+        got = src[
+            np.clip(np.floor(sy).astype(int), 0, 99),
+            np.clip(np.floor(sx).astype(int), 0, 99),
+        ]
+    elif kernel == "bilinear":
+        got = K._bilinear_gather(src, sx - 0.5, sy - 0.5)
+    else:
+        got = K._kernel_gather(src, sx - 0.5, sy - 0.5, kernel)
+    ref, _ = tiff.tiff_parse(
+        open(
+            os.path.join(ALG_DATA, f"utmsmall_{golden}.tiff"), "rb"
+        ).read()
+    )
+    maxdiff = np.abs(got.astype(int) - ref.astype(int)).max()
+    assert maxdiff <= 1  # the autotest's own gate
