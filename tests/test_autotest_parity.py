@@ -604,3 +604,44 @@ def test_warp_1_to_5_goldens(kernel, golden):
     )
     maxdiff = np.abs(got.astype(int) - ref.astype(int)).max()
     assert maxdiff <= 1  # the autotest's own gate
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+@pytest.mark.parametrize(
+    "kernel,expected",
+    [("near", 4770), ("bilinear", 4755), ("cubic", 4833)],
+)
+def test_warp_6_to_8_ds_checksums(kernel, expected):
+    """autotest/alg/warp.py tests 6-8: 20x20 @50m warp windows with EXACT
+    expected checksums. GDAL replays the decimal-rounded inverse
+    geotransform stored in the VRT — using those exact doubles, this
+    engine's GWK kernels reproduce the checksums bit-exactly."""
+    from gdal_spark.raster import kernels as K
+
+    src, _ = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, "utmsmall.tif"), "rb").read()
+    )
+    # <SrcInvGeoTransform> from data/utmsmall_ds_*.vrt
+    inv = (-7345.333333333333, 0.01666666666666667, 0.0,
+           62522.0, 0.0, -0.01666666666666667)
+    dgt = (440720.0, 50.0, 0.0, 3751320.0, 0.0, -50.0)
+    w = h = 20
+    px = np.arange(w) + 0.5
+    py = np.arange(h) + 0.5
+    gx, gy = K.gt_pixel_to_geo(
+        dgt, px[None, :].repeat(h, 0), py[:, None].repeat(w, 1)
+    )
+    sx = inv[0] + gx * inv[1] + gy * inv[2]
+    sy = inv[3] + gx * inv[4] + gy * inv[5]
+    if kernel == "near":
+        got = src[
+            np.clip(np.floor(sy).astype(int), 0, 99),
+            np.clip(np.floor(sx).astype(int), 0, 99),
+        ]
+    elif kernel == "bilinear":
+        got = K._bilinear_gather(src, sx - 0.5, sy - 0.5)
+    else:
+        got = K._kernel_gather(src, sx - 0.5, sy - 0.5, kernel)
+    assert CK.checksum(got.astype(np.int32)) == expected
