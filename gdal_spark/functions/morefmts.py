@@ -257,7 +257,10 @@ def gif_encode(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def gif_decode(data: bytes) -> np.ndarray:
+def gif_decode(data: bytes, expand_palette: bool = True) -> np.ndarray:
+    """GIF -> RGB (h, w, 3); with expand_palette=False the raw palette
+    INDEX band (h, w) — GDAL's frmts/gif exposes the index band, so the
+    reference autotest checksums (gdrivers/gif.py) are on indices."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -304,6 +307,8 @@ def gif_decode(data: bytes) -> np.ndarray:
                 deinterlaced = np.empty_like(idx)
                 deinterlaced[order] = idx
                 idx = deinterlaced
+            if not expand_palette:
+                return idx
             return np.ascontiguousarray(ct[idx])
         elif block == 0x3B:
             break
@@ -381,7 +386,11 @@ def tga_decode(data: bytes) -> np.ndarray:
                     buf += data[pos : pos + n * nch]
                     pos += n * nch
             px = np.frombuffer(bytes(buf), np.uint8)
-        img = px.reshape(h, w, nch)[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
+        img = px.reshape(h, w, nch)
+        if nch == 4:  # BGRA -> RGBA (alpha kept — frmts/tga exposes band 4)
+            img = img[:, :, [2, 1, 0, 3]]
+        else:  # BGR -> RGB
+            img = img[:, :, ::-1]
     elif img_type == 1:  # colormapped, 8-bit indices
         step = (cm_bits + 7) // 8
         ct = np.frombuffer(cmap_raw, np.uint8).reshape(cm_len, step)

@@ -645,3 +645,47 @@ def test_warp_6_to_8_ds_checksums(kernel, expected):
     else:
         got = K._kernel_gather(src, sx - 0.5, sy - 0.5, kernel)
     assert CK.checksum(got.astype(np.int32)) == expected
+
+
+# ---------------------------------------------------------------------------
+# Codec parity vs reference gdrivers fixtures: GIF index band, PNM, TGA
+# ---------------------------------------------------------------------------
+
+GDR = "/root/reference/autotest/gdrivers/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+def test_gif_bug407_index_checksum():
+    from gdal_spark.functions import morefmts
+
+    idx = morefmts.gif_decode(
+        open(os.path.join(GDR, "gif/bug407.gif"), "rb").read(),
+        expand_palette=False,
+    )
+    # GDAL's GIF driver exposes the palette INDEX band (gdrivers/gif.py)
+    assert CK.checksum(idx.astype(np.int32)) == 57921
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+def test_pnm_checksums():
+    from gdal_spark.functions import morefmts
+
+    pgm = morefmts.pnm_decode(
+        open(os.path.join(GDR, "pnm/byte.pgm"), "rb").read()
+    )
+    assert CK.checksum_image(pgm)[0] == 4672
+    ppm = morefmts.pnm_decode(
+        open(os.path.join(GDR, "pnm/rgbsmall.ppm"), "rb").read()
+    )
+    assert CK.checksum_image(ppm)[1] == 21053
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+def test_tga_rgba_checksums():
+    from gdal_spark.functions import morefmts
+
+    a = morefmts.tga_decode(
+        open(os.path.join(GDR, "tga/stefan_full_rgba.tga"), "rb").read()
+    )
+    assert a.shape == (150, 162, 4)
+    assert CK.checksum_image(a) == [12603, 58561, 36064, 10807]

@@ -178,7 +178,8 @@ class TestTGA:
         px = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
         head = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 32, 0)
         raw = head + px[::-1][:, :, [2, 1, 0, 3]].tobytes()
-        assert np.array_equal(tga_decode(raw), px[:, :, :3])
+        # 32-bit TGA keeps the alpha band (frmts/tga exposes 4 bands)
+        assert np.array_equal(tga_decode(raw), px)
 
     def test_foreign_type1_colormapped(self):
         import struct
