@@ -391,19 +391,26 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     planes = []
     for c in comps:
         q = qtabs[c.tq].reshape(8, 8)
-        blocks = c.coeffs.astype(np.float64) * q
-        spatial = np.einsum("ji,abjk,kl->abil", _D8, blocks, _D8) + 128.0
+        # exact libjpeg path: jpeg_idct_islow fixed-point integer IDCT
+        flat = c.coeffs.reshape(-1, 8, 8)
+        spatial = _idct_islow_blocks(flat, q).reshape(c.nby, c.nbx, 8, 8)
         img = spatial.transpose(0, 2, 1, 3).reshape(c.nby * 8, c.nbx * 8)
         ch = (h * c.v + vmax - 1) // vmax
         cw = (w * c.h + hmax - 1) // hmax
         img = img[:ch, :cw]
-        if c.v != vmax or c.h != hmax:
-            img = np.repeat(np.repeat(img, vmax // c.v, axis=0), hmax // c.h, axis=1)
+        fh, fw = vmax // c.v, hmax // c.h
+        if (fh, fw) == (1, 1):
+            pass
+        elif (fh, fw) == (2, 2):
+            img = _h2v2_fancy(img)  # jdsample.c fancy (triangle) upsampling
+        elif (fh, fw) == (1, 2):
+            img = _h2v1_fancy(img)
+        else:
+            img = np.repeat(np.repeat(img, fh, axis=0), fw, axis=1)
         planes.append(img[:h, :w])
     if len(planes) == 1:
-        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        return np.repeat(planes[0][:, :, None], 3, axis=2)
+    return _ycc_rgb_exact(planes[0], planes[1], planes[2])
 
 
 def _split_scan(data: bytes, start: int) -> tuple[int, list[bytes]]:
@@ -536,3 +543,151 @@ def _decode_scan(order, segments, huffs, restart, h, w) -> None:
             mcuy, mcux, c.v, c.h, 8, 8
         )
         c.coeffs = arr.transpose(0, 2, 1, 3, 4, 5).reshape(c.nby, c.nbx, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Exact libjpeg decode path (bit-equal to the reference's vendored libjpeg:
+# frmts/jpeg/libjpeg jidctint.c / jdsample.c / jdcolor.c) — fixed-point
+# integer math transcribed to vectorized numpy.
+# ---------------------------------------------------------------------------
+
+_CB, _P1 = 13, 2  # CONST_BITS, PASS1_BITS
+_F_0_298631336, _F_0_390180644 = 2446, 3196
+_F_0_541196100, _F_0_765366865 = 4433, 6270
+_F_0_899976223, _F_1_175875602 = 7373, 9633
+_F_1_501321110, _F_1_847759065 = 12299, 15137
+_F_1_961570560, _F_2_053119869 = 16069, 16819
+_F_2_562915447, _F_3_072711026 = 20995, 25172
+
+
+def _descale(x: np.ndarray, n: int) -> np.ndarray:
+    return (x + (1 << (n - 1))) >> n
+
+
+def _idct_islow_blocks(coeffs: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """jpeg_idct_islow over (N, 8, 8) natural-order coefficient blocks ->
+    (N, 8, 8) uint8 samples (includes the IDCT range-limit table)."""
+    d = coeffs.astype(np.int64) * qtab.astype(np.int64)
+    # pass 1 over columns: lane k = row index
+    cols = [d[:, k, :] for k in range(8)]
+    ws = _idct_pass(cols, _CB - _P1)
+    # pass 2 over rows: lane k = column index
+    rows = [ws[k] for k in range(8)]  # ws[k] is (N, 8): row k? no —
+    # ws lanes are row outputs, shape (N, 8 columns); pass 2 needs per-row
+    # lanes over columns: transpose the lane structure
+    ws_arr = np.stack(ws, axis=1)  # (N, 8rows, 8cols)
+    lanes = [ws_arr[:, :, k] for k in range(8)]
+    out = _idct_pass(lanes, _CB + _P1 + 3)
+    out_arr = np.stack(out, axis=2)  # (N, 8rows, 8cols)
+    return _IDCT_RANGE[out_arr & 1023]
+
+
+def _idct_pass(s, descale_n: int):
+    z2, z3 = s[2], s[6]
+    z1 = (z2 + z3) * _F_0_541196100
+    tmp2 = z1 + z3 * (-_F_1_847759065)
+    tmp3 = z1 + z2 * _F_0_765366865
+    tmp0 = (s[0] + s[4]) << _CB
+    tmp1 = (s[0] - s[4]) << _CB
+    tmp10, tmp13 = tmp0 + tmp3, tmp0 - tmp3
+    tmp11, tmp12 = tmp1 + tmp2, tmp1 - tmp2
+    t0, t1, t2, t3 = s[7], s[5], s[3], s[1]
+    z1, z2 = t0 + t3, t1 + t2
+    z3, z4 = t0 + t2, t1 + t3
+    z5 = (z3 + z4) * _F_1_175875602
+    t0 = t0 * _F_0_298631336
+    t1 = t1 * _F_2_053119869
+    t2 = t2 * _F_3_072711026
+    t3 = t3 * _F_1_501321110
+    z1 = z1 * (-_F_0_899976223)
+    z2 = z2 * (-_F_2_562915447)
+    z3 = z3 * (-_F_1_961570560) + z5
+    z4 = z4 * (-_F_0_390180644) + z5
+    t0 += z1 + z3
+    t1 += z2 + z4
+    t2 += z2 + z3
+    t3 += z1 + z4
+    return [
+        _descale(tmp10 + t3, descale_n),
+        _descale(tmp11 + t2, descale_n),
+        _descale(tmp12 + t1, descale_n),
+        _descale(tmp13 + t0, descale_n),
+        _descale(tmp13 - t0, descale_n),
+        _descale(tmp12 - t1, descale_n),
+        _descale(tmp11 - t2, descale_n),
+        _descale(tmp10 - t3, descale_n),
+    ]
+
+
+def _build_idct_range() -> np.ndarray:
+    """IDCT range-limit table (jdmaster.c prepare_range_limit_table,
+    viewed from the CENTERJSAMPLE offset, indexed by value & 1023)."""
+    t = np.empty(1024, dtype=np.uint8)
+    t[0:128] = np.arange(128, 256)
+    t[128:512] = 255
+    t[512:896] = 0
+    t[896:1024] = np.arange(0, 128)
+    return t
+
+
+_IDCT_RANGE = _build_idct_range()
+
+_SCALEBITS = 16
+_ONE_HALF = 1 << (_SCALEBITS - 1)
+
+
+def _fix(x: float) -> int:
+    return int(x * (1 << _SCALEBITS) + 0.5)
+
+
+_X = np.arange(256, dtype=np.int64) - 128
+_CR_R = (_fix(1.40200) * _X + _ONE_HALF) >> _SCALEBITS
+_CB_B = (_fix(1.77200) * _X + _ONE_HALF) >> _SCALEBITS
+_CR_G = (-_fix(0.71414)) * _X
+_CB_G = (-_fix(0.34414)) * _X + _ONE_HALF
+
+
+def _ycc_rgb_exact(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """jdcolor.c ycc_rgb_convert with build_ycc_rgb_table fixed-point."""
+    yi = y.astype(np.int64)
+    cbi = cb.astype(np.int64)
+    cri = cr.astype(np.int64)
+    r = yi + _CR_R[cri]
+    g = yi + ((_CB_G[cbi] + _CR_G[cri]) >> _SCALEBITS)
+    b = yi + _CB_B[cbi]
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)  # sample_range_limit
+
+
+def _h2v1_fancy(plane: np.ndarray) -> np.ndarray:
+    """jdsample.c h2v1_fancy_upsample (triangle filter, 8-bit int math)."""
+    p = plane.astype(np.int64)
+    h, w = p.shape
+    out = np.empty((h, w * 2), dtype=np.int64)
+    out[:, 0] = p[:, 0]
+    out[:, -1] = p[:, -1]
+    out[:, 2:-1:2] = (p[:, 1:] * 3 + p[:, :-1] + 1) >> 2
+    out[:, 1:-1:2] = (p[:, :-1] * 3 + p[:, 1:] + 2) >> 2
+    return out.astype(np.uint8)
+
+
+def _h2v2_fancy(plane: np.ndarray) -> np.ndarray:
+    """jdsample.c h2v2_fancy_upsample: vertical 3:1 column sums, then
+    horizontal 3:1 with the 8/7 rounding split; edges replicate."""
+    p = plane.astype(np.int64)
+    h, w = p.shape
+    up = np.vstack([p[:1], p[:-1]])  # row above (edge replicated)
+    dn = np.vstack([p[1:], p[-1:]])  # row below
+    colsums = np.empty((2 * h, w), dtype=np.int64)
+    colsums[0::2] = p * 3 + up  # v==0: next nearest is above
+    colsums[1::2] = p * 3 + dn  # v==1: next nearest is below
+    cs = colsums
+    out = np.empty((2 * h, 2 * w), dtype=np.int64)
+    last = np.hstack([cs[:, :1], cs[:, :-1]])
+    nxt = np.hstack([cs[:, 1:], cs[:, -1:]])
+    out[:, 0::2] = (cs * 3 + last + 8) >> 4
+    out[:, 1::2] = (cs * 3 + nxt + 7) >> 4
+    # special-case first/last columns (4x replication weights)
+    out[:, 0] = (cs[:, 0] * 4 + 8) >> 4
+    out[:, -1] = (cs[:, -1] * 4 + 7) >> 4
+    return out.astype(np.uint8)

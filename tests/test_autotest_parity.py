@@ -689,3 +689,22 @@ def test_tga_rgba_checksums():
     )
     assert a.shape == (150, 162, 4)
     assert CK.checksum_image(a) == [12603, 58561, 36064, 10807]
+
+
+# ---------------------------------------------------------------------------
+# JPEG: bit-exact libjpeg decode (autotest/gdrivers/jpeg.py test 1 pins
+# band 2 of albania.jpg; 17016 is the canonical libjpeg/libjpeg-turbo
+# value — the 34296/34298 alternatives are the 8/9b IDCT variants)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+def test_jpeg_1_albania_band2():
+    from gdal_spark.functions import jpeg as J
+
+    arr = J.jpeg_decode(
+        open(os.path.join(GDR, "jpeg/albania.jpg"), "rb").read()
+    )
+    assert arr.shape == (260, 361, 3)
+    # exact jpeg_idct_islow + h2v2 fancy upsampling + integer YCbCr->RGB
+    assert CK.checksum_image(arr)[1] == 17016
