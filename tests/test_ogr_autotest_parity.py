@@ -146,3 +146,58 @@ def test_poly_shp_geometry_roundtrip(views):
     for r in rows:
         got = G.wkb_area(bytes(r["wkb"]))
         assert got == pytest.approx(abs(r["AREA"]), rel=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# ogr_sql_rfc28.py — expression-evaluation cases on poly.shp
+# ---------------------------------------------------------------------------
+
+
+def test_rfc28_expressions(views):
+    cases = [
+        ("SELECT * FROM poly WHERE 160+7 > eas_id", 3),  # rfc28_1
+        ("SELECT * FROM poly WHERE CONCAT('x', PRFEDEA) = 'x35043423'", 1),
+        ("SELECT * FROM poly WHERE 'x' || PRFEDEA = 'x35043423'", 1),  # '+' on strings
+        ("SELECT * FROM poly WHERE EAS_ID % 5 = 1", 2),  # rfc28_4
+        ('SELECT * FROM poly WHERE `EAS_ID` = 166', 1),  # quoted field
+    ]
+    for sql, expected in cases:
+        assert views.sql(sql).count() == expected, sql
+
+
+def test_rfc28_14_substr(views):
+    got = sorted(
+        r[0]
+        for r in views.sql(
+            "SELECT SUBSTR(PRFEDEA, 4, 5) FROM poly WHERE eas_id IN (168,179)"
+        ).collect()
+    )
+    assert got == ["43411", "43423"]
+
+
+def test_rfc28_15_concat_cast(views):
+    got = sorted(
+        r[0]
+        for r in views.sql(
+            "SELECT CONCAT(PRFEDEA, ' ', CAST(EAS_ID AS STRING)) "
+            "FROM poly WHERE eas_id IN (168,179)"
+        ).collect()
+    )
+    assert got == ["35043411 168", "35043423 179"]
+
+
+def test_rfc28_16_negative_numbers(views):
+    row = views.sql(
+        "SELECT -1 AS a, 4 AS b, -3 AS c, 0.2 AS d, 2 AS e FROM poly LIMIT 1"
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["e"]) == (-1, 4, -3, 2)
+    assert float(row["d"]) == pytest.approx(0.2)  # Spark literals are Decimal
+
+
+def test_rfc28_arithmetic_precedence(views):
+    # ogr_sql_rfc28: 'select -intfield + 1 + 2 * 3 + 5 - 3 * 2' == 4
+    # with intfield == 0 here: -eas_id + eas_id + 1 + 2*3 + 5 - 3*2 == 6
+    row = views.sql(
+        "SELECT -eas_id + eas_id + 1 + 2 * 3 + 5 - 3 * 2 AS v FROM poly LIMIT 1"
+    ).collect()[0]
+    assert row["v"] == 6
