@@ -410,6 +410,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         planes.append(img[:h, :w])
     if len(planes) == 1:
         return np.repeat(planes[0][:, :, None], 3, axis=2)
+    if len(planes) == 4:
+        # Adobe 4-component CMYK (APP14 transform 0): the reference's JPEG
+        # driver converts to RGB with R=C*K/255 etc.
+        # (frmts/jpeg/jpgdataset.cpp:1808-1840); YCCK (transform 2) is not
+        # seen in the reference fixtures and is unsupported here.
+        c4 = [p.astype(np.int64) for p in planes]
+        rgb = [(c4[i] * c4[3]) // 255 for i in range(3)]
+        return np.stack(rgb, axis=-1).astype(np.uint8)
     return _ycc_rgb_exact(planes[0], planes[1], planes[2])
 
 

@@ -708,3 +708,14 @@ def test_jpeg_1_albania_band2():
     assert arr.shape == (260, 361, 3)
     # exact jpeg_idct_islow + h2v2 fancy upsampling + integer YCbCr->RGB
     assert CK.checksum_image(arr)[1] == 17016
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+def test_jpeg_8_cmyk_as_rgb():
+    from gdal_spark.functions import jpeg as J
+
+    arr = J.jpeg_decode(
+        open(os.path.join(GDR, "jpeg/rgb_ntf_cmyk.jpg"), "rb").read()
+    )
+    # Adobe CMYK read as RGB: R=C*K/255 (jpgdataset.cpp) — exact checksums
+    assert CK.checksum_image(arr) == [20385, 20865, 19441]
