@@ -26,7 +26,7 @@ import numpy as np
 # tag ids (TIFF 6.0 + GeoTIFF)
 T_WIDTH, T_LENGTH, T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 256, 257, 258, 259, 262
 T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
-T_PLANAR, T_PREDICTOR = 284, 317
+T_PLANAR, T_PREDICTOR, T_SAMPLEFORMAT = 284, 317, 339
 T_TILE_W, T_TILE_L, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_PIXEL_SCALE, T_TIEPOINT, T_GEOKEYS = 33550, 33922, 34735
 T_GDAL_NODATA = 42113  # ASCII nodata value (GDAL extension tag)
@@ -127,10 +127,11 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
                 table.append(entry)
             out += entry
             prev = entry
-            # TIFF early change; the decoder's table is one entry behind
-            # the encoder's, so it widens one entry earlier (libtiff:
-            # "if (nextcode == maxcode - 1) maxcode <<= 1")
-            if len(table) >= (1 << bits) - 2 and bits < 12:
+            # TIFF early change (libtiff: "if (nextcode == maxcode - 1)
+            # maxcode <<= 1"): widen when the NEXT entry index hits
+            # 2^bits - 1 — verified against a libtiff-written stream
+            # (gcore/data/gtiff/float32_lzw_predictor_3_big_endian.tif)
+            if len(table) >= (1 << bits) - 1 and bits < 12:
                 bits += 1
             if len(out) >= expected:
                 return bytes(out[:expected])
@@ -162,9 +163,9 @@ def lzw_encode(data: bytes) -> bytes:
             emit(table[w])
             table[w + c] = next_code
             next_code += 1
-            # early change: the decoder widens when ITS table (one entry
-            # behind ours) reaches 2^bits - 1
-            if next_code >= (1 << bits) - 1 and bits < 12:
+            # early change: widen when the code ABOUT to be emitted could
+            # reach 2^bits (decoder widens at next-entry == 2^bits - 1)
+            if next_code >= (1 << bits) and bits < 12:
                 bits += 1
             if next_code > 4093:
                 emit(_CLEAR)
@@ -211,8 +212,34 @@ def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, tuple[int, list]]:
 
 
 def _undo_predictor(arr: np.ndarray) -> np.ndarray:
-    # horizontal differencing: cumulative sum along the row axis mod 256
-    return np.cumsum(arr.astype(np.uint16), axis=1).astype(np.uint8)
+    # horizontal differencing: modular cumulative sum along the row axis
+    if arr.dtype == np.uint8:
+        return np.cumsum(arr.astype(np.uint16), axis=1).astype(np.uint8)
+    if np.issubdtype(arr.dtype, np.integer):
+        u = arr.astype(
+            np.dtype(f"u{arr.dtype.itemsize}"), copy=False
+        )
+        return np.cumsum(u.astype(np.uint64), axis=1).astype(u.dtype).view(
+            arr.dtype
+        )
+    raise TiffError("predictor 2 on non-integer samples")
+
+
+def _undo_fp_predictor(raw: bytes, rows: int, w: int, spp: int, isz: int,
+                       dt: np.dtype) -> np.ndarray:
+    """Predictor 3 (floating-point, TIFF Technote 3): per row, bytes are
+    byte-plane split (big-endian significance order) and horizontally
+    differenced; undo = cumsum bytes then reassemble."""
+    b = np.frombuffer(raw, np.uint8).reshape(rows, isz, w * spp).astype(np.uint16)
+    b = np.cumsum(b.reshape(rows, isz * w * spp), axis=1).astype(np.uint8)
+    b = b.reshape(rows, isz, w * spp)
+    # byte plane k holds big-endian byte k of each sample
+    be = np.dtype(">" + dt.str[1:])
+    out = np.empty((rows, w * spp), dtype=be)
+    ob = out.view(np.uint8).reshape(rows, w * spp, isz)
+    for k in range(isz):
+        ob[:, :, k] = b[:, k, :]
+    return out.astype(dt)
 
 
 def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
@@ -240,8 +267,19 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
     comp = one(T_COMPRESSION, 1)
     pred = one(T_PREDICTOR, 1)
     bits = tags.get(T_BITS, (3, [8]))[1]
-    if any(b != 8 for b in bits):
-        raise TiffError(f"only 8-bit samples supported, got {bits}")
+    if any(b != bits[0] for b in bits) or bits[0] not in (8, 16, 32, 64):
+        raise TiffError(f"unsupported BitsPerSample {bits}")
+    sfmt = tags.get(T_SAMPLEFORMAT, (3, [1]))[1][0]  # 1 uint, 2 int, 3 float
+    _DT = {
+        (8, 1): "u1", (8, 2): "i1", (16, 1): "u2", (16, 2): "i2",
+        (32, 1): "u4", (32, 2): "i4", (32, 3): "f4",
+        (64, 1): "u8", (64, 2): "i8", (64, 3): "f8",
+    }
+    key = (bits[0], sfmt)
+    if key not in _DT:
+        raise TiffError(f"unsupported sample format {sfmt}/{bits[0]} bits")
+    dt = np.dtype(bo + _DT[key])
+    isz = dt.itemsize
     planar = one(T_PLANAR, 1)
     if planar not in (1, 2):
         raise TiffError(f"unsupported planar config {planar}")
@@ -259,23 +297,55 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
             return zlib.decompress(chunk)[:nbytes]
         raise TiffError(f"unsupported compression {comp}")
 
-    out = np.zeros((h, w, spp), dtype=np.uint8)
+    def chunk_to_samples(raw: bytes, rows: int, width: int, nsmp: int):
+        """Decompressed chunk bytes -> (rows, width, nsmp) in native dtype,
+        predictors undone. Writers may truncate partial final strips/tiles
+        (gcore #1179) — pad short chunks with zeros."""
+        need = rows * width * nsmp * isz
+        if len(raw) < need:
+            raw = raw + b"\x00" * (need - len(raw))
+        if pred == 3:
+            arr = _undo_fp_predictor(raw, rows, width, nsmp, isz, dt)
+            return arr.reshape(rows, width, nsmp)
+        arr = np.frombuffer(raw, dt, rows * width * nsmp).reshape(
+            rows, width, nsmp
+        )
+        if pred == 2:
+            if nsmp == 1:
+                arr = _undo_predictor(arr.reshape(rows, width)).reshape(
+                    rows, width, 1
+                )
+            elif dt.itemsize == 1:
+                arr = _undo_predictor_rgb(arr)
+            else:
+                flat = _undo_predictor(
+                    arr.reshape(rows, width * nsmp)
+                )  # per-sample diff interleaved: cumsum per channel
+                arr = flat.reshape(rows, width, nsmp)
+        return arr
+
+    out = np.zeros((h, w, spp), dtype=np.dtype(_DT[key]))
     if T_TILE_OFFSETS in tags:
         tw, tl = one(T_TILE_W), one(T_TILE_L)
         offs = tags[T_TILE_OFFSETS][1]
         cnts = tags[T_TILE_COUNTS][1]
         tiles_across = (w + tw - 1) // tw
+        tiles_down = (h + tl - 1) // tl
+        per_band = planar == 2 and spp > 1
+        tiles_per_band = tiles_across * tiles_down
         for ti, (o, c) in enumerate(zip(offs, cnts)):
-            raw = decompress(data[o : o + c], tw * tl * spp)
-            tile = np.frombuffer(raw, np.uint8).reshape(tl, tw, spp)
-            if pred == 2:
-                tile = _undo_predictor(
-                    tile.reshape(tl, tw * spp)
-                ).reshape(tl, tw, spp) if spp == 1 else _undo_predictor_rgb(tile)
-            ty, tx = divmod(ti, tiles_across)
+            raw = decompress(data[o : o + c], tw * tl * (1 if per_band else spp) * isz)
+            nsmp = 1 if per_band else spp
+            tile = chunk_to_samples(raw, tl, tw, nsmp)
+            band = ti // tiles_per_band if per_band else None
+            tpos = ti % tiles_per_band if per_band else ti
+            ty, tx = divmod(tpos, tiles_across)
             y0, x0 = ty * tl, tx * tw
             ys, xs = min(tl, h - y0), min(tw, w - x0)
-            out[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+            if per_band:
+                out[y0 : y0 + ys, x0 : x0 + xs, band] = tile[:ys, :xs, 0]
+            else:
+                out[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
     elif planar == 2 and spp > 1:
         # band-sequential strips: offsets ordered band-major
         # (TIFF 6.0 PlanarConfiguration=2), one sample per strip row
@@ -288,11 +358,10 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
             for sidx in range(spb):
                 o, c = offs[b * spb + sidx], cnts[b * spb + sidx]
                 rows = min(rps, h - y)
-                raw = decompress(data[o : o + c], rows * w)
-                strip = np.frombuffer(raw, np.uint8).reshape(rows, w)
-                if pred == 2:
-                    strip = _undo_predictor(strip)
-                out[y : y + rows, :, b] = strip
+                raw = decompress(data[o : o + c], rows * w * isz)
+                out[y : y + rows, :, b] = chunk_to_samples(raw, rows, w, 1)[
+                    :, :, 0
+                ]
                 y += rows
     else:
         rps = one(T_ROWS_PER_STRIP, h)
@@ -301,15 +370,8 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
         y = 0
         for o, c in zip(offs, cnts):
             rows = min(rps, h - y)
-            raw = decompress(data[o : o + c], rows * w * spp)
-            strip = np.frombuffer(raw, np.uint8).reshape(rows, w, spp)
-            if pred == 2:
-                strip = (
-                    _undo_predictor(strip.reshape(rows, w)).reshape(rows, w, 1)
-                    if spp == 1
-                    else _undo_predictor_rgb(strip)
-                )
-            out[y : y + rows] = strip
+            raw = decompress(data[o : o + c], rows * w * spp * isz)
+            out[y : y + rows] = chunk_to_samples(raw, rows, w, spp)
             y += rows
 
     meta: dict = {"width": w, "height": h, "samples": spp, "compression": comp}

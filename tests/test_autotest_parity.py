@@ -719,3 +719,42 @@ def test_jpeg_8_cmyk_as_rgb():
     )
     # Adobe CMYK read as RGB: R=C*K/255 (jpgdataset.cpp) — exact checksums
     assert CK.checksum_image(arr) == [20385, 20865, 19441]
+
+
+# ---------------------------------------------------------------------------
+# gcore/tiff_read.py — sample-type matrix (the same 20x20 image stored as
+# every numeric type checksums to 4672), libtiff LZW early-change, TIFF
+# Technote-3 floating-point predictor, and the #1179 partial-final-tile
+# cases (both planar configs, strip and tiled)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+@pytest.mark.parametrize(
+    "fname",
+    ["byte.tif", "int16.tif", "uint16.tif", "int32.tif", "uint32.tif",
+     "float32.tif", "float64.tif",
+     "gtiff/float32_lzw_predictor_3_big_endian.tif"],
+)
+def test_tiff_read_type_matrix(fname):
+    arr, _ = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, fname), "rb").read()
+    )
+    assert CK.checksum(arr if arr.ndim == 2 else arr[:, :, 0]) == 4672
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+@pytest.mark.parametrize(
+    "fname",
+    ["separate_tiled.tif", "seperate_strip.tif",
+     "contig_tiled.tif", "contig_strip.tif"],
+)
+def test_tiff_read_partial_final_chunks(fname):
+    arr, _ = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, fname), "rb").read()
+    )
+    assert CK.checksum_image(arr)[1] == 15234
