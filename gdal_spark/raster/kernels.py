@@ -755,16 +755,32 @@ def slope_deg(dem: np.ndarray, xres: float = 1.0, yres: float = 1.0) -> np.ndarr
     return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
 
 
-def aspect_deg(dem: np.ndarray, xres: float = 1.0, yres: float = 1.0) -> np.ndarray:
-    """Aspect: azimuth the slope faces, degrees CW from north
-    (gdaldem_lib.cpp GDALAspectAlg), flat -> -9999."""
-    dzdx, dzdy = _horn_gradients(dem, xres, yres)
-    asp = np.degrees(np.arctan2(dzdy, -dzdx))
-    out = 90.0 - asp
-    out = np.where(out < 0, out + 360.0, out)
-    out = np.where(out >= 360.0, out - 360.0, out)
-    flat = (dzdx == 0) & (dzdy == 0)
-    return np.where(flat, -9999.0, out)
+def aspect_deg(
+    dem: np.ndarray, xres: float = 1.0, yres: float = 1.0,
+    alg: str = "horn", nodata: float = -9999.0,
+) -> np.ndarray:
+    """Aspect: azimuth the slope faces, degrees CW from north — exact
+    GDALAspectAlg / GDALAspectZevenbergenThorneAlg semantics
+    (apps/gdaldem_lib.cpp): float32 atan2, azimuth fold 450-x / 90-x,
+    flat -> nodata, 360 -> 0. Resolution cancels out of the angle.
+    Checksum-verified against autotest/utilities/test_gdaldem_lib.py."""
+    w = _neighbors_3x3(dem)
+    if alg == "horn":
+        dx = ((w[2] + w[4] + w[4] + w[7]) - (w[0] + w[3] + w[3] + w[5])).astype(
+            np.float32
+        )
+        dy = ((w[5] + w[6] + w[6] + w[7]) - (w[0] + w[1] + w[1] + w[2])).astype(
+            np.float32
+        )
+    else:  # zevenbergen-thorne
+        dx = (w[4] - w[3]).astype(np.float32)
+        dy = (w[6] - w[1]).astype(np.float32)
+    rad2deg = np.float32(180.0 / np.pi)
+    asp = (np.arctan2(dy, -dx).astype(np.float32) * rad2deg).astype(np.float32)
+    out = np.where(asp > 90.0, np.float32(450.0) - asp, np.float32(90.0) - asp)
+    out = np.where((dx == 0) & (dy == 0), np.float32(nodata), out)
+    out = np.where(out == 360.0, np.float32(0.0), out)
+    return out.astype(np.float64)
 
 
 def _neighbors_3x3(dem: np.ndarray):
@@ -921,17 +937,24 @@ def color_relief(
     vals = np.array([t[0] for t in tab], dtype=np.float64)
     cols = np.array([t[1:4] for t in tab], dtype=np.float64)
     z = dem.astype(np.float64)
+    hi = np.searchsorted(vals, z, side="left").clip(1, len(vals) - 1)
+    lo = hi - 1
     if mode == "nearest":
-        idx = np.abs(z[..., None] - vals[None, None, :]).argmin(axis=-1)
+        # COLOR_SELECTION_NEAREST_ENTRY: ties go to the UPPER entry
+        # (gdaldem_lib.cpp GDALColorReliefGetRGBA)
+        pick_lo = (z - vals[lo]) < (vals[hi] - z)
+        pick_lo &= z > vals[0]
+        idx = np.where(pick_lo, lo, hi)
+        idx = np.where(z <= vals[0], 0, idx)
+        idx = np.where(z > vals[-1], len(vals) - 1, idx)
         out = cols[idx]
     else:
-        hi = np.searchsorted(vals, z, side="left").clip(1, len(vals) - 1)
-        lo = hi - 1
         span = vals[hi] - vals[lo]
         t = np.where(span > 0, (z - vals[lo]) / np.where(span > 0, span, 1.0), 0.0)
         t = t.clip(0.0, 1.0)
         out = cols[lo] + (cols[hi] - cols[lo]) * t[..., None]
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    # GDAL rounds with int(0.5 + v) == floor(v + 0.5), not half-to-even
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
 def rasterize_line_mask(

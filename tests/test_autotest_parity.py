@@ -758,3 +758,110 @@ def test_tiff_read_partial_final_chunks(fname):
         open(os.path.join(GCORE_DATA, fname), "rb").read()
     )
     assert CK.checksum_image(arr)[1] == 15234
+
+
+# ---------------------------------------------------------------------------
+# autotest/utilities/test_gdaldem_lib.py — exact checksums on the n43 DEM
+# (int16 DTED-derived GeoTIFF; gdaldem defaults leave a 1-px nodata border)
+# ---------------------------------------------------------------------------
+
+N43 = os.path.join(GDR, "n43.tif")
+DEM_SCALE = 111120.0
+
+
+def _n43():
+    arr, meta = tiff.tiff_parse(open(N43, "rb").read())
+    return arr.astype(np.float64), meta["geotransform"]
+
+
+def _u8_border0(a):
+    o = a.copy()
+    o[0, :] = 0
+    o[-1, :] = 0
+    o[:, 0] = 0
+    o[:, -1] = 0
+    return o.astype(np.int32)
+
+
+def _f32_border(a, nod=-9999.0):
+    o = a.astype(np.float64).copy()
+    o[0, :] = nod
+    o[-1, :] = nod
+    o[:, 0] = nod
+    o[:, -1] = nod
+    return o.astype(np.float32)
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+@pytest.mark.parametrize(
+    "kwargs,expected",
+    [
+        (dict(), 45587),  # hillshade -s 111120 -z 30
+        (dict(variant="combined"), 43876),
+        (dict(alg="zevenbergen-thorne"), 46544),
+        (dict(alg="zevenbergen-thorne", variant="combined"), 43112),
+    ],
+)
+def test_gdaldem_hillshade_checksums(kwargs, expected):
+    from gdal_spark.raster import kernels as K
+
+    dem, gt = _n43()
+    hs = K.hillshade_ex(
+        dem, xres=gt[1] * DEM_SCALE, yres=-gt[5] * DEM_SCALE, zfactor=30,
+        **kwargs,
+    )
+    assert CK.checksum(_u8_border0(hs)) == expected
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+def test_gdaldem_slope_zt_checksum():
+    from gdal_spark.raster import kernels as K
+
+    dem, gt = _n43()
+    x, y = K._gdal_gradient(
+        dem, gt[1] * DEM_SCALE, -gt[5] * DEM_SCALE, "zevenbergen-thorne"
+    )
+    slope = np.degrees(np.arctan(np.sqrt(x * x + y * y)))
+    assert CK.checksum(_f32_border(slope)) == 64393
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+def test_gdaldem_aspect_zt_checksum():
+    from gdal_spark.raster import kernels as K
+
+    dem, _ = _n43()
+    az = K.aspect_deg(dem * 30, alg="zevenbergen-thorne")
+    assert CK.checksum(_f32_border(az)) == 50539
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+@pytest.mark.parametrize(
+    "fn_name,kwargs,expected",
+    [
+        ("tpi", {}, 60504),
+        ("tri", {"alg": "wilson"}, 61143),
+        ("tri", {}, 41233),  # Riley default
+        ("roughness", {}, 38624),
+    ],
+)
+def test_gdaldem_metrics_checksums(fn_name, kwargs, expected):
+    from gdal_spark.raster import kernels as K
+
+    dem, _ = _n43()
+    out = getattr(K, fn_name)(dem, **kwargs)
+    assert CK.checksum(_f32_border(out)) == expected
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+def test_gdaldem_color_relief_checksums():
+    from gdal_spark.raster import kernels as K
+
+    dem, _ = _n43()
+    # autotest/utilities/data/color_file.txt
+    table = [
+        (500, 255, 255, 255), (450, 235, 220, 175), (300, 190, 185, 135),
+        (150, 240, 250, 150), (76, 50, 180, 50), (75, 200, 230, 255),
+        (-32768, 200, 230, 255),
+    ]
+    rgb = K.color_relief(dem, table)
+    assert CK.checksum_image(rgb) == [55066, 37594, 47768]
