@@ -865,3 +865,75 @@ def test_gdaldem_color_relief_checksums():
     ]
     rgb = K.color_relief(dem, table)
     assert CK.checksum_image(rgb) == [55066, 37594, 47768]
+
+
+# ---------------------------------------------------------------------------
+# autotest/utilities/test_gdal_grid_lib.py — per-quadrant grid constraints
+# (exact expected node values; node = grid center, shift cancels)
+# ---------------------------------------------------------------------------
+
+_G5 = [(0.5, 0.5, 10), (-0.5, 0.5, 10), (-0.5, -0.5, 10), (0.5, -0.5, 10),
+       (1, 0, 1e8)]
+
+
+def _gpts(rows):
+    a = np.array(rows, dtype=float)
+    return a[:, 0], a[:, 1], a[:, 2]
+
+
+def test_gdal_grid_invdist_quadrant_cases():
+    from gdal_spark.functions import gridalgs as GA
+
+    px, py, pz = _gpts(_G5)
+    power = 1.5
+    v = GA.invdist_quadrant(
+        px, py, pz, 0, 0, power=power, smoothing=1e-15, radius=2,
+        max_points=10, min_points=4, min_points_per_quadrant=1,
+        max_points_per_quadrant=2,
+    )
+    d1 = (0.5**2 + 0.5**2) ** (power / 2)
+    exp = (4 * 10 / d1 + 1e8) / (4 / d1 + 1)
+    assert v == pytest.approx(exp, rel=1e-12)
+
+    px4, py4, pz4 = _gpts(_G5[:4])
+    assert GA.invdist_quadrant(
+        px4, py4, pz4, 0, 0, radius=0.7, min_points_per_quadrant=1
+    ) == 0.0  # radius must exceed sqrt(2)
+    assert GA.invdist_quadrant(
+        px4, py4, pz4, 0, 0, radius=1, min_points_per_quadrant=1, min_points=5
+    ) == 0.0
+    px3, py3, pz3 = _gpts(_G5[:3])
+    assert GA.invdist_quadrant(
+        px3, py3, pz3, 0, 0, radius=0.8, min_points_per_quadrant=1
+    ) == 0.0  # one empty quadrant
+    # the far heavy point is excluded by both cap styles
+    assert GA.invdist_quadrant(
+        px, py, pz, 0, 0, radius=2, min_points_per_quadrant=1,
+        max_points=0, max_points_per_quadrant=1,
+    ) == 10.0
+    assert GA.invdist_quadrant(
+        px, py, pz, 0, 0, radius=2, min_points_per_quadrant=1, max_points=4
+    ) == 10.0
+
+
+def test_gdal_grid_average_quadrant_cases():
+    from gdal_spark.functions import gridalgs as GA
+
+    rows = [(0.5, 0.5, 10), (-0.5, 0.5, 10), (-0.5, -0.5, 10),
+            (0.5, -0.5, 10), (1, 0, 100)]
+    px, py, pz = _gpts(rows)
+    assert GA.average_quadrant(
+        px, py, pz, 0, 0, radius=2, max_points=10, min_points=4,
+        min_points_per_quadrant=1, max_points_per_quadrant=2,
+    ) == pytest.approx((4 * 10 + 100) / 5)
+    px4, py4, pz4 = _gpts(rows[:4])
+    assert GA.average_quadrant(
+        px4, py4, pz4, 0, 0, radius=0.7, min_points_per_quadrant=1
+    ) == 0.0
+    assert GA.average_quadrant(
+        px4, py4, pz4, 0, 0, radius=1, min_points_per_quadrant=1, min_points=5
+    ) == 0.0
+    px3, py3, pz3 = _gpts(rows[:3])
+    assert GA.average_quadrant(
+        px3, py3, pz3, 0, 0, radius=0.8, min_points_per_quadrant=1
+    ) == 0.0
