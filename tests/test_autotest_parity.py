@@ -937,3 +937,30 @@ def test_gdal_grid_average_quadrant_cases():
     assert GA.average_quadrant(
         px3, py3, pz3, 0, 0, radius=0.8, min_points_per_quadrant=1
     ) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# autotest/utilities/test_gdal_translate_lib.py — outsize/srcwin checksums
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+def test_gdal_translate_outsize_srcwin():
+    from gdal_spark.raster import kernels as K
+
+    byte, _ = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, "byte.tif"), "rb").read()
+    )
+    assert CK.checksum(byte.astype(np.int32)) == 4672
+    # -outsize 40 40 (default nearest): test 6/7
+    assert CK.checksum(
+        K.resample_nearest(byte, 40, 40).astype(np.int32)
+    ) == 18784
+    # -srcwin 0 0 1 1
+    assert CK.checksum(byte[:1, :1].astype(np.int32)) == 2
+    # -outsize 1 1
+    assert CK.checksum(
+        K.resample_nearest(byte, 1, 1).astype(np.int32)
+    ) == 3
