@@ -964,3 +964,24 @@ def test_gdal_translate_outsize_srcwin():
     assert CK.checksum(
         K.resample_nearest(byte, 1, 1).astype(np.int32)
     ) == 3
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(GCORE_DATA), reason="gcore data not present"
+)
+def test_gdalwarp_cutline_checksum():
+    """autotest/utilities/test_gdalwarp_lib.py cutline tests: identity
+    warp of utmsmall.tif masked by the data/cutline.csv rectangle."""
+    from gdal_spark.raster import kernels as K
+
+    src, meta = tiff.tiff_parse(
+        open(os.path.join(GCORE_DATA, "utmsmall.tif"), "rb").read()
+    )
+    gt = meta["geotransform"]
+    ring = np.array(
+        [(445125, 3748212), (442222, 3748212), (442222, 3750366),
+         (445125, 3750366), (445125, 3748212)],
+        dtype=float,
+    )
+    mask = K.rasterize_rings([ring], src.shape[0], src.shape[1], gt=gt)
+    assert CK.checksum(np.where(mask, src, 0).astype(np.int32)) == 19139
