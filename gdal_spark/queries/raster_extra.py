@@ -343,8 +343,139 @@ def raster_toolbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _imgs(spark).mapInPandas(run, _TOOLBOX_SCHEMA)
 
 
+
+
+# --------------------------------------------------------------------------
+# RasterIO convolution resampling (gcore/overview.cpp
+# GDALResampleChunk_Convolution — the gdal_translate -r path): linear
+# ramps are preserved exactly by the normalized symmetric kernel away from
+# the image edges, so the oracle is closed-form arithmetic.
+# --------------------------------------------------------------------------
+
+_RAMP_W, _RAMP_H = 16, 12  # source ramp dims; downsampled 2x -> 8x6
+
+
+def raster_resample_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster import kernels as K
+    from gdal_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys, xs = np.mgrid[0:_RAMP_H, 0:_RAMP_W]
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                a, b, c = float(k), 0.25 + (k % 3) * 0.5, 1.5
+                ramp = a + b * xs + c * ys
+                out = K.resample_convolution(
+                    ramp, _RAMP_H // 2, _RAMP_W // 2, "bilinear"
+                )
+                # interior only: edge taps clamp, interior is exact
+                for i in range(1, _RAMP_H // 2 - 1):
+                    for j in range(1, _RAMP_W // 2 - 1):
+                        rows.append((k, i, j, round(float(out[i, j]), 6)))
+            yield pd.DataFrame(rows, columns=["k", "i", "j", "v"])
+
+    return n.mapInPandas(run, schema=schema)
+
+
+_RESAMPLE_RAMP_ORACLE = f"""
+    WITH idx AS (
+        SELECT i.n AS i, j.n AS j
+        FROM generate_series(1, {_RAMP_H // 2 - 2}) i(n),
+             generate_series(1, {_RAMP_W // 2 - 2}) j(n)
+    )
+    SELECT n_nationkey AS k, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round(n_nationkey
+                 + (0.25 + (n_nationkey % 3) * 0.5) * (2 * j + 0.5)
+                 + 1.5 * (2 * i + 0.5), 6) AS v
+    FROM nation CROSS JOIN idx
+"""
+
+
+# --------------------------------------------------------------------------
+# GDALComputeProximity option semantics (alg/gdalproximity.cpp) over a
+# single-target grid: distances are closed-form sqrt((x-tx)^2+(y-ty)^2),
+# MAXDIST cap -> NODATA, FIXED_BUF_VAL -> plateau; all SQL-expressible.
+# --------------------------------------------------------------------------
+
+_PROX_N = 9
+
+
+def raster_proximity_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster import morph
+    from gdal_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("buf", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                tx, ty = k % 5 + 2, k % 7 + 1
+                src = np.zeros((_PROX_N, _PROX_N), np.int32)
+                src[ty, tx] = 1
+                d = morph.compute_proximity(src, max_dist=4, nodata=-1)
+                fb = morph.compute_proximity(
+                    src, max_dist=4, nodata=-1, fixed_buf_val=9
+                )
+                for y in range(_PROX_N):
+                    for x in range(_PROX_N):
+                        rows.append(
+                            (k, y, x, round(float(d[y, x]), 6),
+                             float(fb[y, x]))
+                        )
+            yield pd.DataFrame(rows, columns=["k", "y", "x", "d", "buf"])
+
+    return n.mapInPandas(run, schema=schema)
+
+
+_PROX_ORACLE = f"""
+    WITH idx AS (
+        SELECT y.n AS y, x.n AS x
+        FROM generate_series(0, {_PROX_N - 1}) y(n),
+             generate_series(0, {_PROX_N - 1}) x(n)
+    ),
+    g AS (
+        SELECT n_nationkey AS k, y, x,
+               sqrt((x - (n_nationkey % 5 + 2)) * (x - (n_nationkey % 5 + 2))
+                    + (y - (n_nationkey % 7 + 1)) * (y - (n_nationkey % 7 + 1))
+               ) AS dist
+        FROM nation CROSS JOIN idx
+    )
+    SELECT k, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+           round(CASE WHEN dist <= 4 THEN dist ELSE -1.0 END, 6) AS d,
+           CASE WHEN dist = 0 THEN 0.0
+                WHEN dist <= 4 THEN 9.0 ELSE -1.0 END AS buf
+    FROM g
+"""
+
 SPARK = {
     "raster_band_algebra": raster_band_algebra,
+    "raster_resample_ramp": raster_resample_ramp,
+    "raster_proximity_options": raster_proximity_options,
     "raster_toolbox": raster_toolbox,
     "raster_rasterize": raster_rasterize,
     "raster_histogram": raster_histogram,
@@ -352,4 +483,7 @@ SPARK = {
     "raster_mosaic": raster_mosaic,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "raster_resample_ramp": _RESAMPLE_RAMP_ORACLE,
+    "raster_proximity_options": _PROX_ORACLE,
+}
