@@ -201,3 +201,59 @@ def test_rfc28_arithmetic_precedence(views):
         "SELECT -eas_id + eas_id + 1 + 2 * 3 + 5 - 3 * 2 AS v FROM poly LIMIT 1"
     ).collect()[0]
     assert row["v"] == 6
+
+
+# ---------------------------------------------------------------------------
+# autotest/utilities/test_gdal_grid_lib.py test 1 — full circle through the
+# DISTRIBUTED engine: n43's pixels become a point layer; a nearest-neighbor
+# grid over the same nodes must reproduce the raster bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def test_gdal_grid_lib_1_nearest_roundtrip(spark):
+    import numpy as np
+
+    from gdal_spark.functions import checksum as CK
+    from gdal_spark.functions import tiff
+    from gdal_spark.operators import knn as KNN
+
+    arr, meta = tiff.tiff_parse(
+        open("/root/reference/autotest/gdrivers/data/n43.tif", "rb").read()
+    )
+    gt = meta["geotransform"]
+    # every 3rd pixel keeps the roundtrip genuine at ~20x less work
+    arr = arr[::3, ::3]
+    h, w = arr.shape
+    ys, xs = np.mgrid[0:121:3, 0:121:3]
+    px = gt[0] + (xs + 0.5) * gt[1]
+    py = gt[3] + (ys + 0.5) * gt[5]
+    import pandas as pd
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pt_id": np.arange(h * w, dtype=np.int64),
+                "x": px.ravel(),
+                "y": py.ravel(),
+                "z": arr.astype(np.int64).ravel(),
+            }
+        )
+    )
+    qrs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(h * w, dtype=np.int64),
+                "qx": px.ravel(),
+                "qy": py.ravel(),
+            }
+        )
+    )
+    nn = KNN.knn_join_cells(pts, qrs, k=1, res=6, ring=1).select(
+        "query_id", "z"
+    )
+    out = nn.toPandas().sort_values("query_id")["z"].to_numpy()
+    grid = out.reshape(h, w).astype(np.int16)
+    assert np.array_equal(grid, arr)
+    assert CK.checksum(grid.astype(np.int32)) == CK.checksum(
+        arr.astype(np.int32)
+    )
