@@ -424,7 +424,7 @@ def raster_proximity_options(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("k", T.LongType()),
             T.StructField("y", T.IntegerType()),
             T.StructField("x", T.IntegerType()),
-            T.StructField("d", T.DoubleType()),
+            T.StructField("d2", T.LongType()),
             T.StructField("buf", T.DoubleType()),
         ]
     )
@@ -441,13 +441,19 @@ def raster_proximity_options(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fb = morph.compute_proximity(
                     src, max_dist=4, nodata=-1, fixed_buf_val=9
                 )
+                # squared distances of the EDT are exact integers here:
+                # emit d*d rounded to int so both engines hash identical
+                # values (float32 kernel output vs float64 SQL sqrt would
+                # risk last-digit flips)
+                d2 = np.where(
+                    d >= 0, np.round(d.astype(np.float64) ** 2), -1
+                ).astype(np.int64)
                 for y in range(_PROX_N):
                     for x in range(_PROX_N):
                         rows.append(
-                            (k, y, x, round(float(d[y, x]), 6),
-                             float(fb[y, x]))
+                            (k, y, x, int(d2[y, x]), float(fb[y, x]))
                         )
-            yield pd.DataFrame(rows, columns=["k", "y", "x", "d", "buf"])
+            yield pd.DataFrame(rows, columns=["k", "y", "x", "d2", "buf"])
 
     return n.mapInPandas(run, schema=schema)
 
@@ -460,15 +466,15 @@ _PROX_ORACLE = f"""
     ),
     g AS (
         SELECT n_nationkey AS k, y, x,
-               sqrt((x - (n_nationkey % 5 + 2)) * (x - (n_nationkey % 5 + 2))
-                    + (y - (n_nationkey % 7 + 1)) * (y - (n_nationkey % 7 + 1))
-               ) AS dist
+               (x - (n_nationkey % 5 + 2)) * (x - (n_nationkey % 5 + 2))
+               + (y - (n_nationkey % 7 + 1)) * (y - (n_nationkey % 7 + 1))
+               AS dist2
         FROM nation CROSS JOIN idx
     )
     SELECT k, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
-           round(CASE WHEN dist <= 4 THEN dist ELSE -1.0 END, 6) AS d,
-           CASE WHEN dist = 0 THEN 0.0
-                WHEN dist <= 4 THEN 9.0 ELSE -1.0 END AS buf
+           CAST(CASE WHEN dist2 <= 16 THEN dist2 ELSE -1 END AS BIGINT) AS d2,
+           CASE WHEN dist2 = 0 THEN 0.0
+                WHEN dist2 <= 16 THEN 9.0 ELSE -1.0 END AS buf
     FROM g
 """
 
