@@ -857,6 +857,7 @@ def hillshade_ex(
     dem: np.ndarray, xres: float = 1.0, yres: float = 1.0,
     azimuth: float = 315.0, altitude: float = 45.0, zfactor: float = 1.0,
     variant: str = "standard", alg: str = "horn",
+    compute_edges: bool = False,
 ) -> np.ndarray:
     """gdaldem hillshade with the reference's full variant set
     (apps/gdaldem_lib.cpp):
@@ -873,6 +874,28 @@ def hillshade_ex(
     alg picks the gradient stencil: 'horn' or 'zevenbergen-thorne'.
     The z factor is pre-multiplied into the DEM (identical math to the
     reference's folded constants)."""
+    if compute_edges:
+        # -compute_edges: GDALGeneric3x3Processing builds edge windows by
+        # linear EXTRAPOLATION (INTERPOL = 2a-b, gdaldem_lib.cpp:285) in the
+        # off-image direction, with the top/bottom rows clamping
+        # horizontally (jmin/jmax, :462-480). Reproduce that by re-running
+        # the kernel on 3-row/3-col synthesized strips. Checksum-verified
+        # against test_gdaldem_lib.py's multidirectional/igor cases.
+        def run(d):
+            return hillshade_ex(
+                d, xres=xres, yres=yres, azimuth=azimuth, altitude=altitude,
+                zfactor=zfactor, variant=variant, alg=alg,
+            )
+
+        d = dem.astype(np.float64)
+        out = run(d)
+        out[0] = run(np.vstack([2 * d[0] - d[1], d[0], d[1]]))[1]
+        out[-1] = run(np.vstack([d[-2], d[-1], 2 * d[-1] - d[-2]]))[1]
+        left3 = np.column_stack([2 * d[:, 0] - d[:, 1], d[:, 0], d[:, 1]])
+        right3 = np.column_stack([d[:, -2], d[:, -1], 2 * d[:, -1] - d[:, -2]])
+        out[1:-1, 0] = run(left3)[1:-1, 1]
+        out[1:-1, -1] = run(right3)[1:-1, 1]
+        return out
     z = dem.astype(np.float64) * zfactor
     x, y = _gdal_gradient(z, xres, yres, alg)
     alt = np.deg2rad(altitude)

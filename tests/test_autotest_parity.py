@@ -1010,3 +1010,25 @@ def test_gdal_rasterize_multipolygon_equals_parts():
     assert CK.checksum(np.where(multi, 10, 0).astype(np.int32)) == CK.checksum(
         np.where(parts, 10, 0).astype(np.int32)
     )
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+@pytest.mark.parametrize(
+    "kwargs,expected",
+    [
+        (dict(variant="multidirectional"), 51784),
+        (dict(variant="multidirectional", alg="zevenbergen-thorne"), 50860),
+        (dict(variant="igor"), 48830),
+        (dict(variant="igor", alg="zevenbergen-thorne"), 49014),
+    ],
+)
+def test_gdaldem_hillshade_compute_edges(kwargs, expected):
+    """-compute_edges cases: edge windows extrapolate (INTERPOL = 2a-b)."""
+    from gdal_spark.raster import kernels as K
+
+    dem, gt = _n43()
+    hs = K.hillshade_ex(
+        dem, xres=gt[1] * DEM_SCALE, yres=-gt[5] * DEM_SCALE, zfactor=30,
+        compute_edges=True, **kwargs,
+    )
+    assert CK.checksum(hs.astype(np.int32)) == expected
