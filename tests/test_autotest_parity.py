@@ -1016,6 +1016,7 @@ def test_gdal_rasterize_multipolygon_equals_parts():
 @pytest.mark.parametrize(
     "kwargs,expected",
     [
+        (dict(), 50239),  # standard hillshade, compute_edges
         (dict(variant="multidirectional"), 51784),
         (dict(variant="multidirectional", alg="zevenbergen-thorne"), 50860),
         (dict(variant="igor"), 48830),
