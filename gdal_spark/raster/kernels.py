@@ -955,11 +955,19 @@ def color_relief(
     map elevation -> RGB through a sorted (value, r, g, b) color table.
     mode='interpolate' blends linearly between adjacent entries (GDAL
     default COLOR_SELECTION_INTERPOLATE); 'nearest' snaps to the closest
-    entry (COLOR_SELECTION_CLOSEST_ENTRY)."""
+    entry (COLOR_SELECTION_NEAREST_ENTRY, ties upward); 'exact' colors
+    only exact table elevations, everything else 0/0/0
+    (COLOR_SELECTION_EXACT_ENTRY). All three modes checksum-verified
+    against test_gdaldem_lib.py."""
     tab = sorted(table)
     vals = np.array([t[0] for t in tab], dtype=np.float64)
     cols = np.array([t[1:4] for t in tab], dtype=np.float64)
     z = dem.astype(np.float64)
+    if mode == "exact":
+        out = np.zeros(z.shape + (3,), dtype=np.float64)
+        for v, c in zip(vals, cols):
+            out[z == v] = c
+        return out.astype(np.uint8)
     hi = np.searchsorted(vals, z, side="left").clip(1, len(vals) - 1)
     lo = hi - 1
     if mode == "nearest":

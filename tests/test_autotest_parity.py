@@ -1033,3 +1033,19 @@ def test_gdaldem_hillshade_compute_edges(kwargs, expected):
         compute_edges=True, **kwargs,
     )
     assert CK.checksum(hs.astype(np.int32)) == expected
+
+
+@pytest.mark.skipif(not os.path.isdir(GDR), reason="gdrivers data absent")
+def test_gdaldem_color_relief_selection_modes():
+    from gdal_spark.raster import kernels as K
+
+    dem, _ = _n43()
+    table = [
+        (500, 255, 255, 255), (450, 235, 220, 175), (300, 190, 185, 135),
+        (150, 240, 250, 150), (76, 50, 180, 50), (75, 200, 230, 255),
+        (-32768, 200, 230, 255),
+    ]
+    near = K.color_relief(dem, table, mode="nearest")
+    assert CK.checksum_image(near)[0] == 57296
+    exact = K.color_relief(dem, table, mode="exact")
+    assert CK.checksum_image(exact)[0] == 8073
