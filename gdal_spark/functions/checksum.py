@@ -22,9 +22,11 @@ PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
 def _to_int(band: np.ndarray) -> np.ndarray:
     if np.issubdtype(band.dtype, np.floating):
         v = band.astype(np.float64) + 0.5
-        v = np.where(np.isfinite(v), v, np.float64(-2**31))
-        v = np.clip(v, -2147483647.0, 2147483647.0)
-        return np.floor(v).astype(np.int64)
+        finite = np.isfinite(v)
+        v = np.clip(np.where(finite, v, 0.0), -2147483647.0, 2147483647.0)
+        iv = np.floor(v).astype(np.int64)
+        # non-finite -> INT_MIN, alg/gdalchecksum.cpp IntFromDouble
+        return np.where(finite, iv, np.int64(-2147483648))
     return band.astype(np.int64)
 
 

@@ -242,6 +242,10 @@ def read_grid_files(spark, files: list[tuple[str, str]], num_partitions: int | N
                     arr, gt, nod = envi_decode(raw, hdr)
                 elif r.fmt == "hgt":
                     arr, gt, nod = hgt_decode(raw, os.path.basename(r.path))
+                elif r.fmt == "nc":
+                    from gdal_spark.functions.netcdf import nc_decode_grid
+
+                    arr, gt, nod = nc_decode_grid(raw)
                 else:
                     raise ValueError(f"unknown grid format {r.fmt}")
                 rows.append(

@@ -138,6 +138,45 @@ _GRID_ORACLE = f"""
     GROUP BY r.range
 """
 
+def netcdf_grid_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netCDF classic hop of the grid-format chain (frmts/netcdf classic
+    path, re-expressed in gdal_spark/functions/netcdf.py): the same
+    closed-form DEM is written as a CF-convention CDF-1 file (x/y pixel-
+    center coordinate variables, bottom-up storage, _FillValue), read back
+    with the distributed read_grid_files loader, and reduced to per-row
+    sums. The DuckDB oracle recomputes them from the closed form, so a
+    bottom-up flip bug, a coordinate-spacing bug, or any byte-order slip
+    in the codec fails the hash compare."""
+    import numpy as np
+
+    from gdal_spark.functions import gridfmts as GF
+    from gdal_spark.functions import netcdf as NC
+
+    r, c = np.meshgrid(np.arange(GRID_H), np.arange(GRID_W), indexing="ij")
+    dem = ((r * 37 + c * 101) % 97) * 0.25
+    gt = (500.0, 2.0, 0.0, 800.0, 0.0, -2.0)
+    root = tempfile.mkdtemp(prefix="nc_chain_")
+    p = os.path.join(root, "chain.nc")
+    open(p, "wb").write(NC.nc_encode_grid(dem, gt, nodata=-9999.0))
+    df = GF.read_grid_files(spark, [(p, "nc")])
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def row_sums(data: pd.Series, h: pd.Series, w: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d, hh, ww in zip(data, h, w):
+            arr = np.frombuffer(bytes(d), "<f8").reshape(int(hh), int(ww))
+            out.append([float(v) for v in arr.sum(axis=1)])
+        return pd.Series(out)
+
+    return df.select(
+        F.posexplode(row_sums(F.col("data"), F.col("h"), F.col("w"))).alias(
+            "row_id", "row_sum"
+        )
+    )
+
+
 def xml_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KML -> GPX interchange (ogr/ogrsf_frmts/kml, gpx drivers): nation
     points written as KML placemarks, parsed back, re-written as GPX
@@ -236,9 +275,11 @@ SPARK = {
     "ogr2ogr_format_chain": ogr2ogr_format_chain,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "grid_format_chain": grid_format_chain,
+    "netcdf_grid_chain": netcdf_grid_chain,
     "xml_format_roundtrip": xml_format_roundtrip,
 }
 ORACLE = {
+    "netcdf_grid_chain": _GRID_ORACLE,
     "ogr2ogr_format_chain": _CHAIN_ORACLE,
     "arrow_ipc_roundtrip": _ARROW_ORACLE,
     "grid_format_chain": _GRID_ORACLE,
