@@ -31,7 +31,16 @@ def _to_int(band: np.ndarray) -> np.ndarray:
 
 
 def checksum(band: np.ndarray) -> int:
-    """16-bit checksum of a single 2-D band (or flat array)."""
+    """16-bit checksum of a single 2-D band (or flat array). Complex bands
+    interleave (real, imag) per value — alg/gdalchecksum.cpp
+    nValsPerIter=2, each component advancing the prime index."""
+    band = np.asarray(band)
+    if np.issubdtype(band.dtype, np.complexfloating):
+        flat = band.ravel()
+        inter = np.empty(flat.size * 2, dtype=np.float64)
+        inter[0::2] = flat.real
+        inter[1::2] = flat.imag
+        band = inter
     vals = _to_int(np.asarray(band)).ravel()
     idx = np.arange(vals.size, dtype=np.int64) % 11
     p = PRIMES[idx]

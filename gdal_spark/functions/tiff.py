@@ -267,18 +267,27 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
     comp = one(T_COMPRESSION, 1)
     pred = one(T_PREDICTOR, 1)
     bits = tags.get(T_BITS, (3, [8]))[1]
-    if any(b != bits[0] for b in bits) or bits[0] not in (8, 16, 32, 64):
+    if any(b != bits[0] for b in bits) or bits[0] not in (8, 16, 32, 64, 128):
         raise TiffError(f"unsupported BitsPerSample {bits}")
-    sfmt = tags.get(T_SAMPLEFORMAT, (3, [1]))[1][0]  # 1 uint, 2 int, 3 float
+    # 1 uint, 2 int, 3 float, 5 complex int, 6 complex float (TIFF 6 + GDAL)
+    sfmt = tags.get(T_SAMPLEFORMAT, (3, [1]))[1][0]
     _DT = {
         (8, 1): "u1", (8, 2): "i1", (16, 1): "u2", (16, 2): "i2",
         (32, 1): "u4", (32, 2): "i4", (32, 3): "f4",
         (64, 1): "u8", (64, 2): "i8", (64, 3): "f8",
+        # CInt16/CInt32 as (real, imag) structs; CFloat32/64 native complex
+        (32, 5): [("r", "i2"), ("i", "i2")],
+        (64, 5): [("r", "i4"), ("i", "i4")],
+        (64, 6): "c8", (128, 6): "c16",
     }
     key = (bits[0], sfmt)
     if key not in _DT:
         raise TiffError(f"unsupported sample format {sfmt}/{bits[0]} bits")
-    dt = np.dtype(bo + _DT[key])
+    _spec = _DT[key]
+    if isinstance(_spec, list):
+        dt = np.dtype([(n, bo + t) for n, t in _spec])
+    else:
+        dt = np.dtype(bo + _spec)
     isz = dt.itemsize
     planar = one(T_PLANAR, 1)
     if planar not in (1, 2):
@@ -324,7 +333,12 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
                 arr = flat.reshape(rows, width, nsmp)
         return arr
 
-    out = np.zeros((h, w, spp), dtype=np.dtype(_DT[key]))
+    out = np.zeros(
+        (h, w, spp),
+        dtype=np.dtype([(n, t) for n, t in _spec])
+        if isinstance(_spec, list)
+        else np.dtype(_spec),
+    )
     if T_TILE_OFFSETS in tags:
         tw, tl = one(T_TILE_W), one(T_TILE_L)
         offs = tags[T_TILE_OFFSETS][1]
@@ -388,6 +402,9 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
             meta["nodata"] = float(tags[T_GDAL_NODATA][1][0])
         except (TypeError, ValueError):
             pass
+    if out.dtype.names:  # complex int -> numpy complex
+        cplx = np.complex64 if out.dtype["r"].itemsize == 2 else np.complex128
+        out = out["r"].astype(cplx) + 1j * out["i"].astype(cplx)
     arr = out[:, :, 0] if spp == 1 else out
     return arr, meta
 

@@ -20,6 +20,7 @@ pytest + the self-check booleans pin exactness.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from gdal_spark import datagen
 
@@ -478,7 +480,74 @@ _PROX_ORACLE = f"""
     FROM g
 """
 
+def vrt_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRT virtual mosaic through the distributed tile reader
+    (frmts/vrt SimpleSource compositing, re-expressed as source-pruned
+    tile tasks in gdal_spark/raster/vrt.py read_vrt_tiles): four 16x16
+    closed-form DEM quadrants written as GeoTIFFs, mosaicked by a
+    VRTDataset XML into one 32x32 raster, materialized as 16x16 tiles,
+    and reduced to per-tile sums. The DuckDB oracle recomputes each
+    quadrant sum from the closed form ((r*37 + c*101) % 97 + q) so a
+    paste-offset, windowing, or codec bug fails the hash compare."""
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark.functions.tiff import tiff_encode
+    from gdal_spark.raster import vrt as V
+
+    n = 16
+    root = tempfile.mkdtemp(prefix="vrt_mosaic_")
+    srcs = []
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    for q, (qy, qx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        dem = (((r * 37 + c * 101) % 97) + q).astype(np.uint8)
+        p = os.path.join(root, f"q{q}.tif")
+        open(p, "wb").write(tiff_encode(dem))
+        srcs.append(
+            f"""<SimpleSource>
+      <SourceFilename relativeToVRT="1">q{q}.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="{n}" ySize="{n}"/>
+      <DstRect xOff="{qx * n}" yOff="{qy * n}" xSize="{n}" ySize="{n}"/>
+    </SimpleSource>"""
+        )
+    xml = (
+        f'<VRTDataset rasterXSize="{2 * n}" rasterYSize="{2 * n}">\n'
+        f'  <VRTRasterBand dataType="Float64" band="1">\n    '
+        + "\n    ".join(srcs)
+        + "\n  </VRTRasterBand>\n</VRTDataset>\n"
+    )
+    vp = os.path.join(root, "mosaic.vrt")
+    open(vp, "w").write(xml)
+    tdf = V.read_vrt_tiles(spark, vp, tile=n)
+
+    @pandas_udf(T.DoubleType())
+    def tile_sum(data: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [float(np.frombuffer(bytes(d), "<f8").sum()) for d in data]
+        )
+
+    return tdf.select(
+        "tx", "ty", F.round(tile_sum(F.col("data")), 4).alias("tile_sum")
+    )
+
+
+_VRT_MOSAIC_ORACLE = """
+    WITH base AS (
+        SELECT sum((r.range * 37 + c.range * 101) % 97) AS s
+        FROM range(16) r CROSS JOIN range(16) c
+    )
+    SELECT q.range % 2 AS tx, q.range // 2 AS ty,
+           round(s + 256 * q.range, 4) AS tile_sum
+    FROM base, range(4) q
+"""
+
+
 SPARK = {
+    "vrt_mosaic_tiles": vrt_mosaic_tiles,
     "raster_band_algebra": raster_band_algebra,
     "raster_resample_ramp": raster_resample_ramp,
     "raster_proximity_options": raster_proximity_options,
@@ -490,6 +559,7 @@ SPARK = {
 }
 
 ORACLE: dict[str, str] = {
+    "vrt_mosaic_tiles": _VRT_MOSAIC_ORACLE,
     "raster_resample_ramp": _RESAMPLE_RAMP_ORACLE,
     "raster_proximity_options": _PROX_ORACLE,
 }
