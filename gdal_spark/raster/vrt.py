@@ -540,6 +540,213 @@ def render_vrt(
 
 
 # --------------------------------------------------------------------------
+# gdalbuildvrt (apps/gdalbuildvrt_lib.cpp) — mosaic builder
+# --------------------------------------------------------------------------
+
+_NP_TO_GDAL = {
+    "uint8": "Byte", "int8": "Int8", "uint16": "UInt16", "int16": "Int16",
+    "uint32": "UInt32", "int32": "Int32", "uint64": "UInt64",
+    "int64": "Int64", "float32": "Float32", "float64": "Float64",
+    "complex64": "CFloat32", "complex128": "CFloat64",
+}
+
+
+def _probe_source(path: str) -> dict:
+    """path -> {path, w, h, gt, dtype, bands} via this engine's codecs."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".tif", ".tiff"):
+        from gdal_spark.functions.tiff import tiff_parse
+
+        arr, md = tiff_parse(open(path, "rb").read())
+        return {
+            "path": path, "w": md["width"], "h": md["height"],
+            "gt": md.get("geotransform"),
+            "dtype": _NP_TO_GDAL[str(arr.dtype)],
+            "bands": 1 if arr.ndim == 2 else arr.shape[2],
+        }
+    if ext == ".vrt":
+        spec = parse_vrt(open(path).read())
+        return {
+            "path": path, "w": spec["w"], "h": spec["h"], "gt": spec["gt"],
+            "dtype": spec["bands"][0]["dtype"], "bands": len(spec["bands"]),
+        }
+    if ext == ".nc":
+        from gdal_spark.functions.netcdf import nc_to_raster
+
+        arr, gt, _, _ = nc_to_raster(open(path, "rb").read())
+        return {
+            "path": path, "w": arr.shape[2], "h": arr.shape[1], "gt": gt,
+            "dtype": _NP_TO_GDAL[str(arr.dtype)], "bands": arr.shape[0],
+        }
+    arr = default_open(path)
+    return {
+        "path": path, "w": arr.shape[1], "h": arr.shape[0], "gt": None,
+        "dtype": _NP_TO_GDAL[str(arr.dtype)],
+        "bands": 1 if arr.ndim == 2 else arr.shape[2],
+    }
+
+
+def _get_src_dst_win(props: dict, we_res: float, ns_res: float,
+                     min_x: float, min_y: float, max_x: float, max_y: float,
+                     target_w: int, target_h: int):
+    """apps/gdalbuildvrt_lib.cpp GetSrcDstWin, transcribed."""
+    gt = props["gt"]
+    w, h = props["w"], props["h"]
+    if gt[0] + w * gt[1] <= min_x or gt[0] >= max_x:
+        return None
+    if gt[3] + h * gt[5] >= max_y or gt[3] <= min_y:
+        return None
+    if gt[0] < min_x:
+        src_xo = (min_x - gt[0]) / gt[1]
+        dst_xo = 0.0
+    else:
+        src_xo = 0.0
+        dst_xo = (gt[0] - min_x) / we_res
+    if max_y < gt[3]:
+        src_yo = (gt[3] - max_y) / -gt[5]
+        dst_yo = 0.0
+    else:
+        src_yo = 0.0
+        dst_yo = (max_y - gt[3]) / -ns_res
+    src_xs, src_ys = float(w), float(h)
+    if src_xo > 0:
+        src_xs -= src_xo
+    if src_yo > 0:
+        src_ys -= src_yo
+    fx = gt[1] / we_res
+    fy = gt[5] / ns_res
+    dst_xs = src_xs * fx
+    dst_ys = src_ys * fy
+    if dst_xo + dst_xs > target_w:
+        dst_xs = target_w - dst_xo
+        src_xs = dst_xs / fx
+    if dst_yo + dst_ys > target_h:
+        dst_ys = target_h - dst_yo
+        src_ys = dst_ys / fy
+    if src_xs <= 0 or dst_xs <= 0 or src_ys <= 0 or dst_ys <= 0:
+        return None
+    return (src_xo, src_yo, src_xs, src_ys), (dst_xo, dst_yo, dst_xs, dst_ys)
+
+
+def build_vrt(
+    sources: list, output_bounds=None, x_res: float | None = None,
+    y_res: float | None = None, resolution: str = "average",
+    separate: bool = False, base_dir: str | None = None,
+    target_aligned_pixels: bool = False,
+) -> str:
+    """gdalbuildvrt re-expressed: source metadata -> VRTDataset XML.
+
+    ``sources`` holds file paths (probed through the engine codecs) or
+    pre-computed metadata dicts {path, w, h, gt, dtype, bands} — exactly
+    what a distributed footprint scan (one `_probe_source` per task over a
+    file DataFrame, metadata collected to the driver) produces, so a
+    10^6-tile mosaic builds from a metadata aggregate without any pixel
+    IO. Bounds-union, resolution modes (average/highest/lowest), the
+    GetSrcDstWin rect math and the 0.5-rounded raster size follow
+    apps/gdalbuildvrt_lib.cpp:118-200,1897-1904."""
+    props = [
+        _probe_source(s) if isinstance(s, str) else dict(s) for s in sources
+    ]
+    props = [p for p in props if p["gt"] is not None]
+    if not props:
+        raise VrtError("no georeferenced sources")
+    res_x = [abs(p["gt"][1]) for p in props]
+    res_y = [abs(p["gt"][5]) for p in props]
+    if x_res is None or y_res is None:
+        if resolution == "highest":
+            we, ns = min(res_x), min(res_y)
+        elif resolution == "lowest":
+            we, ns = max(res_x), max(res_y)
+        else:
+            we, ns = sum(res_x) / len(res_x), sum(res_y) / len(res_y)
+    else:
+        we, ns = float(x_res), float(y_res)
+    ns_res = -ns
+
+    if output_bounds is not None:
+        min_x, min_y, max_x, max_y = (float(v) for v in output_bounds)
+    else:
+        min_x = min(p["gt"][0] for p in props)
+        max_x = max(p["gt"][0] + p["w"] * p["gt"][1] for p in props)
+        max_y = max(p["gt"][3] for p in props)
+        min_y = min(p["gt"][3] + p["h"] * p["gt"][5] for p in props)
+    if target_aligned_pixels:
+        min_x = np.floor(min_x / we) * we
+        max_x = np.ceil(max_x / we) * we
+        min_y = np.floor(min_y / ns) * ns
+        max_y = np.ceil(max_y / ns) * ns
+    target_w = int(0.5 + (max_x - min_x) / we)
+    target_h = int(0.5 + (max_y - min_y) / ns)
+
+    def fname(p):
+        if base_dir and os.path.dirname(os.path.abspath(p["path"])) == (
+            os.path.abspath(base_dir)
+        ):
+            return os.path.basename(p["path"]), 1
+        return p["path"], 0
+
+    def src_xml(p, band, win):
+        (sxo, syo, sxs, sys_), (dxo, dyo, dxs, dys) = win
+        nm, rel = fname(p)
+
+        def g(v):
+            return f"{v:.15g}"
+
+        return (
+            "    <SimpleSource>\n"
+            f'      <SourceFilename relativeToVRT="{rel}">{nm}'
+            "</SourceFilename>\n"
+            f"      <SourceBand>{band}</SourceBand>\n"
+            f'      <SrcRect xOff="{g(sxo)}" yOff="{g(syo)}" '
+            f'xSize="{g(sxs)}" ySize="{g(sys_)}" />\n'
+            f'      <DstRect xOff="{g(dxo)}" yOff="{g(dyo)}" '
+            f'xSize="{g(dxs)}" ySize="{g(dys)}" />\n'
+            "    </SimpleSource>\n"
+        )
+
+    out = [
+        f'<VRTDataset rasterXSize="{target_w}" rasterYSize="{target_h}">\n',
+        "  <GeoTransform>"
+        f"{min_x:.16e}, {we:.16e}, 0.0000000000000000e+00, "
+        f"{max_y:.16e}, 0.0000000000000000e+00, {ns_res:.16e}"
+        "</GeoTransform>\n",
+    ]
+    if separate:
+        band_no = 0
+        for p in props:
+            win = _get_src_dst_win(
+                p, we, ns_res, min_x, min_y, max_x, max_y, target_w, target_h
+            )
+            if win is None:
+                continue
+            band_no += 1
+            out.append(
+                f'  <VRTRasterBand dataType="{p["dtype"]}" band="{band_no}">\n'
+            )
+            out.append(src_xml(p, 1, win))
+            out.append("  </VRTRasterBand>\n")
+    else:
+        n_bands = max(p["bands"] for p in props)
+        for b in range(1, n_bands + 1):
+            out.append(
+                f'  <VRTRasterBand dataType="{props[0]["dtype"]}" band="{b}">\n'
+            )
+            for p in props:
+                if p["bands"] < b:
+                    continue
+                win = _get_src_dst_win(
+                    p, we, ns_res, min_x, min_y, max_x, max_y,
+                    target_w, target_h,
+                )
+                if win is None:
+                    continue
+                out.append(src_xml(p, b, win))
+            out.append("  </VRTRasterBand>\n")
+    out.append("</VRTDataset>\n")
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
 # Distributed form: tile-parallel VRT materialization
 # --------------------------------------------------------------------------
 

@@ -153,3 +153,73 @@ def test_read_vrt_tiles_distributed(spark, tmp_path):
         recon[:, r.ty * 33:r.ty * 33 + r.h, r.tx * 33:r.tx * 33 + r.w] = a
     assert np.array_equal(recon, full)
     assert len(tdf) == 16  # 100/33 -> 4x4 tiles
+
+
+# ---------------------------------------------------------------------------
+# gdalbuildvrt (apps/gdalbuildvrt_lib.cpp) parity
+# ---------------------------------------------------------------------------
+
+
+def _sample_tifs(tmp_path):
+    """The test_gdalbuildvrt.py sample_tifs fixture: four 10x10 quadrant
+    tiles filled 0/63/127/255 on a 0.1-degree grid."""
+    from gdal_spark.functions.tiff import tiff_encode
+
+    fills = [(0, (2, 49)), (63, (3, 49)), (127, (2, 48)), (255, (3, 48))]
+    paths = []
+    for i, (v, (x, y)) in enumerate(fills):
+        a = np.full((10, 10), v, np.uint8)
+        p = str(tmp_path / f"s{i}.tif")
+        open(p, "wb").write(tiff_encode(a, geotransform=(x, 0.1, 0, y, 0, -0.1)))
+        paths.append(p)
+    return paths
+
+
+def test_buildvrt_mosaic(tmp_path):
+    """test_gdalbuildvrt_1 / gdalbuildvrt_check: 20x20 union, gt
+    (2,.1,0,49,0,-.1), checksum 3508."""
+    paths = _sample_tifs(tmp_path)
+    xml = V.build_vrt(paths, base_dir=str(tmp_path))
+    spec = V.parse_vrt(xml)
+    assert (spec["w"], spec["h"]) == (20, 20)
+    assert spec["gt"] == (2.0, 0.1, 0.0, 49.0, 0.0, -0.1)
+    assert len(spec["bands"]) == 1
+    assert checksum(V.render_vrt(xml, str(tmp_path))[0]) == 3508
+
+
+def test_buildvrt_te_partial_overlap():
+    """test_gdalbuildvrt_lib_te_partial_overlap: exact rect serialization
+    AND checksum 8454 through the fractional-window compositing."""
+    xml = V.build_vrt(
+        [os.path.join(DATA, "byte.tif")],
+        output_bounds=[440600, 3750060, 441860, 3751260],
+        x_res=30, y_res=60,
+    )
+    assert '<SrcRect xOff="0" yOff="1" xSize="19" ySize="19" />' in xml
+    assert '<DstRect xOff="4" yOff="0" xSize="38" ySize="19" />' in xml
+    assert checksum(V.render_vrt(xml, DATA)[0]) == 8454
+
+
+def test_buildvrt_separate(tmp_path):
+    """-separate: one VRT band per source, stacked in order."""
+    paths = _sample_tifs(tmp_path)
+    xml = V.build_vrt(paths, separate=True, base_dir=str(tmp_path))
+    arr = V.render_vrt(xml, str(tmp_path))
+    assert arr.shape[0] == 4
+    for i, v in enumerate([0, 63, 127, 255]):
+        band = arr[i]
+        assert set(np.unique(band)) <= {0, v}  # fill where covered, 0 bg
+
+
+def test_buildvrt_resolution_modes(tmp_path):
+    from gdal_spark.functions.tiff import tiff_encode
+
+    a = np.zeros((10, 10), np.uint8)
+    p1 = str(tmp_path / "r1.tif")
+    p2 = str(tmp_path / "r2.tif")
+    open(p1, "wb").write(tiff_encode(a, geotransform=(0, 1.0, 0, 10, 0, -1.0)))
+    open(p2, "wb").write(tiff_encode(a, geotransform=(10, 2.0, 0, 10, 0, -2.0)))
+    hi = V.parse_vrt(V.build_vrt([p1, p2], resolution="highest"))
+    lo = V.parse_vrt(V.build_vrt([p1, p2], resolution="lowest"))
+    av = V.parse_vrt(V.build_vrt([p1, p2], resolution="average"))
+    assert hi["gt"][1] == 1.0 and lo["gt"][1] == 2.0 and av["gt"][1] == 1.5
