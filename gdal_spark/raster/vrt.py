@@ -505,7 +505,11 @@ def render_vrt(
     window: tuple[int, int, int, int] | None = None,
 ) -> np.ndarray:
     """Materialize a VRT -> (bands, h, w). Derived bands run their pixel
-    function from the engine registry over the source arrays."""
+    function from the engine registry over the source arrays; warped
+    datasets (subClass=VRTWarpedDataset) run the warp-options pipeline."""
+    root = ET.fromstring(xml_text)
+    if root.get("subClass") == "VRTWarpedDataset":
+        return render_warped_vrt(root, base_dir, open_file, window)
     spec = parse_vrt(xml_text)
     cache: dict = {}
     out = []
@@ -537,6 +541,110 @@ def render_vrt(
     return np.stack(out) if len({o.dtype for o in out}) == 1 else np.array(
         out, dtype=object
     )
+
+
+# --------------------------------------------------------------------------
+# Warped VRT (subClass=VRTWarpedDataset, alg/gdalwarper + GenImgProj)
+# --------------------------------------------------------------------------
+
+
+def _apply_gt(gt, px, py):
+    return gt[0] + px * gt[1] + py * gt[2], gt[3] + px * gt[4] + py * gt[5]
+
+
+def render_warped_vrt(
+    root, base_dir: str, open_file=default_open,
+    window: tuple[int, int, int, int] | None = None,
+) -> np.ndarray:
+    """VRTWarpedDataset read path: the GDALWarpOptions block drives an
+    inverse-mapping warp — dst pixel center -> DstGeoTransform ->
+    SrcInvGeoTransform -> nearest source sample — with BandMapping
+    src/dst nodata translation and INIT_DEST=NO_DATA background
+    (frmts/vrt/vrtwarped.cpp + alg/gdalwarper.cpp semantics). Covers the
+    GenImgProjTransformer same-CRS case (the reference's own
+    nan32_nodata_warp fixtures)."""
+    w = int(root.get("rasterXSize"))
+    h = int(root.get("rasterYSize"))
+    x0, y0, ww, wh = window or (0, 0, w, h)
+    wo = root.find("GDALWarpOptions")
+    if wo is None:
+        raise VrtError("VRTWarpedDataset without GDALWarpOptions")
+    src_el = wo.find("SourceDataset")
+    path = src_el.text.strip()
+    if src_el.get("relativeToVRT") == "1":
+        path = os.path.join(base_dir, path)
+    sarr = open_file(path)
+    if sarr.ndim == 2:
+        sarr = sarr[:, :, None]
+
+    tr = wo.find(".//GenImgProjTransformer")
+    if tr is None:
+        raise VrtError("only GenImgProjTransformer warps supported")
+
+    def gt_of(tag, default):
+        t = tr.findtext(tag)
+        return (
+            tuple(float(v) for v in t.replace(",", " ").split())
+            if t else default
+        )
+
+    dst_gt = gt_of("DstGeoTransform", (0, 1, 0, 0, 0, 1))
+    src_inv = gt_of("SrcInvGeoTransform", (0, 1, 0, 0, 0, 1))
+
+    resample = (wo.findtext("ResampleAlg") or "NearestNeighbour").strip()
+    bands_out = []
+    for bm in wo.findall(".//BandMapping"):
+        sb = int(bm.get("src", 1))
+        src_nod = bm.findtext("SrcNoDataReal")
+        dst_nod = bm.findtext("DstNoDataReal")
+        src_nod = float(src_nod) if src_nod is not None else None
+        dst_nod = float(dst_nod) if dst_nod is not None else None
+
+        band_dtype = np.float64
+        for bel in root.findall("VRTRasterBand"):
+            if int(bel.get("band", 0)) == sb:
+                band_dtype = _GDAL_DTYPES[bel.get("dataType", "Float64")]
+        init = wo.findtext(".//Option[@name='INIT_DEST']")
+        fill = 0.0
+        if init == "NO_DATA" and dst_nod is not None:
+            fill = dst_nod
+        out = np.full((wh, ww), fill, dtype=band_dtype)
+
+        jj, ii = np.meshgrid(
+            np.arange(wh, dtype=np.float64) + y0 + 0.5,
+            np.arange(ww, dtype=np.float64) + x0 + 0.5,
+            indexing="ij",
+        )
+        gx, gy = _apply_gt(dst_gt, ii, jj)
+        spx, spy = _apply_gt(src_inv, gx, gy)
+        if resample == "Bilinear":
+            from gdal_spark.raster.kernels import _bilinear_gather
+
+            vals = _bilinear_gather(sarr[:, :, sb - 1], spx - 0.5, spy - 0.5)
+            inside = (
+                (spx >= 0) & (spx <= sarr.shape[1])
+                & (spy >= 0) & (spy <= sarr.shape[0])
+            )
+        else:  # nearest, GWK floor convention
+            isx = np.floor(spx + 1e-10).astype(np.int64)
+            isy = np.floor(spy + 1e-10).astype(np.int64)
+            inside = (
+                (isx >= 0) & (isx < sarr.shape[1])
+                & (isy >= 0) & (isy < sarr.shape[0])
+            )
+            vals = sarr[:, :, sb - 1][
+                isy.clip(0, sarr.shape[0] - 1), isx.clip(0, sarr.shape[1] - 1)
+            ]
+        valid = inside.copy()
+        if src_nod is not None and np.issubdtype(vals.dtype, np.floating):
+            nod_mask = (
+                np.isnan(vals) if np.isnan(src_nod) else vals == src_nod
+            )
+            if dst_nod is not None:
+                vals = np.where(nod_mask, vals.dtype.type(dst_nod), vals)
+        out[valid] = vals[valid].astype(band_dtype)
+        bands_out.append(out)
+    return np.stack(bands_out)
 
 
 # --------------------------------------------------------------------------

@@ -223,3 +223,12 @@ def test_buildvrt_resolution_modes(tmp_path):
     lo = V.parse_vrt(V.build_vrt([p1, p2], resolution="lowest"))
     av = V.parse_vrt(V.build_vrt([p1, p2], resolution="average"))
     assert hi["gt"][1] == 1.0 and lo["gt"][1] == 2.0 and av["gt"][1] == 1.5
+
+
+def test_warped_vrt_nodata_mapping():
+    """gdal_stats.py test_stats_nan_6/7/8: VRTWarpedDataset read path with
+    GenImgProjTransformer + BandMapping src/dst nodata translation +
+    INIT_DEST=NO_DATA."""
+    assert checksum(_render("nan32_nodata_warp.vrt")[0]) == 874
+    assert checksum(_render("nan32_nodata_warp_nan_to_zero.vrt")[0]) == 978
+    assert checksum(_render("nan32_nodata_warp_zero_to_nan.vrt")[0]) == 874
