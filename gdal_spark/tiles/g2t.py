@@ -1,0 +1,702 @@
+"""gdal2tiles (legacy mercator profile) bit-parity renderer.
+
+End-to-end transcription of the reference tiling pipeline so that tile
+pixels match the reference's own autotest expectations exactly
+(autotest/pyscripts/test_gdal2tiles.py):
+
+* geographic->EPSG:3857 warp exactly as ``reproject_dataset``
+  (gdal2tiles.py:1033): sources exceeding the mercator square warp with
+  forced outputBounds = the mercator square; output grid = pixel size
+  from GDALSuggestedWarpOutput2 (alg/gdaltransformer.cpp:342 — edge
+  sampling with grid fallback, diagonal pixel size, border-adjust
+  probes) + the gdalwarp -te size override
+  (apps/gdalwarp_lib.cpp:4220-4260);
+* the warp itself with the GDALApproxTransformer subdivision
+  (alg/gdaltransformer.cpp GDALApproxTransformInternal, max error
+  0.125 px) and GWK nearest source-offset semantics
+  (alg/gdalwarpkernel.cpp GWKCheckAndComputeSrcOffsets: int(x + 1e-10),
+  border retry with the exact transformer, == size decrement), per
+  512x128 VRTWarpedDataset block;
+* dst-alpha band (update_alpha_value_for_non_alpha_inputs);
+* base tiles via geo_query + RasterIO-nearest reads at querysize =
+  4 x tile_size and RegenerateOverview 'average' reduction
+  (gdal2tiles.py create_base_tile / scale_query_to_tile);
+* overview tiles from 2x2 children (create_overview_tile quadrant
+  placement) through the same average reduction.
+
+Scale note: this module is the *parity* renderer (deterministic,
+single-array). The production path is ``gdal_spark/tiles/pipeline.py``,
+which runs the same math as DataFrame stages; tests assert this module's
+tiles equal the reference checksums, pinning the semantics the
+distributed pipeline must preserve.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from gdal_spark.raster.kernels import block_reduce, geo_query
+
+EARTH = 6378137.0
+MSHIFT = math.pi * EARTH  # 20037508.342789244
+MAXZOOMLEVEL = 32
+MAX_LAT = 85.0511287798066
+
+
+# --------------------------------------------------------------------------
+# Web-mercator scalar/array transforms (PROJ webmerc spherical formulas)
+# --------------------------------------------------------------------------
+
+
+def webmerc_fwd(lon, lat):
+    """deg -> meters; returns (x, y, ok). Poles map to +-inf -> not ok."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = EARTH * np.radians(lon)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        y = EARTH * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    ok = np.isfinite(y) & (np.abs(lat) < 90.0)
+    return x, y, ok
+
+
+def webmerc_inv(x, y):
+    """meters -> deg."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / EARTH)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / EARTH)) - np.pi / 2)
+    return lon, lat
+
+
+# --------------------------------------------------------------------------
+# GDALSuggestedWarpOutput2 (alg/gdaltransformer.cpp:342) for a
+# geotransformed source through a forward point transform
+# --------------------------------------------------------------------------
+
+
+def suggested_warp_output(src_gt, w: int, h: int, fwd=webmerc_fwd):
+    """-> (dst_gt, n_pixels, n_lines). ``fwd`` maps source-georef coords
+    to target coords with an ok mask (pixel->geo applied here)."""
+
+    def transform_px(px, py):
+        gx = src_gt[0] + px * src_gt[1] + py * src_gt[2]
+        gy = src_gt[3] + px * src_gt[4] + py * src_gt[5]
+        return fwd(gx, gy)
+
+    n_steps = int(min(w, h) / 50.0 + 0.5)
+    n_steps = min(max(n_steps, 20), 100)
+    step = 1.0 / n_steps
+    ratios = np.array(
+        [1.0 if i == n_steps else i * step for i in range(n_steps + 1)]
+    )
+
+    # edge samples: top, bottom, left, right (4 * (nSteps+1))
+    px = np.concatenate([ratios * w, ratios * w,
+                         np.zeros(n_steps + 1), np.full(n_steps + 1, float(w))])
+    py = np.concatenate([np.zeros(n_steps + 1), np.full(n_steps + 1, float(h)),
+                         ratios * h, ratios * h])
+    tx, ty, ok = transform_px(px, py)
+    grid_mode = False
+    if not ok.all():
+        # grid fallback: (nSteps+1)^2 samples, rows over y, cols over x
+        grid_mode = True
+        P, Q = np.meshgrid(ratios * w, ratios * h)  # x varies along axis 1
+        px = P.ravel()
+        py = Q.ravel()
+        tx, ty, ok = transform_px(px, py)
+
+    if ok.sum() < 10:
+        raise ValueError("too many transform failures")
+    xs, ys = tx[ok], ty[ok]
+    min_x, max_x = float(xs.min()), float(xs.max())
+    min_y, max_y = float(ys.min()), float(ys.max())
+
+    # discontinuity bisection (x-sign changes / validity edges along rows)
+    n1 = n_steps + 1
+    n = len(px)
+    for i in range(n):
+        if grid_mode:
+            x_i, y_i = i % n1, i // n1
+        else:
+            if i < 2 * n1:
+                x_i = i % n1
+                y_i = 0 if i < n1 else n_steps
+            else:
+                x_i = y_i = 0
+        if x_i > 0 and (ok[i - 1] or ok[i]):
+            x_out_before, x_out_after = tx[i - 1], tx[i]
+            invalid_before, invalid_after = not ok[i - 1], not ok[i]
+            x_in_before = (x_i - 1) * w / n_steps
+            x_in_after = x_i * w / n_steps
+            it = 0
+            while (invalid_before or invalid_after
+                   or x_out_before * x_out_after < 0.0) and it < 16:
+                mx = (x_in_before + x_in_after) / 2.0
+                my = y_i * h / n_steps
+                bx, by, bok = transform_px(
+                    np.array([mx]), np.array([my])
+                )
+                if bok[0]:
+                    min_x = min(min_x, float(bx[0]))
+                    max_x = max(max_x, float(bx[0]))
+                    min_y = min(min_y, float(by[0]))
+                    max_y = max(max_y, float(by[0]))
+                    if invalid_before or x_out_before * bx[0] < 0:
+                        invalid_after = False
+                        x_in_after = mx
+                        x_out_after = bx[0]
+                    else:
+                        invalid_before = False
+                        x_out_before = bx[0]
+                        x_in_before = mx
+                else:
+                    if invalid_before:
+                        x_in_before = mx
+                    elif invalid_after:
+                        x_in_after = mx
+                    else:
+                        break
+                it += 1
+
+    # diagonal pixel size
+    if ok[0] and ok[-1]:
+        delta_x = tx[-1] - tx[0]
+        delta_y = ty[-1] - ty[0]
+    else:
+        delta_x = delta_y = 0.0
+    if delta_x == 0.0 or delta_y == 0.0:
+        delta_x = max_x - min_x
+        delta_y = max_y - min_y
+    diag = math.sqrt(delta_x * delta_x + delta_y * delta_y)
+    pixel_size = diag / math.sqrt(float(w) * w + float(h) * h)
+
+    n_pixels = int((max_x - min_x) / pixel_size + 0.5)
+    n_lines = int((max_y - min_y) / pixel_size + 0.5)
+    ps_x = ps_y = pixel_size
+
+    # border-adjust probes (MustAdjustForRightBorder / BottomBorder):
+    # 21 roundtrip samples along the candidate border; shrink only when
+    # ALL are bad. Mercator borders roundtrip exactly -> first ratio wins,
+    # but transcribe the loop for generality.
+    def must_adjust(border: str, psx: float, psy: float) -> bool:
+        r = np.arange(0.0, 1.01, 0.05)
+        r[r > 0.99] = 1.0
+        if border == "right":
+            bx = np.full(r.size, min_x + n_pixels * psx)
+            by = max_y - psy * r * n_lines
+        else:
+            bx = min_x + psx * r * n_pixels
+            by = np.full(r.size, max_y - n_lines * psy)
+        # TRUE direction: target geo -> source pixel
+        lon, lat = webmerc_inv(bx, by)
+        spx = (lon - src_gt[0]) / src_gt[1]
+        spy = (lat - src_gt[3]) / src_gt[5]
+        ok1 = np.isfinite(spx) & np.isfinite(spy)
+        # FALSE direction back
+        fx, fy, ok2 = transform_px(spx, spy)
+        bad = (~ok1) | (~ok2) | (np.abs(fx - bx) > psx) | (np.abs(fy - by) > psy)
+        return bool(bad.all())
+
+    for ratio in (0.0, 0.001, 0.01, 0.1, 1.0):
+        try_ps = ps_x - ps_x * ratio / n_pixels
+        if not must_adjust("right", try_ps, ps_y):
+            ps_x = try_ps
+            break
+    for ratio in (0.0, 0.001, 0.01, 0.1, 1.0):
+        try_ps = ps_y - ps_y * ratio / n_lines
+        if not must_adjust("bottom", ps_x, try_ps):
+            ps_y = try_ps
+            break
+
+    max_x = min_x + n_pixels * ps_x
+    min_y = max_y - n_lines * ps_y
+    dst_gt = (min_x, ps_x, 0.0, max_y, 0.0, -ps_y)
+    return dst_gt, n_pixels, n_lines
+
+
+def warp_output_for_bounds(src_gt, w: int, h: int, bounds):
+    """gdalwarp -te sizing (apps/gdalwarp_lib.cpp:4220): pixel size from
+    the suggested output, size = round(extent/res), res recomputed."""
+    sug_gt, _, _ = suggested_warp_output(src_gt, w, h)
+    x_res = sug_gt[1]
+    y_res = abs(sug_gt[5])
+    min_x, min_y, max_x, max_y = bounds
+    n_pixels = int(max(1.0, round((max_x - min_x) / x_res)))
+    n_lines = int(max(1.0, round(abs(max_y - min_y) / y_res)))
+    x_res = (max_x - min_x) / n_pixels
+    y_res = (max_y - min_y) / n_lines
+    return (min_x, x_res, 0.0, max_y, 0.0, -y_res), n_pixels, n_lines
+
+
+# --------------------------------------------------------------------------
+# GDALApproxTransformer (alg/gdaltransformer.cpp) — scanline subdivision
+# --------------------------------------------------------------------------
+
+
+def _approx_internal(x, y, out_x, out_y, out_ok, sme_x, sme_y, exact, max_err):
+    n = len(x)
+    n_mid = (n - 1) // 2
+    dx = (sme_x[2] - sme_x[0]) / (x[-1] - x[0])
+    dy = (sme_y[2] - sme_y[0]) / (x[-1] - x[0])
+    err = (abs(sme_x[0] + dx * (x[n_mid] - x[0]) - sme_x[1])
+           + abs(sme_y[0] + dy * (x[n_mid] - x[0]) - sme_y[1]))
+    if err > max_err:
+        i1 = (n_mid - 1) // 2
+        i2 = n_mid - 1
+        i3 = n_mid + (n - n_mid - 1) // 2
+        use_base1 = (n_mid <= 5 or y[0] != y[i2] or y[0] != y[i1]
+                     or x[0] == x[i2] or x[0] == x[i1])
+        use_base2 = (n - n_mid <= 5 or y[n_mid] != y[-1] or y[n_mid] != y[i3]
+                     or x[n_mid] == x[-1] or x[n_mid] == x[i3])
+        mx, my, mok = exact(np.array([x[i1], x[i2], x[i3]]),
+                            np.array([y[i1], y[i2], y[i3]]))
+        if not mok.all():
+            # fall back to exact transform of the interiors
+            ex, ey, eok = exact(x[1:n_mid], y[1:n_mid])
+            out_x[1:n_mid] = ex
+            out_y[1:n_mid] = ey
+            out_ok[1:n_mid] = eok
+            ex, ey, eok = exact(x[n_mid + 1:n - 1], y[n_mid + 1:n - 1])
+            out_x[n_mid + 1:n - 1] = ex
+            out_y[n_mid + 1:n - 1] = ey
+            out_ok[n_mid + 1:n - 1] = eok
+            out_x[0], out_y[0], out_ok[0] = sme_x[0], sme_y[0], True
+            out_x[n_mid], out_y[n_mid], out_ok[n_mid] = (
+                sme_x[1], sme_y[1], True)
+            out_x[n - 1], out_y[n - 1], out_ok[n - 1] = (
+                sme_x[2], sme_y[2], True)
+            return
+        if not use_base1:
+            _approx_internal(
+                x[:n_mid], y[:n_mid], out_x[:n_mid], out_y[:n_mid],
+                out_ok[:n_mid],
+                (sme_x[0], mx[0], mx[1]), (sme_y[0], my[0], my[1]),
+                exact, max_err,
+            )
+        else:
+            ex, ey, eok = exact(x[1:n_mid], y[1:n_mid])
+            out_x[1:n_mid] = ex
+            out_y[1:n_mid] = ey
+            out_ok[1:n_mid] = eok
+            out_x[0], out_y[0], out_ok[0] = sme_x[0], sme_y[0], True
+        if not use_base2:
+            _approx_internal(
+                x[n_mid:], y[n_mid:], out_x[n_mid:], out_y[n_mid:],
+                out_ok[n_mid:],
+                (sme_x[1], mx[2], sme_x[2]), (sme_y[1], my[2], sme_y[2]),
+                exact, max_err,
+            )
+        else:
+            ex, ey, eok = exact(x[n_mid + 1:n - 1], y[n_mid + 1:n - 1])
+            out_x[n_mid + 1:n - 1] = ex
+            out_y[n_mid + 1:n - 1] = ey
+            out_ok[n_mid + 1:n - 1] = eok
+            out_x[n_mid], out_y[n_mid], out_ok[n_mid] = (
+                sme_x[1], sme_y[1], True)
+            out_x[n - 1], out_y[n - 1], out_ok[n - 1] = (
+                sme_x[2], sme_y[2], True)
+        return
+    # acceptable: linear interpolation from the start point
+    dz = x - x[0]
+    out_x[:] = sme_x[0] + dx * dz
+    out_y[:] = sme_y[0] + dy * dz
+    out_ok[:] = True
+
+
+def approx_transform(x, y, exact, max_err: float = 0.125):
+    """GDALApproxTransform for one scanline of points."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    n_mid = (n - 1) // 2
+    if (y[0] != y[-1] or y[0] != y[n_mid] or x[0] == x[-1]
+            or x[0] == x[n_mid] or max_err == 0.0 or n <= 5):
+        return exact(x, y)
+    sx, sy, sok = exact(np.array([x[0], x[n_mid], x[-1]]),
+                        np.array([y[0], y[n_mid], y[-1]]))
+    if not sok.all():
+        return exact(x, y)
+    out_x = np.empty(n)
+    out_y = np.empty(n)
+    out_ok = np.zeros(n, dtype=bool)
+    _approx_internal(x, y, out_x, out_y, out_ok, tuple(sx), tuple(sy),
+                     exact, max_err)
+    return out_x, out_y, out_ok
+
+
+# --------------------------------------------------------------------------
+# Nearest warp with GWK semantics, per 512x128 warped-VRT block
+# --------------------------------------------------------------------------
+
+
+def warp_nearest_rgba(
+    src: np.ndarray, src_gt, dst_gt, out_w: int, out_h: int,
+    block=(512, 128), max_err: float = 0.125,
+):
+    """(h, w) or (h, w, b) byte source -> (out_h, out_w, b+1) with a
+    255/0 dst-alpha band; GWKNearest + ApproxTransformer per block."""
+    if src.ndim == 2:
+        src = src[:, :, None]
+    sh, sw, nb = src.shape
+    out = np.zeros((out_h, out_w, nb + 1), dtype=np.uint8)
+
+    def exact(px, py):
+        gx = dst_gt[0] + px * dst_gt[1]
+        gy = dst_gt[3] + py * dst_gt[5]
+        lon, lat = webmerc_inv(gx, gy)
+        spx = (lon - src_gt[0]) / src_gt[1]
+        spy = (lat - src_gt[3]) / src_gt[5]
+        ok = np.isfinite(spx) & np.isfinite(spy)
+        return spx, spy, ok
+
+    bw, bh = block
+    for by0 in range(0, out_h, bh):
+        by1 = min(by0 + bh, out_h)
+        for bx0 in range(0, out_w, bw):
+            bx1 = min(bx0 + bw, out_w)
+            xs = np.arange(bx0, bx1, dtype=np.float64) + 0.5
+            for row in range(by0, by1):
+                ys = np.full(xs.size, row + 0.5)
+                sx, sy, ok = approx_transform(xs, ys, exact, max_err)
+                # GWKCheckAndComputeSrcOffsets border retry with exact
+                retry = ok & (
+                    ((sx < 0) & (sx > -1)) | ((sy < 0) & (sy > -1))
+                    | ((sx + 1e-10 > sw) & (sx < sw + 1))
+                    | ((sy + 1e-10 > sh) & (sy < sh + 1))
+                )
+                if retry.any():
+                    ex, ey, eok = exact(xs[retry], ys[retry])
+                    sx[retry] = ex
+                    sy[retry] = ey
+                    ok[retry] &= eok
+                valid = (ok & (sx >= 0) & (sy >= 0)
+                         & (sx + 1e-10 <= sw) & (sy + 1e-10 <= sh))
+                isx = (sx + 1e-10).astype(np.int64)
+                isy = (sy + 1e-10).astype(np.int64)
+                isx[isx == sw] = sw - 1
+                isy[isy == sh] = sh - 1
+                isx = isx.clip(0, sw - 1)
+                isy = isy.clip(0, sh - 1)
+                vals = src[isy, isx, :]
+                dst_row = out[row, bx0:bx1]
+                dst_row[valid, :nb] = vals[valid]
+                dst_row[valid, nb] = 255
+    return out
+
+
+# --------------------------------------------------------------------------
+# gdal2tiles tiling (legacy mercator profile)
+# --------------------------------------------------------------------------
+
+
+def resolution(z: int, tile_size: int = 256) -> float:
+    return (2 * math.pi * EARTH / tile_size) / (2**z)
+
+
+def zoom_for_pixel_size(pixel_size: float, tile_size: int = 256) -> int:
+    for i in range(MAXZOOMLEVEL):
+        if pixel_size > resolution(i, tile_size):
+            return max(0, i - 1)
+    return MAXZOOMLEVEL - 1
+
+
+def tile_bounds(tx: int, ty: int, z: int, tile_size: int = 256):
+    res = resolution(z, tile_size)
+    return (
+        tx * tile_size * res - MSHIFT,
+        ty * tile_size * res - MSHIFT,
+        (tx + 1) * tile_size * res - MSHIFT,
+        (ty + 1) * tile_size * res - MSHIFT,
+    )
+
+
+def meters_to_tile(mx: float, my: float, z: int, tile_size: int = 256):
+    res = resolution(z, tile_size)
+    px = (mx + MSHIFT) / res
+    py = (my + MSHIFT) / res
+    tx = int(math.ceil(px / float(tile_size)) - 1)
+    ty = int(math.ceil(py / float(tile_size)) - 1)
+    return tx, ty
+
+
+def _rasterio_nearest(arr, rx, ry, rxs, rys, bw, bh):
+    """ReadRaster(rx, ry, rxs, rys -> bw, bh) nearest
+    (gcore/rasterio.cpp: (i + 0.5) * inc + off + 1e-10, clamp, trunc)."""
+    h, w = arr.shape[:2]
+    eps = 1e-10
+    fx = rx + (np.arange(bw) + 0.5) * (rxs / bw) + eps
+    fy = ry + (np.arange(bh) + 0.5) * (rys / bh) + eps
+    ix = np.minimum(np.maximum(0.0, fx), w - 1).astype(np.int64)
+    iy = np.minimum(np.maximum(0.0, fy), h - 1).astype(np.int64)
+    return arr[iy[:, None], ix[None, :]]
+
+
+def _scale_query_to_tile(query: np.ndarray, tile_size: int) -> np.ndarray:
+    """scale_query_to_tile with resampling='average': per-band
+    RegenerateOverview (exact integer-factor average, GDALCopyWord
+    rounding)."""
+    factor = query.shape[0] // tile_size
+    return block_reduce(query, factor, factor, "average").astype(np.uint8)
+
+
+def _overview_pyramid(
+    tiles: dict, tminmax, tmaxz: int, tminz: int, tilebands: int,
+    tile_size: int = 256,
+) -> None:
+    """create_overview_tile for every zoom below tmaxz: each overview tile
+    is the average reduction of its 2x2 children pasted at TMS quadrants
+    (even ty -> bottom half of the query, gdal2tiles.py quadrant rule)."""
+    for tz in range(tmaxz - 1, tminz - 1, -1):
+        tminx, tminy, tmaxx, tmaxy = tminmax[tz]
+        for ty in range(tmaxy, tminy - 1, -1):
+            for tx in range(tminx, tmaxx + 1):
+                query = np.zeros(
+                    (2 * tile_size, 2 * tile_size, tilebands), np.uint8
+                )
+                for cy in range(ty * 2, ty * 2 + 2):
+                    for cx in range(tx * 2, tx * 2 + 2):
+                        child = tiles.get((tz + 1, cx, cy))
+                        if child is None:
+                            continue
+                        posx = 0 if cx % 2 == 0 else tile_size
+                        posy = tile_size if cy % 2 == 0 else 0
+                        query[posy:posy + tile_size,
+                              posx:posx + tile_size] = child
+                tiles[(tz, tx, ty)] = _scale_query_to_tile(query, tile_size)
+
+
+def _base_tile_from_query(
+    src_rgba: np.ndarray, src_gt, w: int, h: int, bounds,
+    querysize: int, tile_size: int, tilebands: int,
+) -> np.ndarray:
+    """geo_query + RasterIO-nearest read + average reduction — the
+    create_base_tile non-raster path."""
+    (rx, ry, rxs, rys), (wxo, wyo, wxs, wys) = geo_query(
+        src_gt, w, h, bounds[0], bounds[3], bounds[2], bounds[1],
+        querysize=querysize,
+    )
+    dstile = np.zeros((tile_size, tile_size, tilebands), np.uint8)
+    if rxs and rys and wxs and wys:
+        data = _rasterio_nearest(src_rgba, rx, ry, rxs, rys, wxs, wys)
+        if tile_size == querysize:
+            dstile[wyo:wyo + wys, wxo:wxo + wxs] = data
+        else:
+            query = np.zeros((querysize, querysize, tilebands), np.uint8)
+            query[wyo:wyo + wys, wxo:wxo + wxs] = data
+            dstile = _scale_query_to_tile(query, tile_size)
+    return dstile
+
+
+def gdal2tiles_geodetic(
+    src: np.ndarray, src_gt, tminz: int | None = None,
+    tmaxz: int | None = None, tile_size: int = 256,
+    tmscompatible: bool = True,
+) -> dict:
+    """Geodetic profile (GlobalGeodetic, gdal2tiles.py:567): plate-carree
+    tiling of an EPSG:4326 source, no warp. Bit-exact vs
+    test_gdal2tiles_py_profile_geodetic_tmscompatible_xyz checksums.
+    Returns TMS-addressed tiles {(tz, tx, ty): rgba}."""
+    if src.ndim == 2:
+        src = src[:, :, None]
+    h, w, nb = src.shape
+    src_rgba = np.dstack([src, np.full((h, w), 255, np.uint8)])
+    res_fact = (180.0 if tmscompatible else 360.0) / tile_size
+
+    ominx, omaxx = src_gt[0], src_gt[0] + w * src_gt[1]
+    omaxy, ominy = src_gt[3], src_gt[3] + h * src_gt[5]
+
+    def lonlat_to_tile(lon, lat, tz):
+        res = res_fact / 2**tz
+        px = (180 + lon) / res
+        py = (90 + lat) / res
+        return (int(math.ceil(px / tile_size) - 1),
+                int(math.ceil(py / tile_size) - 1))
+
+    tminmax = {}
+    for tz in range(0, MAXZOOMLEVEL):
+        tminx, tminy = lonlat_to_tile(ominx, ominy, tz)
+        tmaxx, tmaxy = lonlat_to_tile(omaxx, omaxy, tz)
+        tminx, tminy = max(0, tminx), max(0, tminy)
+        tmaxx = min(2 ** (tz + 1) - 1, tmaxx)
+        tmaxy = min(2**tz - 1, tmaxy)
+        tminmax[tz] = (tminx, tminy, tmaxx, tmaxy)
+
+    def zoom_for(ps):
+        for i in range(MAXZOOMLEVEL):
+            if ps > res_fact / 2**i:
+                return max(0, i - 1)
+        return MAXZOOMLEVEL - 1
+
+    if tminz is None:
+        tminz = zoom_for(src_gt[1] * max(w, h) / float(tile_size))
+    if tmaxz is None:
+        tmaxz = max(tminz, zoom_for(src_gt[1]))
+    tminz = min(tminz, tmaxz)
+
+    querysize = 4 * tile_size
+    tiles = {}
+    tminx, tminy, tmaxx, tmaxy = tminmax[tmaxz]
+    res = res_fact / 2**tmaxz
+    for ty in range(tmaxy, tminy - 1, -1):
+        for tx in range(tminx, tmaxx + 1):
+            b = (tx * tile_size * res - 180, ty * tile_size * res - 90,
+                 (tx + 1) * tile_size * res - 180,
+                 (ty + 1) * tile_size * res - 90)
+            tiles[(tmaxz, tx, ty)] = _base_tile_from_query(
+                src_rgba, src_gt, w, h, b, querysize, tile_size, nb + 1
+            )
+    _overview_pyramid(tiles, tminmax, tmaxz, tminz, nb + 1, tile_size)
+    return tiles
+
+
+def gdal2tiles_raster(
+    src: np.ndarray, src_gt=None, tminz: int | None = None,
+    tmaxz: int | None = None, tile_size: int = 256,
+) -> dict:
+    """Raster profile (gdal2tiles.py generate_base_tiles 'raster' branch):
+    pixel-space tiling at nativezoom = ceil(log2(max-dimension/tile_size)),
+    native reads (querysize == tile_size), TMS row flip, mask-band alpha.
+    Bit-exact vs test_gdal2tiles_py_profile_raster checksums."""
+    if src.ndim == 2:
+        src = src[:, :, None]
+    h, w, nb = src.shape
+    nativezoom = max(
+        0, int(math.ceil(math.log(max(w / float(tile_size),
+                                      h / float(tile_size)), 2)))
+    ) if max(w, h) > tile_size else 0
+    if tmaxz is None:
+        tmaxz = nativezoom
+    if tminz is None:
+        tminz = 0
+    tminmax = {}
+    for tz in range(0, tmaxz + 1):
+        t = 2.0 ** (nativezoom - tz) * tile_size
+        tminmax[tz] = (0, 0, int(math.ceil(w / t)) - 1,
+                       int(math.ceil(h / t)) - 1)
+
+    tiles = {}
+    tminx, tminy, tmaxx, tmaxy = tminmax[tmaxz]
+    tsize = int(math.ceil(2.0 ** (nativezoom - tmaxz) * tile_size))
+    for ty in range(tmaxy, tminy - 1, -1):
+        for tx in range(tminx, tmaxx + 1):
+            rx = tx * tsize
+            rxsize = (w % tsize if tx == tmaxx else tsize) or tsize
+            rysize = (h % tsize if ty == tmaxy else tsize) or tsize
+            wxo = wyo = 0
+            wxs = int(rxsize / float(tsize) * tile_size)
+            wys = int(rysize / float(tsize) * tile_size)
+            ry = h - (ty * tsize) - rysize
+            if wys != tile_size:
+                wyo = tile_size - wys
+            tile = np.zeros((tile_size, tile_size, nb + 1), np.uint8)
+            data = src[ry:ry + rysize, rx:rx + rxsize]
+            if (rysize, rxsize) != (wys, wxs):
+                data = _rasterio_nearest(
+                    np.ascontiguousarray(data), 0, 0, rxsize, rysize, wxs, wys
+                )
+            tile[wyo:wyo + wys, wxo:wxo + wxs, :nb] = data
+            tile[wyo:wyo + wys, wxo:wxo + wxs, nb] = 255
+            tiles[(tmaxz, tx, ty)] = tile
+    _overview_pyramid(tiles, tminmax, tmaxz, tminz, nb + 1, tile_size)
+    return tiles
+
+
+def gdal2tiles_mercator(
+    src: np.ndarray, src_gt, tminz: int | None = None,
+    tmaxz: int | None = None, tile_size: int = 256,
+) -> dict:
+    """Full legacy pipeline for a geographic (EPSG:4326) byte source ->
+    {(tz, tx, ty): (tile_size, tile_size, bands+1) uint8} (TMS tile ids).
+    """
+    if src.ndim == 2:
+        src = src[:, :, None]
+    h, w, nb = src.shape
+
+    # reproject_dataset: geographic source beyond the mercator square ->
+    # forced outputBounds (gdal2tiles.py:1056-1087)
+    minlon = src_gt[0]
+    maxlon = src_gt[0] + w * src_gt[1]
+    maxlat = src_gt[3]
+    minlat = src_gt[3] + h * src_gt[5]
+    adj_minlon = max(minlon, -180.0)
+    adj_maxlon = min(maxlon, 180.0)
+    adj_maxlat = min(maxlat, MAX_LAT)
+    adj_minlat = max(minlat, -MAX_LAT)
+    if (adj_minlon, adj_maxlon, adj_maxlat, adj_minlat) != (
+        minlon, maxlon, maxlat, minlat
+    ):
+        wx, wy, _ = webmerc_fwd(adj_minlon, adj_minlat)
+        ex, ey, _ = webmerc_fwd(adj_maxlon, adj_maxlat)
+        dst_gt, out_w, out_h = warp_output_for_bounds(
+            src_gt, w, h, (float(wx), float(wy), float(ex), float(ey))
+        )
+    else:
+        dst_gt, out_w, out_h = suggested_warp_output(src_gt, w, h)
+    warped = warp_nearest_rgba(src, src_gt, dst_gt, out_w, out_h)
+    tilebands = nb + 1
+
+    ominx = dst_gt[0]
+    omaxx = dst_gt[0] + out_w * dst_gt[1]
+    omaxy = dst_gt[3]
+    ominy = dst_gt[3] + out_h * dst_gt[5]
+
+    tminmax = {}
+    for tz in range(0, MAXZOOMLEVEL):
+        tminx, tminy = meters_to_tile(ominx, ominy, tz, tile_size)
+        tmaxx, tmaxy = meters_to_tile(omaxx, omaxy, tz, tile_size)
+        tminx, tminy = max(0, tminx), max(0, tminy)
+        tmaxx, tmaxy = min(2**tz - 1, tmaxx), min(2**tz - 1, tmaxy)
+        tminmax[tz] = (tminx, tminy, tmaxx, tmaxy)
+
+    if tminz is None:
+        tminz = zoom_for_pixel_size(
+            dst_gt[1] * max(out_w, out_h) / float(tile_size), tile_size
+        )
+    if tmaxz is None:
+        tmaxz = max(tminz, zoom_for_pixel_size(dst_gt[1], tile_size))
+    tminz = min(tminz, tmaxz)
+
+    querysize = 4 * tile_size
+    tiles = {}
+
+    # base tiles at tmaxz
+    tminx, tminy, tmaxx, tmaxy = tminmax[tmaxz]
+    for ty in range(tmaxy, tminy - 1, -1):
+        for tx in range(tminx, tmaxx + 1):
+            b = tile_bounds(tx, ty, tmaxz, tile_size)
+            (rx, ry, rxs, rys), (wxo, wyo, wxs, wys) = geo_query(
+                dst_gt, out_w, out_h, b[0], b[3], b[2], b[1],
+                querysize=querysize,
+            )
+            dstile = np.zeros((tile_size, tile_size, tilebands), np.uint8)
+            if rxs and rys and wxs and wys:
+                data = _rasterio_nearest(warped, rx, ry, rxs, rys, wxs, wys)
+                if tile_size == querysize:
+                    dstile[wyo:wyo + wys, wxo:wxo + wxs] = data
+                else:
+                    query = np.zeros((querysize, querysize, tilebands),
+                                     np.uint8)
+                    query[wyo:wyo + wys, wxo:wxo + wxs] = data
+                    dstile = _scale_query_to_tile(query, tile_size)
+            tiles[(tmaxz, tx, ty)] = dstile
+
+    # overview tiles down to tminz (create_overview_tile)
+    for tz in range(tmaxz - 1, tminz - 1, -1):
+        tminx, tminy, tmaxx, tmaxy = tminmax[tz]
+        for ty in range(tmaxy, tminy - 1, -1):
+            for tx in range(tminx, tmaxx + 1):
+                query = np.zeros((2 * tile_size, 2 * tile_size, tilebands),
+                                 np.uint8)
+                for cy in range(ty * 2, ty * 2 + 2):
+                    for cx in range(tx * 2, tx * 2 + 2):
+                        child = tiles.get((tz + 1, cx, cy))
+                        if child is None:
+                            continue
+                        posx = 0 if cx % 2 == 0 else tile_size
+                        posy = tile_size if cy % 2 == 0 else 0
+                        query[posy:posy + tile_size,
+                              posx:posx + tile_size] = child
+                tiles[(tz, tx, ty)] = _scale_query_to_tile(query, tile_size)
+    return tiles
