@@ -28,6 +28,7 @@ tiles that survive the window predicate.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -60,6 +61,84 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("valid_frac", T.DoubleType()),
     ]
 )
+
+
+def gdal_tindex(
+    spark: SparkSession, index_shp: str, src_paths: list[str],
+    tileindex_field: str = "location",
+) -> int:
+    """gdaltindex (apps/gdaltindex_lib.cpp): append each raster's footprint
+    outline as a MULTIPOLYGON feature with a ``location`` attribute to a
+    shapefile tile index; rasters already present (same location string)
+    are skipped with no duplicate feature — the autotest's
+    already-existing-rasters contract. Ring order follows the reference:
+    UL -> UR -> LR -> LL -> UL in georeferenced space. Returns the number
+    of features added.
+
+    Probing runs distributed (one codec probe per task over the path
+    list); only footprint metadata returns to the driver, so indexing a
+    10^6-tile corpus moves no pixel data."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.raster.vrt import _probe_source
+    from gdal_spark.sources.vector_formats import (
+        read_shapefile,
+        write_shapefile,
+    )
+
+    existing: list[tuple[str, bytes]] = []
+    if os.path.exists(index_shp):
+        for r in read_shapefile(spark, index_shp).collect():
+            existing.append((r[tileindex_field], bytes(r["wkb"])))
+    seen = {loc for loc, _ in existing}
+    new_paths = [p for p in src_paths if p not in seen]
+
+    pdf = spark.createDataFrame(
+        [(p,) for p in new_paths], "path: string"
+    )
+
+    def probe(batches):
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                pr = _probe_source(p)
+                gt, w, h = pr["gt"], pr["w"], pr["h"]
+                rows.append((p, float(gt[0]), float(gt[1]), float(gt[3]),
+                             float(gt[5]), int(w), int(h)))
+            yield pd.DataFrame(
+                rows, columns=["path", "gt0", "gt1", "gt3", "gt5", "w", "h"]
+            )
+
+    schema = T2.StructType([
+        T2.StructField("path", T2.StringType()),
+        T2.StructField("gt0", T2.DoubleType()),
+        T2.StructField("gt1", T2.DoubleType()),
+        T2.StructField("gt3", T2.DoubleType()),
+        T2.StructField("gt5", T2.DoubleType()),
+        T2.StructField("w", T2.IntegerType()),
+        T2.StructField("h", T2.IntegerType()),
+    ])
+    metas = pdf.mapInPandas(probe, schema).collect() if new_paths else []
+
+    feats = list(existing)
+    added = 0
+    for m in metas:
+        x0, x1 = m.gt0, m.gt0 + m.w * m.gt1
+        y0, y1 = m.gt3, m.gt3 + m.h * m.gt5
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        )
+        feats.append((m.path, W.write_multipolygon([[ring]])))
+        added += 1
+
+    fdf = spark.createDataFrame(
+        [(loc, bytearray(wkb)) for loc, wkb in feats],
+        f"{tileindex_field}: string, wkb: binary",
+    )
+    write_shapefile(fdf, index_shp)
+    return added
 
 
 def build_index(images: DataFrame) -> DataFrame:

@@ -110,3 +110,50 @@ def test_index_is_hilbert_clustered(spark, corpus):
     assert list(idx.columns) == gti.INDEX_COLS + ["hcode"]
     # hilbert codes monotone within each written partition
     assert (idx["hcode"].to_numpy() >= 0).all()
+
+
+def test_gdal_tindex_four_tiles(spark, tmp_path):
+    """gdaltindex parity (autotest/utilities/test_gdaltindex_lib.py
+    test_gdaltindex_lib_basic + already_existing_rasters): 4 features,
+    reference ring order, location attribute, duplicate adds skipped."""
+    import numpy as np
+
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.functions.tiff import tiff_encode
+    from gdal_spark.sources.gti import gdal_tindex
+    from gdal_spark.sources.vector_formats import read_shapefile
+
+    # the four_tiles fixture grid (10x10 at 0.1 deg)
+    gts = [(49, 2), (49, 3), (48, 2), (48, 3)]
+    paths = []
+    for i, (x, y) in enumerate(gts):
+        p = str(tmp_path / f"gdaltindex{i + 1}.tif")
+        open(p, "wb").write(
+            tiff_encode(np.zeros((10, 10), np.uint8),
+                        geotransform=(x, 0.1, 0, y, 0, -0.1))
+        )
+        paths.append(p)
+
+    shp = str(tmp_path / "tileindex.shp")
+    assert gdal_tindex(spark, shp, paths[:2]) == 2
+    assert gdal_tindex(spark, shp, paths[2:]) == 2
+
+    rows = read_shapefile(spark, shp).orderBy("fid").collect()
+    assert len(rows) == 4
+    assert [r["location"] for r in rows] == paths
+
+    # expected_wkts from the autotest, as ring coordinates
+    expected = [
+        [(49, 2), (50, 2), (50, 1), (49, 1), (49, 2)],
+        [(49, 3), (50, 3), (50, 2), (49, 2), (49, 3)],
+        [(48, 2), (49, 2), (49, 1), (48, 1), (48, 2)],
+        [(48, 3), (49, 3), (49, 2), (48, 2), (48, 3)],
+    ]
+    for r, exp in zip(rows, expected):
+        rings = W.polygon_rings(bytes(r["wkb"]))
+        got = [tuple(pt) for pt in rings[0][0]]
+        assert got == [(float(a), float(b)) for a, b in exp]
+
+    # adding the same rasters again is a no-op
+    assert gdal_tindex(spark, shp, paths) == 0
+    assert read_shapefile(spark, shp).count() == 4
