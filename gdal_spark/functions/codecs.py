@@ -51,11 +51,15 @@ def png_encode(arr: np.ndarray) -> bytes:
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     h, w, c = arr.shape
-    assert c == 3, f"png_encode expects RGB, got {c} channels"
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    # PNG color types: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    assert ctype is not None, f"png_encode expects 1-4 channels, got {c}"
+    if c == 1:
+        arr = arr[:, :, 0:1]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
     raw[:, 0] = 0  # filter type None per row
-    raw[:, 1:] = arr.reshape(h, w * 3)
+    raw[:, 1:] = arr.reshape(h, w * c)
     idat = zlib.compress(raw.tobytes(), 6)
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
