@@ -87,3 +87,36 @@ def test_distributed_tile_scan(spark):
         assert (r.w, r.h) == (256, 256)
         a = np.frombuffer(bytes(r.data), np.uint8)
         assert a.size == 256 * 256 * r.bands
+
+
+# ---------------------------------------------------------------------------
+# GeoPackage raster tiles (shared MBTiles-like base in the reference)
+# ---------------------------------------------------------------------------
+
+
+def test_gpkg_raster_byte_parity():
+    """autotest/gdrivers/gpkg.py test_gpkg_45: byte.gpkg reads as the
+    20x20 contents-bounds window of the zoom-0 tile, checksum 4672."""
+    from gdal_spark.sources import gpkg_raster as GR
+
+    arr, gt, srs = GR.read_gpkg_raster(
+        os.path.join(DATA, "..", "gpkg", "byte.gpkg"), band_count=1
+    )
+    assert arr.shape == (1, 20, 20)
+    assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    assert srs == 26711
+    assert checksum(arr[0]) == 4672
+
+
+def test_gpkg_raster_roundtrip(tmp_path):
+    from gdal_spark.sources import gpkg_raster as GR
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, (500, 300, 3), dtype=np.uint8)
+    p = str(tmp_path / "rt.gpkg")
+    GR.write_gpkg_raster(p, "t", a, (100.0, 2.0, 0.0, 900.0, 0.0, -2.0),
+                         srs_id=3857)
+    b, gt2, srs2 = GR.read_gpkg_raster(p, band_count=3)
+    assert gt2 == (100.0, 2.0, 0.0, 900.0, 0.0, -2.0)
+    assert srs2 == 3857
+    assert np.array_equal(np.moveaxis(b, 0, 2), a)
