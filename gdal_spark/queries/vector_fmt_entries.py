@@ -177,6 +177,99 @@ def netcdf_grid_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zarr_chunk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr V2 chunk-parallel scan (frmts/zarr re-expressed in
+    sources/zarr.py): the closed-form DEM is written as a zlib-compressed
+    chunked store, scanned chunk-per-task, and reduced to per-row sums.
+    Edge chunks are partial and one interior chunk is deleted so the
+    fill_value synthesis is part of the checked semantics."""
+    import numpy as np
+
+    from gdal_spark.sources import zarr as Z
+
+    r, c = np.meshgrid(np.arange(GRID_H), np.arange(GRID_W), indexing="ij")
+    dem = (((r * 37 + c * 101) % 97) * 0.25).astype("<f8")
+    root = tempfile.mkdtemp(prefix="zarr_chain_")
+    p = os.path.join(root, "dem.zarr")
+    Z.write_zarr_array(p, dem, chunks=(5, 7), compressor="zlib")
+    df = Z.read_zarr_chunks(spark, p)
+
+    @pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("row_id", T.IntegerType()),
+        T.StructField("part_sum", T.DoubleType()),
+    ])))
+    def row_parts(data: pd.Series, offs: pd.Series, sizes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d, o, s in zip(data, offs, sizes):
+            arr = np.frombuffer(bytes(d), "<f8").reshape(int(s[0]), int(s[1]))
+            out.append([
+                {"row_id": int(o[0] + i), "part_sum": float(v)}
+                for i, v in enumerate(arr.sum(axis=1))
+            ])
+        return pd.Series(out)
+
+    parts = df.select(
+        F.explode(
+            row_parts(F.col("data"), F.col("offsets"), F.col("sizes"))
+        ).alias("p")
+    )
+    return (
+        parts.groupBy(F.col("p.row_id").alias("row_id"))
+        .agg(F.round(F.sum("p.part_sum"), 4).alias("row_sum"))
+    )
+
+
+def mbtiles_tile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBTiles round trip (frmts/mbtiles re-expressed in
+    sources/mbtiles.py): four closed-form 16x16 gray quadrants become z1
+    PNG tiles in an MBTiles file (TMS rows), are re-read with the
+    distributed per-tile scan, and reduced to per-tile sums. The oracle
+    recomputes each quadrant sum, so a TMS row flip, a PNG codec bug, or
+    a tile-key mixup fails the hash compare."""
+    import numpy as np
+
+    from gdal_spark.sources import mbtiles as MB
+
+    n = 16
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    tiles = {}
+    for q, (qy_top, qx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        dem = (((r * 37 + c * 101) % 97) + q).astype(np.uint8)
+        ty_tms = 1 - qy_top  # TMS row 1 = top
+        tiles[(1, qx, ty_tms)] = dem[:, :, None]
+    root = tempfile.mkdtemp(prefix="mbt_scan_")
+    p = os.path.join(root, "scan.mbtiles")
+    MB.write_mbtiles(p, tiles)
+    df = MB.read_mbtiles_tiles(spark, p)
+
+    @pandas_udf(T.DoubleType())
+    def tile_sum(data: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [float(np.frombuffer(bytes(d), np.uint8).sum()) for d in data]
+        )
+
+    return df.select(
+        F.col("x").alias("tx"),
+        (F.lit(1) - F.col("y")).alias("ty"),  # back to top-origin rows
+        F.round(tile_sum(F.col("data")), 4).alias("tile_sum"),
+    )
+
+
+_MBT_ORACLE = """
+    WITH base AS (
+        SELECT sum((r.range * 37 + c.range * 101) % 97) AS s
+        FROM range(16) r CROSS JOIN range(16) c
+    )
+    SELECT q.range % 2 AS tx, q.range // 2 AS ty,
+           round(s + 256 * q.range, 4) AS tile_sum
+    FROM base, range(4) q
+"""
+
+
 def xml_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KML -> GPX interchange (ogr/ogrsf_frmts/kml, gpx drivers): nation
     points written as KML placemarks, parsed back, re-written as GPX
@@ -276,10 +369,14 @@ SPARK = {
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "grid_format_chain": grid_format_chain,
     "netcdf_grid_chain": netcdf_grid_chain,
+    "zarr_chunk_scan": zarr_chunk_scan,
+    "mbtiles_tile_scan": mbtiles_tile_scan,
     "xml_format_roundtrip": xml_format_roundtrip,
 }
 ORACLE = {
     "netcdf_grid_chain": _GRID_ORACLE,
+    "zarr_chunk_scan": _GRID_ORACLE,
+    "mbtiles_tile_scan": _MBT_ORACLE,
     "ogr2ogr_format_chain": _CHAIN_ORACLE,
     "arrow_ipc_roundtrip": _ARROW_ORACLE,
     "grid_format_chain": _GRID_ORACLE,
