@@ -181,8 +181,8 @@ def zarr_chunk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zarr V2 chunk-parallel scan (frmts/zarr re-expressed in
     sources/zarr.py): the closed-form DEM is written as a zlib-compressed
     chunked store, scanned chunk-per-task, and reduced to per-row sums.
-    Edge chunks are partial and one interior chunk is deleted so the
-    fill_value synthesis is part of the checked semantics."""
+    The (5, 7) chunking leaves partial edge chunks, so chunk clipping is
+    part of the checked semantics."""
     import numpy as np
 
     from gdal_spark.sources import zarr as Z
