@@ -108,6 +108,14 @@ def headline_suite() -> None:
     from gdal_spark.session import get_session
 
     spark = get_session(app_name="gdal_spark_bench", master=f"local[{CPUS}]")
+    # Same warmup rule as the flagship below: first touch pays one-time
+    # JVM codegen + Python-worker fork costs a long-lived cluster
+    # amortizes; run a tiny decode slice first so the timed pass
+    # measures decoding, not session startup.
+    spark.range(8).selectExpr("sum(id)").collect()
+    _noop_run(
+        E.queries()["images_decode_checksum"](spark, SF_DIR).limit(32)
+    )
     t0 = time.time()
     invariants = _decode_invariant(spark)
     decode_sec = round(time.time() - t0, 3)

@@ -96,8 +96,87 @@ def _apply_filters_decode(raw: bytes, filters, dtype: np.dtype) -> np.ndarray:
     return np.frombuffer(data, dtype)
 
 
+_V3_DTYPES = {
+    "bool": "|b1", "uint8": "|u1", "int8": "|i1",
+    "uint16": "<u2", "int16": "<i2", "uint32": "<u4", "int32": "<i4",
+    "uint64": "<u8", "int64": "<i8",
+    "float16": "<f2", "float32": "<f4", "float64": "<f8",
+}
+
+
+def _read_v3_array(path: str):
+    """Zarr V3 array (zarr.json node_type=array, frmts/zarr/zarrv3array):
+    regular chunk grid, default/v2 chunk key encodings, codec pipeline
+    bytes(endian) -> transpose -> gzip/zlib."""
+    meta = json.load(open(os.path.join(path, "zarr.json")))
+    if meta.get("node_type") != "array":
+        raise ZarrError("not a v3 array")
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
+    dt_name = meta["data_type"]
+    if dt_name not in _V3_DTYPES:
+        raise ZarrError(f"v3 data_type {dt_name!r} not supported")
+    dtype = np.dtype(_V3_DTYPES[dt_name])
+    codecs = meta.get("codecs") or []
+    order = None
+    for c in codecs:
+        nm = c.get("name")
+        if nm == "bytes":
+            endian = c.get("configuration", {}).get("endian", "little")
+            dtype = dtype.newbyteorder("<" if endian == "little" else ">")
+        elif nm == "transpose":
+            order = c.get("configuration", {}).get("order")
+        elif nm in ("gzip", "zlib"):
+            pass
+        else:
+            raise ZarrError(f"v3 codec {nm!r} not supported")
+    kenc = meta.get("chunk_key_encoding", {"name": "default"})
+    sep = kenc.get("configuration", {}).get("separator", "/")
+    fill = meta.get("fill_value", 0)
+    if fill is None:
+        fill = 0
+    out = np.full(shape, fill, dtype=dtype.newbyteorder("="))
+    import itertools
+
+    grid = [(s + c - 1) // c for s, c in zip(shape, chunks)]
+    for idx in itertools.product(*(range(g) for g in grid)) if grid else [()]:
+        if kenc.get("name") == "v2":
+            name = sep.join(str(i) for i in idx) if idx else "0"
+        else:
+            name = "c" + sep + sep.join(str(i) for i in idx) if idx else "c"
+        fp = os.path.join(path, *name.split("/"))
+        if not os.path.exists(fp):
+            continue
+        raw = open(fp, "rb").read()
+        for c in codecs:
+            if c.get("name") in ("gzip",):
+                raw = zlib.decompress(raw, 16 + zlib.MAX_WBITS)
+            elif c.get("name") == "zlib":
+                raw = zlib.decompress(raw)
+        flat = np.frombuffer(raw, dtype)
+        if order is not None:
+            perm_shape = [chunks[o] for o in order]
+            chunk = flat.reshape(perm_shape).transpose(
+                np.argsort(order).tolist()
+            )
+        else:
+            chunk = flat.reshape(chunks)
+        sl = tuple(
+            slice(i * c_, min((i + 1) * c_, s))
+            for i, c_, s in zip(idx, chunks, shape)
+        )
+        sub = tuple(slice(0, x.stop - x.start) for x in sl)
+        out[sl] = chunk[sub]
+    return out, {"meta": meta, "attrs": meta.get("attributes", {})}
+
+
 def read_zarr_array(path: str):
-    """Array directory -> (numpy array, {meta, attrs})."""
+    """Array directory -> (numpy array, {meta, attrs}); dispatches on the
+    V2 (.zarray) vs V3 (zarr.json) marker files."""
+    if not os.path.exists(os.path.join(path, ".zarray")) and os.path.exists(
+        os.path.join(path, "zarr.json")
+    ):
+        return _read_v3_array(path)
     meta = json.load(open(os.path.join(path, ".zarray")))
     if meta.get("zarr_format") != 2:
         raise ZarrError("only Zarr V2 supported")
@@ -149,13 +228,13 @@ def open_zarr_group(path: str) -> dict:
                 arrays[nm] = os.path.join(path, nm)
         return arrays
     for root, dirs, files in os.walk(path):
-        if ".zarray" in files and os.path.abspath(root) != os.path.abspath(
-            path
-        ):
+        is_array = ".zarray" in files
+        if not is_array and "zarr.json" in files:
+            node = json.load(open(os.path.join(root, "zarr.json")))
+            is_array = node.get("node_type") == "array"
+        if is_array and os.path.abspath(root) != os.path.abspath(path):
             arrays[os.path.relpath(root, path).replace(os.sep, "/")] = root
-        if ".zarray" in files and os.path.abspath(root) == os.path.abspath(
-            path
-        ):
+        if is_array and os.path.abspath(root) == os.path.abspath(path):
             arrays[""] = root
     return arrays
 
@@ -167,21 +246,31 @@ def zarr_to_raster(path: str, var: str | None = None):
     arrays = open_zarr_group(path)
     if not arrays:
         raise ZarrError("no arrays")
+    def _shape_kind(p):
+        za = os.path.join(p, ".zarray")
+        if os.path.exists(za):
+            meta = json.load(open(za))
+            return meta["shape"], np.dtype(meta["dtype"]).kind
+        meta = json.load(open(os.path.join(p, "zarr.json")))
+        return meta["shape"], "V" if meta["data_type"] not in _V3_DTYPES \
+            else np.dtype(_V3_DTYPES[meta["data_type"]]).kind
+
     name = var
     if name is None:
         best_nd = -1
         for nm, p in arrays.items():
-            meta = json.load(open(os.path.join(p, ".zarray")))
-            nd = len(meta["shape"])
-            dt = np.dtype(meta["dtype"])
-            if nd >= 2 and dt.kind not in "SU" and nd > best_nd:
+            shape, kind = _shape_kind(p)
+            nd = len(shape)
+            if nd >= 2 and kind not in "SUV" and nd > best_nd:
                 name, best_nd = nm, nd
     if name is None:
         raise ZarrError("no 2-D raster array")
     arr, info = read_zarr_array(arrays[name])
     h, w = arr.shape[-2], arr.shape[-1]
     arr = arr.reshape((-1, h, w))
-    dims = info["attrs"].get("_ARRAY_DIMENSIONS", [])
+    dims = info["attrs"].get(
+        "_ARRAY_DIMENSIONS", info["meta"].get("dimension_names", [])
+    )
     gt = None
     bottom_up = False
     if len(dims) >= 2:
