@@ -455,3 +455,79 @@ def to_rows(md: MDArray, limit_cells: int = 2_000_000) -> DataFrame:
             yield pd.concat(outs) if outs else pd.DataFrame(columns=names)
 
     return md.df.mapInPandas(explode, schema)
+
+
+# ---------------------------------------------------------------------------
+# Zarr bridge (frmts/zarr <-> GDAL multidim, gdal mdim convert)
+# ---------------------------------------------------------------------------
+
+
+def from_zarr(spark: SparkSession, path: str) -> MDArray:
+    """Zarr V2 array directory -> MDArray: the store's chunk grid becomes
+    the chunk table directly (one chunk file per task, no re-tiling) —
+    the distributed restatement of `gdal mdim convert` from Zarr."""
+    import json
+    import os
+
+    from gdal_spark.sources.zarr import read_zarr_chunks
+
+    meta = json.load(open(os.path.join(path, ".zarray")))
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    ndim = len(shape)
+    attrs_path = os.path.join(path, ".zattrs")
+    dims = None
+    if os.path.exists(attrs_path):
+        dims = json.load(open(attrs_path)).get("_ARRAY_DIMENSIONS")
+    cdf = read_zarr_chunks(spark, path)
+    cols = [
+        (F.col("idx")[a]).alias(f"c{a}") for a in range(ndim)
+    ] + [F.col("data")]
+    df = cdf.select(*cols)
+    return MDArray(
+        df, shape, chunks,
+        tuple(dims) if dims else tuple(f"dim{a}" for a in range(ndim)),
+    )
+
+
+def to_zarr(md: MDArray, path: str, compressor: str | None = "zlib") -> None:
+    """MDArray -> Zarr V2 store: metadata written once on the driver,
+    chunk files written by the executors (one file per chunk row — the
+    Zarr layout IS a distributed sink, no single-writer bottleneck)."""
+    import json
+    import os
+
+    from gdal_spark.sources.zarr import _compress
+
+    os.makedirs(path, exist_ok=True)
+    comp = {"id": compressor, "level": 6} if compressor else None
+    zmeta = {
+        "zarr_format": 2,
+        "shape": list(md.shape),
+        "chunks": list(md.chunks),
+        "dtype": "<f8",
+        "compressor": comp,
+        "fill_value": 0,
+        "filters": None,
+        "order": "C",
+    }
+    json.dump(zmeta, open(os.path.join(path, ".zarray"), "w"), indent=4)
+    json.dump(
+        {"_ARRAY_DIMENSIONS": list(md.dims)},
+        open(os.path.join(path, ".zattrs"), "w"),
+    )
+    shape, chunks = md.shape, md.chunks
+    ndim = len(shape)
+
+    def write_part(rows):
+        for r in rows:
+            coords = tuple(int(r[f"c{a}"]) for a in range(ndim))
+            ext = _extent(coords, shape, chunks)
+            block = np.frombuffer(bytes(r["data"]), "<f8").reshape(ext)
+            full = np.zeros(chunks, dtype="<f8")
+            full[tuple(slice(0, e) for e in ext)] = block
+            name = ".".join(str(i) for i in coords)
+            with open(os.path.join(path, name), "wb") as fh:
+                fh.write(_compress(full.tobytes(), comp))
+
+    md.df.foreachPartition(write_part)
