@@ -209,3 +209,51 @@ def checksums(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in CHECKSUM_SCHEMA.fields])
 
     return df.mapInPandas(run, CHECKSUM_SCHEMA)
+
+
+def locationinfo(
+    arr, gt=None, x: float = 0.0, y: float = 0.0, mode: str = "pixel",
+    fmt: str = "report", bands=None,
+) -> str:
+    """gdallocationinfo (apps/gdallocationinfo.cpp): report the band
+    values under a pixel/georeferenced location in the reference's exact
+    report / -xml / -valonly text formats. The distributed batch form of
+    the same lookup is queries/point_interpolate (one gather per point
+    inside Arrow batches); this is the single-point CLI-parity shape."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nb = a.shape
+    if mode == "geoloc":
+        if gt is None:
+            raise ValueError("geoloc mode needs a geotransform")
+        px = int((x - gt[0]) / gt[1])
+        py = int((y - gt[3]) / gt[5])
+    else:
+        px, py = int(x), int(y)
+    bands = bands or range(1, nb + 1)
+    inside = 0 <= px < w and 0 <= py < h
+
+    def val(b):
+        v = a[py, px, b - 1]
+        return int(v) if np.issubdtype(a.dtype, np.integer) else float(v)
+
+    if fmt == "valonly":
+        return "\n".join(str(val(b)) for b in bands) if inside else ""
+    if fmt == "xml":
+        out = [f'<Report pixel="{px}" line="{py}">']
+        for b in bands:
+            out.append(f'  <BandReport band="{b}">')
+            out.append(f"    <Value>{val(b)}</Value>" if inside
+                       else "    <!-- off raster -->")
+            out.append("  </BandReport>")
+        out.append("</Report>")
+        return "\n".join(out)
+    out = ["Report:", f"  Location: ({px}P,{py}L)"]
+    for b in bands:
+        out.append(f"  Band {b}:")
+        if inside:
+            out.append(f"    Value: {val(b)}")
+        else:
+            out.append("    Value: (off raster)")
+    return "\n".join(out)

@@ -213,3 +213,31 @@ def _mask_key(mask: np.ndarray) -> bytes:
     import hashlib
 
     return hashlib.sha1(np.packbits(mask).tobytes()).digest()
+
+
+def test_gdallocationinfo_parity():
+    """autotest/utilities/test_gdallocationinfo.py tests 1-4: report /
+    -xml / -valonly / -geoloc formats on byte.tif, byte-exact prefixes."""
+    import os
+
+    import pytest
+
+    from gdal_spark.functions.tiff import tiff_parse
+    from gdal_spark.raster import ops
+
+    p = "/root/reference/autotest/gcore/data/byte.tif"
+    if not os.path.exists(p):
+        pytest.skip("reference data absent")
+    arr, md = tiff_parse(open(p, "rb").read())
+    gt = md["geotransform"]
+    assert ops.locationinfo(arr, gt, 0, 0).startswith(
+        "Report:\n  Location: (0P,0L)\n  Band 1:\n    Value: 107"
+    )
+    assert ops.locationinfo(arr, gt, 0, 0, fmt="xml").startswith(
+        '<Report pixel="0" line="0">\n  <BandReport band="1">\n'
+        "    <Value>107</Value>\n  </BandReport>\n</Report>"
+    )
+    assert ops.locationinfo(arr, gt, 0, 0, fmt="valonly") == "107"
+    assert "(0P,0L)" in ops.locationinfo(
+        arr, gt, 440720.0, 3751320.0, mode="geoloc"
+    )
