@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from gdal_spark.queries import (
     closedform_raster,
+    closedform_vector,
     crs_entries,
     gridding,
     gti_entries,
@@ -36,7 +37,7 @@ MODULES = [
     morph_entries, gridding, raster_extra, sql_extra, crs_entries,
     rat_entries, vision_entries, gti_entries, mdim_entries,
     vector_fmt_entries, streaming_entries, simplify_entries,
-    closedform_raster,
+    closedform_raster, closedform_vector,
 ]
 
 

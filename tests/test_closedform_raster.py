@@ -10,7 +10,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from gdal_spark.queries import closedform_raster as CF
+from gdal_spark.queries import closedform_raster, closedform_vector
 
 SF = "/root/testdata/sf0.001"
 
@@ -18,6 +18,12 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(SF, "nation.parquet")),
     reason="testdata not present",
 )
+
+ALL = {
+    name: (mod.SPARK[name], mod.ORACLE[name])
+    for mod in (closedform_raster, closedform_vector)
+    for name in mod.SPARK
+}
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -28,18 +34,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(CF.SPARK))
+@pytest.mark.parametrize("name", sorted(ALL))
 def test_closedform_matches_duckdb(spark, name):
-    got = _normalize(CF.SPARK[name](spark, SF).toPandas())
+    fn, osql = ALL[name]
+    got = _normalize(fn(spark, SF).toPandas())
     con = duckdb.connect()
-    con.execute(
-        f"create view nation as select * from '{SF}/nation.parquet'"
-    )
-    want = _normalize(con.execute(CF.ORACLE[name]).df())
+    for t in ("nation", "region"):
+        con.execute(f"create view {t} as select * from '{SF}/{t}.parquet'")
+    want = _normalize(con.execute(osql).df())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want) and len(got) > 0
+    num = {c: "float64" for c in got.columns if got[c].dtype.kind in "if"}
     pd.testing.assert_frame_equal(
-        got.astype({c: "float64" for c in got.columns}),
-        want.astype({c: "float64" for c in want.columns}),
-        atol=1e-9,
+        got.astype(num), want.astype(num), check_dtype=False, atol=1e-9
     )
