@@ -136,13 +136,96 @@ _UNION_ORACLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Zonal pixel statistics (alg/zonal.cpp stat subset) through the REAL
+# pixel path: spatial-join pairs -> decode (PNG codec) -> rasterize the
+# zone polygon onto the image grid -> partial moments -> merge shuffle.
+# Image k: 16x16, 3 equal bands of the mod raster, footprint
+# lon [k, k+1] x lat [40, 41]; zone box at half-pixel offsets burns
+# exactly rows 3..11 x cols 3..10 (72 px, verified rectangle).
+# --------------------------------------------------------------------------
+
+
+def zonal_pixel_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    from gdal_spark.raster import zonal as Z
+
+    sch = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("lon_min", T.DoubleType()),
+            T.StructField("lat_min", T.DoubleType()),
+            T.StructField("lon_max", T.DoubleType()),
+            T.StructField("lat_max", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import codecs
+
+        n = 16
+        r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                v = ((r * 37 + c * 101 + k * 13) % 97).astype(np.uint8)
+                arr = np.repeat(v[:, :, None], 3, axis=2)
+                rows.append(
+                    (f"z{k}", codecs.encode_image(arr, "png"), n, n, "png",
+                     float(k), 40.0, float(k) + 1.0, 41.0)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    imgs = load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(gen, sch)
+
+    n = load(spark, sf_dir, "nation")
+    kd = F.col("n_nationkey").cast("double")
+    polys = n.select(
+        F.col("n_nationkey").alias("poly_id"),
+        (kd + 2.5 / 16).alias("xmin"), F.lit(40.0 + 3.5 / 16).alias("ymin"),
+        (kd + 10.5 / 16).alias("xmax"), F.lit(40.0 + 12.5 / 16).alias("ymax"),
+    ).withColumn("wkb", _box_wkb_udf("xmin", "ymin", "xmax", "ymax"))
+
+    out = Z.zonal_stats(imgs, polys, res=4, broadcast_polygons=True)
+    return out.select(
+        "poly_id", "zcount",
+        F.round("zmin", 4).alias("zmin"), F.round("zmax", 4).alias("zmax"),
+        F.round("zmean", 4).alias("zmean"), F.round("zstd", 4).alias("zstd"),
+    )
+
+
+_ZONAL_PIXEL_ORACLE = """
+    WITH g AS (
+        SELECT n_nationkey AS poly_id,
+               CAST((y.range * 37 + x.range * 101 + n_nationkey * 13) % 97
+                    AS DOUBLE) AS v
+        FROM nation,
+             generate_series(3, 11) y(range),
+             generate_series(3, 10) x(range)
+    )
+    SELECT poly_id, CAST(count(*) AS BIGINT) AS zcount,
+           round(min(v), 4) AS zmin, round(max(v), 4) AS zmax,
+           round(avg(v), 4) AS zmean,
+           round(sqrt(sum(v*v)/count(*) - avg(v)*avg(v)), 4) AS zstd
+    FROM g GROUP BY poly_id
+"""
+
+
 SPARK = {
+    "zonal_pixel_boxes": zonal_pixel_boxes,
     "layer_intersection_boxes": layer_intersection_boxes,
     "layer_erase_clip_boxes": layer_erase_clip_boxes,
     "layer_union_boxes": layer_union_boxes,
 }
 
 ORACLE = {
+    "zonal_pixel_boxes": _ZONAL_PIXEL_ORACLE,
     "layer_intersection_boxes": _INTERSECTION_ORACLE,
     "layer_erase_clip_boxes": _ERASE_CLIP_ORACLE,
     "layer_union_boxes": _UNION_ORACLE,
