@@ -10,7 +10,11 @@ import duckdb
 import pandas as pd
 import pytest
 
-from gdal_spark.queries import closedform_raster, closedform_vector
+from gdal_spark.queries import (
+    closedform_morph,
+    closedform_raster,
+    closedform_vector,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -21,7 +25,7 @@ pytestmark = pytest.mark.skipif(
 
 ALL = {
     name: (mod.SPARK[name], mod.ORACLE[name])
-    for mod in (closedform_raster, closedform_vector)
+    for mod in (closedform_raster, closedform_vector, closedform_morph)
     for name in mod.SPARK
 }
 
