@@ -8,6 +8,7 @@ sides (the driver sorts columns by name before value-hashing).
 from __future__ import annotations
 
 from gdal_spark.queries import (
+    closedform_dem,
     closedform_morph,
     closedform_raster,
     closedform_vector,
@@ -38,7 +39,7 @@ MODULES = [
     morph_entries, gridding, raster_extra, sql_extra, crs_entries,
     rat_entries, vision_entries, gti_entries, mdim_entries,
     vector_fmt_entries, streaming_entries, simplify_entries,
-    closedform_raster, closedform_vector, closedform_morph,
+    closedform_raster, closedform_vector, closedform_morph, closedform_dem,
 ]
 
 

@@ -11,6 +11,7 @@ import pandas as pd
 import pytest
 
 from gdal_spark.queries import (
+    closedform_dem,
     closedform_morph,
     closedform_raster,
     closedform_vector,
@@ -25,7 +26,7 @@ pytestmark = pytest.mark.skipif(
 
 ALL = {
     name: (mod.SPARK[name], mod.ORACLE[name])
-    for mod in (closedform_raster, closedform_vector, closedform_morph)
+    for mod in (closedform_raster, closedform_vector, closedform_morph, closedform_dem)
     for name in mod.SPARK
 }
 
