@@ -474,6 +474,62 @@ SPARK = {
     "raster_hillshade_variants": raster_hillshade_variants,
 }
 
+# Pyramid count oracle: base tiles = the distinct z8 cover of the 24
+# closed-form footprints (same mercator math as TILE_COVER_SQL); each
+# overview zoom halves tile indices (distinct parents) and n_src
+# propagates the ORIGINAL source count (sum over children), so
+# n_contribs = the (image, tile) pair count at every zoom. Verified
+# against the pipeline including the empty-warp-mask patch skip (no
+# fixture tile is ever mask-empty: cover == patches here).
+TILE_PYRAMID_SQL = """
+with idx as (select cast(i as double) as i, i as ii from generate_series(0, 23) t(i)),
+fp as (
+  select i,
+    case when ii % 5 = 0 then 10.0 + fmod(i * cast(137.50776405003785 as double), 1.0)
+         else -180.0 + fmod(i * cast(137.50776405003785 as double), 360.0) end as lon_c,
+    case when ii % 5 = 0 then 45.0 + fmod(i * cast(78.61803398874989 as double), 1.0)
+         else -85.0 + fmod(i * cast(78.61803398874989 as double), 170.0) end as lat_c,
+    0.01 + cast(ii * 37 % 49 as double) / 100.0 as dlon,
+    0.01 + cast(ii * 23 % 49 as double) / 100.0 as dlat
+  from idx),
+bbox as (
+  select i, lon_c - dlon / 2 as lon_min, lon_c + dlon / 2 as lon_max,
+    greatest(-85.0, least(85.0, lat_c - dlat / 2)) as lat_min,
+    greatest(-85.0, least(85.0, lat_c + dlat / 2)) as lat_max
+  from fp),
+m as (
+  select i,
+    lon_min * (20037508.342789244 / 180.0) as mx0,
+    lon_max * (20037508.342789244 / 180.0) as mx1,
+    ln(tan((90.0 + lat_min) * pi() / 360.0)) / (pi() / 180.0)
+      * (20037508.342789244 / 180.0) as my0,
+    ln(tan((90.0 + lat_max) * pi() / 360.0)) / (pi() / 180.0)
+      * (20037508.342789244 / 180.0) as my1
+  from bbox),
+tr as (
+  select i,
+    cast(ceil((mx0 + 20037508.342789244) / (156543.03392804097 / 256) / 256.0) - 1 as bigint) as tx0,
+    cast(ceil((mx1 + 20037508.342789244) / (156543.03392804097 / 256) / 256.0) - 1 as bigint) as tx1,
+    cast(ceil((my0 + 20037508.342789244) / (156543.03392804097 / 256) / 256.0) - 1 as bigint) as ty0,
+    cast(ceil((my1 + 20037508.342789244) / (156543.03392804097 / 256) / 256.0) - 1 as bigint) as ty1
+  from m),
+pairs as (
+  select i, tx, ty
+  from (select i, ty0, ty1, unnest(generate_series(tx0, tx1)) as tx from tr),
+       lateral (select unnest(generate_series(ty0, ty1)) as ty)
+),
+t8 as (select distinct tx, ty from pairs),
+t7 as (select distinct tx // 2 as tx, ty // 2 as ty from t8),
+t6 as (select distinct tx // 2 as tx, ty // 2 as ty from t7)
+select cast(8 as int) as tz, (select count(*) from t8) as n_tiles,
+       (select count(*) from pairs) as n_contribs
+union all
+select 7, (select count(*) from t7), (select count(*) from pairs)
+union all
+select 6, (select count(*) from t6), (select count(*) from pairs)
+"""
+
 ORACLE = {
     "tile_cover_z8": TILE_COVER_SQL,
+    "tile_pyramid_z8": TILE_PYRAMID_SQL,
 }
