@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from gdal_spark.queries import (
     closedform_dem,
+    closedform_misc,
     closedform_morph,
     closedform_raster,
     closedform_vector,
@@ -39,7 +40,7 @@ MODULES = [
     morph_entries, gridding, raster_extra, sql_extra, crs_entries,
     rat_entries, vision_entries, gti_entries, mdim_entries,
     vector_fmt_entries, streaming_entries, simplify_entries,
-    closedform_raster, closedform_vector, closedform_morph, closedform_dem,
+    closedform_raster, closedform_vector, closedform_morph, closedform_dem, closedform_misc,
 ]
 
 

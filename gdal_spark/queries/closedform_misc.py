@@ -1,0 +1,212 @@
+"""Oracle-backed closed-form entries: VRT pixel functions, viewshed, RAT.
+
+Final closed-form batch (see closedform_raster/_vector/_morph/_dem):
+
+  * VRT derived-band pixel functions (frmts/vrt/pixelfunctions.cpp via
+    raster/pixelfuncs.py): norm_diff, the muparser-grammar expression
+    band, dB, reclassify — all plain arithmetic over the mod-raster
+    bands, recomputed by DuckDB.
+  * Viewshed (alg/viewshed Wang-plane propagation): flat terrain with a
+    full-height wall column — every cell up to and including the wall is
+    visible, everything behind it is shadowed, so the visible count is
+    (wall_x + 1) * h in closed form.
+  * RAT GFU_PixelCount (gcore/gdal_rat.h:41) through the REAL
+    band_histogram_rat path (PNG decode -> luma -> linear binning):
+    equal RGB bands make luma == v up to ~1e-14, and the RAT row origin
+    of -0.5 keeps every bin boundary half an integer away, so the float
+    error can never flip a bin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.queries.closedform_raster import _mod_raster, _nation
+
+_N = 16
+
+
+# --------------------------------------------------------------------------
+# 1. VRT pixel functions over mod-raster bands.
+# --------------------------------------------------------------------------
+
+
+def raster_band_algebra_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster import pixelfuncs as PF
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("nd", T.DoubleType()),
+            T.StructField("luma", T.DoubleType()),
+            T.StructField("db", T.DoubleType()),
+            T.StructField("rc", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                bands = [
+                    _mod_raster(k, _N).astype(np.float64),
+                    _mod_raster(k + 1, _N).astype(np.float64),
+                    _mod_raster(k + 2, _N).astype(np.float64),
+                ]
+                nd = PF.apply_named("norm_diff", bands[:2])
+                luma = PF.apply_named(
+                    "expression", bands,
+                    expr="0.299*B1 + 0.587*B2 + 0.114*B3",
+                )
+                db = PF.apply_named("dB", [bands[0] + 1.0], fact=20.0)
+                quant = PF.apply_named("expression", bands, expr="B1 // 32")
+                rc = PF.apply_named(
+                    "reclassify", [quant],
+                    mapping={0.0: 10.0, 1.0: 20.0, 2.0: 30.0, 3.0: 40.0},
+                )
+                for y in range(_N):
+                    for x in range(_N):
+                        rows.append(
+                            (k, y, x, round(float(nd[y, x]), 4),
+                             round(float(luma[y, x]), 4),
+                             round(float(db[y, x]), 4), float(rc[y, x]))
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_BAND_ALGEBRA_ORACLE = f"""
+    WITH g AS (
+        SELECT n_nationkey AS k, y.range AS y, x.range AS x,
+               CAST((y.range * 37 + x.range * 101 + n_nationkey * 13) % 97
+                    AS DOUBLE) AS b1,
+               CAST((y.range * 37 + x.range * 101 + (n_nationkey + 1) * 13) % 97
+                    AS DOUBLE) AS b2,
+               CAST((y.range * 37 + x.range * 101 + (n_nationkey + 2) * 13) % 97
+                    AS DOUBLE) AS b3
+        FROM nation CROSS JOIN range({_N}) y CROSS JOIN range({_N}) x
+    )
+    SELECT k, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+           round(CASE WHEN b1 + b2 = 0 THEN 0.0
+                      ELSE (b1 - b2) / (b1 + b2) END, 4) AS nd,
+           round(0.299 * b1 + 0.587 * b2 + 0.114 * b3, 4) AS luma,
+           round(20.0 * log10(b1 + 1.0), 4) AS db,
+           10.0 + 10.0 * floor(b1 / 32) AS rc
+    FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. Viewshed: flat terrain + wall column.
+# --------------------------------------------------------------------------
+
+
+def raster_viewshed_wall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.viewshed import viewshed
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("n_visible", T.LongType()),
+            T.StructField("n_shadow", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                dem = np.zeros((16, 16))
+                wx = 8 + k % 4
+                dem[:, wx] = 10.0
+                out = viewshed(dem, ox=2, oy=8, observer_height=2.0)
+                rows.append(
+                    (k, int((out == 255).sum()), int((out != 255).sum()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_VIEWSHED_ORACLE = """
+    SELECT n_nationkey AS k,
+           CAST((8 + n_nationkey % 4 + 1) * 16 AS BIGINT) AS n_visible,
+           CAST(256 - (8 + n_nationkey % 4 + 1) * 16 AS BIGINT) AS n_shadow
+    FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. RAT GFU_PixelCount through the real decode -> luma -> bin path.
+# --------------------------------------------------------------------------
+
+
+def rat_pixel_counts_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster import rat
+
+    sch = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                v = _mod_raster(k, _N)
+                arr = np.repeat(v[:, :, None], 3, axis=2)
+                rows.append((f"r{k}", codecs.encode_image(arr, "png"), "png"))
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    imgs = _nation(spark, sf_dir).mapInPandas(gen, sch)
+    hist = rat.band_histogram_rat(imgs, row0_min=-0.5, bin_size=16.0, n_rows=8)
+    return hist.select(
+        F.substring("image_id", 2, 8).cast("long").alias("k"),
+        "rat_row",
+        F.col("pixel_count").cast("long").alias("n_px"),
+    )
+
+
+# bin = floor((v + 0.5) / 16): boundaries at 15.5, 31.5, ... are half an
+# integer from every luma value, so the ~1e-14 luma error cannot flip one.
+_RAT_ORACLE = f"""
+    WITH g AS (
+        SELECT n_nationkey AS k,
+               ((y.range * 37 + x.range * 101 + n_nationkey * 13) % 97 * 2 + 1)
+               // 32 AS rat_row
+        FROM nation CROSS JOIN range({_N}) y CROSS JOIN range({_N}) x
+    )
+    SELECT k, CAST(rat_row AS INT) AS rat_row,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM g GROUP BY k, rat_row
+"""
+
+
+SPARK = {
+    "raster_band_algebra_mod": raster_band_algebra_mod,
+    "raster_viewshed_wall": raster_viewshed_wall,
+    "rat_pixel_counts_mod": rat_pixel_counts_mod,
+}
+
+ORACLE = {
+    "raster_band_algebra_mod": _BAND_ALGEBRA_ORACLE,
+    "raster_viewshed_wall": _VIEWSHED_ORACLE,
+    "rat_pixel_counts_mod": _RAT_ORACLE,
+}

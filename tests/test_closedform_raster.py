@@ -12,6 +12,7 @@ import pytest
 
 from gdal_spark.queries import (
     closedform_dem,
+    closedform_misc,
     closedform_morph,
     closedform_raster,
     closedform_vector,
@@ -26,7 +27,7 @@ pytestmark = pytest.mark.skipif(
 
 ALL = {
     name: (mod.SPARK[name], mod.ORACLE[name])
-    for mod in (closedform_raster, closedform_vector, closedform_morph, closedform_dem)
+    for mod in (closedform_raster, closedform_vector, closedform_morph, closedform_dem, closedform_misc)
     for name in mod.SPARK
 }
 
