@@ -242,9 +242,28 @@ def _undo_fp_predictor(raw: bytes, rows: int, w: int, spp: int, isz: int,
     return out.astype(dt)
 
 
-def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
+def ifd_offsets(data: bytes, bo: str | None = None) -> list[int]:
+    """Walk the IFD chain (classic TIFF next-IFD pointers) -> byte offsets.
+    Multi-IFD files are how GDAL stores overviews inside a GeoTIFF/COG
+    (frmts/gtiff: overview IFDs chained after the full-resolution IFD)."""
+    if bo is None:
+        bo = "<" if data[:2] == b"II" else ">"
+    offs = []
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    while off:
+        if off in offs or len(offs) > 64:
+            raise TiffError("IFD chain loop")
+        offs.append(off)
+        (n,) = struct.unpack_from(bo + "H", data, off)
+        (off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n)
+    return offs
+
+
+def tiff_parse(data: bytes, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
     """-> (array HxW or HxWx3 uint8, metadata dict with geotransform
-    when georeferencing tags are present)."""
+    when georeferencing tags are present). ``ifd_index`` selects an IFD
+    from the chain (0 = full resolution, 1.. = overview levels in a
+    GDAL-style multi-IFD file)."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -254,7 +273,13 @@ def tiff_parse(data: bytes) -> tuple[np.ndarray, dict]:
     (magic,) = struct.unpack_from(bo + "H", data, 2)
     if magic != 42:
         raise TiffError(f"bad TIFF magic {magic}")
-    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    if ifd_index == 0:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    else:
+        chain = ifd_offsets(data, bo)
+        if ifd_index >= len(chain):
+            raise TiffError(f"no IFD {ifd_index} (chain has {len(chain)})")
+        ifd_off = chain[ifd_index]
     tags = _read_ifd(data, bo, ifd_off)
 
     def one(tag, default=None):
