@@ -31,8 +31,8 @@ T_TILE_W, T_TILE_L, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_PIXEL_SCALE, T_TIEPOINT, T_GEOKEYS = 33550, 33922, 34735
 T_GDAL_NODATA = 42113  # ASCII nodata value (GDAL extension tag)
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 class TiffError(ValueError):
@@ -186,15 +186,29 @@ def lzw_encode(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, tuple[int, list]]:
-    (n,) = struct.unpack_from(bo + "H", data, off)
+def _read_ifd(
+    data: bytes, bo: str, off: int, big: bool = False
+) -> dict[int, tuple[int, list]]:
+    """One IFD -> {tag: (type, values)}. ``big`` = BigTIFF (version 43):
+    8-byte entry counts, 20-byte entries, 8-byte inline value slots —
+    the 64-bit offset variant libtiff/GDAL use past the 4 GiB classic
+    limit (frmts/gtiff BIGTIFF=YES/IF_NEEDED)."""
+    if big:
+        (n,) = struct.unpack_from(bo + "Q", data, off)
+        ebase, esz, inline = off + 8, 20, 8
+    else:
+        (n,) = struct.unpack_from(bo + "H", data, off)
+        ebase, esz, inline = off + 2, 12, 4
     tags: dict[int, tuple[int, list]] = {}
     for i in range(n):
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off + 2 + 12 * i)
+        if big:
+            tag, typ, cnt = struct.unpack_from(bo + "HHQ", data, ebase + esz * i)
+        else:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", data, ebase + esz * i)
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        vo = off + 2 + 12 * i + 8
-        if size > 4:
-            (vo,) = struct.unpack_from(bo + "I", data, vo)
+        vo = ebase + esz * i + (12 if big else 8)
+        if size > inline:
+            (vo,) = struct.unpack_from(bo + ("Q" if big else "I"), data, vo)
         if typ == 5:  # RATIONAL
             vals = []
             for k in range(cnt):
@@ -248,14 +262,23 @@ def ifd_offsets(data: bytes, bo: str | None = None) -> list[int]:
     (frmts/gtiff: overview IFDs chained after the full-resolution IFD)."""
     if bo is None:
         bo = "<" if data[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    big = magic == 43
     offs = []
-    (off,) = struct.unpack_from(bo + "I", data, 4)
+    if big:
+        (off,) = struct.unpack_from(bo + "Q", data, 8)
+    else:
+        (off,) = struct.unpack_from(bo + "I", data, 4)
     while off:
         if off in offs or len(offs) > 64:
             raise TiffError("IFD chain loop")
         offs.append(off)
-        (n,) = struct.unpack_from(bo + "H", data, off)
-        (off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n)
+        if big:
+            (n,) = struct.unpack_from(bo + "Q", data, off)
+            (off,) = struct.unpack_from(bo + "Q", data, off + 8 + 20 * n)
+        else:
+            (n,) = struct.unpack_from(bo + "H", data, off)
+            (off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n)
     return offs
 
 
@@ -271,16 +294,20 @@ def tiff_parse(data: bytes, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
     else:
         raise TiffError("not a TIFF: bad byte-order mark")
     (magic,) = struct.unpack_from(bo + "H", data, 2)
-    if magic != 42:
+    if magic not in (42, 43):
         raise TiffError(f"bad TIFF magic {magic}")
+    big = magic == 43
     if ifd_index == 0:
-        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+        if big:
+            (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
+        else:
+            (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
     else:
         chain = ifd_offsets(data, bo)
         if ifd_index >= len(chain):
             raise TiffError(f"no IFD {ifd_index} (chain has {len(chain)})")
         ifd_off = chain[ifd_index]
-    tags = _read_ifd(data, bo, ifd_off)
+    tags = _read_ifd(data, bo, ifd_off, big=big)
 
     def one(tag, default=None):
         if tag in tags:

@@ -102,31 +102,43 @@ def _tile_grid(arr: np.ndarray, ts: int) -> list[bytes]:
     return tiles
 
 
+_VAL_FMT = {3: "H", 4: "I", 12: "d", 16: "Q"}
+
+
 def _pack_ifd(
-    entries: list[tuple[int, int, int, list]], ifd_off: int, next_off: int
+    entries: list[tuple[int, int, int, list]],
+    ifd_off: int,
+    next_off: int,
+    big: bool = False,
 ) -> bytes:
-    """Serialize one little-endian classic IFD at ``ifd_off``; >4-byte
-    values go to an overflow block immediately after the entry table."""
+    """Serialize one little-endian IFD at ``ifd_off``; values wider than
+    the inline slot go to an overflow block immediately after the entry
+    table. ``big`` = BigTIFF layout (8-byte counts/offsets, 20-byte
+    entries)."""
     entries = sorted(entries)
     n = len(entries)
-    overflow_base = ifd_off + 2 + 12 * n + 4
+    inline = 8 if big else 4
+    overflow_base = ifd_off + _ifd_size(n, 0, big)
     overflow = bytearray()
-    body = struct.pack("<H", n)
+    body = struct.pack("<Q", n) if big else struct.pack("<H", n)
+    head = "<HHQ" if big else "<HHI"
+    ptr = "<Q" if big else "<I"
     for tag, typ, cnt, vals in entries:
-        fmt = {3: "H", 4: "I", 12: "d"}[typ]
-        payload = struct.pack("<" + str(cnt) + fmt, *vals)
-        if len(payload) <= 4:
-            body += struct.pack("<HHI", tag, typ, cnt) + payload.ljust(4, b"\0")
+        payload = struct.pack("<" + str(cnt) + _VAL_FMT[typ], *vals)
+        if len(payload) <= inline:
+            body += struct.pack(head, tag, typ, cnt) + payload.ljust(inline, b"\0")
         else:
-            body += struct.pack(
-                "<HHI", tag, typ, cnt
-            ) + struct.pack("<I", overflow_base + len(overflow))
+            body += struct.pack(head, tag, typ, cnt) + struct.pack(
+                ptr, overflow_base + len(overflow)
+            )
             overflow += payload
-    body += struct.pack("<I", next_off)
+    body += struct.pack(ptr, next_off)
     return bytes(body) + bytes(overflow)
 
 
-def _ifd_size(n_entries: int, overflow: int) -> int:
+def _ifd_size(n_entries: int, overflow: int, big: bool = False) -> int:
+    if big:
+        return 8 + 20 * n_entries + 8 + overflow
     return 2 + 12 * n_entries + 4 + overflow
 
 
@@ -136,12 +148,19 @@ def write_cog(
     blocksize: int = 256,
     resampling: str = "average",
     compress: str = "lzw",
+    bigtiff: bool | str = "auto",
 ) -> bytes:
     """uint8 gray (h, w) or RGB (h, w, 3) -> COG bytes.
 
     Overviews are built with the engine's overview kernel set
     (`raster.kernels.block_reduce`, gcore/overview.cpp semantics) at the
     chosen resampling, one per halving until a level fits a single tile.
+
+    ``bigtiff``: True = BigTIFF (version 43, 64-bit offsets), False =
+    classic, "auto" = BigTIFF when the uncompressed payload could
+    overflow classic 32-bit offsets — GDAL's BIGTIFF=IF_SAFER. At the
+    100 TB corpus scale individual mosaicked COGs routinely exceed 4 GiB,
+    so the auto path is the production default.
     """
     from gdal_spark.raster.kernels import block_reduce
 
@@ -169,10 +188,18 @@ def write_cog(
         [_compress(t) for t in _tile_grid(lv, blocksize)] for lv in levels
     ]
 
+    if bigtiff == "auto":
+        # IF_SAFER: uncompressed pyramid (≈4/3 of level 0) + headroom
+        # must fit classic 32-bit offsets, else flip to BigTIFF
+        big = a.nbytes + a.nbytes // 3 + (1 << 24) >= (1 << 32)
+    else:
+        big = bool(bigtiff)
+    off_typ = 16 if big else 4  # TileOffsets as LONG8 in BigTIFF
+
     # ---- ghost area ----
     ghost_head = f"GDAL_STRUCTURAL_METADATA_SIZE={len(_GHOST_ITEMS):06d} bytes\n"
     ghost = (ghost_head + _GHOST_ITEMS).encode("ascii")
-    first_ifd = 8 + len(ghost)
+    first_ifd = (16 if big else 8) + len(ghost)
 
     # ---- IFD entry tables (values patched after layout) ----
     def _entries(li: int, lv: np.ndarray) -> list[tuple[int, int, int, list]]:
@@ -188,7 +215,7 @@ def write_cog(
             (T_PLANAR, 3, 1, [1]),
             (T_TILE_W, 3, 1, [blocksize]),
             (T_TILE_L, 3, 1, [blocksize]),
-            (T_TILE_OFFSETS, 4, ntiles, [0] * ntiles),
+            (T_TILE_OFFSETS, off_typ, ntiles, [0] * ntiles),
             (T_TILE_COUNTS, 4, ntiles, [len(t) for t in tiles_per_level[li]]),
         ]
         if li > 0:
@@ -203,11 +230,13 @@ def write_cog(
 
     entry_tables = [_entries(i, lv) for i, lv in enumerate(levels)]
 
+    inline = 8 if big else 4
+
     def _overflow_bytes(entries) -> int:
         tot = 0
         for _, typ, cnt, _ in entries:
-            sz = {3: 2, 4: 4, 12: 8}[typ] * cnt
-            if sz > 4:
+            sz = {3: 2, 4: 4, 12: 8, 16: 8}[typ] * cnt
+            if sz > inline:
                 tot += sz
         return tot
 
@@ -215,7 +244,7 @@ def write_cog(
     pos = first_ifd
     for ents in entry_tables:
         ifd_offs.append(pos)
-        pos += _ifd_size(len(ents), _overflow_bytes(ents))
+        pos += _ifd_size(len(ents), _overflow_bytes(ents), big)
 
     # ---- imagery layout: smallest overview first, full res last ----
     data_start = pos
@@ -234,11 +263,14 @@ def write_cog(
             if tag == T_TILE_OFFSETS:
                 ents[i] = (tag, typ, cnt, tile_offsets[li])
 
-    out = bytearray(struct.pack("<2sHI", b"II", 42, first_ifd))
+    if big:
+        out = bytearray(struct.pack("<2sHHHQ", b"II", 43, 8, 0, first_ifd))
+    else:
+        out = bytearray(struct.pack("<2sHI", b"II", 42, first_ifd))
     out += ghost
     for li, ents in enumerate(entry_tables):
         nxt = ifd_offs[li + 1] if li + 1 < len(levels) else 0
-        out += _pack_ifd(ents, ifd_offs[li], nxt)
+        out += _pack_ifd(ents, ifd_offs[li], nxt, big)
     assert len(out) == data_start, (len(out), data_start)
     for b in blobs:
         out += b
@@ -255,18 +287,21 @@ def cog_info(data: bytes) -> dict:
     Touches only the head of the file (header + ghost + IFD chain) — the
     object-store access pattern COG exists for."""
     if data[:2] != b"II":
-        raise TiffError("COG reader expects little-endian classic TIFF")
+        raise TiffError("COG reader expects little-endian TIFF")
+    (magic,) = struct.unpack_from("<H", data, 2)
+    big = magic == 43
     ghost: dict[str, str] = {}
-    if data[8:38].startswith(b"GDAL_STRUCTURAL_METADATA_SIZE="):
-        head_end = data.index(b"\n", 8) + 1
-        (size,) = (int(data[38 : head_end - 7].split()[0]),)
+    gpos = 16 if big else 8  # ghost sits right after the header
+    if data[gpos : gpos + 30].startswith(b"GDAL_STRUCTURAL_METADATA_SIZE="):
+        head_end = data.index(b"\n", gpos) + 1
+        size = int(data[gpos + 30 : head_end - 7].split()[0])
         for line in data[head_end : head_end + size].decode("ascii").splitlines():
             if "=" in line:
                 k, v = line.split("=", 1)
                 ghost[k.strip()] = v.strip()
     lvls = []
     for off in ifd_offsets(data, "<"):
-        tags = _read_ifd(data, "<", off)
+        tags = _read_ifd(data, "<", off, big=big)
 
         def one(tag, default=None):
             return tags[tag][1][0] if tag in tags else default

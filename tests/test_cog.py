@@ -137,3 +137,39 @@ def test_scan_cog_tiles_distributed(spark):
     assert rows[(0, 1, 1)].tmax == int(a[64:, 64:].max())
     lv1 = block_reduce(a, 2, 2, "average")
     assert rows[(1, 0, 0)].tsum == int(lv1.sum())
+
+
+def test_bigtiff_roundtrip_and_validator():
+    a = _img(130, 200, seed=5)
+    classic = write_cog(a, blocksize=64, bigtiff=False)
+    big = write_cog(a, blocksize=64, bigtiff=True)
+    assert big[2:4] == b"\x2b\x00"  # version 43
+    assert validate_cog(big) == []
+    for li in range(len(cog_info(classic)["levels"])):
+        assert np.array_equal(read_cog_level(big, li), read_cog_level(classic, li))
+    # ghost area present after the 16-byte BigTIFF header
+    assert cog_info(big)["ghost"]["LAYOUT"] == "IFDS_BEFORE_DATA"
+
+
+def test_bigtiff_tile_range_scan(spark):
+    a = _img(96, 96, seed=9)
+    cog = write_cog(a, blocksize=32, bigtiff=True, compress="packbits")
+    info = cog_info(cog)
+    for li, ty, tx, off, cnt in cog_tile_index(cog):
+        lv = info["levels"][li]
+        tile = decode_cog_tile(cog[off : off + cnt], lv)
+        full = read_cog_level(cog, li)
+        ys = min(lv["tile_h"], lv["height"] - ty * lv["tile_h"])
+        xs = min(lv["tile_w"], lv["width"] - tx * lv["tile_w"])
+        assert np.array_equal(
+            tile[:ys, :xs, 0], full[ty * 32 : ty * 32 + ys, tx * 32 : tx * 32 + xs]
+        )
+    df = spark.createDataFrame([("b0", bytearray(cog))], "image_id string, bytes binary")
+    got = {(r.level, r.ty, r.tx): r.tsum for r in scan_cog_tiles(spark, df).collect()}
+    assert got[(0, 0, 0)] == int(a[:32, :32].sum())
+
+
+def test_bigtiff_auto_threshold():
+    # auto stays classic for small arrays (flips only past 4 GiB estimates)
+    small = write_cog(_img(64, 64), blocksize=32)
+    assert small[2:4] == b"\x2a\x00"
