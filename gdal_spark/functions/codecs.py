@@ -238,19 +238,28 @@ from gdal_spark.functions.morefmts import (  # noqa: E402
 )
 from gdal_spark.functions.tiff import tiff_decode, tiff_encode  # noqa: E402
 
+def _cog_encode(arr: np.ndarray) -> bytes:
+    # lazy import: raster.cog pulls in the overview-reduction kernels
+    from gdal_spark.raster.cog import write_cog
+
+    return write_cog(arr)
+
+
 DECODERS = {
     "png": png_decode, "jpeg": jpeg_decode, "qdct": qdct_decode,
     "tiff": tiff_decode, "bmp": bmp_decode, "pnm": pnm_decode,
     "gif": gif_decode, "tga": tga_decode,
+    "cog": tiff_decode,  # a COG is a TIFF; IFD 0 is full resolution
 }
 ENCODERS = {
     "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,
     "tiff": tiff_encode, "bmp": bmp_encode, "pnm": pnm_encode,
     "gif": gif_encode, "tga": tga_encode,
+    "cog": _cog_encode,
 }
 # gif is lossless only for <=256-color inputs; it is excluded here and its
 # contract entry asserts exactness on palette-sized fixtures instead
-LOSSLESS = {"png", "tiff", "bmp", "pnm", "tga"}
+LOSSLESS = {"png", "tiff", "bmp", "pnm", "tga", "cog"}
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
