@@ -16,6 +16,7 @@ from gdal_spark.queries import (
     cog_entries,
     crs_entries,
     geoparquet_entries,
+    images_join_cf,
     vsi_entries,
     gridding,
     gti_entries,
@@ -44,7 +45,7 @@ MODULES = [
     rat_entries, vision_entries, gti_entries, mdim_entries,
     vector_fmt_entries, streaming_entries, simplify_entries,
     closedform_raster, closedform_vector, closedform_morph, closedform_dem, closedform_misc,
-    cog_entries, vsi_entries, geoparquet_entries,
+    cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
 ]
 
 
