@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from gdal_spark.queries import (
     closedform_dem,
+    closedform_extra,
     closedform_misc,
     closedform_morph,
     closedform_raster,
@@ -46,6 +47,7 @@ MODULES = [
     vector_fmt_entries, streaming_entries, simplify_entries,
     closedform_raster, closedform_vector, closedform_morph, closedform_dem, closedform_misc,
     cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
+    closedform_extra,
 ]
 
 

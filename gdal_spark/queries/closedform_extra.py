@@ -1,0 +1,226 @@
+"""More closed-form oracle twins: raster-as-features, footprint rings.
+
+Same discipline as queries/closedform_raster.py: the SAME engine kernels
+(codec roundtrip, `resample_nearest`, `footprint_gt`/`gt_pixel_to_geo`,
+`region_rings`) re-run over rasters whose pixels are integer arithmetic
+of (row, col, key), so DuckDB recomputes every output value and the
+driver hash-checks what the RNG-fixture entries (`raster_as_features`,
+`raster_footprint`) can only rows-only check.
+
+  * raster_as_features_mod — decode -> 16->8 nearest overview (samples
+    source (2i+1, 2j+1), the GWK center convention) -> per-pixel rows
+    with georeferenced centers from the footprint geotransform
+    (gdal_translate -of XYZ / "raster as features" semantics).
+  * raster_footprint_rect — a rectangle valid-mask traced through the
+    REAL `region_rings` boundary walk (gdal_footprint mask->polygonize,
+    apps/gdal_footprint_lib.cpp:98-198): ring count, shoelace area and
+    ring bbox are closed-form in k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from gdal_spark.sources.tables import load
+
+_N = 16
+
+
+def _mod_raster(k: int) -> np.ndarray:
+    r, c = np.meshgrid(np.arange(_N), np.arange(_N), indexing="ij")
+    return ((r * 37 + c * 101 + k * 13) % 97).astype(np.uint8)
+
+
+def _nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "nation").select("n_nationkey")
+
+
+_FEAT_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("px", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),
+        T.StructField("gx", T.DoubleType()),
+        T.StructField("gy", T.DoubleType()),
+        T.StructField("v", T.IntegerType()),
+    ]
+)
+
+
+def raster_as_features_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions.tiff import tiff_decode, tiff_encode
+        from gdal_spark.raster import kernels as K
+        from gdal_spark.raster.warp import footprint_gt
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = tiff_decode(tiff_encode(_mod_raster(k)))
+                small = K.resample_nearest(arr, 8, 8)
+                gt = footprint_gt(float(k), 0.0, float(k) + 8.0, 8.0, 8, 8)
+                for py in range(8):
+                    for px in range(8):
+                        gx, gy = K.gt_pixel_to_geo(gt, px + 0.5, py + 0.5)
+                        rows.append(
+                            (k, px, py, float(gx), float(gy),
+                             int(small[py, px]))
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FEAT_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _FEAT_SCH)
+
+
+_FEAT_ORACLE = """
+    WITH g AS (
+        SELECT py.range AS py, px.range AS px
+        FROM range(8) py CROSS JOIN range(8) px
+    )
+    SELECT n_nationkey AS k, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+           n_nationkey + px + 0.5 AS gx, 7.5 - py AS gy,
+           CAST(((2*py + 1) * 37 + (2*px + 1) * 101 + n_nationkey * 13) % 97
+                AS INT) AS v
+    FROM nation CROSS JOIN g
+"""
+
+
+_FP_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("n_rings", T.IntegerType()),
+        T.StructField("area_px", T.DoubleType()),
+        T.StructField("rxmin", T.DoubleType()),
+        T.StructField("rymin", T.DoubleType()),
+        T.StructField("rxmax", T.DoubleType()),
+        T.StructField("rymax", T.DoubleType()),
+    ]
+)
+
+
+def raster_footprint_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rect mask rows [2, 2+4+(k%5)), cols [3, 3+5+(k%3)) of a 16x16
+    3-band raster -> mask -> region_rings -> shoelace area + ring bbox."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions.tiff import tiff_decode, tiff_encode
+        from gdal_spark.raster import kernels as K
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                rh, rw = 4 + k % 5, 5 + k % 3
+                img = np.zeros((_N, _N, 3), dtype=np.uint8)
+                img[2 : 2 + rh, 3 : 3 + rw] = 255
+                arr = tiff_decode(tiff_encode(img))
+                mask = arr.mean(axis=2) > 32
+                rings = K.region_rings(mask)
+                pts = np.vstack(rings)
+                areas = 0.0
+                for ring in rings:
+                    x, y = ring[:, 0], ring[:, 1]
+                    areas += abs(
+                        0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+                    )
+                rows.append(
+                    (k, len(rings), areas,
+                     float(pts[:, 0].min()), float(pts[:, 1].min()),
+                     float(pts[:, 0].max()), float(pts[:, 1].max()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _FP_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _FP_SCH)
+
+
+_FP_ORACLE = """
+    SELECT n_nationkey AS k, CAST(1 AS INT) AS n_rings,
+           CAST((4 + n_nationkey % 5) * (5 + n_nationkey % 3)
+                AS DOUBLE) AS area_px,
+           3.0 AS rxmin, 2.0 AS rymin,
+           3.0 + 5 + n_nationkey % 3 AS rxmax,
+           2.0 + 4 + n_nationkey % 5 AS rymax
+    FROM nation
+"""
+
+
+SPARK = {
+    "raster_as_features_mod": raster_as_features_mod,
+    "raster_footprint_rect": raster_footprint_rect,
+}
+ORACLE = {
+    "raster_as_features_mod": _FEAT_ORACLE,
+    "raster_footprint_rect": _FP_ORACLE,
+}
+
+
+_GCP_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("v", T.IntegerType()),
+        T.StructField("gt0", T.DoubleType()),
+        T.StructField("gt1", T.DoubleType()),
+        T.StructField("gt3", T.DoubleType()),
+        T.StructField("gt5", T.DoubleType()),
+    ]
+)
+
+
+def raster_warp_gcp_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -order 1 through the REAL GCP pipeline (gdal_crs.c
+    least-squares fit -> suggested output grid -> inverse-map nearest
+    gather) on GCPs sampled from an exact affine map
+    gx = 2*px + 10 + k, gy = -2*py + 50: the order-1 fit reproduces the
+    affine exactly, the output grid aligns 1:1 with the source, and
+    every warped pixel equals its closed-form source value."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.gcp import warp_array_gcp
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                src = _mod_raster(k)
+                gcps = np.array(
+                    [
+                        (px, py, 2.0 * px + 10.0 + k, -2.0 * py + 50.0)
+                        for px, py in
+                        [(0, 0), (_N, 0), (0, _N), (_N, _N), (8, 4)]
+                    ],
+                    dtype=np.float64,
+                )
+                out, gt = warp_array_gcp(
+                    src, gcps, method="poly1", resample="near", out_res=2.0
+                )
+                g = [round(gt[x], 4) for x in (0, 1, 3, 5)]
+                for i in range(out.shape[0]):
+                    for j in range(out.shape[1]):
+                        rows.append((k, i, j, int(out[i, j]), *g))
+            yield pd.DataFrame(rows, columns=[f.name for f in _GCP_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _GCP_SCH)
+
+
+_GCP_ORACLE = f"""
+    WITH g AS (
+        SELECT i.range AS i, j.range AS j
+        FROM range({_N}) i CROSS JOIN range({_N}) j
+    )
+    SELECT n_nationkey AS k, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST((i * 37 + j * 101 + n_nationkey * 13) % 97 AS INT) AS v,
+           CAST(10.0 + n_nationkey AS DOUBLE) AS gt0, 2.0 AS gt1,
+           50.0 AS gt3, -2.0 AS gt5
+    FROM nation CROSS JOIN g
+"""
+
+
+SPARK["raster_warp_gcp_affine"] = raster_warp_gcp_affine
+ORACLE["raster_warp_gcp_affine"] = _GCP_ORACLE
