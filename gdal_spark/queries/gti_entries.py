@@ -61,3 +61,100 @@ def gti_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARK = {"gti_window_read": gti_window_read}
 ORACLE: dict[str, str] = {}
+
+
+_MOD_SCH = T.StructType(
+    [
+        T.StructField("bx", T.IntegerType()),
+        T.StructField("by", T.IntegerType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("vr", T.IntegerType()),
+        T.StructField("vg", T.IntegerType()),
+        T.StructField("vb", T.IntegerType()),
+        T.StructField("n_sources", T.IntegerType()),
+        T.StructField("coverage", T.DoubleType()),
+    ]
+)
+
+
+def gti_mosaic_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form oracle twin of gti_window_read: a 2x2 mosaic of 16x16
+    tiles (tile t at lon [tx*16,+16] x lat [ty*16,+16], 1 unit/pixel,
+    channel values ((r*37 + c*101 + t*13) % 97) * {1,2,3} % 97) read
+    through the REAL index -> candidates -> decode-once warp patches ->
+    painter's composite pipeline at 1:1 scale, then exploded to pixels.
+    Every output value, the per-block source count and the coverage are
+    integer arithmetic of (gx, gy) that DuckDB recomputes."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.functions.tiff import tiff_encode
+
+    rows = []
+    for t in range(4):
+        tx, ty = t % 2, t // 2
+        r, c = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        v = (r * 37 + c * 101 + t * 13) % 97
+        img = np.dstack([v, (v * 2) % 97, (v * 3) % 97]).astype(np.uint8)
+        rows.append(
+            (
+                f"t{t}", bytearray(tiff_encode(img)), 16, 16, "tiff",
+                float(tx * 16), float(ty * 16),
+                float(tx * 16 + 16), float(ty * 16 + 16),
+            )
+        )
+    images = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "lon_min double, lat_min double, lon_max double, lat_max double",
+    )
+    index = gti.build_index(images)
+    blocks = gti.read_window(
+        index, images, (0.0, 0.0, 32.0, 32.0), 32, 32, block=16,
+        resample="near",
+    )
+
+    def explode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                rgb = np.frombuffer(bytes(r.rgb), np.uint8).reshape(16, 16, 3)
+                for i in range(16):
+                    for j in range(16):
+                        out.append(
+                            (int(r.bx), int(r.by), i, j,
+                             int(rgb[i, j, 0]), int(rgb[i, j, 1]),
+                             int(rgb[i, j, 2]),
+                             int(r.n_src), float(r.valid_frac))
+                        )
+            yield pd.DataFrame(out, columns=[f.name for f in _MOD_SCH.fields])
+
+    return blocks.mapInPandas(explode, _MOD_SCH)
+
+
+_GTI_MOD_ORACLE = """
+    WITH g AS (
+        SELECT gy.range AS gy, gx.range AS gx
+        FROM range(32) gy CROSS JOIN range(32) gx
+    ), v AS (
+        SELECT gy // 16 AS by, gx // 16 AS bx,
+               gy % 16 AS i, gx % 16 AS j,
+               ((gy % 16) * 37 + (gx % 16) * 101
+                + ((1 - gy // 16) * 2 + gx // 16) * 13) % 97 AS v0
+        FROM g
+    )
+    SELECT CAST(bx AS INT) AS bx, CAST(by AS INT) AS by,
+           CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(v0 AS INT) AS vr,
+           CAST((v0 * 2) % 97 AS INT) AS vg,
+           CAST((v0 * 3) % 97 AS INT) AS vb,
+           CAST(1 AS INT) AS n_sources, 1.0 AS coverage
+    FROM v
+"""
+
+SPARK["gti_mosaic_mod"] = gti_mosaic_mod
+ORACLE["gti_mosaic_mod"] = _GTI_MOD_ORACLE
