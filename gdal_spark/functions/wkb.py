@@ -127,3 +127,41 @@ def bbox(buf: bytes) -> tuple[float, float, float, float]:
         float(ext[:, 0].max()),
         float(ext[:, 1].max()),
     )
+
+
+def map_coords(buf: bytes, fn) -> bytes:
+    """Rebuild a WKB geometry with ``fn(xs, ys) -> (xs2, ys2)`` applied to
+    every vertex (OGRGeometry::transform's coordinate walk). fn is
+    called ONCE per geometry on flat arrays — array-at-a-time, so a
+    vectorized CRS kernel stays vectorized."""
+    gtype, payload = parse(buf)
+    if gtype == WKB_POINT:
+        xs, ys = fn(np.array([payload[0]]), np.array([payload[1]]))
+        return write_point(float(xs[0]), float(ys[0]))
+    if gtype == WKB_LINESTRING:
+        xs, ys = fn(payload[:, 0], payload[:, 1])
+        return write_linestring(np.column_stack([xs, ys]))
+    if gtype == WKB_POLYGON:
+        flat = np.vstack(payload)
+        xs, ys = fn(flat[:, 0], flat[:, 1])
+        out, pos = [], 0
+        for ring in payload:
+            n = len(ring)
+            out.append(np.column_stack([xs[pos : pos + n], ys[pos : pos + n]]))
+            pos += n
+        return write_polygon(out)
+    if gtype == WKB_MULTIPOLYGON:
+        flat = np.vstack([r for rings in payload for r in rings])
+        xs, ys = fn(flat[:, 0], flat[:, 1])
+        polys, pos = [], 0
+        for rings in payload:
+            nr = []
+            for ring in rings:
+                n = len(ring)
+                nr.append(
+                    np.column_stack([xs[pos : pos + n], ys[pos : pos + n]])
+                )
+                pos += n
+            polys.append(nr)
+        return write_multipolygon(polys)
+    raise ValueError(f"unsupported WKB geometry type {gtype}")

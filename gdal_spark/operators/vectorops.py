@@ -187,3 +187,27 @@ def check_geometry(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def reproject_wkb(
+    df: DataFrame,
+    s_srs: str,
+    t_srs: str,
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """ogr2ogr -s_srs/-t_srs on WKB geometry: every vertex runs through
+    the engine's CRS transforms (functions/crs.py 4326-hub composition,
+    the OGRCoordinateTransformation role) array-at-a-time inside Arrow
+    batches — one vectorized kernel call per geometry, zero per-vertex
+    Python in the loop body."""
+    from gdal_spark.functions import crs as C
+
+    if not (C.supported(s_srs) and C.supported(t_srs)):
+        raise ValueError(f"unsupported CRS pair {s_srs} -> {t_srs}")
+
+    @F.pandas_udf(T.BinaryType())
+    def _tr(col: pd.Series) -> pd.Series:
+        fn = lambda xs, ys: C.transform(s_srs, t_srs, xs, ys)  # noqa: E731
+        return col.map(lambda b: bytearray(W.map_coords(bytes(b), fn)))
+
+    return df.withColumn(wkb_col, _tr(F.col(wkb_col)))

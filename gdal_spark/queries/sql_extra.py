@@ -213,3 +213,91 @@ ORACLE = {
     "approx_count_distinct": _APPROX_ORACLE,
     "mercator_transform": _mercator_oracle(),
 }
+
+
+def vector_reproject_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -t_srs on real WKB geometry: nation-derived 4326 boxes run
+    through `operators.vectorops.reproject_wkb` (every vertex through the
+    vectorized CRS kernel), then the reprojected envelope is extracted
+    from the OUTPUT WKB — DuckDB recomputes the spherical-mercator corner
+    math (gdal2tiles GlobalMercator constants) directly."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from gdal_spark.operators.vectorops import reproject_wkb
+    from gdal_spark.sources.tables import load
+
+    sch = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("wkb", T.BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions.wkb import write_polygon
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                x0 = -150.0 + (k % 5) * 10.0
+                y0 = -60.0 + (k // 5) * 20.0
+                ring = np.array(
+                    [[x0, y0], [x0 + 3, y0], [x0 + 3, y0 + 2], [x0, y0 + 2],
+                     [x0, y0]]
+                )
+                rows.append((k, write_polygon([ring])))
+            yield pd.DataFrame(rows, columns=["k", "wkb"])
+
+    boxes = load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(gen, sch)
+    out = reproject_wkb(boxes, "EPSG:4326", "EPSG:3857")
+
+    osch = T.StructType(
+        [T.StructField("k", T.LongType())]
+        + [T.StructField(n, T.DoubleType()) for n in
+           ("mxmin", "mymin", "mxmax", "mymax")]
+    )
+
+    def env(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions.wkb import bbox
+
+        for pdf in batches:
+            rows = []
+            for k, b in zip(pdf["k"], pdf["wkb"]):
+                x0, y0, x1, y1 = bbox(bytes(b))
+                rows.append(
+                    (int(k), round(x0, 3), round(y0, 3),
+                     round(x1, 3), round(y1, 3))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in osch.fields])
+
+    return out.mapInPandas(env, osch)
+
+
+def _reproject_boxes_oracle() -> str:
+    c_mx = repr(6378137.0 * 3.141592653589793 / 180.0)
+    c_a = repr(3.141592653589793 / 360.0)
+    c_b = repr(3.141592653589793 / 180.0)
+
+    def merc_y(lat_sql: str) -> str:
+        return f"ln(tan((90.0 + ({lat_sql})) * {c_a})) / {c_b} * {c_mx}"
+
+    return f"""
+        WITH b AS (
+            SELECT n_nationkey AS k,
+                   CAST(-150.0 + (n_nationkey % 5) * 10.0 AS DOUBLE) AS x0,
+                   CAST(-60.0 + (n_nationkey // 5) * 20.0 AS DOUBLE) AS y0
+            FROM nation
+        )
+        SELECT k,
+               round(x0 * {c_mx}, 3) AS mxmin,
+               round({merc_y('y0')}, 3) AS mymin,
+               round((x0 + 3) * {c_mx}, 3) AS mxmax,
+               round({merc_y('y0 + 2')}, 3) AS mymax
+        FROM b
+    """
+
+
+SPARK["vector_reproject_boxes"] = vector_reproject_boxes
+ORACLE["vector_reproject_boxes"] = _reproject_boxes_oracle()

@@ -1009,9 +1009,23 @@ WRITERS = {
 }
 
 
-def convert(spark: SparkSession, src: str, src_fmt: str, dst: str, dst_fmt: str) -> int:
+def convert(
+    spark: SparkSession,
+    src: str,
+    src_fmt: str,
+    dst: str,
+    dst_fmt: str,
+    s_srs: str | None = None,
+    t_srs: str | None = None,
+) -> int:
     """ogr2ogr src->dst: read with one driver, write with another;
-    returns the feature count moved (apps/ogr2ogr_lib.cpp composition)."""
+    returns the feature count moved (apps/ogr2ogr_lib.cpp composition).
+    With ``t_srs`` every geometry vertex is reprojected through the CRS
+    kernel (-s_srs/-t_srs; s_srs defaults to EPSG:4326)."""
     df = READERS[src_fmt](spark, src)
+    if t_srs is not None:
+        from gdal_spark.operators.vectorops import reproject_wkb
+
+        df = reproject_wkb(df, s_srs or "EPSG:4326", t_srs)
     WRITERS[dst_fmt](df, dst)
     return df.count()

@@ -100,3 +100,57 @@ def test_make_point(spark):
     out = make_point(df, "px", "py").toPandas().sort_values("fid")
     t, p = W.parse(bytes(out.iloc[0]["wkb"]))
     assert t == W.WKB_POINT and (p[0], p[1]) == (3.5, -2.0)
+
+
+def test_reproject_wkb_roundtrip_and_mercator(spark):
+    """reproject_wkb: 4326->32631->4326 returns the original vertices to
+    1e-9 deg; 4326->3857 matches the closed-form mercator columns."""
+    import math
+
+    import numpy as np
+
+    from gdal_spark.functions.wkb import parse, write_polygon
+    from gdal_spark.operators.vectorops import reproject_wkb
+
+    ring = np.array(
+        [[3.0, 48.0], [4.0, 48.0], [4.0, 49.0], [3.0, 49.0], [3.0, 48.0]]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(write_polygon([ring])))], "fid int, wkb binary"
+    )
+    back = reproject_wkb(
+        reproject_wkb(df, "EPSG:4326", "EPSG:32631"), "EPSG:32631", "EPSG:4326"
+    )
+    _, rings = parse(bytes(back.first().wkb))
+    assert np.abs(rings[0] - ring).max() < 1e-9
+
+    merc = reproject_wkb(df, "EPSG:4326", "EPSG:3857")
+    _, mrings = parse(bytes(merc.first().wkb))
+    k = 6378137.0 * math.pi / 180.0
+    assert abs(mrings[0][0, 0] - 3.0 * k) < 1e-6
+    want_y = math.log(math.tan((90 + 48.0) * math.pi / 360.0)) / (math.pi / 180.0) * k
+    assert abs(mrings[0][0, 1] - want_y) < 1e-6
+
+
+def test_convert_with_t_srs(spark, tmp_path):
+    """ogr2ogr -t_srs through the format dispatch: geojson -> geojson
+    reprojected to web mercator."""
+    import json
+    import math
+
+    from gdal_spark.sources.vector_formats import convert
+
+    src = tmp_path / "in.geojson"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature", "properties": {"name": "p"},
+            "geometry": {"type": "Point", "coordinates": [10.0, 20.0]},
+        }],
+    }))
+    dst = str(tmp_path / "out.geojson")
+    n = convert(spark, str(src), "geojson", dst, "geojson", t_srs="EPSG:3857")
+    assert n == 1
+    out = json.loads(open(dst).read())
+    x, y = out["features"][0]["geometry"]["coordinates"]
+    assert abs(x - 10.0 * 6378137.0 * math.pi / 180.0) < 1e-6
