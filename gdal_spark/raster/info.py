@@ -176,6 +176,16 @@ def gdal_info(
     if name:
         lines.append(f"Files: {name}")
     lines.append(f"Size is {w}, {h}")
+    if meta.get("geokeys"):
+        from gdal_spark.functions.srs import epsg_from_geokeys, wkt_from_epsg
+
+        code = epsg_from_geokeys(meta["geokeys"])
+        if code:
+            lines.append("Coordinate System is:")
+            try:
+                lines.append(wkt_from_epsg(code))
+            except ValueError:  # identified but no transform registered
+                lines.append(f'ID["EPSG",{code.split(":")[1]}]')
     if gt is not None:
         lines.append(f"Origin = ({gt[0]:.15f},{gt[3]:.15f})")
         lines.append(f"Pixel Size = ({gt[1]:.15f},{gt[5]:.15f})")

@@ -105,3 +105,11 @@ def test_ogrinfo_summary_on_reference_poly(spark):
     assert "Feature Count: 10" in ret
     assert "Extent: (478315.531250, 4762880.500000) - (481645.312500, 4765610.500000)" in ret
     assert "AREA: Real" in ret and "PRFEDEA: String" in ret
+
+
+def test_coordinate_system_block(byte_tif):
+    """byte.tif geokeys identify EPSG:26711; a UTM31 WGS84 GeoTIFF would
+    print full WKT (supported transform)."""
+    ret = gdal_info(byte_tif)
+    assert "Coordinate System is:" in ret
+    assert 'ID["EPSG",26711]' in ret
