@@ -1049,3 +1049,26 @@ def test_gdaldem_color_relief_selection_modes():
     assert CK.checksum_image(near)[0] == 57296
     exact = K.color_relief(dem, table, mode="exact")
     assert CK.checksum_image(exact)[0] == 8073
+
+
+def test_nearblack_lib_checksums():
+    """autotest/utilities/test_nearblack_lib.py tests 1-2 on the
+    reference's own rgbsmall.tif: cleaned band checksums 21106/20736/
+    21309 and the setAlpha collar band 22002, for BOTH algorithms
+    (scan == twopasses, floodfill)."""
+    import numpy as np
+
+    from gdal_spark.functions.checksum import checksum
+    from gdal_spark.functions.tiff import tiff_decode
+    from gdal_spark.raster.toolbox import clean_collar
+
+    with open(os.path.join(GDR, "rgbsmall.tif"), "rb") as fh:
+        arr = tiff_decode(fh.read())
+    for alg in ("scan", "floodfill"):
+        cleaned, mask = clean_collar(arr, color=(0, 0, 0), threshold=15,
+                                     algorithm=alg)
+        assert [int(checksum(cleaned[:, :, b])) for b in range(3)] == [
+            21106, 20736, 21309,
+        ], alg
+        alpha = np.where(mask, 0, 255).astype(np.uint8)
+        assert int(checksum(alpha)) == 22002, alg
