@@ -8,6 +8,7 @@ sides (the driver sorts columns by name before value-hashing).
 from __future__ import annotations
 
 from gdal_spark.queries import (
+    calc_entries,
     closedform_dem,
     closedform_extra,
     closedform_misc,
@@ -47,7 +48,7 @@ MODULES = [
     vector_fmt_entries, streaming_entries, simplify_entries,
     closedform_raster, closedform_vector, closedform_morph, closedform_dem, closedform_misc,
     cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
-    closedform_extra,
+    closedform_extra, calc_entries,
 ]
 
 
