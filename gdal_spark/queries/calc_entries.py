@@ -122,5 +122,92 @@ _CALC_ORACLE = f"""
     FROM px CROSS JOIN range(2) band
 """
 
-SPARK = {"raster_calc_expr": raster_calc_expr}
-ORACLE = {"raster_calc_expr": _CALC_ORACLE}
+def raster_merge_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_merge paint-order mosaic through the distributed
+    merge_tiles painter (gdal_merge.py copy_into window math): image k
+    is a constant-(k+10) 16x16 tile at grid slot (k//5, k%5) with 12-px
+    spacing, so tiles OVERLAP by 4 px and the reference's
+    later-file-overwrites rule decides every contested pixel — each
+    output pixel holds max(covering k) + 10. The pipeline ships
+    TIFF-encoded tiles through the bbox->tile pruning join and the
+    groupBy(tile) paint, then explodes pixels for the hash compare."""
+    from gdal_spark.raster.merge import merge_tiles
+
+    sch = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("gt", T.ArrayType(T.DoubleType())),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions.tiff import tiff_encode
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = np.full((16, 16), k + 10, np.uint8)
+                gt = [float((k % 5) * 12), 1.0, 0.0, float(-(k // 5) * 12), 0.0, -1.0]
+                rows.append((f"k{k}", k, tiff_encode(arr), "tiff", gt, 16, 16))
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    tiles = (
+        load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(gen, sch)
+    )
+    out = merge_tiles(tiles, tile=32)
+
+    px_sch = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(r.bytes), "tiff")
+                band = arr[:, :, 0] if arr.ndim == 3 else arr
+                for i in range(r.h):
+                    for j in range(r.w):
+                        rows.append(
+                            (r.tile_y * 32 + i, r.tile_x * 32 + j, int(band[i, j]))
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in px_sch.fields])
+
+    return out.mapInPandas(explode, px_sch)
+
+
+_MERGE_ORACLE = """
+    WITH idx AS (
+        SELECT i.range AS i, j.range AS j
+        FROM range(64) i CROSS JOIN range(64) j
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST((SELECT MAX(n_nationkey)
+                 FROM nation
+                 WHERE (n_nationkey % 5) * 12 <= j
+                   AND j < (n_nationkey % 5) * 12 + 16
+                   AND (n_nationkey // 5) * 12 <= i
+                   AND i < (n_nationkey // 5) * 12 + 16) + 10 AS INT) AS v
+    FROM idx
+"""
+
+SPARK = {
+    "raster_calc_expr": raster_calc_expr,
+    "raster_merge_mosaic": raster_merge_mosaic,
+}
+ORACLE = {
+    "raster_calc_expr": _CALC_ORACLE,
+    "raster_merge_mosaic": _MERGE_ORACLE,
+}
