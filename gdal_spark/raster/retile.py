@@ -250,14 +250,17 @@ def retile_tiles(
     from pyspark.sql import types as T
 
     tw, th = ps
-    meta = df.select("seq", "w", "h", "gt").collect()
-    meta = sorted(meta, key=lambda r: r.seq)
-    bs = [_bounds(r.gt, r.w, r.h) for r in meta]
-    ulx = min(b[0] for b in bs)
-    uly = max(b[1] for b in bs)
-    lrx = max(b[2] for b in bs)
-    lry = min(b[3] for b in bs)
-    psx, psy = meta[0].gt[1], meta[0].gt[5]
+    # mosaic extent + reference pixel size via ONE scalar aggregate — never
+    # collect per-image metadata (the input may be 10^12 rows)
+    ext = df.select(
+        F.min(F.col("gt")[0]).alias("ulx"),
+        F.max(F.col("gt")[3]).alias("uly"),
+        F.max(F.col("gt")[0] + F.col("w") * F.col("gt")[1]).alias("lrx"),
+        F.min(F.col("gt")[3] + F.col("h") * F.col("gt")[5]).alias("lry"),
+        F.min_by(F.col("gt"), F.col("seq")).alias("gt0"),
+    ).collect()[0]
+    ulx, uly, lrx, lry = ext.ulx, ext.uly, ext.lrx, ext.lry
+    psx, psy = ext.gt0[1], ext.gt0[5]
 
     out_sch = T.StructType(
         [
