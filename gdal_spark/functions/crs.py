@@ -24,41 +24,50 @@ import numpy as np
 _A = 6378137.0
 _F = 1.0 / 298.257223563
 _N = _F / (2.0 - _F)
-_N2 = _N * _N
-_N3 = _N2 * _N
-_N4 = _N3 * _N
-_N5 = _N4 * _N
-_N6 = _N5 * _N
 
+
+def _tm_series(n: float):
+    """Karney 2011 eq. 12 (forward, alpha) / eq. 21 (inverse, beta) /
+    eq. 22 (conformal -> geographic latitude, delta) coefficient tuples at
+    order n^6, plus the rectifying-radius factor A/a — parameterized over
+    the third flattening so any ellipsoid (clrk66, intl, bessel, ...)
+    gets the same few-nanometer series WGS84 does."""
+    n2 = n * n
+    n3 = n2 * n
+    n4 = n3 * n
+    n5 = n4 * n
+    n6 = n5 * n
+    alpha = (
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630 - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    )
+    beta = (
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512 + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105 - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    )
+    delta = (
+        2 * n - 2 * n2 / 3 - 2 * n3 + 116 * n4 / 45 + 26 * n5 / 45 - 2854 * n6 / 675,
+        7 * n2 / 3 - 8 * n3 / 5 - 227 * n4 / 45 + 2704 * n5 / 315 + 2323 * n6 / 945,
+        56 * n3 / 15 - 136 * n4 / 35 - 1262 * n5 / 105 + 73814 * n6 / 2835,
+        4279 * n4 / 630 - 332 * n5 / 35 - 399572 * n6 / 14175,
+        4174 * n5 / 315 - 144838 * n6 / 6237,
+        601676 * n6 / 22275,
+    )
+    abar_over_a = (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0) / (1.0 + n)
+    return alpha, beta, delta, abar_over_a
+
+
+_ALPHA, _BETA, _DELTA, _ABAR_FAC = _tm_series(_N)
 # rectifying radius  A = a/(1+n) (1 + n^2/4 + n^4/64 + n^6/256)
-_ABAR = _A / (1.0 + _N) * (1.0 + _N2 / 4.0 + _N4 / 64.0 + _N6 / 256.0)
-
-# Karney 2011 eq. 12 (forward, alpha) / eq. 21 (inverse, beta) /
-# eq. 22 (conformal -> geographic latitude, delta), order n^6
-_ALPHA = (
-    _N / 2 - 2 * _N2 / 3 + 5 * _N3 / 16 + 41 * _N4 / 180 - 127 * _N5 / 288 + 7891 * _N6 / 37800,
-    13 * _N2 / 48 - 3 * _N3 / 5 + 557 * _N4 / 1440 + 281 * _N5 / 630 - 1983433 * _N6 / 1935360,
-    61 * _N3 / 240 - 103 * _N4 / 140 + 15061 * _N5 / 26880 + 167603 * _N6 / 181440,
-    49561 * _N4 / 161280 - 179 * _N5 / 168 + 6601661 * _N6 / 7257600,
-    34729 * _N5 / 80640 - 3418889 * _N6 / 1995840,
-    212378941 * _N6 / 319334400,
-)
-_BETA = (
-    _N / 2 - 2 * _N2 / 3 + 37 * _N3 / 96 - _N4 / 360 - 81 * _N5 / 512 + 96199 * _N6 / 604800,
-    _N2 / 48 + _N3 / 15 - 437 * _N4 / 1440 + 46 * _N5 / 105 - 1118711 * _N6 / 3870720,
-    17 * _N3 / 480 - 37 * _N4 / 840 - 209 * _N5 / 4480 + 5569 * _N6 / 90720,
-    4397 * _N4 / 161280 - 11 * _N5 / 504 - 830251 * _N6 / 7257600,
-    4583 * _N5 / 161280 - 108847 * _N6 / 3991680,
-    20648693 * _N6 / 638668800,
-)
-_DELTA = (
-    2 * _N - 2 * _N2 / 3 - 2 * _N3 + 116 * _N4 / 45 + 26 * _N5 / 45 - 2854 * _N6 / 675,
-    7 * _N2 / 3 - 8 * _N3 / 5 - 227 * _N4 / 45 + 2704 * _N5 / 315 + 2323 * _N6 / 945,
-    56 * _N3 / 15 - 136 * _N4 / 35 - 1262 * _N5 / 105 + 73814 * _N6 / 2835,
-    4279 * _N4 / 630 - 332 * _N5 / 35 - 399572 * _N6 / 14175,
-    4174 * _N5 / 315 - 144838 * _N6 / 6237,
-    601676 * _N6 / 22275,
-)
+_ABAR = _A * _ABAR_FAC
 
 _K0 = 0.9996  # UTM scale on the central meridian
 _FE = 500000.0  # false easting
@@ -376,3 +385,218 @@ def inverse_transform_fn(src: str, dst: str):
     if not (supported(src) and supported(dst)):
         return None
     return lambda gx, gy: transform(dst, src, gx, gy)
+
+
+# --------------------------------------------------------------------------
+# Arbitrary-ellipsoid transverse mercator + geocentric datum shift
+# (the +proj=utm +ellps=... +towgs84=... path GDAL reaches through PROJ;
+# gdalmove.py / ogrct.cpp consume it through OGRCoordinateTransformation).
+# --------------------------------------------------------------------------
+
+# name -> (a, 1/f): the short PROJ ellipsoid registry subset the
+# reference's own tests exercise
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "clrk66": (6378206.4, 294.978698213898),
+    "clrk80": (6378249.145, 293.465),
+    "intl": (6378388.0, 297.0),
+    "bessel": (6377397.155, 299.1528128),
+    "krass": (6378245.0, 298.3),
+    "WGS72": (6378135.0, 298.26),
+}
+
+
+class Tmerc:
+    """Transverse Mercator on an arbitrary ellipsoid (Karney 2011 series,
+    same order-n^6 coefficients as the module-level WGS84 fast path)."""
+
+    def __init__(self, a: float, f: float, lon0: float,
+                 k0: float = 0.9996, fe: float = 500000.0, fn: float = 0.0):
+        n = f / (2.0 - f)
+        self.alpha, self.beta, self.delta, abar_fac = _tm_series(n)
+        self.abar = a * abar_fac
+        self.e2sn = 2.0 * math.sqrt(n) / (1.0 + n)
+        self.lon0, self.k0, self.fe, self.fn = lon0, k0, fe, fn
+
+    def forward(self, lon, lat):
+        lam = np.deg2rad(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.deg2rad(np.asarray(lat, np.float64))
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - self.e2sn * np.arctanh(self.e2sn * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, a in enumerate(self.alpha, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return self.fe + self.k0 * self.abar * eta, self.fn + self.k0 * self.abar * xi
+
+    def inverse(self, x, y):
+        eta = (np.asarray(x, np.float64) - self.fe) / (self.k0 * self.abar)
+        xi = (np.asarray(y, np.float64) - self.fn) / (self.k0 * self.abar)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b in enumerate(self.beta, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+        phi = chi.copy()
+        for j, d in enumerate(self.delta, start=1):
+            phi += d * np.sin(2 * j * chi)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        return np.rad2deg(lam) + self.lon0, np.rad2deg(phi)
+
+
+def geodetic_to_geocentric(lon, lat, a: float, f: float, h=0.0):
+    """lon/lat degrees on (a, f) -> earth-centered XYZ meters."""
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    lam = np.deg2rad(np.asarray(lon, np.float64))
+    e2 = 2 * f - f * f
+    s = np.sin(phi)
+    nu = a / np.sqrt(1.0 - e2 * s * s)
+    x = (nu + h) * np.cos(phi) * np.cos(lam)
+    y = (nu + h) * np.cos(phi) * np.sin(lam)
+    z = (nu * (1.0 - e2) + h) * s
+    return x, y, z
+
+
+def geocentric_to_geodetic(x, y, z, a: float, f: float, iters: int = 6):
+    """XYZ -> lon/lat degrees on (a, f): Bowring start + Newton refinement."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    e2 = 2 * f - f * f
+    b = a * (1.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = np.hypot(x, y)
+    th = np.arctan2(z * a, p * b)
+    phi = np.arctan2(z + ep2 * b * np.sin(th) ** 3, p - e2 * a * np.cos(th) ** 3)
+    for _ in range(iters):
+        s = np.sin(phi)
+        nu = a / np.sqrt(1.0 - e2 * s * s)
+        phi = np.arctan2(z + e2 * nu * s, p)
+    return np.rad2deg(np.arctan2(y, x)), np.rad2deg(phi)
+
+
+def helmert(x, y, z, towgs84):
+    """Position-vector Helmert: 3-param shift, or 7-param with rotations
+    in arc-seconds and scale in ppm (EPSG 9606 / PROJ +towgs84 order)."""
+    p = list(towgs84) + [0.0] * (7 - len(towgs84))
+    dx, dy, dz, rx, ry, rz, sppm = p
+    if rx == ry == rz == sppm == 0.0:
+        return x + dx, y + dy, z + dz
+    ax = math.radians(rx / 3600.0)
+    ay = math.radians(ry / 3600.0)
+    az = math.radians(rz / 3600.0)
+    m = 1.0 + sppm * 1e-6
+    xr = m * (x - az * y + ay * z) + dx
+    yr = m * (az * x + y - ax * z) + dy
+    zr = m * (-ay * x + ax * y + z) + dz
+    return xr, yr, zr
+
+
+def helmert_inverse(x, y, z, towgs84):
+    p = list(towgs84) + [0.0] * (7 - len(towgs84))
+    dx, dy, dz, rx, ry, rz, sppm = p
+    if rx == ry == rz == sppm == 0.0:
+        return x - dx, y - dy, z - dz
+    ax = math.radians(rx / 3600.0)
+    ay = math.radians(ry / 3600.0)
+    az = math.radians(rz / 3600.0)
+    m = 1.0 + sppm * 1e-6
+    xs = (x - dx) / m
+    ys = (y - dy) / m
+    zs = (z - dz) / m
+    return xs + az * ys - ay * zs, -az * xs + ys + ax * zs, ay * xs - ax * ys + zs
+
+
+class ProjCRS:
+    """A '+proj=...' definition: projection on its own ellipsoid plus an
+    optional +towgs84 datum link. to_wgs84 / from_wgs84 run the full
+    inverse-project -> geocentric -> Helmert -> geodetic pipeline."""
+
+    def __init__(self, text: str):
+        kv = {}
+        for tok in text.split():
+            tok = tok.lstrip("+")
+            if "=" in tok:
+                k, v = tok.split("=", 1)
+                kv[k] = v
+            else:
+                kv[tok] = True
+        self.kv = kv
+        ell = kv.get("ellps", "WGS84")
+        if kv.get("datum") == "NAD27":
+            ell = "clrk66"
+        a_inv = ELLIPSOIDS.get(ell, ELLIPSOIDS["WGS84"])
+        self.a = float(kv.get("a", a_inv[0]))
+        rf = float(kv.get("rf", a_inv[1]))
+        self.f = 1.0 / rf if rf else 0.0
+        tw = kv.get("towgs84")
+        self.towgs84 = [float(v) for v in tw.split(",")] if tw else None
+        proj = kv.get("proj", "longlat")
+        if proj == "utm":
+            zone = int(kv["zone"])
+            fn = 10000000.0 if "south" in kv else 0.0
+            self.proj = Tmerc(self.a, self.f, zone * 6.0 - 183.0, fn=fn)
+        elif proj == "tmerc":
+            self.proj = Tmerc(
+                self.a, self.f, float(kv.get("lon_0", 0.0)),
+                k0=float(kv.get("k_0", 1.0)), fe=float(kv.get("x_0", 0.0)),
+                fn=float(kv.get("y_0", 0.0)),
+            )
+        elif proj == "longlat":
+            self.proj = None
+        else:
+            raise ValueError(f"unsupported +proj={proj}")
+
+    def _to_geodetic(self, x, y):
+        if self.proj is None:
+            return np.asarray(x, np.float64), np.asarray(y, np.float64)
+        return self.proj.inverse(x, y)
+
+    def _from_geodetic(self, lon, lat):
+        if self.proj is None:
+            return lon, lat
+        return self.proj.forward(lon, lat)
+
+    def _same_datum(self):
+        return (
+            (self.towgs84 is None or not any(self.towgs84))
+            and abs(self.a - _A) < 1e-9
+            and abs(self.f - _F) < 1e-15
+        )
+
+    def to_wgs84(self, x, y):
+        lon, lat = self._to_geodetic(x, y)
+        if self._same_datum():
+            return lon, lat
+        gx, gy, gz = geodetic_to_geocentric(lon, lat, self.a, self.f)
+        if self.towgs84:
+            gx, gy, gz = helmert(gx, gy, gz, self.towgs84)
+        return geocentric_to_geodetic(gx, gy, gz, _A, _F)
+
+    def from_wgs84(self, lon, lat):
+        if not self._same_datum():
+            gx, gy, gz = geodetic_to_geocentric(lon, lat, _A, _F)
+            if self.towgs84:
+                gx, gy, gz = helmert_inverse(gx, gy, gz, self.towgs84)
+            lon, lat = geocentric_to_geodetic(gx, gy, gz, self.a, self.f)
+        return self._from_geodetic(lon, lat)
+
+
+def transform_any(src: str, dst: str, x, y):
+    """transform() extended to '+proj=...' strings on either side (PROJ
+    pipeline role: inverse-project src -> datum shift via WGS84
+    geocentric -> project dst)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if src.lstrip().startswith("+"):
+        lon, lat = ProjCRS(src).to_wgs84(x, y)
+    else:
+        lon, lat = _to_4326(src, x, y)
+    if dst.lstrip().startswith("+"):
+        return ProjCRS(dst).from_wgs84(lon, lat)
+    return _from_4326(dst, lon, lat)

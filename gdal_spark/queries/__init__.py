@@ -39,6 +39,7 @@ from gdal_spark.queries import (
     vision_entries,
     textops,
     retile_entries,
+    xyz_entries,
 )
 
 MODULES = [
@@ -49,7 +50,7 @@ MODULES = [
     vector_fmt_entries, streaming_entries, simplify_entries,
     closedform_raster, closedform_vector, closedform_morph, closedform_dem, closedform_misc,
     cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
-    closedform_extra, calc_entries, retile_entries,
+    closedform_extra, calc_entries, retile_entries, xyz_entries,
 ]
 
 
