@@ -199,14 +199,49 @@ _RAT_ORACLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# 4. Interval-grammar reclassify (gdal raster reclassify,
+#    frmts/vrt/vrtreclassifier.cpp) compiled to a codegen CASE chain over
+#    lineitem quantities; open bounds tighten by one ulp so the integer
+#    quantities land exactly as DuckDB's strict inequalities do.
+# --------------------------------------------------------------------------
+
+_RECLASS_MAPPING = "[1, 10] = 1; (10, 25] = 2; (25, 49) = 3; 49 = 4; DEFAULT = 0"
+
+
+def reclassify_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.reclassify import reclassify_column
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cls = reclassify_column(F.col("l_quantity"), _RECLASS_MAPPING)
+    return (
+        li.select(cls.cast("int").alias("qty_class"))
+        .groupBy("qty_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_RECLASS_ORACLE = """
+    SELECT CAST(CASE WHEN l_quantity >= 1 AND l_quantity <= 10 THEN 1
+                     WHEN l_quantity > 10 AND l_quantity <= 25 THEN 2
+                     WHEN l_quantity > 25 AND l_quantity < 49 THEN 3
+                     WHEN l_quantity = 49 THEN 4
+                     ELSE 0 END AS INT) AS qty_class,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+"""
+
+
 SPARK = {
     "raster_band_algebra_mod": raster_band_algebra_mod,
     "raster_viewshed_wall": raster_viewshed_wall,
     "rat_pixel_counts_mod": rat_pixel_counts_mod,
+    "reclassify_intervals": reclassify_intervals,
 }
 
 ORACLE = {
     "raster_band_algebra_mod": _BAND_ALGEBRA_ORACLE,
     "raster_viewshed_wall": _VIEWSHED_ORACLE,
     "rat_pixel_counts_mod": _RAT_ORACLE,
+    "reclassify_intervals": _RECLASS_ORACLE,
 }
