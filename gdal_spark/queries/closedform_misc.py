@@ -232,11 +232,102 @@ _RECLASS_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# 5. pixel-info (gdallocationinfo): 'dataset' positions through the inverse
+#    geotransform, bilinear GDALRasterInterpolateAtPoint sampling, and the
+#    unscale step — every stage recomputed by DuckDB in closed form over
+#    the mod-raster.
+# --------------------------------------------------------------------------
+
+_PI_GT = [100.0, 2.0, 0.0, 50.0, 0.0, -2.0]
+# dataset-CRS positions -> fractional (column, line) strictly inside the
+# pixel-center hull [0.5, N-0.5] so bilinear never clamps
+_PI_POS = [
+    (107.4, 42.6),   # col 3.70, line 3.70
+    (121.0, 29.5),   # col 10.50, line 10.25
+    (101.3, 48.9),   # col 0.65, line 0.55
+    (130.96, 20.08),  # col 15.48, line 14.96
+]
+
+
+def pixel_info_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.pixel_info import pixel_info
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("col_f", T.DoubleType()),
+            T.StructField("line_f", T.DoubleType()),
+            T.StructField("raw", T.DoubleType()),
+            T.StructField("unscaled", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = _mod_raster(k, _N).astype(np.float64)
+                infos = pixel_info(
+                    arr, _PI_POS, gt=_PI_GT, pos_crs="dataset",
+                    interpolation="bilinear", scale=2.0, offset=10.0,
+                )
+                for pid, info in enumerate(infos):
+                    rows.append(
+                        (
+                            k, pid, round(info["column"], 4),
+                            round(info["line"], 4),
+                            round(info["band_1_raw_value"], 4),
+                            round(info["band_1_unscaled_value"], 4),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_PI_POS_SQL = ", ".join(
+    f"({i}, {(x - 100.0) / 2.0!r}, {(50.0 - y) / 2.0!r})"
+    for i, (x, y) in enumerate(_PI_POS)
+)
+
+_PIXEL_INFO_ORACLE = f"""
+    WITH pos(pid, c, l) AS (VALUES {_PI_POS_SQL}),
+    s AS (
+        SELECT n_nationkey AS k, pid, c, l,
+               CAST(floor(c - 0.5) AS BIGINT) AS x0,
+               CAST(floor(l - 0.5) AS BIGINT) AS y0,
+               (c - 0.5) - floor(c - 0.5) AS tx,
+               (l - 0.5) - floor(l - 0.5) AS ty
+        FROM nation CROSS JOIN pos
+    ),
+    b AS (
+        SELECT k, pid, c, l, tx, ty,
+               (y0 * 37 + x0 * 101 + k * 13) % 97 AS v00,
+               (y0 * 37 + (x0 + 1) * 101 + k * 13) % 97 AS v01,
+               ((y0 + 1) * 37 + x0 * 101 + k * 13) % 97 AS v10,
+               ((y0 + 1) * 37 + (x0 + 1) * 101 + k * 13) % 97 AS v11
+        FROM s
+    )
+    SELECT k, CAST(pid AS INT) AS pid,
+           round(c, 4) AS col_f, round(l, 4) AS line_f,
+           round((v00 * (1 - tx) + v01 * tx) * (1 - ty)
+                 + (v10 * (1 - tx) + v11 * tx) * ty, 4) AS raw,
+           round(((v00 * (1 - tx) + v01 * tx) * (1 - ty)
+                  + (v10 * (1 - tx) + v11 * tx) * ty) * 2.0 + 10.0, 4)
+               AS unscaled
+    FROM b
+"""
+
+
 SPARK = {
     "raster_band_algebra_mod": raster_band_algebra_mod,
     "raster_viewshed_wall": raster_viewshed_wall,
     "rat_pixel_counts_mod": rat_pixel_counts_mod,
     "reclassify_intervals": reclassify_intervals,
+    "pixel_info_mod": pixel_info_mod,
 }
 
 ORACLE = {
@@ -244,4 +335,5 @@ ORACLE = {
     "raster_viewshed_wall": _VIEWSHED_ORACLE,
     "rat_pixel_counts_mod": _RAT_ORACLE,
     "reclassify_intervals": _RECLASS_ORACLE,
+    "pixel_info_mod": _PIXEL_INFO_ORACLE,
 }
