@@ -45,7 +45,7 @@ def test_closedform_matches_duckdb(spark, name):
     fn, osql = ALL[name]
     got = _normalize(fn(spark, SF).toPandas())
     con = duckdb.connect()
-    for t in ("nation", "region"):
+    for t in ("nation", "region", "lineitem"):
         con.execute(f"create view {t} as select * from '{SF}/{t}.parquet'")
     want = _normalize(con.execute(osql).df())
     assert list(got.columns) == list(want.columns)
