@@ -322,12 +322,59 @@ _PIXEL_INFO_ORACLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# 6. gdal dataset identify (GDALIdentifyDriverEx): encode the mod-raster in
+#    a format cycled by nationkey, identify the driver back from the raw
+#    bytes alone — DuckDB recomputes the expected short name from k.
+# --------------------------------------------------------------------------
+
+_ID_FMTS = ["tiff", "png", "bmp", "pnm", "gif", "tga", "qdct", "cog"]
+_ID_DRIVERS = ["GTiff", "PNG", "BMP", "PNM", "GIF", "TGA", "QDCT", "GTiff"]
+
+
+def dataset_identify_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.functions import codecs
+    from gdal_spark.sources.identify import identify_driver
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("driver", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                fmt = _ID_FMTS[k % len(_ID_FMTS)]
+                arr = np.dstack([_mod_raster(k, _N)] * 3)
+                data = codecs.encode_image(arr, fmt)
+                rows.append((k, identify_driver(data, f"k{k}.{fmt}")))
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_ID_CASE = " ".join(
+    f"WHEN {i} THEN '{d}'" for i, d in enumerate(_ID_DRIVERS)
+)
+
+_IDENTIFY_ORACLE = f"""
+    SELECT n_nationkey AS k,
+           CASE n_nationkey % {len(_ID_FMTS)} {_ID_CASE} END AS driver
+    FROM nation
+"""
+
+
 SPARK = {
     "raster_band_algebra_mod": raster_band_algebra_mod,
     "raster_viewshed_wall": raster_viewshed_wall,
     "rat_pixel_counts_mod": rat_pixel_counts_mod,
     "reclassify_intervals": reclassify_intervals,
     "pixel_info_mod": pixel_info_mod,
+    "dataset_identify_mod": dataset_identify_mod,
 }
 
 ORACLE = {
@@ -336,4 +383,5 @@ ORACLE = {
     "rat_pixel_counts_mod": _RAT_ORACLE,
     "reclassify_intervals": _RECLASS_ORACLE,
     "pixel_info_mod": _PIXEL_INFO_ORACLE,
+    "dataset_identify_mod": _IDENTIFY_ORACLE,
 }

@@ -1,0 +1,136 @@
+"""`gdal dataset identify` / GDALIdentifyDriverEx equivalent.
+
+Re-expresses the driver-manager identify scan
+(apps/gdalalg_dataset_identify.cpp -> gcore/gdaldrivermanager.cpp
+GDALIdentifyDriverEx, which walks registered drivers calling each
+driver's Identify() on the header bytes of a GDALOpenInfo): every
+format this engine can decode gets its reference driver's magic-byte
+test, transcribed from that driver's Identify()/Open() header check:
+
+  PNG   \\x89PNG\\r\\n\\x1a\\n          frmts/png/pngdataset.cpp
+  JPEG  \\xff\\xd8\\xff                 frmts/jpeg/jpgdataset.cpp
+  GTiff II*\\0 / MM\\0* (+BigTIFF 43)   frmts/gtiff/gtiffdataset.cpp
+  BMP   'BM'                            frmts/bmp/bmpdataset.cpp
+  GIF   GIF87a / GIF89a                 frmts/gif/gifdataset.cpp
+  PNM   P1..P6 + whitespace             frmts/pnm (raw/pnmdataset)
+  TGA   TRUEVISION-XFILE footer or .tga frmts/tga/tgadataset.cpp
+  netCDF CDF\\x01|\\x02|\\x05           frmts/netcdf/netcdfdataset.cpp
+  GPKG  SQLite header + application_id  ogr/ogrsf_frmts/gpkg
+  MBTiles SQLite header + .mbtiles ext  frmts/mbtiles/mbtilesdataset.cpp
+  SQLite SQLite header (fallback)       ogr/ogrsf_frmts/sqlite
+  ESRI Shapefile  BE int32 9994         ogr/ogrsf_frmts/shape (.shp/.shx)
+  Arrow 'ARROW1'                        ogr/ogrsf_frmts/arrow
+  VRT   '<VRTDataset'                   frmts/vrt/vrtdataset.cpp
+  KML   '<kml' / kml namespace          ogr/ogrsf_frmts/kml
+  GPX   '<gpx'                          ogr/ogrsf_frmts/gpx
+  GeoJSON  leading '{' + "type" member  ogr/ogrsf_frmts/geojson
+  QDCT  engine-native lossy format magic (functions/codecs.py)
+
+Returns the reference driver short name, or None (GDALIdentifyDriver's
+"could not be identified"). A filename is optional and only consulted
+for the extension-gated formats (TGA without footer, MBTiles, CSV,
+Zarr directories) exactly like the reference's bCheckExtension paths.
+
+Distributed form ``identify_table``: a pandas UDF over the first KB of
+each bytes cell — pure column scan, no shuffle, no decode.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+
+_SQLITE = b"SQLite format 3\x00"
+
+
+def _is_pnm(h: bytes) -> bool:
+    return (
+        len(h) >= 3
+        and h[0:1] == b"P"
+        and h[1:2] in b"123456"
+        and h[2:3] in b" \t\r\n#"
+    )
+
+
+def identify_driver(data: bytes, filename: str = "") -> str | None:
+    h = bytes(data[:1024])
+    ext = filename.rsplit(".", 1)[-1].lower() if "." in filename else ""
+
+    if h.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "PNG"
+    if h.startswith(b"\xff\xd8\xff"):
+        return "JPEG"
+    if len(h) >= 4 and (
+        h[:4] in (b"II*\x00", b"MM\x00*")
+        or (h[:2] == b"II" and h[2:4] == b"+\x00")
+        or (h[:2] == b"MM" and h[2:4] == b"\x00+")
+    ):
+        return "GTiff"
+    if h.startswith(b"QDCT"):
+        return "QDCT"
+    if h.startswith(b"BM"):
+        return "BMP"
+    if h.startswith(b"GIF87a") or h.startswith(b"GIF89a"):
+        return "GIF"
+    if _is_pnm(h):
+        return "PNM"
+    if h.startswith(b"CDF\x01") or h.startswith(b"CDF\x02") or h.startswith(
+        b"CDF\x05"
+    ):
+        return "netCDF"
+    if h.startswith(_SQLITE):
+        # GPKG: application_id 'GPKG'/'GP10'/'GP11' at offset 68
+        # (ogrgeopackagedatasource.cpp); MBTiles is extension-gated
+        app = data[68:72]
+        if app in (b"GPKG", b"GP10", b"GP11"):
+            return "GPKG"
+        if ext == "mbtiles":
+            return "MBTiles"
+        return "SQLite"
+    if len(h) >= 4 and struct.unpack(">i", h[:4])[0] == 9994:
+        return "ESRI Shapefile"
+    if h.startswith(b"ARROW1"):
+        return "Arrow"
+    s = h.lstrip()
+    if s.startswith(b"<VRTDataset"):
+        return "VRT"
+    if s.startswith(b"<?xml") or s.startswith(b"<"):
+        if b"<kml" in h or b"opengis.net/kml" in h:
+            return "KML"
+        if b"<gpx" in h:
+            return "GPX"
+    if s.startswith(b"{") and b'"type"' in h:
+        return "GeoJSON"
+    # extension-only formats (reference bCheckExtension identify paths)
+    if bytes(data[-18:]) == b"TRUEVISION-XFILE.\x00" or ext == "tga":
+        return "TGA"
+    if ext == "csv":
+        return "CSV"
+    if ext == "zarr":
+        return "Zarr"
+    return None
+
+
+def identify_table(df, bytes_col: str = "bytes", filename_col: str | None = None):
+    """Add a ``driver`` column: GDALIdentifyDriver over every row's
+    leading bytes (plus trailing 26 for the TGA footer). Pure Arrow
+    batch scan — no decode, no shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _ident(b: pd.Series, fn: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                identify_driver(bytes(x), f or "")
+                if x is not None
+                else None
+                for x, f in zip(b, fn)
+            ]
+        )
+
+    fn_col = (
+        F.col(filename_col) if filename_col else F.lit("").alias("_fn")
+    )
+    return df.withColumn("driver", _ident(F.col(bytes_col), fn_col))
