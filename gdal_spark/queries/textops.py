@@ -114,6 +114,86 @@ def gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the standard eval-overlap sweep, e.g.
+    GPT-3 appx. C / Gopher A.2): token 3-gram shingles of a benchmark
+    set (here the deterministic doc_id%37==0 slice) are collected,
+    deduped, and every training doc sharing >=1 gram is flagged with its
+    hit count. 100 TB shape: the benchmark gram set is tiny (eval suites
+    are ~1e6 rows) -> broadcast to the training-gram scan; one shuffle
+    for the per-doc count; no self-join of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(ts) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(ts, i, 3)),
+        ),
+    ).otherwise(F.array())
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    bench = g.filter(F.col("doc_id") % 37 == 0).select("gram").distinct()
+    return (
+        g.filter(F.col("doc_id") % 37 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )
+
+
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split: bucket = md5(doc_id) folded
+    to int64 mod 100 (80/10/10). Hash-based splits are reproducible
+    across runs and engines — no RNG state, no sampling seed drift — and
+    pure Column md5 keeps the 100 TB scan UDF-free."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return d.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    )
+
+
+# fixture docs carry no PII; plant a deterministic email + IPv4 per row in
+# BOTH engines so the redaction path is exercised non-vacuously
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (C4/RefinedWeb-style regex pass): emails -> <EMAIL>,
+    IPv4 -> <IP>; reports per-doc match counts and the md5-fold of the
+    redacted text. Pure Column regexps (Java and RE2 agree on this
+    pattern subset) — whole-stage codegen, linear scan at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ok"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(planted, F.lit(_IPV4_RE)).cast("long").alias("n_ips"),
+        F.conv(F.substring(F.md5(red), 1, 15), 16, 10)
+        .cast("long")
+        .alias("red_fp"),
+    )
+
+
 SPARK = {
     "text_token_count": token_count,
     "text_quality_score": quality_score,
@@ -121,7 +201,66 @@ SPARK = {
     "text_fingerprint": fingerprint,
     "dedup_exact": dedup_exact,
     "text_gopher_filters": gopher_filters,
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "hash_split": hash_split,
+    "pii_redact": pii_redact,
 }
+
+_DECONTAM_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 1, 1))) AS i
+        FROM t
+    ),
+    g AS (SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS gram FROM idx),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+    SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 37 <> 0
+    GROUP BY g.doc_id
+"""
+
+_HASH_SPLIT_ORACLE = r"""
+    WITH b AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+_PII_ORACLE = r"""
+    WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com at 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7 ok' AS planted
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(planted,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(planted,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           ('0x' || substring(md5(
+               regexp_replace(
+                   regexp_replace(planted,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+           ), 1, 15))::BIGINT AS red_fp
+    FROM p
+"""
 
 _GOPHER_ORACLE = r"""
     WITH t AS (
@@ -156,6 +295,9 @@ _STOP_HITS_SQL = " + ".join(
 
 ORACLE = {
     "text_gopher_filters": _GOPHER_ORACLE,
+    "decontaminate_ngrams": _DECONTAM_ORACLE,
+    "hash_split": _HASH_SPLIT_ORACLE,
+    "pii_redact": _PII_ORACLE,
     "text_token_count": r"""
         SELECT doc_id,
                len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
