@@ -37,6 +37,7 @@ from gdal_spark.queries import (
     streaming_entries,
     vector_fmt_entries,
     vision_entries,
+    multimodal_entries,
     textops,
     retile_entries,
     xyz_entries,
@@ -51,6 +52,7 @@ MODULES = [
     closedform_raster, closedform_vector, closedform_morph, closedform_dem, closedform_misc,
     cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
     closedform_extra, calc_entries, retile_entries, xyz_entries,
+    multimodal_entries,
 ]
 
 
