@@ -224,3 +224,78 @@ _GCP_ORACLE = f"""
 
 SPARK["raster_warp_gcp_affine"] = raster_warp_gcp_affine
 ORACLE["raster_warp_gcp_affine"] = _GCP_ORACLE
+
+
+def raster_warp_homography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp with a TRUE projective homography (alg/gdal_homography.cpp)
+    fitted from exact GCPs of X = (2px+10)/w, Y = (50-2py)/w, w = 1+0.001px:
+    the >=4-GCP DLT reproduces the homography, the suggested grid derives
+    from the projective border sample, and every warped pixel matches the
+    closed-form rational inverse x = (X-10)/(2-0.001X), y = (50-Y·w)/2 that
+    DuckDB recomputes. Rounding margin to the nearest-gather boundary is
+    0.125 px, so no fp flip is possible."""
+
+    def _h(px, py):
+        w = 1.0 + 0.001 * px
+        return (2.0 * px + 10.0) / w, (50.0 - 2.0 * py) / w
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.gcp import warp_array_gcp
+
+        pts = [(0, 0), (16, 0), (0, 16), (16, 16), (8, 4), (4, 12)]
+        gcps = np.array(
+            [(px, py, *_h(px, py)) for px, py in pts], dtype=np.float64
+        )
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                out, gt = warp_array_gcp(
+                    _mod_raster(k), gcps, method="homography",
+                    resample="near", out_res=2.0,
+                )
+                g = [round(gt[x], 4) for x in (0, 1, 3, 5)]
+                for i in range(out.shape[0]):
+                    for j in range(out.shape[1]):
+                        rows.append((k, i, j, int(out[i, j]), *g))
+            yield pd.DataFrame(rows, columns=[f.name for f in _GCP_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _GCP_SCH)
+
+
+# exact grid constants of the suggested output (k-independent):
+# xmin = 10, xmax = 42/1.016, ymax = 50, ymin = 18/1.016, 16x16 at the
+# derived resolution
+_HW_XMAX = 42.0 / 1.016
+_HW_YMIN = 18.0 / 1.016
+_HW_RESX = (_HW_XMAX - 10.0) / 16.0
+_HW_RESY = (50.0 - _HW_YMIN) / 16.0
+
+_HOMOG_ORACLE = f"""
+    WITH g AS (
+        SELECT i.range AS i, j.range AS j,
+               10.0 + (j.range + 0.5) * {_HW_RESX!r} AS gx,
+               50.0 - (i.range + 0.5) * {_HW_RESY!r} AS gy
+        FROM range({_N}) i CROSS JOIN range({_N}) j
+    ),
+    s AS (
+        SELECT i, j, (gx - 10.0) / (2.0 - 0.001 * gx) AS x, gy FROM g
+    ),
+    p AS (
+        SELECT i, j,
+               CAST(round(x - 0.5) AS BIGINT) AS ix,
+               CAST(round((50.0 - gy * (1.0 + 0.001 * x)) / 2.0 - 0.5)
+                    AS BIGINT) AS iy
+        FROM s
+    )
+    SELECT n_nationkey AS k, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST((least(greatest(iy, 0), {_N - 1}) * 37
+                 + least(greatest(ix, 0), {_N - 1}) * 101
+                 + n_nationkey * 13) % 97 AS INT) AS v,
+           10.0 AS gt0, round({_HW_RESX!r}, 4) AS gt1,
+           50.0 AS gt3, round(-{_HW_RESY!r}, 4) AS gt5
+    FROM nation CROSS JOIN p
+"""
+
+SPARK["raster_warp_homography"] = raster_warp_homography
+ORACLE["raster_warp_homography"] = _HOMOG_ORACLE

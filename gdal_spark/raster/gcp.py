@@ -123,6 +123,15 @@ class GCPTransformer:
             self._fwd = fit_tps(px, geo)
             self._inv = fit_tps(geo, px)
             self.rms = 0.0  # TPS interpolates exactly at GCPs
+        elif method == "homography":
+            from gdal_spark.raster.homography import (
+                gcps_to_homography,
+                inv_homography,
+            )
+
+            self._fwd = gcps_to_homography(gcps)
+            self._inv = inv_homography(self._fwd)
+            self.rms = 0.0
         elif method.startswith("poly"):
             self.order = int(method[4:])
             self._fwd, self.rms = fit_poly(px, geo, self.order)
@@ -133,11 +142,19 @@ class GCPTransformer:
     def pixel_to_geo(self, px, py):
         if self.method == "tps":
             return apply_tps(self._fwd, px, py)
+        if self.method == "homography":
+            from gdal_spark.raster.homography import apply_homography
+
+            return apply_homography(self._fwd, px, py)
         return apply_poly(self._fwd, px, py, self.order)
 
     def geo_to_pixel(self, gx, gy):
         if self.method == "tps":
             return apply_tps(self._inv, gx, gy)
+        if self.method == "homography":
+            from gdal_spark.raster.homography import apply_homography
+
+            return apply_homography(self._inv, gx, gy)
         return apply_poly(self._inv, gx, gy, self.order)
 
 
