@@ -299,3 +299,107 @@ _HOMOG_ORACLE = f"""
 
 SPARK["raster_warp_homography"] = raster_warp_homography
 ORACLE["raster_warp_homography"] = _HOMOG_ORACLE
+
+
+# --------------------------------------------------------------------------
+# RPC (RPC00B) direct projection: lonlat+height -> pixel/line through the
+# 20-term rational polynomial (alg/gdal_rpc.cpp RPCComputeTerms +
+# RPCTransformPoint incl. the +0.5 center-to-corner shift), recomputed
+# term-for-term by DuckDB from the same coefficients.
+# --------------------------------------------------------------------------
+
+_RPC_MD = {
+    "LINE_OFF": "16201", "SAMP_OFF": "15184", "HEIGHT_OFF": "97",
+    "LAT_OFF": "39.7792", "LONG_OFF": "125.7510",
+    "LINE_SCALE": "16480", "SAMP_SCALE": "15217", "HEIGHT_SCALE": "501",
+    "LAT_SCALE": "0.0900", "LONG_SCALE": "0.1096",
+    "LINE_NUM_COEFF": (
+        "+5.105608E-04 -2.921055E-02 -1.010407E+00 -1.743729E-02 "
+        "-6.604239E-05 -7.871396E-05 +3.027877E-04 -4.323587E-04 "
+        "-2.624751E-04 +6.186490E-06 +1.084676E-06 +5.389738E-05 "
+        "+4.145232E-06 +3.911486E-07 +1.772434E-05 +3.302960E-06 "
+        "+3.006106E-06 +1.662606E-05 +6.051677E-06 -2.657667E-08"
+    ),
+    "LINE_DEN_COEFF": (
+        "+1.000000E+00 -9.652128E-05 +2.488346E-04 +3.089019E-04 "
+        "-2.120170E-06 +4.117913E-07 +1.370009E-06 +1.357281E-05 "
+        "-4.174324E-06 -3.146787E-06 -7.724587E-06 +3.524480E-04 "
+        "-1.303224E-05 -8.507679E-07 -1.670972E-05 +6.781061E-06 "
+        "+5.602262E-07 +1.161421E-05 +4.681872E-06 +5.593931E-08"
+    ),
+    "SAMP_NUM_COEFF": (
+        "-2.429563E-04 +1.028320E+00 -3.360972E-02 +3.519600E-03 "
+        "-6.568341E-04 +5.951139E-04 -3.875716E-04 +1.260622E-04 "
+        "-5.273817E-05 -4.418981E-06 -3.520581E-06 -2.502760E-04 "
+        "-4.167704E-05 -5.973233E-05 -1.438949E-04 +7.603041E-06 "
+        "+2.358136E-06 -2.275274E-05 +1.602657E-06 -1.716541E-07"
+    ),
+    "SAMP_DEN_COEFF": (
+        "+1.000000E+00 +7.765620E-05 +6.568707E-04 -6.270621E-04 "
+        "+5.163170E-05 +6.979463E-06 +2.476334E-07 +1.083558E-04 "
+        "-4.043734E-05 -5.819288E-05 +1.778201E-07 +5.665202E-05 "
+        "+6.927205E-06 +6.793485E-07 +3.604209E-05 -4.057103E-07 "
+        "-8.291254E-07 +1.010650E-05 -2.875552E-06 +5.142751E-08"
+    ),
+}
+
+_RPC_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("px", T.DoubleType()),
+        T.StructField("ln", T.DoubleType()),
+    ]
+)
+
+
+def rpc_project_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.rpc import RPCInfo, rpc_transform_point
+
+        rpc = RPCInfo(_RPC_MD)
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                lon = 125.7510 + (k % 11 - 5) * 0.01
+                lat = 39.7792 + (k % 7 - 3) * 0.008
+                h = (k % 5) * 20.0
+                px, ln = rpc_transform_point(rpc, lon, lat, h)
+                rows.append((k, round(float(px), 4), round(float(ln), 4)))
+            yield pd.DataFrame(rows, columns=[f.name for f in _RPC_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _RPC_SCH)
+
+
+def _rpc_poly_sql(coeff_key: str) -> str:
+    terms = [
+        "1", "L", "P", "H", "L*P", "L*H", "P*H", "L*L", "P*P", "H*H",
+        "L*P*H", "L*L*L", "L*P*P", "L*H*H", "L*L*P", "P*P*P", "P*H*H",
+        "L*L*H", "P*P*H", "H*H*H",
+    ]
+    coefs = [float(c) for c in _RPC_MD[coeff_key].split()]
+    return " + ".join(f"({c!r})*{t}" for c, t in zip(coefs, terms))
+
+
+_RPC_ORACLE = f"""
+    WITH pt AS (
+        SELECT n_nationkey AS k,
+               (125.7510 + (n_nationkey % 11 - 5) * 0.01 - 125.7510)
+                   / 0.1096 AS L,
+               (39.7792 + (n_nationkey % 7 - 3) * 0.008 - 39.7792)
+                   / 0.0900 AS P,
+               ((n_nationkey % 5) * 20.0 - 97) / 501 AS H
+        FROM nation
+    )
+    SELECT k,
+           round(({_rpc_poly_sql("SAMP_NUM_COEFF")})
+                 / ({_rpc_poly_sql("SAMP_DEN_COEFF")})
+                 * 15217 + 15184 + 0.5, 4) AS px,
+           round(({_rpc_poly_sql("LINE_NUM_COEFF")})
+                 / ({_rpc_poly_sql("LINE_DEN_COEFF")})
+                 * 16480 + 16201 + 0.5, 4) AS ln
+    FROM pt
+"""
+
+SPARK["rpc_project_points"] = rpc_project_points
+ORACLE["rpc_project_points"] = _RPC_ORACLE
