@@ -403,3 +403,67 @@ _RPC_ORACLE = f"""
 
 SPARK["rpc_project_points"] = rpc_project_points
 ORACLE["rpc_project_points"] = _RPC_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Geolocation-array transformer (alg/gdalgeoloc.cpp): swath lon/lat node
+# arrays built from a bilinear formula, so PixelLineToXY interpolation of
+# the nodes equals the formula at fractional coordinates exactly, and the
+# inverse quad search must return the original pixel. DuckDB recomputes
+# the formula; the round trip is asserted against the inputs.
+# --------------------------------------------------------------------------
+
+_GL_POS = [(0.3, 0.7), (1.5, 1.2), (0.1, 1.9), (1.9, 0.1)]
+_GL_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("pid", T.IntegerType()),
+        T.StructField("geo_x", T.DoubleType()),
+        T.StructField("geo_y", T.DoubleType()),
+        T.StructField("px_rt", T.DoubleType()),
+        T.StructField("py_rt", T.DoubleType()),
+    ]
+)
+
+
+def geoloc_swath_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.geoloc import GeoLocTransformer
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                yy, xx = np.mgrid[0:4, 0:4].astype(float)
+                lon = 10.0 + xx + 0.1 * yy + 0.01 * k
+                lat = 50.0 - yy + 0.05 * xx
+                tr = GeoLocTransformer(lon, lat)
+                for pid, (p, l_) in enumerate(_GL_POS):
+                    X, Y = tr.pixel_to_geo(p, l_)
+                    p2, l2 = tr.geo_to_pixel(X, Y)
+                    rows.append(
+                        (
+                            k, pid, round(X, 4), round(Y, 4),
+                            round(p2, 4), round(l2, 4),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in _GL_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _GL_SCH)
+
+
+_GL_POS_SQL = ", ".join(
+    f"({i}, {p!r}, {l_!r})" for i, (p, l_) in enumerate(_GL_POS)
+)
+
+_GEOLOC_ORACLE = f"""
+    WITH pos(pid, p, l) AS (VALUES {_GL_POS_SQL})
+    SELECT n_nationkey AS k, CAST(pid AS INT) AS pid,
+           round(10.0 + p + 0.1 * l + 0.01 * n_nationkey, 4) AS geo_x,
+           round(50.0 - l + 0.05 * p, 4) AS geo_y,
+           round(p, 4) AS px_rt, round(l, 4) AS py_rt
+    FROM nation CROSS JOIN pos
+"""
+
+SPARK["geoloc_swath_sample"] = geoloc_swath_sample
+ORACLE["geoloc_swath_sample"] = _GEOLOC_ORACLE
