@@ -467,3 +467,73 @@ _GEOLOC_ORACLE = f"""
 
 SPARK["geoloc_swath_sample"] = geoloc_swath_sample
 ORACLE["geoloc_swath_sample"] = _GEOLOC_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Line-of-sight (alg/los.cpp GDALIsLineOfSightVisible): flat terrain with a
+# full-height wall column -- the horizontal scan and the diagonal Bresenham
+# walk both cross the wall at a known cell, so visibility and the terrain
+# intersection are closed-form: blocked iff lerp(zA, zB, wx/15) < H.
+# --------------------------------------------------------------------------
+
+_LOS_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("ray", T.StringType()),
+        T.StructField("visible", T.BooleanType()),
+        T.StructField("ix", T.IntegerType()),
+        T.StructField("iy", T.IntegerType()),
+    ]
+)
+
+
+def los_wall_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.los import is_line_of_sight_visible
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                wall_h = 5.0 + (k % 5) * 3.0
+                wx = 4 + (k % 8)
+                za = 2.0 + (k % 3)
+                zb = 10.0 + (k % 7)
+                dem = np.zeros((16, 16))
+                dem[:, wx] = wall_h
+                vh, hx, hy = is_line_of_sight_visible(
+                    dem, 0, 8, za, 15, 8, zb
+                )
+                vd, dx_, dy_ = is_line_of_sight_visible(
+                    dem, 0, 0, za, 15, 15, zb
+                )
+                rows.append((k, "h", vh, hx, hy))
+                rows.append((k, "d", vd, dx_, dy_))
+            yield pd.DataFrame(rows, columns=[f.name for f in _LOS_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _LOS_SCH)
+
+
+_LOS_ORACLE = """
+    WITH p AS (
+        SELECT n_nationkey AS k,
+               5.0 + (n_nationkey % 5) * 3.0 AS wall_h,
+               4 + (n_nationkey % 8) AS wx,
+               2.0 + (n_nationkey % 3) AS za,
+               10.0 + (n_nationkey % 7) AS zb
+        FROM nation
+    ),
+    v AS (
+        SELECT k, wx,
+               (za + (wx / 15.0) * (zb - za)) >= wall_h AS vis
+        FROM p
+    )
+    SELECT k, ray, vis AS visible,
+           CAST(CASE WHEN vis THEN -1 ELSE wx END AS INT) AS ix,
+           CAST(CASE WHEN vis THEN -1
+                     WHEN ray = 'h' THEN 8 ELSE wx END AS INT) AS iy
+    FROM v CROSS JOIN (SELECT 'h' AS ray UNION ALL SELECT 'd') r
+"""
+
+SPARK["los_wall_mod"] = los_wall_mod
+ORACLE["los_wall_mod"] = _LOS_ORACLE
