@@ -537,3 +537,63 @@ _LOS_ORACLE = """
 
 SPARK["los_wall_mod"] = los_wall_mod
 ORACLE["los_wall_mod"] = _LOS_ORACLE
+
+
+# --------------------------------------------------------------------------
+# Vertical shift grid (alg/gdalapplyverticalshiftgrid.cpp): the grid nodes
+# carry a LINEAR function of geo coordinates, so bilinear resampling onto
+# the source grid reproduces the function exactly and DuckDB recomputes
+# shifted = src + (2 + 0.5*X + 0.25*Y + 0.1*k) in closed form.
+# --------------------------------------------------------------------------
+
+_VS_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def vshift_linear_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.vshift import apply_vertical_shift
+
+        src_gt = [100.0, 2.0, 0.0, 50.0, 0.0, -2.0]
+        ggt = [90.0, 10.0, 0.0, 60.0, 0.0, -10.0]
+        ii, jj = np.meshgrid(np.arange(8), np.arange(8), indexing="xy")
+        gx_geo = 90.0 + (ii + 0.5) * 10.0
+        gy_geo = 60.0 - (jj + 0.5) * 10.0
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                grid = 2.0 + 0.5 * gx_geo + 0.25 * gy_geo + 0.1 * k
+                out = apply_vertical_shift(
+                    _mod_raster(k).astype(np.float64), grid, src_gt, ggt,
+                    resampling="bilinear", error_on_missing=True,
+                    out_dtype=np.float64,
+                )
+                for y in range(_N):
+                    for x in range(_N):
+                        rows.append((k, y, x, round(float(out[y, x]), 4)))
+            yield pd.DataFrame(rows, columns=[f.name for f in _VS_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _VS_SCH)
+
+
+_VSHIFT_ORACLE = f"""
+    WITH g AS (
+        SELECT n_nationkey AS k, y.range AS y, x.range AS x
+        FROM nation CROSS JOIN range({_N}) y CROSS JOIN range({_N}) x
+    )
+    SELECT k, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+           round((y * 37 + x * 101 + k * 13) % 97
+                 + 2.0 + 0.5 * (100.0 + (x + 0.5) * 2.0)
+                 + 0.25 * (50.0 - (y + 0.5) * 2.0) + 0.1 * k, 4) AS v
+    FROM g
+"""
+
+SPARK["vshift_linear_mod"] = vshift_linear_mod
+ORACLE["vshift_linear_mod"] = _VSHIFT_ORACLE
