@@ -597,3 +597,76 @@ _VSHIFT_ORACLE = f"""
 
 SPARK["vshift_linear_mod"] = vshift_linear_mod
 ORACLE["vshift_linear_mod"] = _VSHIFT_ORACLE
+
+
+# --------------------------------------------------------------------------
+# GNM network analysis (gnm/gnmgraph.cpp) at cluster shape: single-source
+# shortest path by iterative DataFrame relaxation over a per-nation 6x6
+# grid DAG (right/down edges, deterministic costs). DuckDB recomputes the
+# distances with a recursive CTE (the DAG guarantees termination).
+# --------------------------------------------------------------------------
+
+_NET_N = 6
+
+
+def network_sssp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.network import sssp_bellman_ford
+
+    n = _nation(spark, sf_dir).select(F.col("n_nationkey").alias("k"))
+    yy = spark.range(_NET_N).select(F.col("id").alias("y"))
+    xx = spark.range(_NET_N).select(F.col("id").alias("x"))
+    cells = n.crossJoin(yy).crossJoin(xx)
+    node = (F.col("y") * _NET_N + F.col("x")).cast("long")
+    right = cells.filter(F.col("x") < _NET_N - 1).select(
+        "k",
+        node.alias("src"),
+        (node + 1).alias("dst"),
+        (1 + (F.col("x") + F.col("y") + F.col("k")) % 5)
+        .cast("double")
+        .alias("cost"),
+    )
+    down = cells.filter(F.col("y") < _NET_N - 1).select(
+        "k",
+        node.alias("src"),
+        (node + _NET_N).alias("dst"),
+        (2 + (F.col("x") * F.col("y") + F.col("k")) % 7)
+        .cast("double")
+        .alias("cost"),
+    )
+    edges = right.unionByName(down)
+    out = sssp_bellman_ford(edges, start=0, max_iter=2 * _NET_N + 2)
+    return out.select(
+        "k", F.col("node").cast("long").alias("node"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+_NET_ORACLE = f"""
+    WITH RECURSIVE cells AS (
+        SELECT n_nationkey AS k, y.range AS y, x.range AS x
+        FROM nation CROSS JOIN range({_NET_N}) y CROSS JOIN range({_NET_N}) x
+    ),
+    edges AS (
+        SELECT k, y * {_NET_N} + x AS src, y * {_NET_N} + x + 1 AS dst,
+               CAST(1 + (x + y + k) % 5 AS DOUBLE) AS cost
+        FROM cells WHERE x < {_NET_N - 1}
+        UNION ALL
+        SELECT k, y * {_NET_N} + x, y * {_NET_N} + x + {_NET_N},
+               CAST(2 + (x * y + k) % 7 AS DOUBLE)
+        FROM cells WHERE y < {_NET_N - 1}
+    ),
+    r AS (
+        SELECT n_nationkey AS k, CAST(0 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS d
+        FROM nation
+        UNION ALL
+        SELECT e.k, CAST(e.dst AS BIGINT), r.d + e.cost
+        FROM r JOIN edges e ON e.k = r.k AND e.src = r.node
+    )
+    SELECT k, node, round(min(d), 4) AS dist
+    FROM r GROUP BY k, node
+"""
+
+SPARK["network_sssp_grid"] = network_sssp_grid
+ORACLE["network_sssp_grid"] = _NET_ORACLE
