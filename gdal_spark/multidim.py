@@ -135,15 +135,19 @@ def create(
     return MDArray(df, shape, chunks, dims or tuple(f"dim{a}" for a in range(ndim)))
 
 
-def slice_view(md: MDArray, starts: tuple[int, ...], stops: tuple[int, ...]) -> MDArray:
-    """``array[start0:stop0, ...]`` (gdalmultidim_array_view.cpp slicing;
-    gdalmdimtranslate_lib.cpp -array "view=[...]"): chunk-prune with
-    Column predicates, then re-tile onto the output chunk grid with one
-    shuffle. Fragments carry (out-chunk coords, dst offsets, sizes)."""
+def _scatter_frags(
+    md: MDArray,
+    starts: tuple[int, ...],
+    stops: tuple[int, ...],
+    out_chunks: tuple[int, ...],
+    priority: int = 0,
+):
+    """Re-tile the [starts, stops) window of ``md`` onto an output chunk
+    grid (output index = input index - start; starts may be negative to
+    PLACE the array inside a larger canvas). Returns the fragment
+    DataFrame (out-chunk coords, dst offsets, sizes, paste priority,
+    data) — higher priority pastes later (VRT source order)."""
     ndim = md.ndim
-    starts = tuple(int(v) for v in starts)
-    stops = tuple(int(v) for v in stops)
-    out_shape = tuple(b - a for a, b in zip(starts, stops))
     cols = _coords_cols(ndim)
     chunks, in_shape = md.chunks, md.shape
 
@@ -156,7 +160,7 @@ def slice_view(md: MDArray, starts: tuple[int, ...], stops: tuple[int, ...]) -> 
         [T.StructField(f"c{a}", T.IntegerType()) for a in range(ndim)]
         + [T.StructField(f"o{a}", T.IntegerType()) for a in range(ndim)]
         + [T.StructField(f"s{a}", T.IntegerType()) for a in range(ndim)]
-        + [T.StructField("data", T.BinaryType())]
+        + [T.StructField("p", T.IntegerType()), T.StructField("data", T.BinaryType())]
     )
 
     def shatter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,11 +182,11 @@ def slice_view(md: MDArray, starts: tuple[int, ...], stops: tuple[int, ...]) -> 
                 per_axis = []
                 for a in range(ndim):
                     pieces = []
-                    o0 = (g0[a] - starts[a]) // chunks[a]
-                    o1 = (g1[a] - 1 - starts[a]) // chunks[a]
+                    o0 = (g0[a] - starts[a]) // out_chunks[a]
+                    o1 = (g1[a] - 1 - starts[a]) // out_chunks[a]
                     for oc in range(o0, o1 + 1):
-                        w0 = max(g0[a], starts[a] + oc * chunks[a])
-                        w1 = min(g1[a], starts[a] + (oc + 1) * chunks[a])
+                        w0 = max(g0[a], starts[a] + oc * out_chunks[a])
+                        w1 = min(g1[a], starts[a] + (oc + 1) * out_chunks[a])
                         pieces.append((oc, w0, w1))
                     per_axis.append(pieces)
                 idxs = [0] * ndim
@@ -196,13 +200,13 @@ def slice_view(md: MDArray, starts: tuple[int, ...], stops: tuple[int, ...]) -> 
                         for w0, w1, i, c in zip(w0s, w1s, coords, chunks)
                     )
                     offs = [
-                        w0 - starts[a] - ocs[a] * chunks[a]
+                        w0 - starts[a] - ocs[a] * out_chunks[a]
                         for a, w0 in enumerate(w0s)
                     ]
                     sizes = [w1 - w0 for w0, w1 in zip(w0s, w1s)]
                     rows.append(
                         (
-                            *ocs, *offs, *sizes,
+                            *ocs, *offs, *sizes, priority,
                             bytearray(np.ascontiguousarray(block[sl]).tobytes()),
                         )
                     )
@@ -217,14 +221,25 @@ def slice_view(md: MDArray, starts: tuple[int, ...], stops: tuple[int, ...]) -> 
                         break
             yield pd.DataFrame(rows, columns=names)
 
-    frags = pruned.mapInPandas(shatter, frag_schema)
-    out_chunks = md.chunks
+    return pruned.mapInPandas(shatter, frag_schema)
+
+
+def _assemble_chunks(
+    frags: DataFrame,
+    ndim: int,
+    out_shape: tuple[int, ...],
+    out_chunks: tuple[int, ...],
+    fill_value: float = 0.0,
+) -> DataFrame:
+    """groupBy out-chunk coords and paste fragments onto a canvas."""
+    cols = _coords_cols(ndim)
     chunk_schema = _chunk_schema(ndim)
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         coords = tuple(int(k) for k in key)
         ext = _extent(coords, out_shape, out_chunks)
-        canvas = np.zeros(ext, np.float64)
+        canvas = np.full(ext, fill_value, np.float64)
+        pdf = pdf.sort_values("p", kind="stable")
         for r in pdf.itertuples(index=False):
             offs = tuple(getattr(r, f"o{a}") for a in range(ndim))
             sizes = tuple(getattr(r, f"s{a}") for a in range(ndim))
@@ -235,8 +250,109 @@ def slice_view(md: MDArray, starts: tuple[int, ...], stops: tuple[int, ...]) -> 
             columns=[f.name for f in chunk_schema.fields],
         )
 
-    df = frags.groupBy(*cols).applyInPandas(assemble, chunk_schema)
+    return frags.groupBy(*cols).applyInPandas(assemble, chunk_schema)
+
+
+def slice_view(md: MDArray, starts: tuple[int, ...], stops: tuple[int, ...]) -> MDArray:
+    """``array[start0:stop0, ...]`` (gdalmultidim_array_view.cpp slicing;
+    gdalmdimtranslate_lib.cpp -array "view=[...]"): chunk-prune with
+    Column predicates, then re-tile onto the output chunk grid with one
+    shuffle. Fragments carry (out-chunk coords, dst offsets, sizes)."""
+    starts = tuple(int(v) for v in starts)
+    stops = tuple(int(v) for v in stops)
+    out_shape = tuple(b - a for a, b in zip(starts, stops))
+    out_chunks = md.chunks
+    frags = _scatter_frags(md, starts, stops, out_chunks)
+    df = _assemble_chunks(frags, md.ndim, out_shape, out_chunks)
     return MDArray(df, out_shape, out_chunks, md.dims)
+
+
+def mosaic(
+    parts: list[MDArray],
+    origins: list[tuple[float, ...]],
+    steps: tuple[float, ...],
+    fill_value: float = 0.0,
+) -> MDArray:
+    """`gdal mdim mosaic` (apps/gdalalg_mdim_mosaic.cpp): combine arrays
+    whose indexing variables are regularly spaced with a COMMON step
+    per dimension; each input is placed at the integer index offset
+    (origin - min_origin) / step and the union extent forms the output
+    (gaps filled with ``fill_value`` — the reference's VRT nodata).
+
+    Checks transcribed: consistent dimension count, same chunking,
+    identical steps (implied by the shared ``steps``), and integral
+    offsets (the reference rejects non-aligned indexing variables).
+    One shuffle total: all inputs shatter onto the shared output chunk
+    grid, one groupBy assembles every output chunk."""
+    if not parts:
+        raise ValueError("mosaic needs at least one input array")
+    ndim = parts[0].ndim
+    out_chunks = parts[0].chunks
+    for p in parts:
+        if p.ndim != ndim:
+            raise ValueError("inputs have inconsistent dimension counts")
+        if p.chunks != out_chunks:
+            raise ValueError("inputs have inconsistent chunking")
+    mins = tuple(min(o[a] for o in origins) for a in range(ndim))
+    offsets = []
+    for o in origins:
+        off = []
+        for a in range(ndim):
+            f = (o[a] - mins[a]) / steps[a]
+            r = round(f)
+            if abs(f - r) > 1e-8 * max(1.0, abs(f)):
+                raise ValueError(
+                    "indexing variable not aligned to the common step"
+                )
+            off.append(int(r))
+        offsets.append(tuple(off))
+    out_shape = tuple(
+        max(off[a] + p.shape[a] for off, p in zip(offsets, parts))
+        for a in range(ndim)
+    )
+    frag_parts = [
+        _scatter_frags(
+            p,
+            tuple(-off[a] for a in range(ndim)),
+            tuple(out_shape[a] - off[a] for a in range(ndim)),
+            out_chunks,
+            priority=pi,
+        )
+        for pi, (p, off) in enumerate(zip(parts, offsets))
+    ]
+    frags = frag_parts[0]
+    for f in frag_parts[1:]:
+        frags = frags.unionByName(f)
+    df = _assemble_chunks(frags, ndim, out_shape, out_chunks, fill_value)
+    # synthesize fill chunks for output cells no input covers (the
+    # reference VRT reports nodata there); anti-join on chunk coords
+    spark = parts[0].df.sparkSession
+    grid = tuple(-(-s // c) for s, c in zip(out_shape, out_chunks))
+    cols = _coords_cols(ndim)
+    all_coords = spark.range(grid[0]).select(F.col("id").cast("int").alias(cols[0]))
+    for a in range(1, ndim):
+        all_coords = all_coords.crossJoin(
+            spark.range(grid[a]).select(F.col("id").cast("int").alias(cols[a]))
+        )
+    missing = all_coords.join(df.select(*cols), on=cols, how="left_anti")
+    chunk_schema = _chunk_schema(ndim)
+
+    def gen_fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                coords = tuple(getattr(r, c) for c in cols)
+                ext = _extent(coords, out_shape, out_chunks)
+                rows.append(
+                    (
+                        *coords,
+                        bytearray(np.full(ext, fill_value, np.float64).tobytes()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in chunk_schema.fields])
+
+    df = df.unionByName(missing.mapInPandas(gen_fill, chunk_schema))
+    return MDArray(df, out_shape, out_chunks, parts[0].dims)
 
 
 def transpose(md: MDArray, axes: tuple[int, ...]) -> MDArray:

@@ -117,3 +117,45 @@ ORACLE = {
     "mdim_transpose_max": _TRANSPOSE_MAX_SQL,
     "mdim_statistics": _STATS_SQL,
 }
+
+
+def mdim_mosaic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal mdim mosaic`: a(4x4)@(0,0) + b(4x4)@(0,4) + c(2x2)@(1,3)
+    — union extent (4x8), last-input-wins overlap, every cell emitted.
+    DuckDB recomputes the paste in closed form."""
+    from gdal_spark import multidim as MD
+
+    a = MD.create(spark, (4, 4), (2, 2), lambda i, j: i * 10 + j)
+    b = MD.create(spark, (4, 4), (2, 2), lambda i, j: 1000 + i * 10 + j)
+    c = MD.create(spark, (2, 2), (2, 2), lambda i, j: 77 + i + j)
+    out = MD.mosaic(
+        [a, b, c],
+        origins=[(0.0, 0.0), (0.0, 4.0), (1.0, 3.0)],
+        steps=(1.0, 1.0),
+        fill_value=-1.0,
+    )
+    rows = MD.to_rows(out)
+    return rows.select(
+        F.col("i0").cast("int").alias("i"),
+        F.col("i1").cast("int").alias("j"),
+        F.col("v"),
+    )
+
+
+_MOSAIC_ORACLE = """
+    WITH g AS (
+        SELECT i.range AS i, j.range AS j
+        FROM range(4) i CROSS JOIN range(8) j
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(CASE
+                WHEN i BETWEEN 1 AND 2 AND j BETWEEN 3 AND 4
+                    THEN 77 + (i - 1) + (j - 3)
+                WHEN j < 4 THEN i * 10 + j
+                ELSE 1000 + i * 10 + (j - 4)
+           END AS DOUBLE) AS v
+    FROM g
+"""
+
+SPARK["mdim_mosaic_cells"] = mdim_mosaic_cells
+ORACLE["mdim_mosaic_cells"] = _MOSAIC_ORACLE
