@@ -670,3 +670,92 @@ _NET_ORACLE = f"""
 
 SPARK["network_sssp_grid"] = network_sssp_grid
 ORACLE["network_sssp_grid"] = _NET_ORACLE
+
+
+# --------------------------------------------------------------------------
+# gdal raster update (apps/gdalalg_raster_update.cpp): same-resolution
+# near-resample paste of a constant source patch into the mod-raster at a
+# geotransform-derived window, then a bbox-limited overview refresh --
+# both pure arithmetic for DuckDB.
+# --------------------------------------------------------------------------
+
+_UPD_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("v", T.IntegerType()),
+        T.StructField("ovr", T.DoubleType()),
+    ]
+)
+
+
+def raster_update_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.kernels import block_reduce
+        from gdal_spark.raster.update import refresh_overviews, update_raster
+
+        dst_gt = [100.0, 1.0, 0.0, 50.0, 0.0, -1.0]
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                dst = _mod_raster(k).astype(np.uint8)
+                fill = 90 + (k % 8)
+                px, py = 4 + (k % 6), 3 + (k % 7)
+                src = np.full((4, 4), fill, np.uint8)
+                src_gt = [100.0 + px, 1.0, 0.0, 50.0 - py, 0.0, -1.0]
+                stale = block_reduce(dst.astype(np.float64), 2, 2, "average")
+                out, win = update_raster(dst, dst_gt, src, src_gt)
+                ovr = refresh_overviews(out, [stale], win)[0]
+                for y in range(_N):
+                    for x in range(_N):
+                        rows.append(
+                            (
+                                k, y, x, int(out[y, x]),
+                                round(float(ovr[y // 2, x // 2]), 4),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in _UPD_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _UPD_SCH)
+
+
+_UPDATE_ORACLE = f"""
+    WITH p AS (
+        SELECT n_nationkey AS k,
+               90 + (n_nationkey % 8) AS fill,
+               4 + (n_nationkey % 6) AS px,
+               3 + (n_nationkey % 7) AS py
+        FROM nation
+    ),
+    g AS (
+        SELECT k, fill, px, py, y.range AS y, x.range AS x,
+               CASE WHEN x.range >= px AND x.range < px + 4
+                         AND y.range >= py AND y.range < py + 4
+                    THEN fill
+                    ELSE (y.range * 37 + x.range * 101 + k * 13) % 97
+               END AS v
+        FROM p CROSS JOIN range({_N}) y CROSS JOIN range({_N}) x
+    ),
+    -- overview: stale average of the ORIGINAL dst outside the padded
+    -- refresh bbox, fresh average of the UPDATED dst inside it
+    o AS (
+        SELECT k, y // 2 AS oy, x // 2 AS ox,
+               avg(CAST((y * 37 + x * 101 + k * 13) % 97 AS DOUBLE))
+                   AS stale,
+               avg(CAST(v AS DOUBLE)) AS fresh,
+               bool_or(x >= (px // 2) * 2 AND x < ((px + 4 + 1) // 2) * 2
+                       AND y >= (py // 2) * 2
+                       AND y < ((py + 4 + 1) // 2) * 2) AS in_bbox
+        FROM g GROUP BY k, y // 2, x // 2
+    )
+    SELECT g.k, CAST(g.y AS INT) AS y, CAST(g.x AS INT) AS x,
+           CAST(g.v AS INT) AS v,
+           round(CASE WHEN o.in_bbox THEN o.fresh ELSE o.stale END, 4)
+               AS ovr
+    FROM g JOIN o ON o.k = g.k AND o.oy = g.y // 2 AND o.ox = g.x // 2
+"""
+
+SPARK["raster_update_window"] = raster_update_window
+ORACLE["raster_update_window"] = _UPDATE_ORACLE
