@@ -194,6 +194,102 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (C4's repeated-line rule re-expressed on
+    shingles): token 2-grams whose document frequency exceeds 50 are
+    boilerplate; per doc report distinct grams, boilerplate grams, and
+    the ratio. Scale shape: one explode + one groupBy on an 8-byte gram
+    key for the DF pass, broadcast of the (small) boilerplate set back
+    to the per-doc scan."""
+    d = load(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(ts) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, 2)),
+            )
+        ),
+    ).otherwise(F.array())
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    hot = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 50)
+        .select("gram")
+    )
+    per_doc = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    bp = (
+        g.join(F.broadcast(hot), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(bp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+_BLOCKLIST = ["src3", "src7", "src11"]
+
+
+def source_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance filtering: drop documents from blocklisted sources
+    (broadcast anti-join — the blocklist is always driver-small) and
+    report surviving counts per source."""
+    d = load(spark, sf_dir, "documents")
+    bl = spark.createDataFrame([(s,) for s in _BLOCKLIST], "source string")
+    return (
+        d.join(F.broadcast(bl), "source", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (deterministic tie-break by
+    term): tf from one explode+groupBy, document frequency from a
+    second distinct groupBy (broadcast back), idf = ln(N/df). The
+    per-doc rank window partitions on doc_id — thousands of tiny
+    partitions, never a global sort."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    ts = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    tok = d.select("doc_id", F.explode(ts).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+        .alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 SPARK = {
     "text_token_count": token_count,
     "text_quality_score": quality_score,
@@ -204,7 +300,74 @@ SPARK = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "hash_split": hash_split,
     "pii_redact": pii_redact,
+    "boilerplate_ngrams": boilerplate_ngrams,
+    "source_blocklist_filter": source_blocklist_filter,
+    "tfidf_topterms": tfidf_topterms,
 }
+
+_BOILER_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ts, unnest(range(1, greatest(len(ts), 1))) AS i
+        FROM t
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
+        FROM idx
+    ),
+    hot AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(*) > 50
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    bp AS (
+        SELECT g.doc_id, count(*) AS n_boiler
+        FROM g JOIN hot USING (gram) GROUP BY g.doc_id
+    )
+    SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(bp.n_boiler, 0) AS BIGINT) AS n_boiler,
+           round(coalesce(bp.n_boiler, 0) / CAST(p.n_grams AS DOUBLE), 4)
+               AS boiler_ratio
+    FROM per_doc p LEFT JOIN bp ON bp.doc_id = p.doc_id
+"""
+
+_BLOCKLIST_ORACLE = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE source NOT IN ('src3', 'src7', 'src11')
+    GROUP BY source
+"""
+
+_TFIDF_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)), 4)
+                   AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+"""
 
 _DECONTAM_ORACLE = r"""
     WITH t AS (
@@ -298,6 +461,9 @@ ORACLE = {
     "decontaminate_ngrams": _DECONTAM_ORACLE,
     "hash_split": _HASH_SPLIT_ORACLE,
     "pii_redact": _PII_ORACLE,
+    "boilerplate_ngrams": _BOILER_ORACLE,
+    "source_blocklist_filter": _BLOCKLIST_ORACLE,
+    "tfidf_topterms": _TFIDF_ORACLE,
     "text_token_count": r"""
         SELECT doc_id,
                len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
