@@ -355,6 +355,109 @@ def mosaic(
     return MDArray(df, out_shape, out_chunks, parts[0].dims)
 
 
+def rechunk(md: MDArray, new_chunks: tuple[int, ...]) -> MDArray:
+    """Re-tile onto a new chunk grid (gdal mdim convert's
+    BLOCKSIZE/chunking option): the shared scatter/assemble re-tiler,
+    one shuffle."""
+    new_chunks = tuple(int(c) for c in new_chunks)
+    frags = _scatter_frags(md, (0,) * md.ndim, md.shape, new_chunks)
+    df = _assemble_chunks(frags, md.ndim, md.shape, new_chunks)
+    return MDArray(df, md.shape, new_chunks, md.dims)
+
+
+def compare(a: MDArray, b: MDArray) -> DataFrame:
+    """`gdal mdim compare` (apps/gdalalg_mdim_compare.cpp): report the
+    differing chunks of two equally-shaped arrays as (chunk coords,
+    n_diff, max_abs_diff). Raises on shape mismatch like the
+    reference's dimension checks; differing chunking is normalized by
+    rechunking b onto a's grid."""
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    if b.chunks != a.chunks:
+        b = rechunk(b, a.chunks)
+    ndim = a.ndim
+    cols = _coords_cols(ndim)
+    sch = T.StructType(
+        [T.StructField(c, T.IntegerType()) for c in cols]
+        + [
+            T.StructField("n_diff", T.LongType()),
+            T.StructField("max_abs_diff", T.DoubleType()),
+        ]
+    )
+    joined = a.df.alias("a").join(
+        b.df.alias("b").withColumnRenamed("data", "data_b"), on=cols
+    )
+
+    def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = np.frombuffer(bytes(r.data), np.float64)
+                y = np.frombuffer(bytes(r.data_b), np.float64)
+                d = np.abs(x - y)
+                n = int((d > 0).sum())
+                if n:
+                    rows.append(
+                        (*[getattr(r, c) for c in cols], n, float(d.max()))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return joined.mapInPandas(diff, sch)
+
+
+def reproject(
+    md: MDArray,
+    src_gt,
+    dst_gt,
+    out_hw: tuple[int, int],
+    src_crs: str = "EPSG:4326",
+    dst_crs: str = "EPSG:3857",
+    resample: str = "near",
+    nodata: float = 0.0,
+) -> MDArray:
+    """`gdal mdim reproject` (apps/gdalalg_mdim_reproject.cpp): warp the
+    trailing two (y, x) dimensions of every hyperslab through the
+    engine's gdalwarp kernel, leading dimensions untouched. The array
+    is rechunked so each chunk holds complete 2D slices (leading dims
+    chunked to 1), making the warp chunk-local — embarrassingly
+    parallel after the one rechunk shuffle."""
+    from gdal_spark.raster.warp import warp_array
+
+    if md.ndim < 2:
+        raise ValueError("reproject needs >= 2 dimensions")
+    slice_chunks = (1,) * (md.ndim - 2) + md.shape[-2:]
+    if md.chunks != slice_chunks:
+        md = rechunk(md, slice_chunks)
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    out_shape = md.shape[:-2] + (out_h, out_w)
+    out_chunks = (1,) * (md.ndim - 2) + (out_h, out_w)
+    ndim = md.ndim
+    in_hw = md.shape[-2:]
+    chunk_schema = _chunk_schema(ndim)
+    sgt, dgt = tuple(src_gt), tuple(dst_gt)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = _coords_cols(ndim)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                coords = tuple(getattr(r, c) for c in cols)
+                block = np.frombuffer(bytes(r.data), np.float64).reshape(
+                    (1,) * (ndim - 2) + in_hw
+                )
+                sl = block.reshape(in_hw)
+                out = warp_array(
+                    sl, sgt, dgt, out_h, out_w,
+                    src_crs=src_crs, dst_crs=dst_crs,
+                    resample=resample, nodata=nodata,
+                ).astype(np.float64)
+                rows.append((*coords, bytearray(out.tobytes())))
+            yield pd.DataFrame(rows, columns=[f.name for f in chunk_schema.fields])
+
+    df = md.df.mapInPandas(run, chunk_schema)
+    return MDArray(df, out_shape, out_chunks, md.dims)
+
+
 def transpose(md: MDArray, axes: tuple[int, ...]) -> MDArray:
     """GDALMDArray::Transpose (gdalmultidim_array_transposed.cpp) — a
     pure relabeling: chunk coords permute as columns, chunk payloads
