@@ -109,19 +109,37 @@ def simplify_wkb(buf: bytes, tol: float, preserve: bool = False) -> bytes | None
 
 
 def segmentize_line(coords: np.ndarray, max_len: float) -> np.ndarray:
-    """OGRGeometry::segmentize semantics (ogr/ogrgeometry.cpp:866-899):
-    split every segment longer than max_len into equal parts of
-    ceil(len/max_len) pieces; original vertices are preserved."""
+    """OGRSimpleCurve::segmentize (ogr/ogrlinestring.cpp:2645-2800),
+    exactly: direction canonicalization (reverse when the first point
+    orders before the last so both traversals segmentize identically),
+    the split tolerance sqdist - sqmax > 1e-5 * sqmax (re-segmentizing
+    is a no-op — issue #1341), nIntermediate = floor(sqrt(sqdist /
+    sqmax) - 1e-2), intermediates at j * seg / (n + 1)."""
     coords = np.asarray(coords, dtype=np.float64)
     if max_len <= 0.0:
         raise ValueError("max_len must be > 0")
-    out = [coords[:1]]
-    for i in range(len(coords) - 1):
-        a, b = coords[i], coords[i + 1]
-        seg = float(np.hypot(*(b - a)))
-        k = max(1, int(np.ceil(seg / max_len - 1e-12)))
-        ts = np.linspace(0.0, 1.0, k + 1)[1:]
-        out.append(a + ts[:, None] * (b - a))
+    if len(coords) < 2:
+        return coords
+    if coords[0, 0] < coords[-1, 0] or (
+        coords[0, 0] == coords[-1, 0] and coords[0, 1] < coords[-1, 1]
+    ):
+        return segmentize_line(coords[::-1], max_len)[::-1]
+    sqmax = max_len * max_len
+    out = []
+    for i in range(len(coords)):
+        out.append(coords[i])
+        if i == len(coords) - 1:
+            break
+        dx = coords[i + 1, 0] - coords[i, 0]
+        dy = coords[i + 1, 1] - coords[i, 1]
+        sqd = dx * dx + dy * dy
+        if sqd - sqmax > 1e-5 * sqmax:
+            n = int(np.floor(np.sqrt(sqd / sqmax) - 1e-2))
+            rx, ry = dx / (n + 1), dy / (n + 1)
+            for j in range(1, n + 1):
+                out.append(
+                    np.array([coords[i, 0] + j * rx, coords[i, 1] + j * ry])
+                )
     return np.vstack(out)
 
 

@@ -892,3 +892,68 @@ ORACLE = {
     "vector_concave_hull": _CONCAVE_ORACLE,
     "vector_explode_swap": _EXPLODE_ORACLE,
 }
+
+
+def vector_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal vector segmentize` / OGRSimpleCurve::segmentize
+    (ogr/ogrlinestring.cpp:2645): one descending segment per nation
+    (no direction-canonicalization reversal), max length keyed by k;
+    DuckDB recomputes floor(sqrt(sqdist/sqmax) - 1e-2) intermediate
+    points at j*seg/(n+1)."""
+    import numpy as np
+
+    from gdal_spark.functions.simplify import segmentize_line
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("idx", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                line = np.array([[10.0 + k, 5.0], [0.0, 0.0]])
+                pts = segmentize_line(line, 3.0 + (k % 4))
+                for i, (x, y) in enumerate(pts):
+                    rows.append((k, i, round(float(x), 4), round(float(y), 4)))
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(run, sch)
+
+
+_SEGMENTIZE_ORACLE = """
+    WITH p AS (
+        SELECT n_nationkey AS k,
+               10.0 + n_nationkey AS x0, 5.0 AS y0,
+               0.0 AS x1, 0.0 AS y1,
+               3.0 + (n_nationkey % 4) AS maxlen
+        FROM nation
+    ),
+    n AS (
+        SELECT *,
+               (x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0) AS sqd,
+               maxlen * maxlen AS sqmax
+        FROM p
+    ),
+    m AS (
+        SELECT *,
+               CASE WHEN sqd - sqmax > 1e-5 * sqmax
+                    THEN CAST(floor(sqrt(sqd / sqmax) - 0.01) AS INT)
+                    ELSE 0 END AS n_int
+        FROM n
+    )
+    SELECT k, CAST(j.range AS INT) AS idx,
+           round(x0 + j.range * (x1 - x0) / (n_int + 1), 4) AS x,
+           round(y0 + j.range * (y1 - y0) / (n_int + 1), 4) AS y
+    FROM m CROSS JOIN range(0, 100) j
+    WHERE j.range <= n_int + 1
+"""
+
+SPARK["vector_segmentize"] = vector_segmentize
+ORACLE["vector_segmentize"] = _SEGMENTIZE_ORACLE
