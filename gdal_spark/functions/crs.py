@@ -326,6 +326,8 @@ _PROJECTIONS = {
     "EPSG:3413": _PolarStereo(_A, _F, 70.0, -45.0, 0.0, 0.0),
     # WGS84 / Antarctic Polar Stereographic
     "EPSG:3031": _PolarStereo(_A, _F, -71.0, 0.0, 0.0, 0.0),
+    # WGS84 / IBCAO Polar Stereographic (ogr_geom.py polar goldens)
+    "EPSG:3996": _PolarStereo(_A, _F, 75.0, 0.0, 0.0, 0.0),
     # MODIS sinusoidal grid (ESRI:54008-compatible sphere form)
     "ESRI:54008": _Sinusoidal(),
 }

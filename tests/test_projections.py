@@ -178,3 +178,28 @@ def test_warp_supports_new_crs():
     lon, lat = inv(np.array([700000.0]), np.array([6600000.0]))
     assert lon[0] == pytest.approx(3.0, abs=1e-9)
     assert lat[0] == pytest.approx(46.5, abs=1e-9)
+
+
+def test_polar_stereo_3996_ogr_geom_goldens():
+    """autotest/ogr/ogr_geom.py transform_polar_projected_to_geographic:
+    EPSG:3996 ring vertices at rho 100000 / 50000 land on the pinned
+    latitudes; quadrant longitudes follow atan2(E, -N)."""
+    from gdal_spark.functions.crs import _PROJECTIONS as PROJECTIONS
+
+    p = PROJECTIONS["EPSG:3996"]
+    lon, lat = p.inverse(0.0, 100000.0)
+    assert abs(lon - 180.0) < 1e-9 and abs(lat - 89.0892008251069) < 1e-9
+    lon, lat = p.inverse(0.0, 50000.0)
+    assert abs(lon - 180.0) < 1e-9 and abs(lat - 89.5445935108883) < 1e-9
+    lon, lat = p.inverse(100000.0, 0.0)
+    assert abs(lon - 90.0) < 1e-12 and abs(lat - 89.089200825091) < 1e-9
+    lon, lat = p.inverse(-100000.0, 0.0)
+    assert abs(lon + 90.0) < 1e-12
+    lon, lat = p.inverse(0.0, -100000.0)
+    assert abs(lon) < 1e-12
+    # corner of the second polygon: (100000, 100000) -> 45 deg, 88.7119...
+    lon, lat = p.inverse(100000.0, 100000.0)
+    assert abs(lon - 135.0) < 1e-9 and abs(lat - 88.7119614804959) < 1e-9
+    # round trip
+    e, n = p.forward(135.0, 88.7119614804959)
+    assert abs(e - 100000.0) < 1e-4 and abs(n - 100000.0) < 1e-4
