@@ -211,6 +211,160 @@ def wkt_value(txt: str, distance: float) -> tuple[float, float]:
     return float(pts[-1, 0]), float(pts[-1, 1])
 
 
+def _wrap_lon(v: float) -> float:
+    """Normalize into [-180, 180] (OGRGeometryFactory point wrapping)."""
+    w = math.fmod(v + 180.0, 360.0)
+    if w < 0:
+        w += 360.0
+    return w - 180.0
+
+
+def _split_line_dateline(pts: np.ndarray) -> list[np.ndarray]:
+    """Split a lon/lat polyline at +/-180 crossings (the WRAPDATELINE
+    path of OGRGeometryFactory::transformWithOptions): a segment whose
+    longitude jump exceeds 180 deg takes the short way across the
+    dateline; the crossing point interpolates latitude and each part
+    ends/starts at the signed 180 of its own side."""
+    parts: list[list] = [[pts[0]]]
+    for i in range(len(pts) - 1):
+        (x0, y0), (x1, y1) = pts[i], pts[i + 1]
+        if abs(x1 - x0) > 180.0:
+            # continuous frame: shift x1 to within 180 of x0
+            x1c = x1 - 360.0 if x1 > x0 else x1 + 360.0
+            edge = 180.0 if x0 > 0 else -180.0
+            t = (edge - x0) / (x1c - x0)
+            yc = y0 + t * (y1 - y0)
+            parts[-1].append(np.array([edge, yc]))
+            parts.append([np.array([-edge, yc])])
+            if not (x1 == -edge and y1 == yc):
+                parts[-1].append(np.array([x1, y1]))
+        else:
+            parts[-1].append(np.array([x1, y1]))
+    return [np.array(p) for p in parts if len(p) >= 2]
+
+
+def wrapdateline(txt: str) -> str:
+    """GeomTransformer WRAPDATELINE=YES
+    (ogr/ogrgeometryfactory.cpp transformWithOptions): points wrap into
+    [-180, 180]; linestrings split into MULTILINESTRING parts at the
+    dateline; polygons unwrap to a continuous frame, box-clip at 180,
+    and the far piece shifts back by 360 (MULTIPOLYGON out);
+    GeometryCollections recurse with split lines as separate members."""
+    kind, payload = parse_wkt_any(txt)
+    if payload is None:
+        return txt.strip()
+    if kind == "POINT":
+        x, y = payload
+        return f"POINT ({_fmt(_wrap_lon(x))} {_fmt(y)})"
+    if kind == "MULTIPOINT":
+        pts = ",".join(
+            f"({_fmt(_wrap_lon(x))} {_fmt(y)})" for x, y in payload
+        )
+        return f"MULTIPOINT ({pts})"
+    if kind == "LINESTRING":
+        parts = _split_line_dateline(payload)
+        if len(parts) == 1:
+            return "LINESTRING (" + _pts_txt(parts[0]) + ")"
+        return (
+            "MULTILINESTRING ("
+            + ",".join("(" + _pts_txt(p) + ")" for p in parts)
+            + ")"
+        )
+    if kind in ("POLYGON", "MULTIPOLYGON"):
+        from gdal_spark.functions import wkb as W
+        from gdal_spark.functions.geom import clip_wkb_to_box
+
+        polys = [payload] if kind == "POLYGON" else payload
+        out_parts: list[list[np.ndarray]] = []
+        for rings in polys:
+            crosses = any(
+                abs(r[i + 1, 0] - r[i, 0]) > 180.0
+                for r in rings
+                for i in range(len(r) - 1)
+            )
+            if not crosses:
+                out_parts.append(rings)
+                continue
+            # unwrap each ring continuously (vertices within 180 of the
+            # previous one), then clip at the 180 meridian
+            unwrapped = []
+            for r in rings:
+                rr = r.copy()
+                for i in range(1, len(rr)):
+                    while rr[i, 0] - rr[i - 1, 0] > 180.0:
+                        rr[i, 0] -= 360.0
+                    while rr[i, 0] - rr[i - 1, 0] < -180.0:
+                        rr[i, 0] += 360.0
+                if rr[:, 0].min() < -180.0:
+                    rr[:, 0] += 360.0
+                unwrapped.append(rr)
+            buf = W.write_polygon(unwrapped)
+            left = clip_wkb_to_box(buf, -180.0, -90.0, 180.0, 90.0)
+            right = clip_wkb_to_box(buf, 180.0, -90.0, 540.0, 90.0)
+            if left is not None:
+                for poly in W.polygon_rings(left):
+                    out_parts.append(poly)
+            if right is not None:
+                for poly in W.polygon_rings(right):
+                    out_parts.append(
+                        [r - np.array([360.0, 0.0]) for r in poly]
+                    )
+        if len(out_parts) == 1 and kind == "POLYGON":
+            return (
+                "POLYGON ("
+                + ",".join("(" + _pts_txt(r) + ")" for r in out_parts[0])
+                + ")"
+            )
+        return (
+            "MULTIPOLYGON ("
+            + ",".join(
+                "(" + ",".join("(" + _pts_txt(r) + ")" for r in p) + ")"
+                for p in out_parts
+            )
+            + ")"
+        )
+    if kind == "GEOMETRYCOLLECTION":
+        members = []
+        for mk, mp in payload:
+            sub = wrapdateline(_rebuild_wkt(mk, mp))
+            skind = sub.split(" ", 1)[0].split("(")[0]
+            if skind == "MULTILINESTRING":
+                body = sub[sub.index("(") + 1 : sub.rindex(")")]
+                for g in _split_groups(body):
+                    members.append("LINESTRING (" + g + ")")
+            else:
+                members.append(sub)
+        return "GEOMETRYCOLLECTION (" + ",".join(members) + ")"
+    return txt.strip()
+
+
+def _rebuild_wkt(kind: str, payload) -> str:
+    if payload is None:
+        return f"{kind} EMPTY"
+    if kind == "POINT":
+        return f"POINT ({_fmt(payload[0])} {_fmt(payload[1])})"
+    if kind in ("LINESTRING", "LINEARRING"):
+        return f"{kind} (" + _pts_txt(payload) + ")"
+    if kind == "MULTIPOINT":
+        return "MULTIPOINT (" + ",".join(
+            f"({_fmt(x)} {_fmt(y)})" for x, y in payload
+        ) + ")"
+    if kind == "MULTILINESTRING":
+        return "MULTILINESTRING (" + ",".join(
+            "(" + _pts_txt(p) + ")" for p in payload
+        ) + ")"
+    if kind in ("POLYGON", "TRIANGLE"):
+        return f"{kind} (" + ",".join(
+            "(" + _pts_txt(r) + ")" for r in payload
+        ) + ")"
+    if kind == "MULTIPOLYGON":
+        return "MULTIPOLYGON (" + ",".join(
+            "(" + ",".join("(" + _pts_txt(r) + ")" for r in p) + ")"
+            for p in payload
+        ) + ")"
+    raise ValueError(kind)
+
+
 def close_rings(txt: str) -> str:
     """OGRGeometry::closeRings — idempotent ring closing, OGR WKT out."""
     kind, payload = parse_wkt_any(txt)

@@ -103,3 +103,48 @@ def test_parse_wkt_collection_nested():
     assert members[0] == ("POINT", (1.0, 2.0))
     assert members[1][1] is None
     assert members[2][0] == "MULTILINESTRING" and len(members[2][1]) == 2
+
+
+def test_wrapdateline_goldens():
+    from gdal_spark.functions.geomops import wrapdateline
+
+    # ogr_geomtransfomer_wrapdateline_no_ct
+    assert (
+        wrapdateline("LINESTRING(-179 0,179 0)")
+        == "MULTILINESTRING ((-179 0,-180 0),(180 0,179 0))"
+    )
+    # ogr_geomtransfomer_wrapdateline_multipoint
+    assert (
+        wrapdateline("MULTIPOINT((-179 0),(179 0),(-182 0),(182 0))")
+        == "MULTIPOINT ((-179 0),(179 0),(178 0),(-178 0))"
+    )
+    # ogr_geomtransfomer_wrapdateline_geometrycollection
+    assert (
+        wrapdateline("GEOMETRYCOLLECTION(POINT(-182 0),LINESTRING(-179 0,179 0))")
+        == "GEOMETRYCOLLECTION (POINT (178 0),"
+        "LINESTRING (-179 0,-180 0),LINESTRING (180 0,179 0))"
+    )
+    # a line that does not cross stays a LINESTRING
+    assert wrapdateline("LINESTRING(10 0,20 5)") == "LINESTRING (10 0,20 5)"
+    # crossing the other way
+    assert (
+        wrapdateline("LINESTRING(179 0,-179 0)")
+        == "MULTILINESTRING ((179 0,180 0),(-180 0,-179 0))"
+    )
+
+
+def test_wrapdateline_polygon_split():
+    from gdal_spark.functions.geomops import parse_wkt_any, wrapdateline, wkt_area
+
+    out = wrapdateline(
+        "POLYGON((170 0,-170 0,-170 10,170 10,170 0))"
+    )
+    kind, polys = parse_wkt_any(out)
+    assert kind == "MULTIPOLYGON" and len(polys) == 2
+    lons = np.concatenate([r[:, 0] for p in polys for r in p])
+    assert lons.min() >= -180.0 and lons.max() <= 180.0
+    # total area preserved: 20 deg x 10 deg
+    assert wkt_area((kind, polys)) == pytest.approx(200.0, abs=1e-9)
+    # non-crossing polygon unchanged
+    same = wrapdateline("POLYGON((10 0,20 0,20 10,10 10,10 0))")
+    assert same.startswith("POLYGON")
