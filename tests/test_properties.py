@@ -218,3 +218,80 @@ def test_mercator_inverses(lon, lat, zoom):
     x0, y0, x1, y1 = tile_bounds_meters_py(tx, ty, zoom)
     assert x0 - 1e-6 <= mx <= x1 + 1e-6
     assert y0 - 1e-6 <= my <= y1 + 1e-6
+
+
+@given(
+    st.floats(min_value=-50, max_value=50, allow_nan=False),
+    st.floats(min_value=-50, max_value=50, allow_nan=False),
+    st.floats(min_value=0.2, max_value=5, allow_nan=False),
+    st.floats(min_value=-0.3, max_value=0.3, allow_nan=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_homography_roundtrip_property(tx, ty, scale, shear):
+    from gdal_spark.raster.homography import (
+        apply_homography,
+        gcps_to_homography,
+        inv_homography,
+    )
+
+    # GCPs from an exact affine (well-conditioned): fit + invert round trip
+    def fwd(x, y):
+        return tx + scale * x + shear * y, ty - scale * y + shear * x
+
+    pts = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0), (3.0, 7.0)]
+    gcps = [(x, y, *fwd(x, y)) for x, y in pts]
+    h = gcps_to_homography(gcps)
+    hi = inv_homography(h)
+    xs = np.linspace(1, 9, 5)
+    ys = np.linspace(2, 8, 5)
+    X, Y = apply_homography(h, xs, ys)
+    fx, fy = fwd(xs, ys)
+    assert np.allclose(X, fx, atol=1e-6) and np.allclose(Y, fy, atol=1e-6)
+    x2, y2 = apply_homography(hi, X, Y)
+    assert np.allclose(x2, xs, atol=1e-6) and np.allclose(y2, ys, atol=1e-6)
+
+
+@given(
+    st.floats(min_value=-170, max_value=170, allow_nan=False),
+    st.floats(min_value=-80, max_value=80, allow_nan=False),
+    st.integers(2, 30),
+)
+@settings(max_examples=40, deadline=None)
+def test_wrapdateline_preserves_vertices(lon0, lat0, n):
+    from gdal_spark.functions.geomops import parse_wkt_any, wrapdateline
+
+    # a polyline wandering east: wrapped output keeps lon in [-180, 180]
+    lons = lon0 + np.linspace(0, 250, n)
+    lats = np.full(n, lat0)
+    lons_wrapped = ((lons + 180) % 360) - 180
+    wkt = "LINESTRING(" + ",".join(
+        f"{x} {y}" for x, y in zip(lons_wrapped, lats)
+    ) + ")"
+    out = wrapdateline(wkt)
+    kind, payload = parse_wkt_any(out)
+    parts = [payload] if kind == "LINESTRING" else payload
+    for p in parts:
+        assert p[:, 0].min() >= -180.0 - 1e-9
+        assert p[:, 0].max() <= 180.0 + 1e-9
+        assert np.allclose(p[:, 1], lat0)
+
+
+@given(
+    st.floats(min_value=0.6, max_value=15.4, allow_nan=False),
+    st.floats(min_value=0.6, max_value=15.4, allow_nan=False),
+    st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_geoloc_roundtrip_property(p, l_, seed):
+    from gdal_spark.raster.geoloc import GeoLocTransformer
+
+    rng = np.random.RandomState(seed % (2**32 - 1))
+    yy, xx = np.mgrid[0:17, 0:17].astype(float)
+    # strictly monotone warped grid: base plane + small bounded noise
+    lon = 10.0 + xx + 0.2 * yy + rng.rand(17, 17) * 0.3
+    lat = 50.0 - yy + 0.1 * xx + rng.rand(17, 17) * 0.3
+    tr = GeoLocTransformer(lon, lat)
+    X, Y = tr.pixel_to_geo(p, l_)
+    p2, l2 = tr.geo_to_pixel(X, Y)
+    assert not np.isnan(p2)
+    assert abs(p2 - p) < 1e-7 and abs(l2 - l_) < 1e-7
