@@ -1,0 +1,356 @@
+"""GML geometry codec + WFS/GML feature reader — the ogr/ogrsf_frmts/gml
+driver surface for the engine's 2D geometry model.
+
+Geometry parsing transcribes GML2GeometryParser semantics
+(ogr/gml2ogrgeometry.cpp) for the 2D subset:
+
+  * gml:pos (space-separated), gml:posList (srsDimension 2 only —
+    3/4 rejected like the autotest expects), gml:coordinates with the
+    cs/ts attribute conventions (default cs=',' ts=' '; custom
+    separators honored), GML2 gml:coord/gml:X/gml:Y;
+  * Point / LineString / LinearRing / Polygon with GML2
+    outerBoundaryIs/innerBoundaryIs AND GML3 exterior/interior;
+  * MultiPoint/MultiLineString/MultiPolygon/MultiSurface/MultiCurve/
+    MultiGeometry through their *Member / *Members wrappers, gml3
+    Curve/segments/LineStringSegment and Surface/patches/PolygonPatch;
+  * empty containers parse to EMPTY (the reference is tolerant);
+    malformed content raises ValueError (the None rows of
+    autotest/ogr/ogr_gml_geom.py's expected list).
+
+``gml_to_wkt`` returns the OGR-style WKT; ``wkt_to_gml`` exports the
+GML3 pos/posList/exterior form. ``read_gml`` reads WFS
+FeatureCollections (featureMember/featureMembers) into a DataFrame —
+one file per task, fields from the feature's child elements.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pandas as pd
+
+from gdal_spark.functions.geomops import _fmt, _pts_txt
+
+
+def _strip(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _parse_coordinates(el) -> np.ndarray | None:
+    """gml:coordinates: tuples separated by ts (default ' '), ordinates
+    inside a tuple by cs (default ',')."""
+    cs = el.get("cs", ",")
+    ts = el.get("ts", " ")
+    txt = (el.text or "").strip()
+    if not txt:
+        return np.zeros((0, 2))
+    tuples = [t for t in re.split(re.escape(ts) + r"+|\s+", txt) if t]
+    pts = []
+    for t in tuples:
+        parts = t.split(cs)
+        if len(parts) < 2:
+            raise ValueError(f"bad coordinate tuple {t!r}")
+        pts.append((float(parts[0]), float(parts[1])))
+    return np.array(pts, float)
+
+
+def _parse_pos(el) -> np.ndarray:
+    vals = [float(v) for v in (el.text or "").split()]
+    if not vals:
+        return np.zeros((0, 2))
+    if len(vals) < 2:
+        raise ValueError("gml:pos needs >= 2 ordinates")
+    return np.array([vals[:2]], float)
+
+
+def _parse_poslist(el) -> np.ndarray:
+    dim = int(el.get("srsDimension", "2"))
+    if dim != 2:
+        raise ValueError(f"srsDimension {dim} not supported")
+    vals = [float(v) for v in (el.text or "").split()]
+    if not vals:
+        return np.zeros((0, 2))
+    if len(vals) % dim:
+        raise ValueError("posList ordinate count not a multiple of dim")
+    return np.array(vals, float).reshape(-1, dim)
+
+
+def _points_of(el, single: bool) -> np.ndarray:
+    """Collect the coordinate payload of a geometry element."""
+    pts = []
+    got = False
+    for child in el:
+        t = _strip(child.tag)
+        if t == "pos":
+            pts.append(_parse_pos(child))
+            got = True
+        elif t == "posList":
+            pts.append(_parse_poslist(child))
+            got = True
+        elif t == "coordinates":
+            pts.append(_parse_coordinates(child))
+            got = True
+        elif t == "coord":
+            xs = {_strip(c.tag): c.text for c in child}
+            if "X" not in xs or "Y" not in xs or xs["X"] is None or xs["Y"] is None:
+                raise ValueError("gml:coord missing X/Y")
+            pts.append(np.array([[float(xs["X"]), float(xs["Y"])]]))
+            got = True
+    if not got:
+        if len(el) == 0:
+            return np.zeros((0, 2))  # empty container -> EMPTY
+        raise ValueError(f"no coordinates in {_strip(el.tag)}")
+    out = np.vstack(pts) if pts else np.zeros((0, 2))
+    if single and len(out) > 1:
+        raise ValueError("expected exactly one point")
+    return out
+
+
+def _ring_of(el) -> np.ndarray | None:
+    """outerBoundaryIs/innerBoundaryIs/exterior/interior -> ring pts."""
+    kids = list(el)
+    if not kids:
+        return None  # empty boundary -> EMPTY polygon
+    ring = kids[0]
+    if _strip(ring.tag) not in ("LinearRing", "Ring"):
+        raise ValueError(f"expected LinearRing, got {_strip(ring.tag)}")
+    return _points_of(ring, single=False)
+
+
+def _parse_geom(el):
+    """Element -> (KIND, payload) in the geomops model."""
+    t = _strip(el.tag)
+    if t == "Point":
+        pts = _points_of(el, single=True) if len(el) else None
+        if pts is None:
+            raise ValueError("bare gml:Point")
+        if len(pts) == 0:
+            return "POINT", None
+        return "POINT", (float(pts[0, 0]), float(pts[0, 1]))
+    if t in ("LineString", "LineStringSegment"):
+        if len(el) == 0:
+            raise ValueError("bare gml:LineString")
+        pts = _points_of(el, single=False)
+        if len(pts) == 0:
+            return "LINESTRING", None
+        if len(pts) < 2:
+            raise ValueError("LineString needs >= 2 points")
+        return "LINESTRING", pts
+    if t == "Curve":
+        segs = [c for c in el if _strip(c.tag) == "segments"]
+        if not segs:
+            raise ValueError("gml:Curve without segments")
+        parts = [
+            _parse_geom(s)[1]
+            for s in segs[0]
+            if _strip(s.tag) == "LineStringSegment"
+        ]
+        if not parts:
+            raise ValueError("empty gml:segments")
+        return "LINESTRING", np.vstack(
+            [parts[0]] + [p[1:] for p in parts[1:]]
+        )
+    if t in ("Polygon", "PolygonPatch", "Triangle", "Rectangle"):
+        rings = []
+        for child in el:
+            ct = _strip(child.tag)
+            if ct in ("outerBoundaryIs", "exterior"):
+                r = _ring_of(child)
+                if r is not None:
+                    rings.insert(0, r)
+            elif ct in ("innerBoundaryIs", "interior"):
+                r = _ring_of(child)
+                if r is not None:
+                    rings.append(r)
+            else:
+                raise ValueError(f"unexpected {ct} in Polygon")
+        if not rings:
+            return "POLYGON", None
+        return "POLYGON", rings
+    if t == "Surface":
+        patches = [c for c in el if _strip(c.tag) in ("patches", "polygonPatches")]
+        if not patches:
+            raise ValueError("gml:Surface without patches")
+        polys = [
+            _parse_geom(p)[1]
+            for p in patches[0]
+            if _strip(p.tag) in ("PolygonPatch", "Triangle", "Rectangle")
+        ]
+        polys = [p for p in polys if p is not None]
+        if len(polys) == 1:
+            return "POLYGON", polys[0]
+        return "MULTIPOLYGON", polys
+    if t in (
+        "MultiPoint", "MultiLineString", "MultiCurve",
+        "MultiPolygon", "MultiSurface", "MultiGeometry",
+    ):
+        members = []
+        for child in el:
+            ct = _strip(child.tag)
+            if ct.endswith("Member"):
+                members.extend(_parse_geom(g) for g in child)
+            elif ct.endswith("Members"):
+                members.extend(_parse_geom(g) for g in child)
+            else:
+                raise ValueError(f"unexpected {ct} in {t}")
+        if t == "MultiPoint":
+            return "MULTIPOINT", np.array(
+                [m[1] for m in members if m[1] is not None], float
+            )
+        if t in ("MultiLineString", "MultiCurve"):
+            return "MULTILINESTRING", [m[1] for m in members if m[1] is not None]
+        if t in ("MultiPolygon", "MultiSurface"):
+            out = []
+            for k, p in members:
+                if p is None:
+                    continue
+                if k == "POLYGON":
+                    out.append(p)
+                elif k == "MULTIPOLYGON":
+                    out.extend(p)
+            return "MULTIPOLYGON", out
+        return "GEOMETRYCOLLECTION", members
+    if t == "LinearRing":
+        return "LINEARRING", _points_of(el, single=False)
+    raise ValueError(f"unsupported GML element {t}")
+
+
+def gml_to_geom(gml: str):
+    """GML fragment -> (KIND, payload); raises on malformed input."""
+    try:
+        el = ET.fromstring(gml)
+    except ET.ParseError as e:  # noqa: F841
+        raise ValueError("not well-formed XML")
+    if not _strip(el.tag)[0].isupper():
+        raise ValueError(f"not a GML geometry: {_strip(el.tag)}")
+    return _parse_geom(el)
+
+
+def gml_to_wkt(gml: str) -> str:
+    from gdal_spark.functions.geomops import _rebuild_wkt
+
+    kind, payload = gml_to_geom(gml)
+    if payload is None or (hasattr(payload, "__len__") and len(payload) == 0):
+        return f"{kind} EMPTY"
+    return _rebuild_wkt(kind, payload)
+
+
+def wkt_to_gml(wkt: str) -> str:
+    """GML3 export (pos/posList/exterior), ogr ExportToGML(FORMAT=GML3)."""
+    from gdal_spark.functions.geomops import parse_wkt_any
+
+    kind, payload = parse_wkt_any(wkt)
+
+    def poslist(pts):
+        return "<gml:posList>" + " ".join(
+            f"{_fmt(x)} {_fmt(y)}" for x, y in pts
+        ) + "</gml:posList>"
+
+    if kind == "POINT":
+        return (
+            f"<gml:Point><gml:pos>{_fmt(payload[0])} {_fmt(payload[1])}"
+            "</gml:pos></gml:Point>"
+        )
+    if kind == "LINESTRING":
+        return f"<gml:LineString>{poslist(payload)}</gml:LineString>"
+    if kind in ("POLYGON", "TRIANGLE"):
+        parts = [
+            "<gml:exterior><gml:LinearRing>"
+            + poslist(payload[0])
+            + "</gml:LinearRing></gml:exterior>"
+        ]
+        for hole in payload[1:]:
+            parts.append(
+                "<gml:interior><gml:LinearRing>"
+                + poslist(hole)
+                + "</gml:LinearRing></gml:interior>"
+            )
+        return "<gml:Polygon>" + "".join(parts) + "</gml:Polygon>"
+    if kind == "MULTIPOLYGON":
+        members = "".join(
+            "<gml:surfaceMember>"
+            + wkt_to_gml(
+                "POLYGON ("
+                + ",".join("(" + _pts_txt(r) + ")" for r in p)
+                + ")"
+            )
+            + "</gml:surfaceMember>"
+            for p in payload
+        )
+        return "<gml:MultiSurface>" + members + "</gml:MultiSurface>"
+    raise ValueError(f"GML export unsupported for {kind}")
+
+
+# ---------------------------------------------------------------------------
+# WFS FeatureCollection reader
+# ---------------------------------------------------------------------------
+
+
+def parse_gml_features(data: bytes) -> list[dict]:
+    """WFS/GML FeatureCollection -> [{layer, fid, wkt, fields...}]."""
+    root = ET.fromstring(data)
+    feats = []
+    members = []
+    for el in root.iter():
+        if _strip(el.tag) in ("featureMember", "featureMembers"):
+            members.extend(list(el))
+    for feat in members:
+        layer = _strip(feat.tag)
+        fid = None
+        for k, v in feat.attrib.items():
+            if _strip(k) == "id":
+                fid = v
+        fields = {}
+        wkt = None
+        for child in feat:
+            name = _strip(child.tag)
+            kids = list(child)
+            if kids and _strip(kids[0].tag)[0].isupper():
+                try:
+                    wkt = gml_to_wkt(ET.tostring(kids[0], encoding="unicode"))
+                    continue
+                except ValueError:
+                    pass
+            if name != "boundedBy":
+                fields[name] = (child.text or "").strip()
+        feats.append({"layer": layer, "fid": fid, "wkt": wkt, **fields})
+    return feats
+
+
+def read_gml(spark, files: list[str]):
+    """GML/WFS files -> (path, layer, fid, wkt, fields map) DataFrame;
+    one file per task row, the xml_formats.read_xml_features shape."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("layer", T.StringType()),
+            T.StructField("fid", T.StringType()),
+            T.StructField("wkt", T.StringType()),
+            T.StructField("fields", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    fdf = spark.createDataFrame([(p,) for p in files], "path: string")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                with open(r.path, "rb") as fh:
+                    for f in parse_gml_features(fh.read()):
+                        rows.append(
+                            (
+                                r.path, f["layer"], f["fid"], f["wkt"],
+                                {
+                                    k: v
+                                    for k, v in f.items()
+                                    if k not in ("layer", "fid", "wkt")
+                                },
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return fdf.mapInPandas(run, sch)
