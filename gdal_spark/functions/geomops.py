@@ -362,6 +362,10 @@ def _rebuild_wkt(kind: str, payload) -> str:
             "(" + ",".join("(" + _pts_txt(r) + ")" for r in p) + ")"
             for p in payload
         ) + ")"
+    if kind == "GEOMETRYCOLLECTION":
+        return "GEOMETRYCOLLECTION (" + ",".join(
+            _rebuild_wkt(mk, mp) for mk, mp in payload
+        ) + ")"
     raise ValueError(kind)
 
 
