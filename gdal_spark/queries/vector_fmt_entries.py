@@ -382,3 +382,61 @@ ORACLE = {
     "grid_format_chain": _GRID_ORACLE,
     "xml_format_roundtrip": _XML_ORACLE,
 }
+
+
+def gml_codec_roundtrip(spark, sf_dir):
+    """GML geometry codec at the driver gate: per-nation GML fragments
+    (pos point + posList linestring + exterior-ring polygon) parsed to
+    OGR WKT; DuckDB recomputes the exact strings by concatenation."""
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.gml import gml_to_wkt
+    from gdal_spark.sources.tables import load
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("wkt_pt", T.StringType()),
+            T.StructField("wkt_ln", T.StringType()),
+            T.StructField("wkt_pg", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                pt = gml_to_wkt(f"<Point><pos>{k} {2 * k}</pos></Point>")
+                ln = gml_to_wkt(
+                    f"<LineString><posList>{k} 0 {k + 1} 1 {k + 2} 0"
+                    "</posList></LineString>"
+                )
+                pg = gml_to_wkt(
+                    "<Polygon><exterior><LinearRing><posList>"
+                    f"{k} {k} {k + 4} {k} {k + 4} {k + 4} {k} {k}"
+                    "</posList></LinearRing></exterior></Polygon>"
+                )
+                rows.append((k, pt, ln, pg))
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(run, sch)
+
+
+_GML_ORACLE = """
+    SELECT n_nationkey AS k,
+           'POINT (' || n_nationkey || ' ' || 2 * n_nationkey || ')'
+               AS wkt_pt,
+           'LINESTRING (' || n_nationkey || ' 0,' || n_nationkey + 1
+               || ' 1,' || n_nationkey + 2 || ' 0)' AS wkt_ln,
+           'POLYGON ((' || n_nationkey || ' ' || n_nationkey || ','
+               || n_nationkey + 4 || ' ' || n_nationkey || ','
+               || n_nationkey + 4 || ' ' || n_nationkey + 4 || ','
+               || n_nationkey || ' ' || n_nationkey || '))' AS wkt_pg
+    FROM nation
+"""
+
+SPARK["gml_codec_roundtrip"] = gml_codec_roundtrip
+ORACLE["gml_codec_roundtrip"] = _GML_ORACLE
