@@ -440,3 +440,75 @@ _GML_ORACLE = """
 
 SPARK["gml_codec_roundtrip"] = gml_codec_roundtrip
 ORACLE["gml_codec_roundtrip"] = _GML_ORACLE
+
+
+def mif_codec_roundtrip(spark, sf_dir):
+    """MIF parser at the driver gate: per-nation MIF text (Point + Pline
+    + Region with the MID delimiter/quote conventions) parsed to WKT +
+    typed fields; DuckDB recomputes the strings and values."""
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.mif import parse_mif
+    from gdal_spark.sources.tables import load
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("wkt_pt", T.StringType()),
+            T.StructField("wkt_pg", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                mif = (
+                    "Version 300\n"
+                    'Delimiter ","\n'
+                    "Columns 2\n"
+                    "  NAME Char (20)\n"
+                    "  VAL Float\n"
+                    "Data\n"
+                    f"Point {k} {2 * k}\n"
+                    "Region 1\n"
+                    "4\n"
+                    f"{k} {k}\n"
+                    f"{k + 3} {k}\n"
+                    f"{k + 3} {k + 3}\n"
+                    f"{k} {k}\n"
+                    "Brush (1, 0)\n"
+                )
+                mid = f'"n{k} ""x""",{k}.5\n"n{k} ""x""",{k}.5\n'
+                feats = parse_mif(mif, mid)
+                rows.append(
+                    (
+                        k, feats[0]["wkt"], feats[1]["wkt"],
+                        feats[0]["NAME"], feats[0]["VAL"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(run, sch)
+
+
+_MIF_ORACLE = """
+    SELECT n_nationkey AS k,
+           'POINT (' || n_nationkey || ' ' || 2 * n_nationkey || ')'
+               AS wkt_pt,
+           'POLYGON ((' || n_nationkey || ' ' || n_nationkey || ','
+               || n_nationkey + 3 || ' ' || n_nationkey || ','
+               || n_nationkey + 3 || ' ' || n_nationkey + 3 || ','
+               || n_nationkey || ' ' || n_nationkey || '))' AS wkt_pg,
+           'n' || n_nationkey || ' "x"' AS name,
+           n_nationkey + 0.5 AS val
+    FROM nation
+"""
+
+SPARK["mif_codec_roundtrip"] = mif_codec_roundtrip
+ORACLE["mif_codec_roundtrip"] = _MIF_ORACLE
