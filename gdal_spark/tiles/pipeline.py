@@ -273,3 +273,26 @@ def read_tiles(spark, path: str) -> DataFrame | None:
     if "ms" not in df.columns:
         df = df.withColumn("ms", F.lit(0.0))
     return df
+
+
+def snapshot_write_tiles(tiles: DataFrame, path: str) -> int:
+    """Tile sink with Iceberg snapshot semantics (sources/snapshots.py):
+    each call commits one snapshot whose manifest carries the FULL file
+    set — a crashed writer's files stay invisible, which is what makes
+    `--resume` blind-restart safe on a real Iceberg catalog."""
+    from gdal_spark.sources.snapshots import SnapshotTable
+
+    return SnapshotTable(path).commit(tiles)
+
+
+def snapshot_read_tiles(spark, path: str) -> DataFrame | None:
+    """Resume source: the CURRENT committed snapshot only."""
+    from gdal_spark.sources.snapshots import SnapshotTable
+
+    store = SnapshotTable(path)
+    if store.current_snapshot_id() is None:
+        return None
+    df = store.read(spark)
+    if "ms" not in df.columns:
+        df = df.withColumn("ms", F.lit(0.0))
+    return df

@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--tz-min", type=int, default=None)
     ap.add_argument("--resample", default="bilinear", choices=["near", "bilinear"])
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--snapshot-store", action="store_true",
+        help="commit each zoom level as a manifest snapshot "
+             "(Iceberg-semantics resume: uncommitted files invisible)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -61,7 +66,8 @@ def main() -> None:
     tz_max = args.tz_max or P.max_zoom_for(images)
     tz_min = args.tz_min if args.tz_min is not None else max(0, tz_max - 3)
 
-    existing = P.read_tiles(spark, args.output) if args.resume else None
+    reader = P.snapshot_read_tiles if args.snapshot_store else P.read_tiles
+    existing = reader(spark, args.output) if args.resume else None
     pyramid = P.build_pyramid(
         images, tz_max=tz_max, tz_min=tz_min, resample=args.resample, existing=existing
     )
@@ -71,7 +77,10 @@ def main() -> None:
         tiles = pyramid[tz].persist()
         n = tiles.count()
         n_total += n
-        P.write_tiles(tiles.drop("ms"), args.output)
+        if args.snapshot_store:
+            P.snapshot_write_tiles(tiles.drop("ms"), args.output)
+        else:
+            P.write_tiles(tiles.drop("ms"), args.output)
         # lineage + metrics side table (north rule)
         tiles.select(
             "tz", "tx", "ty", "n_src", "src_ids", "ms",
