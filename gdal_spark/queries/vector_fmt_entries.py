@@ -512,3 +512,71 @@ _MIF_ORACLE = """
 
 SPARK["mif_codec_roundtrip"] = mif_codec_roundtrip
 ORACLE["mif_codec_roundtrip"] = _MIF_ORACLE
+
+
+def dxf_codec_roundtrip(spark, sf_dir):
+    """DXF entity parser at the driver gate: per-nation group-code/value
+    streams (POINT with Layer, LINE, closed LWPOLYLINE) parsed to WKT;
+    DuckDB recomputes the exact strings by concatenation."""
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.dxf import parse_dxf
+    from gdal_spark.sources.tables import load
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("wkt_pt", T.StringType()),
+            T.StructField("wkt_ln", T.StringType()),
+            T.StructField("wkt_pg", T.StringType()),
+            T.StructField("layer", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                dxf = "\n".join(
+                    [
+                        "0", "SECTION", "2", "ENTITIES",
+                        "0", "POINT", "8", f"L{k}",
+                        "10", str(k), "20", str(2 * k),
+                        "0", "LINE",
+                        "10", str(k), "20", "0",
+                        "11", str(k + 1), "21", "1",
+                        "0", "LWPOLYLINE", "90", "3", "70", "1",
+                        "10", str(k), "20", str(k),
+                        "10", str(k + 4), "20", str(k),
+                        "10", str(k + 4), "20", str(k + 4),
+                        "0", "ENDSEC", "0", "EOF", "",
+                    ]
+                )
+                f = parse_dxf(dxf)
+                rows.append(
+                    (k, f[0]["wkt"], f[1]["wkt"], f[2]["wkt"], f[0]["Layer"])
+                )
+            yield pd.DataFrame(rows, columns=[s.name for s in sch.fields])
+
+    return load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(run, sch)
+
+
+_DXF_ORACLE = """
+    SELECT n_nationkey AS k,
+           'POINT (' || n_nationkey || ' ' || 2 * n_nationkey || ')'
+               AS wkt_pt,
+           'LINESTRING (' || n_nationkey || ' 0,' || n_nationkey + 1
+               || ' 1)' AS wkt_ln,
+           'LINESTRING (' || n_nationkey || ' ' || n_nationkey || ','
+               || n_nationkey + 4 || ' ' || n_nationkey || ','
+               || n_nationkey + 4 || ' ' || n_nationkey + 4 || ','
+               || n_nationkey || ' ' || n_nationkey || ')' AS wkt_pg,
+           'L' || n_nationkey AS layer
+    FROM nation
+"""
+
+SPARK["dxf_codec_roundtrip"] = dxf_codec_roundtrip
+ORACLE["dxf_codec_roundtrip"] = _DXF_ORACLE

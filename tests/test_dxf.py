@@ -1,0 +1,90 @@
+"""DXF parity (ogr/ogrsf_frmts/dxf via autotest/ogr/ogr_dxf.py tests
+2-6 on assorted.dxf): ellipse tessellation through the exact
+approximateArcAngles math, point/line/mtext geometry, field mapping,
+and inlined-block INSERT expansion. DIMENSION block rendering is a
+documented deviation (features emitted with None geometry)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from gdal_spark.sources.dxf import approximate_arc_angles, parse_dxf, read_dxf
+
+ASSORTED = "/root/reference/autotest/ogr/data/dxf/assorted.dxf"
+
+
+def _feats():
+    return parse_dxf(open(ASSORTED, encoding="latin-1").read())
+
+
+def _pts(wkt):
+    return np.array(
+        [
+            (float(m.group(1)), float(m.group(2)))
+            for m in re.finditer(r"(-?[\d.]+) (-?[\d.]+)", wkt)
+        ]
+    )
+
+
+def _env_area(wkt):
+    p = _pts(wkt)
+    return (p[:, 0].max() - p[:, 0].min()) * (p[:, 1].max() - p[:, 1].min())
+
+
+def test_dxf_2_first_ellipse():
+    f = _feats()[0]
+    assert f["Layer"] == "0"
+    assert f["SubClasses"] == "AcDbEntity:AcDbEllipse"
+    assert f["Linetype"] == "ByLayer"
+    assert f["EntityHandle"] == "43"
+    assert f["wkt"].startswith("LINESTRING")
+    assert _env_area(f["wkt"]) == pytest.approx(1596.12, abs=0.5)
+    p0 = _pts(f["wkt"])[0]
+    assert p0[0] == pytest.approx(73.25, abs=0.001)
+    assert p0[1] == pytest.approx(139.75, abs=0.001)
+
+
+def test_dxf_3_second_ellipse():
+    f = _feats()[1]
+    p0 = _pts(f["wkt"])[0]
+    assert p0[0] == pytest.approx(61.133, abs=0.01)
+    assert p0[1] == pytest.approx(103.592, abs=0.01)
+
+
+def test_dxf_4_5_6_point_line_mtext():
+    feats = _feats()
+    assert feats[2]["wkt"] == "POINT (83.5 160)"
+    assert feats[3]["wkt"] == "LINESTRING (97 159.5,108.5 132.25)"
+    assert feats[4]["Entity"] == "MTEXT"
+    assert feats[4]["wkt"] == "POINT (84 126)"
+
+
+def test_dxf_insert_expands_block():
+    feats = _feats()
+    star = [f for f in feats if f["Entity"] in ("LINE", "MTEXT")][-7:]
+    kinds = [f["Entity"] for f in star]
+    assert kinds.count("LINE") == 5 and kinds.count("MTEXT") == 2
+    # the star's lines sit near the INSERT point, not at the block origin
+    xs = np.concatenate([_pts(f["wkt"])[:, 0] for f in star if f["wkt"]])
+    assert 75 < xs.mean() < 85
+
+
+def test_arc_angles_circle_closure():
+    pts = approximate_arc_angles(10, 20, 0, 5, 5, 0, 0, 360)
+    assert pts[0] == pts[-1]
+    r = np.hypot(
+        np.array([p[0] for p in pts]) - 10, np.array([p[1] for p in pts]) - 20
+    )
+    assert np.allclose(r, 5.0)
+    # 4-degree default step: ceil(360/4)+1 = 91 vertex count, full-circle
+    # decrement to 90 unique points, +1 closing point (:4839-4841,4916-4920)
+    assert len(pts) == 91
+
+
+def test_read_dxf_distributed(spark):
+    df = read_dxf(spark, [ASSORTED])
+    rows = df.orderBy("fid").collect()
+    assert len(rows) == 17
+    assert rows[2].wkt == "POINT (83.5 160)"
+    assert rows[0].fields["EntityHandle"] == "43"
