@@ -14,7 +14,10 @@ ENTITIES-section subset over this engine's geometry model:
     -atan2(axisY, axisX), ratio * primary = secondary radius;
   * entity fields: Layer (8), SubClasses (100s joined ':'),
     Linetype (6), EntityHandle (5), Text (1), PaperSpace (67);
-  * unsupported entities (SPLINE/INSERT/HATCH/...) still emit a feature
+  * SPLINE via an exact transcription of the intronurbs.cpp rational
+    B-spline kernel (knot/basis/rbasis/rbspline2, p1 = nctrl*8 points,
+    the 5e-6 final-knot guard, the #1969 negative-knot snap);
+  * unsupported entities (HATCH/DIMENSION/...) still emit a feature
     with their fields and a None geometry so feature counts match the
     reference (documented deviation: no spline/ATTRIB tessellation).
 """
@@ -108,6 +111,111 @@ def _bulge_arc(p1, p2, bulge):
         )
         for i in range(1, n - 1)
     ]
+
+
+def _knot_open(n: int, c: int) -> list[float]:
+    """Open uniform knot vector with end multiplicity = order
+    (intronurbs.cpp knot(), 1-indexed like the reference)."""
+    x = [0.0] * (n + c + 1)
+    for i in range(2, n + c + 1):
+        x[i] = x[i - 1] + (1.0 if c < i < n + 2 else 0.0)
+    return x
+
+
+def _basis(c: int, t: float, npts: int, x: list[float]) -> list[float]:
+    """Cox-de-Boor nonrational basis (intronurbs.cpp basis(), including
+    the t==x[nplusc] last-point pickup)."""
+    nplusc = npts + c
+    N = [0.0] * (nplusc + 1)
+    for i in range(1, nplusc):
+        N[i] = 1.0 if x[i] <= t < x[i + 1] else 0.0
+    for k in range(2, c + 1):
+        for i in range(1, nplusc - k + 1):
+            d = e = 0.0
+            if N[i] != 0.0:
+                den = x[i + k - 1] - x[i]
+                if den != 0.0:
+                    d = (t - x[i]) * N[i] / den
+            if N[i + 1] != 0.0:
+                den = x[i + k] - x[i + 1]
+                if den != 0.0:
+                    e = (x[i + k] - t) * N[i + 1] / den
+            N[i] = d + e
+    if t == x[nplusc]:
+        N[npts] = 1.0
+    return N
+
+
+def rbspline2(npts, k, p1, b, h, calc_knots, knots):
+    """Rational B-spline curve points — exact transcription of
+    intronurbs.cpp rbspline2 (Rogers' NURBS code as adapted by the
+    reference): 1-indexed b (x,y,z triplets), h weights, knots; p1
+    output points with the 5e-6 final-knot undershoot guard."""
+    nplusc = npts + k
+    if calc_knots:
+        knots[:] = _knot_open(npts, k)
+    t = knots[1]
+    step = (knots[nplusc] - knots[1]) / (p1 - 1)
+    eps = 5e-6 * (knots[nplusc] - knots[1])
+    out = []
+    for _ in range(p1):
+        if knots[nplusc] - t < eps:
+            t = knots[nplusc]
+        nb = _basis(k, t, npts, knots)
+        s = sum(nb[i] * h[i] for i in range(1, npts + 1))
+        r = [0.0] * (npts + 1)
+        if s != 0.0:
+            for i in range(1, npts + 1):
+                r[i] = nb[i] * h[i] / s
+        pt = [0.0, 0.0, 0.0]
+        for j in range(3):
+            pt[j] = sum(r[i] * b[(i - 1) * 3 + j + 1] for i in range(1, npts + 1))
+        out.append(tuple(pt))
+        t += step
+    return out
+
+
+def _spline_points(codes: dict[int, list[str]]):
+    """TranslateSPLINE + InsertSplineWithChecks (:2156-2292): group-code
+    collection, the -1e-10 knot snap (#1969), count validation, default
+    knots/weights, p1 = nctrl * 8 interpolation."""
+    xs = [float(v) for v in codes.get(10, [])]
+    ys = [float(v) for v in codes.get(20, [])]
+    zs = [float(v) for v in codes.get(30, [])]
+    has_z = 30 in codes and any(z != 0.0 for z in zs)
+    nctrl_read = len(xs)
+    if nctrl_read == 0 or len(ys) != nctrl_read:
+        return None, False
+    if len(zs) != nctrl_read:
+        zs = [0.0] * nctrl_read
+    degree = int(codes.get(71, ["-1"])[0])
+    order = degree + 1
+    if order < 2:
+        return None, False
+    nctrl = int(codes.get(73, [str(nctrl_read)])[0])
+    if nctrl == -1:
+        nctrl = nctrl_read
+    if nctrl < order or nctrl != nctrl_read:
+        return None, False
+    knots = [0.0 if -1e-10 < float(v) < 0 else float(v)
+             for v in codes.get(40, [])]
+    calc_knots = len(knots) == 0
+    if calc_knots:
+        knots = [0.0] * (nctrl + order)
+    nknots = int(codes.get(72, [str(len(knots))])[0])
+    if nknots == -1:
+        nknots = len(knots)
+    if nknots != nctrl + order or nknots != len(knots):
+        return None, False
+    weights = [float(v) for v in codes.get(41, [])]
+    if not weights:
+        weights = [1.0] * nctrl
+    if len(weights) != nctrl:
+        return None, False
+    b = [0.0] + [c for xyz in zip(xs, ys, zs) for c in xyz]
+    h = [0.0] + weights
+    kn = [0.0] + knots
+    return rbspline2(nctrl, order, nctrl * 8, b, h, calc_knots, kn), has_z
 
 
 _FIELD_CODES = {8: "Layer", 6: "Linetype", 5: "EntityHandle", 1: "Text",
@@ -204,6 +312,10 @@ def parse_dxf(text: str) -> list[dict]:
                     gf(10), gf(20), gf(30), prim, sec, rot, s, e
                 )
                 wkt = _wkt("LINESTRING", pts, want_z=gf(30) != 0.0)
+            elif ent == "SPLINE":
+                pts, has_z = _spline_points(codes)
+                if pts is not None:
+                    wkt = _wkt("LINESTRING", pts, want_z=has_z)
             elif ent == "POLYLINE":
                 vs = cur.get("_vertices", [])
                 closed = int(g(70, "0") or 0) & 1

@@ -82,6 +82,73 @@ def test_arc_angles_circle_closure():
     assert len(pts) == 91
 
 
+DXF_DIR = "/root/reference/autotest/ogr/data/dxf"
+
+
+def _spline_wkts(name):
+    feats = parse_dxf(
+        open(f"{DXF_DIR}/{name}.dxf", encoding="latin-1").read()
+    )
+    return [f["wkt"] for f in feats if f["Entity"] == "SPLINE"]
+
+
+def test_dxf_20_spline_qcad():
+    # autotest ogr_dxf.py test 20 expected LINESTRING, first/mid/last
+    # vertices pinned to the reference's printed precision
+    (wkt,) = _spline_wkts("spline_qcad")
+    p = _pts(wkt)
+    assert p.shape[0] == 64  # 8 control points * 8
+    np.testing.assert_allclose(p[0], [10.75, 62.75], atol=1e-12)
+    np.testing.assert_allclose(
+        p[1], [20.6377527691461, 63.4348325014897], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        p[30], [70.6722726127488, 9.40541428211496], atol=1e-10
+    )
+    np.testing.assert_allclose(p[-1], [57.25, 85.5], atol=1e-10)
+
+
+def test_dxf_29_spline_weights():
+    # autotest test 29: same control polygon, three weight settings
+    w1, w2, w05 = _spline_wkts("spline_weight")
+    for wkt in (w1, w2, w05):
+        p = _pts(wkt)
+        assert p.shape[0] == 40
+        np.testing.assert_allclose(p[0], [2, 2], atol=1e-12)
+        np.testing.assert_allclose(p[-1], [6, 2], atol=1e-10)
+    np.testing.assert_allclose(
+        _pts(w1)[13], [3.33333333333333, 3.7037037037037], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        _pts(w2)[13], [3.51351351351351, 4.05405405405405], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        _pts(w05)[13], [3.18181818181818, 3.40909090909091], atol=1e-10
+    )
+
+
+def test_dxf_30_spline_closed_recalc_knots():
+    # autotest test 30: closed spline; explicit-knot and
+    # recalculate-knots variants must produce the identical curve
+    a, b = _spline_wkts("spline_closed")
+    pa, pb = _pts(a), _pts(b)
+    assert pa.shape[0] == 56
+    np.testing.assert_allclose(pa, pb, atol=1e-12)
+    np.testing.assert_allclose(pa[0], [14, 2], atol=1e-12)
+    np.testing.assert_allclose(
+        pa[20], [14.8931253533123, 4.37659666021141], atol=1e-10
+    )
+    np.testing.assert_allclose(pa[-1], [14, 2], atol=1e-10)
+
+
+def test_dxf_spline_negative_knot_snap():
+    # github #1969 fixture: first knot at -1e-300-ish must snap to 0
+    (wkt,) = _spline_wkts("spline_with_very_close_neg_to_zero_knot")
+    p = _pts(wkt)
+    assert p.shape[0] >= 16
+    assert np.isfinite(p).all()
+
+
 def test_read_dxf_distributed(spark):
     df = read_dxf(spark, [ASSORTED])
     rows = df.orderBy("fid").collect()
