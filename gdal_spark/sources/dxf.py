@@ -17,7 +17,12 @@ ENTITIES-section subset over this engine's geometry model:
   * SPLINE via an exact transcription of the intronurbs.cpp rational
     B-spline kernel (knot/basis/rbasis/rbspline2, p1 = nctrl*8 points,
     the 5e-6 final-knot guard, the #1969 negative-knot snap);
-  * unsupported entities (HATCH/DIMENSION/...) still emit a feature
+  * HATCH boundary paths (polyline loops with bulges; line / circular-arc
+    / elliptic-arc / spline edges) assembled through transcriptions of
+    OGRBuildPolygonFromEdges (ograssemblepolygon.cpp, tolerance chaining +
+    auto-close) and organizePolygons METHOD_NORMAL (area-sorted envelope
+    containment nesting);
+  * unsupported entities (DIMENSION/...) still emit a feature
     with their fields and a None geometry so feature counts match the
     reference (documented deviation: no spline/ATTRIB tessellation).
 """
@@ -218,12 +223,417 @@ def _spline_points(codes: dict[int, list[str]]):
     return rbspline2(nctrl, order, nctrl * 8, b, h, calc_knots, kn), has_z
 
 
+# ---------------------------------------------------------------------------
+# HATCH (ogrdxf_hatch.cpp): boundary paths -> edges -> ring assembly
+# (ograssemblepolygon.cpp OGRBuildPolygonFromEdges) -> organizePolygons.
+
+
+class _Cursor:
+    """Sequential ReadValue/UnreadValue over an entity's ordered pairs."""
+
+    def __init__(self, pairs):
+        self.pairs = pairs
+        self.i = 0
+
+    def read(self):
+        if self.i >= len(self.pairs):
+            return None, None
+        c, v = self.pairs[self.i]
+        self.i += 1
+        return c, v
+
+    def unread(self):
+        self.i -= 1
+
+
+def _hatch_polyline_path(cur: _Cursor, elev: float, step: float):
+    """CollectPolylinePath (:600-736): 93 count, 72 bulge flag, 73 closed,
+    10/20/42 vertex state machine, bulge tessellation, close."""
+    pts: list[tuple] = []
+    bulges: list[float] = []
+    have_x = have_y = False
+    x = y = 0.0
+    bulge = 0.0
+    closed = False
+    nvert = -1
+    have_bulges = False
+
+    def add_pt():
+        nonlocal bulge
+        pts.append((x, y))
+        bulges.append(bulge)
+        bulge = 0.0
+
+    while True:
+        if nvert > 0 and len(pts) == nvert:
+            break
+        c, v = cur.read()
+        if c is None:
+            break
+        if c == 93:
+            nvert = int(v)
+        elif c == 72:
+            have_bulges = bool(int(v))
+        elif c == 73:
+            closed = bool(int(v))
+        elif c == 10:
+            if have_x and have_y:
+                add_pt()
+                have_y = False
+            x, have_x = float(v), True
+        elif c == 20:
+            if have_x and have_y:
+                add_pt()
+                have_x = False
+            y, have_y = float(v), True
+            if have_x and not have_bulges:
+                add_pt()
+                have_x = have_y = False
+        elif c == 42:
+            bulge = float(v)
+            if have_x and have_y:
+                add_pt()
+                have_x = have_y = False
+        else:
+            cur.unread()
+            break
+    if have_x and have_y:
+        add_pt()
+    if not pts:
+        return None
+    out = []
+    n = len(pts)
+    ring = pts + ([pts[0]] if closed else [])
+    for j in range(len(ring)):
+        out.append(ring[j])
+        if j < len(ring) - 1 and j < n and bulges[j % n]:
+            out.extend(_bulge_arc(ring[j], ring[j + 1], bulges[j % n]))
+    _hatch_skip_source_objects(cur)
+    if len(out) < 2:
+        return None
+    return [(px, py, elev) for px, py in out] if elev else out
+
+
+def _hatch_skip_source_objects(cur: _Cursor):
+    c, v = cur.read()
+    if c is None:
+        return
+    if c != 97:
+        cur.unread()
+    else:
+        for _ in range(int(v)):
+            cur.read()
+
+
+def _read_seq(cur: _Cursor, codes: list[int]):
+    """Read values for an exact code sequence; None on mismatch."""
+    out = []
+    for want in codes:
+        c, v = cur.read()
+        if c != want:
+            return None
+        out.append(float(v))
+    return out
+
+
+def _ellip_param(ang: float, ratio: float) -> float:
+    """Circular angle -> elliptical parameter (ogrdxf_hatch.cpp:426-438)."""
+    half = math.floor(ang / 180.0 + 0.5)  # C round(): half away from zero
+    if ang < 0 and (ang / 180.0) % 1 == 0.5:
+        half = -math.floor(-ang / 180.0 + 0.5)
+    corr = 0.0
+    if abs(math.fmod(ang, 180.0)) == 90.0:
+        corr = 180.0 if (ang < 0 or (ang == 0 and math.copysign(1, ang) < 0)) else -180.0
+    return (
+        180.0 * half + corr
+        + math.atan((1.0 / ratio) * math.tan(ang * math.pi / 180.0)) * 180.0 / math.pi
+    )
+
+
+def _hatch_edges_path(cur: _Cursor, elev: float, step: float):
+    """Non-polyline loop: 93 edge count, per-edge 72 type dispatch."""
+    c, v = cur.read()
+    if c != 93:
+        return []
+    edges = []
+    for _ in range(int(v)):
+        c, v = cur.read()
+        if c != 72:
+            break
+        et = int(v)
+        if et == 1:  # line
+            vals = _read_seq(cur, [10, 20, 11, 21])
+            if vals is None:
+                break
+            x1, y1, x2, y2 = vals
+            edges.append([(x1, y1, elev), (x2, y2, elev)])
+        elif et == 2:  # circular arc
+            vals = _read_seq(cur, [10, 20, 40, 50, 51])
+            if vals is None:
+                break
+            cx, cy, r, s, e = vals
+            c2, v2 = cur.read()
+            ccw = False
+            if c2 == 73:
+                ccw = int(v2) != 0
+            elif c2 is not None:
+                cur.unread()
+            if s > e:
+                e += 360.0
+            if ccw:
+                s, e = -s, -e
+            if abs(e - s) <= 361.0:
+                pts = approximate_arc_angles(cx, cy, elev, r, r, 0.0, s, e, step)
+                edges.append(pts if elev else [(p[0], p[1]) for p in pts])
+        elif et == 3:  # elliptic arc
+            vals = _read_seq(cur, [10, 20, 11, 21, 40, 50, 51])
+            if vals is None:
+                break
+            cx, cy, mx, my, ratio, s, e = vals
+            if ratio == 0.0:
+                break
+            c2, v2 = cur.read()
+            ccw = False
+            if c2 == 73:
+                ccw = int(v2) != 0
+            elif c2 is not None:
+                cur.unread()
+            if s > e:
+                e += 360.0
+            if ccw:
+                s, e = -s, -e
+            major = math.hypot(mx, my)
+            rot = -math.atan2(my, mx) * 180.0 / math.pi
+            s, e = _ellip_param(s, ratio), _ellip_param(e, ratio)
+            if abs(e - s) <= 361.0:
+                pts = approximate_arc_angles(
+                    cx, cy, elev, major, major * ratio, rot, s, e, step
+                )
+                edges.append(pts if elev else [(p[0], p[1]) for p in pts])
+        elif et == 4:  # spline edge
+            c2, v2 = cur.read()
+            if c2 != 94:
+                break
+            degree = int(v2)
+            if cur.read()[0] != 73 or cur.read()[0] != 74:
+                break
+            c2, v2 = cur.read()
+            if c2 != 95:
+                break
+            nknots = int(v2)
+            c2, v2 = cur.read()
+            if c2 != 96:
+                break
+            nctrl = int(v2)
+            knots, xs, ys, ws = [], [], [], []
+            c2, v2 = cur.read()
+            if c2 != 40:
+                break
+            while c2 == 40:
+                knots.append(v2)
+                c2, v2 = cur.read()
+            if c2 != 10:
+                break
+            while c2 == 10:
+                xs.append(v2)
+                c2, v2 = cur.read()
+                if c2 != 20:
+                    break
+                ys.append(v2)
+                c2, v2 = cur.read()
+                if c2 == 42:
+                    ws.append(v2)
+                    c2, v2 = cur.read()
+            if c2 != 97:
+                break
+            # eat to next 72 / 97
+            c2, v2 = cur.read()
+            while c2 is not None and c2 not in (72, 97):
+                c2, v2 = cur.read()
+            if c2 is not None:
+                cur.unread()
+            codes = {10: xs, 20: ys, 71: [str(degree)],
+                     40: knots, 72: [str(nknots)], 73: [str(nctrl)]}
+            if ws:
+                codes[41] = ws
+            pts, _ = _spline_points(codes)
+            if pts is None:
+                return []
+            edges.append([(p[0], p[1]) for p in pts])
+    _hatch_skip_source_objects(cur)
+    return edges
+
+
+def _close_enough(p, q, tol):
+    if tol == 0:
+        return p[0] == q[0] and p[1] == q[1], 0.0
+    dx, dy = abs(p[0] - q[0]), abs(p[1] - q[1])
+    if dx > tol or dy > tol:
+        return False, tol
+    d = math.hypot(dx, dy)
+    return d < tol, d
+
+
+def _build_rings(edges, tol):
+    """OGRBuildPolygonFromEdges (best-effort, auto-close) transcription."""
+    todo = [e for e in edges if len(e) >= 2]
+    rings = []
+    while todo:
+        ring = list(todo.pop(0))
+        work = True
+        while (
+            not _close_enough(ring[0], ring[-1], 0)[0] and todo and work
+        ):
+            work = False
+            best = tol
+            bi, brev = -1, False
+            for i, e in enumerate(todo):
+                ok, d = _close_enough(e[0], ring[-1], best)
+                if ok:
+                    best, bi, brev = d, i, False
+                    if d == 0.0:
+                        break
+                ok, d = _close_enough(e[-1], ring[-1], best)
+                if ok:
+                    best, bi, brev = d, i, True
+                    if d == 0.0:
+                        break
+            if bi >= 0:
+                e = todo.pop(bi)
+                if brev:
+                    e = e[::-1]
+                if _close_enough(e[0], ring[-1], tol)[0]:
+                    e = e[1:]
+                ring.extend(e)
+                work = True
+        ok0, _ = _close_enough(ring[0], ring[-1], tol)
+        exact = _close_enough(ring[0], ring[-1], 0)[0]
+        if not ok0:
+            ring.append(ring[0])
+        elif not exact:
+            ring[-1] = ring[0]
+        rings.append(ring)
+    return rings
+
+
+def _pt_in_ring(x, y, ring) -> bool:
+    inside = False
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[i + 1][0], ring[i + 1][1]
+        if (y1 <= y) != (y2 <= y):
+            xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if x < xi:
+                inside = not inside
+    return inside
+
+
+def _organize_rings(rings):
+    """organizePolygons METHOD_NORMAL (ogrgeometryfactory.cpp:2286-2450):
+    sort by descending area; ring i can only be inside ring j if env(j)
+    fully contains env(i), area(j) >= area(i), and j strictly contains
+    i's start point; smallest such enclosure wins; enclosed-by-top-level
+    = hole, enclosed-by-hole = island (top-level again). Overlapping
+    same-size rings (envelopes not nested) all stay top-level."""
+    if len(rings) == 1:
+        return [(rings[0], [])]
+    n = len(rings)
+
+    def env(r):
+        xs = [q[0] for q in r]
+        ys = [q[1] for q in r]
+        return min(xs), min(ys), max(xs), max(ys)
+
+    def area(r):
+        s = 0.0
+        for i in range(len(r) - 1):
+            s += r[i][0] * r[i + 1][1] - r[i + 1][0] * r[i][1]
+        return abs(s) / 2.0
+
+    envs = [env(r) for r in rings]
+    areas = [area(r) for r in rings]
+    order = sorted(range(n), key=lambda i: -areas[i])
+    top = [True] * n
+    encl: list = [None] * n
+    for pos in range(1, n):
+        i = order[pos]
+        # candidate enclosures: larger-area rings by increasing area
+        for j in sorted(order[:pos], key=lambda k: areas[k]):
+            ei, ej = envs[i], envs[j]
+            if not (ej[0] <= ei[0] and ej[1] <= ei[1]
+                    and ei[2] <= ej[2] and ei[3] <= ej[3]):
+                continue
+            if areas[j] < areas[i]:
+                continue
+            if _pt_in_ring(rings[i][0][0], rings[i][0][1], rings[j]):
+                if top[j]:
+                    top[i] = False
+                    encl[i] = j
+                break
+    shells = {i: [] for i in range(n) if top[i]}
+    for i in range(n):
+        if not top[i] and encl[i] in shells:
+            shells[encl[i]].append(rings[i])
+    return [(rings[i], shells[i]) for i in sorted(shells)]
+
+
+def _poly_wkt(polys, want_z):
+    def ring_s(r):
+        return "(" + ",".join(
+            f"{_fmt(p[0])} {_fmt(p[1])}" + (f" {_fmt(p[2] if len(p) > 2 else 0.0)}" if want_z else "")
+            for p in r
+        ) + ")"
+
+    if len(polys) == 1:
+        shell, holes = polys[0]
+        return "POLYGON (" + ",".join(ring_s(r) for r in [shell] + holes) + ")"
+    return "MULTIPOLYGON (" + ",".join(
+        "(" + ",".join(ring_s(r) for r in [shell] + holes) + ")"
+        for shell, holes in polys
+    ) + ")"
+
+
+def _parse_hatch(pairs, step=4.0):
+    """TranslateHATCH: 30 elevation, 91 path count, per-path dispatch,
+    edge->ring assembly with the bbox-derived 1e-7 tolerance."""
+    cur = _Cursor(pairs)
+    elev = 0.0
+    edges = []
+    while True:
+        c, v = cur.read()
+        if c is None:
+            break
+        if c == 30:
+            elev = float(v)
+        elif c == 91:
+            for _ in range(int(v)):
+                c2, v2 = cur.read()
+                if c2 != 92:
+                    return None
+                ptype = int(v2)
+                if ptype & 0x02:
+                    pl = _hatch_polyline_path(cur, elev, step)
+                    if pl:
+                        edges.append(pl)
+                else:
+                    edges.extend(_hatch_edges_path(cur, elev, step))
+    if not edges:
+        return None
+    xs = [p[0] for e in edges for p in e]
+    ys = [p[1] for e in edges for p in e]
+    tol = max(max(xs) - min(xs), max(ys) - min(ys)) * 1e-7
+    rings = _build_rings(edges, tol)
+    want_z = any(len(p) > 2 for e in edges for p in e)
+    return _poly_wkt(_organize_rings(rings), want_z)
+
+
 _FIELD_CODES = {8: "Layer", 6: "Linetype", 5: "EntityHandle", 1: "Text",
                 67: "PaperSpace"}
 
 
-def parse_dxf(text: str) -> list[dict]:
-    """-> [{wkt, Layer, SubClasses, ...}] from the ENTITIES section."""
+def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
+    """-> [{wkt, Layer, SubClasses, ...}] from the ENTITIES section.
+    arc_step is the OGR_ARC_STEPSIZE tessellation step in degrees."""
     stream = list(_pairs(text))
     # locate ENTITIES section
     feats: list[dict] = []
@@ -286,7 +696,8 @@ def parse_dxf(text: str) -> list[dict]:
                 wkt = _wkt("LINESTRING", out)
             elif ent == "CIRCLE":
                 pts = approximate_arc_angles(
-                    gf(10), gf(20), gf(30), gf(40), gf(40), 0.0, 0.0, 360.0
+                    gf(10), gf(20), gf(30), gf(40), gf(40), 0.0, 0.0, 360.0,
+                    arc_step,
                 )
                 wkt = _wkt("LINESTRING", pts, want_z=gf(30) != 0.0)
             elif ent == "ARC":
@@ -294,7 +705,7 @@ def parse_dxf(text: str) -> list[dict]:
                 if s > e:
                     e += 360.0
                 pts = approximate_arc_angles(
-                    gf(10), gf(20), gf(30), gf(40), gf(40), 0.0, s, e
+                    gf(10), gf(20), gf(30), gf(40), gf(40), 0.0, s, e, arc_step
                 )
                 wkt = _wkt("LINESTRING", pts, want_z=gf(30) != 0.0)
             elif ent == "ELLIPSE":
@@ -309,13 +720,15 @@ def parse_dxf(text: str) -> list[dict]:
                 if s > e:
                     e += 360.0
                 pts = approximate_arc_angles(
-                    gf(10), gf(20), gf(30), prim, sec, rot, s, e
+                    gf(10), gf(20), gf(30), prim, sec, rot, s, e, arc_step
                 )
                 wkt = _wkt("LINESTRING", pts, want_z=gf(30) != 0.0)
             elif ent == "SPLINE":
                 pts, has_z = _spline_points(codes)
                 if pts is not None:
                     wkt = _wkt("LINESTRING", pts, want_z=has_z)
+            elif ent == "HATCH":
+                wkt = _parse_hatch(cur.get("_seq", []), step=arc_step)
             elif ent == "POLYLINE":
                 vs = cur.get("_vertices", [])
                 closed = int(g(70, "0") or 0) & 1
@@ -401,6 +814,8 @@ def parse_dxf(text: str) -> list[dict]:
                 cur = {"_entity": val}
                 codes = {}
         elif cur is not None:
+            if cur["_entity"] == "HATCH":
+                cur.setdefault("_seq", []).append((code, val))
             if cur["_entity"] == "POLYLINE" and "_vertices" in cur and code in (10, 20, 30):
                 vs = cur["_vertices"]
                 if vs and vs[-1] is None:

@@ -149,6 +149,68 @@ def test_dxf_spline_negative_knot_snap():
     assert np.isfinite(p).all()
 
 
+def _hatch_wkts(name, step=4.0):
+    feats = parse_dxf(
+        open(f"{DXF_DIR}/{name}.dxf", encoding="latin-1").read(),
+        arc_step=step,
+    )
+    return [f["wkt"] for f in feats if f["Entity"] == "HATCH"]
+
+
+def test_dxf_24_hatch_arcs():
+    # autotest test 24 (OGR_ARC_STEPSIZE=45): circular-arc boundary
+    # edges (cw + ccw) and a line-edge triangle
+    h1, h2, h3 = _hatch_wkts("hatch", step=45.0)
+    p1 = _pts(h1)
+    assert h1.startswith("POLYGON")
+    np.testing.assert_allclose(p1[0], [2, 1], atol=1e-12)
+    np.testing.assert_allclose(
+        p1[1], [1.646446609406726, 0.853553390593274], atol=1e-10
+    )
+    assert p1.shape[0] == 17
+    coords = [
+        [float(t) for t in pair.split()[:2]]
+        for pair in h2.strip("POLYGON ()").split(",")
+    ]
+    np.testing.assert_allclose(coords[0], [0, 0], atol=1e-12)
+    np.testing.assert_allclose(
+        coords[1], [-0.353553390593274, 0.146446609406726], atol=1e-10
+    )
+    assert "POLYGON" in h3
+    tri = _pts(h3)[:, :2] if _pts(h3).shape[1] == 2 else _pts(h3)
+    np.testing.assert_allclose(
+        _pts(h3).reshape(-1)[:2], [-1, -1], atol=1e-12
+    )
+
+
+def test_dxf_hatch_as_multipolygon():
+    # disjoint/overlapping polyline-loop hatches stay separate shells
+    (wkt,) = _hatch_wkts("hatch_as_multipolygon")
+    assert wkt.startswith("MULTIPOLYGON")
+    import re as _re
+
+    shells = _re.findall(r"\(\(([^)]*)\)", wkt)
+    assert len(shells) == 5
+    p = _pts(wkt)
+    np.testing.assert_allclose(
+        p[0], [358.626489135389, -3222.17795096722], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        p[-1], [443.941789741891, -3157.62648135038], atol=1e-9
+    )
+
+
+def test_dxf_35_hatch_elliptical_arc():
+    # autotest test 35: elliptical-arc edge with the circular-angle ->
+    # elliptical-parameter transform
+    wkt = _hatch_wkts("elliptical-arc-hatch-min")[0]
+    p = _pts(wkt)
+    np.testing.assert_allclose(p[0], [10.0, 5.0], atol=1e-9)
+    np.testing.assert_allclose(
+        p[1], [10.0121275732481, 0.823574944937595], atol=1e-9
+    )
+
+
 def test_read_dxf_distributed(spark):
     df = read_dxf(spark, [ASSORTED])
     rows = df.orderBy("fid").collect()
