@@ -627,6 +627,75 @@ def _parse_hatch(pairs, step=4.0):
     return _poly_wkt(_organize_rings(rings), want_z)
 
 
+# ---------------------------------------------------------------------------
+# OCS: the Arbitrary Axis Algorithm (ogrdxf_ocstransformer.cpp:51-140).
+
+
+def _ocs_axes(n):
+    """Extrusion direction -> (AX, AY, N) orthonormal OCS basis."""
+    ln = math.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2)
+    if ln:
+        n = (n[0] / ln, n[1] / ln, n[2] / ln)
+    w = (0.0, 1.0, 0.0) if (abs(n[0]) < 1 / 64 and abs(n[1]) < 1 / 64) else (0.0, 0.0, 1.0)
+    ax = (
+        w[1] * n[2] - w[2] * n[1],
+        w[2] * n[0] - w[0] * n[2],
+        w[0] * n[1] - w[1] * n[0],
+    )
+    ln = math.sqrt(ax[0] ** 2 + ax[1] ** 2 + ax[2] ** 2)
+    if ln:
+        ax = (ax[0] / ln, ax[1] / ln, ax[2] / ln)
+    ay = (
+        n[1] * ax[2] - n[2] * ax[1],
+        n[2] * ax[0] - n[0] * ax[2],
+        n[0] * ax[1] - n[1] * ax[0],
+    )
+    ln = math.sqrt(ay[0] ** 2 + ay[1] ** 2 + ay[2] ** 2)
+    if ln:
+        ay = (ay[0] / ln, ay[1] / ln, ay[2] / ln)
+    return ax, ay, n
+
+
+def _ocs_fwd(axes, x, y, z=0.0):
+    ax, ay, n = axes
+    return (
+        x * ax[0] + y * ay[0] + z * n[0],
+        x * ax[1] + y * ay[1] + z * n[1],
+        x * ax[2] + y * ay[2] + z * n[2],
+    )
+
+
+def _ocs_inv(axes, x, y, z=0.0):
+    ax, ay, n = axes
+    return (
+        x * ax[0] + y * ax[1] + z * ax[2],
+        x * ay[0] + y * ay[1] + z * ay[2],
+        x * n[0] + y * n[1] + z * n[2],
+    )
+
+
+def _ocs_wkt(wkt: str, axes) -> str:
+    """Apply the OCS forward transform to every coordinate in a WKT
+    string, preserving the input's 2D/3D dimensionality."""
+    import re as _re
+
+    num = r"-?[\d.]+(?:[eE][-+]?\d+)?"
+
+    def rep(m):
+        parts = m.group(0).split()
+        z = float(parts[2]) if len(parts) > 2 else 0.0
+        x, y, z2 = _ocs_fwd(axes, float(parts[0]), float(parts[1]), z)
+        out = f"{_fmt(x)} {_fmt(y)}"
+        if len(parts) > 2:
+            out += f" {_fmt(z2)}"
+        return out
+
+    return _re.sub(f"{num} {num}(?: {num})?", rep, wkt)
+
+
+_OCS_ENTITIES = {"TEXT", "MTEXT", "SOLID", "3DFACE", "LWPOLYLINE",
+                 "POLYLINE", "CIRCLE", "ARC", "HATCH"}
+
 _FIELD_CODES = {8: "Layer", 6: "Linetype", 5: "EntityHandle", 1: "Text",
                 67: "PaperSpace"}
 
@@ -671,12 +740,29 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
             elif ent in ("TEXT", "MTEXT"):
                 wkt = _wkt("POINT", [(gf(10), gf(20), gf(30))],
                            want_z=gf(30) != 0.0)
-            elif ent == "SOLID":
+            elif ent in ("SOLID", "3DFACE"):
+                want_z = any(gf(c) != 0.0 for c in (30, 31, 32, 33))
                 c = [
-                    (gf(10), gf(20)), (gf(11), gf(21)),
-                    (gf(12), gf(22)), (gf(13), gf(23)),
+                    (gf(10), gf(20), gf(30)), (gf(11), gf(21), gf(31)),
+                    (gf(12), gf(22), gf(32)), (gf(13), gf(23), gf(33)),
                 ]
-                wkt = _wkt("POLYGON", [c[0], c[1], c[3], c[2]])
+                uniq = sorted(set(c))
+                if ent == "3DFACE":
+                    # :2500-2506 — 1-2-3[-4 if distinct from 3], closed
+                    ring = c[:3] + ([c[3]] if c[3] != c[2] else [])
+                    wkt = _wkt("POLYGON", ring, want_z=want_z)
+                elif len(uniq) == 1:
+                    wkt = _wkt("POINT", [uniq[0]], want_z=want_z)
+                elif len(uniq) == 2:
+                    wkt = _wkt("LINESTRING", uniq, want_z=want_z)
+                else:
+                    # SOLID joins corners 1-2-4-3-1 (#7089), skipping
+                    # consecutive duplicates (:2680-2692)
+                    ring = [c[0]]
+                    for q in (c[1], c[3], c[2]):
+                        if q != ring[-1]:
+                            ring.append(q)
+                    wkt = _wkt("POLYGON", ring, want_z=want_z)
             elif ent == "LWPOLYLINE":
                 xs, ys = codes.get(10, []), codes.get(20, [])
                 bulges = codes.get(42, [])
@@ -709,7 +795,20 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
                 )
                 wkt = _wkt("LINESTRING", pts, want_z=gf(30) != 0.0)
             elif ent == "ELLIPSE":
+                cx, cy, cz = gf(10), gf(20), gf(30)
                 ax, ay, az = gf(11), gf(21), gf(31)
+                # ELLIPSE stores WCS coords; under an extrusion the
+                # reference inverse-transforms center + axis into the OCS
+                # plane, tessellates there, then forward-transforms the
+                # curve (ogrdxflayer.cpp:1960-2032)
+                axes = None
+                n = (gf(210), gf(220), gf(230, 1.0))
+                if n != (0.0, 0.0, 1.0) and (
+                    210 in codes or 220 in codes or 230 in codes
+                ):
+                    axes = _ocs_axes(n)
+                    cx, cy, cz = _ocs_inv(axes, cx, cy, cz)
+                    ax, ay, az = _ocs_inv(axes, ax, ay, az)
                 prim = math.sqrt(ax * ax + ay * ay + az * az)
                 sec = gf(40) * prim
                 rot = -math.atan2(ay, ax) * 180.0 / math.pi
@@ -720,9 +819,11 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
                 if s > e:
                     e += 360.0
                 pts = approximate_arc_angles(
-                    gf(10), gf(20), gf(30), prim, sec, rot, s, e, arc_step
+                    cx, cy, cz, prim, sec, rot, s, e, arc_step
                 )
                 wkt = _wkt("LINESTRING", pts, want_z=gf(30) != 0.0)
+                if axes is not None:
+                    wkt = _ocs_wkt(wkt, axes)
             elif ent == "SPLINE":
                 pts, has_z = _spline_points(codes)
                 if pts is not None:
@@ -742,6 +843,21 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
                     )
         except (ValueError, IndexError, ZeroDivisionError):
             wkt = None
+        # OCS extrusion (210/220/230): applied to the OCS-coordinate
+        # entity set, matching the reference's ApplyOCSTransformer call
+        # sites (text :883, lwpolyline :1276, 2D polyline :1530, circle
+        # :1878, arc :2123, 3dface :2508, solid :2704, hatch); ELLIPSE
+        # handles its own inverse/forward pair above
+        if (
+            wkt is not None
+            and ent in _OCS_ENTITIES
+            and (210 in codes or 220 in codes or 230 in codes)
+        ):
+            n = (gf(210), gf(220), gf(230, 1.0))
+            if n != (0.0, 0.0, 1.0) and not (
+                ent == "POLYLINE" and int(g(70, "0") or 0) & 8
+            ):
+                wkt = _ocs_wkt(wkt, _ocs_axes(n))
         fields.setdefault("Layer", "0")
         fields.setdefault("Linetype", "ByLayer")
         if ent == "INSERT":

@@ -211,6 +211,24 @@ def test_dxf_35_hatch_elliptical_arc():
     )
 
 
+def test_dxf_25_3dface():
+    feats = parse_dxf(open(f"{DXF_DIR}/3dface.dxf", encoding="latin-1").read())
+    assert feats[0]["wkt"] == "POLYGON ((10 20 30,11 21 31,12 22 32,10 20 30))"
+    assert feats[1]["wkt"] == (
+        "POLYGON ((10 20 30,11 21 31,12 22 32,13 23 33,10 20 30))"
+    )
+
+
+def test_dxf_26_solid_ocs():
+    # autotest test 26 (#5380): SOLID under a (0,0,-1) extrusion — the
+    # OCS arbitrary-axis transform must flip x
+    feats = parse_dxf(open(f"{DXF_DIR}/solid.dxf", encoding="latin-1").read())
+    assert feats[0]["wkt"] == (
+        "POLYGON ((2.716846 2.762514,2.393674 1.647962,4.391042 1.06881,"
+        "4.714214 2.183362,2.716846 2.762514))"
+    )
+
+
 def test_read_dxf_distributed(spark):
     df = read_dxf(spark, [ASSORTED])
     rows = df.orderBy("fid").collect()
