@@ -22,9 +22,12 @@ ENTITIES-section subset over this engine's geometry model:
     OGRBuildPolygonFromEdges (ograssemblepolygon.cpp, tolerance chaining +
     auto-close) and organizePolygons METHOD_NORMAL (area-sorted envelope
     containment nesting);
-  * unsupported entities (DIMENSION/...) still emit a feature
-    with their fields and a None geometry so feature counts match the
-    reference (documented deviation: no spline/ATTRIB tessellation).
+  * WIPEOUT boundary polygons (#11022 vertex mapping);
+  * entities the reference translates but this engine doesn't render
+    (DIMENSION/LEADER/MLINE/...) emit a feature with fields and a None
+    geometry so FIDs stay aligned; entities the reference IGNORES
+    (VIEWPORT/SEQEND/...) are skipped, matching its feature counts
+    (documented deviation: no dimension-block rendering).
 """
 
 from __future__ import annotations
@@ -693,8 +696,18 @@ def _ocs_wkt(wkt: str, axes) -> str:
     return _re.sub(f"{num} {num}(?: {num})?", rep, wkt)
 
 
-_OCS_ENTITIES = {"TEXT", "MTEXT", "SOLID", "3DFACE", "LWPOLYLINE",
+_OCS_ENTITIES = {"TEXT", "MTEXT", "SOLID", "TRACE", "3DFACE", "LWPOLYLINE",
                  "POLYLINE", "CIRCLE", "ARC", "HATCH"}
+
+# the reference's translated entity set (GetNextUnfilteredFeature
+# dispatch, ogrdxflayer.cpp:3680-3795); anything else is skipped with
+# no feature emitted, exactly like the reference's "Ignoring entity"
+_EMITTED_ENTITIES = {
+    "POINT", "MTEXT", "TEXT", "ATTDEF", "LINE", "POLYLINE", "LWPOLYLINE",
+    "MLINE", "CIRCLE", "ELLIPSE", "ARC", "SPLINE", "HELIX", "3DFACE",
+    "INSERT", "DIMENSION", "HATCH", "SOLID", "TRACE", "LEADER", "MLEADER",
+    "MULTILEADER", "WIPEOUT",
+}
 
 _FIELD_CODES = {8: "Layer", 6: "Linetype", 5: "EntityHandle", 1: "Text",
                 67: "PaperSpace"}
@@ -740,7 +753,7 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
             elif ent in ("TEXT", "MTEXT"):
                 wkt = _wkt("POINT", [(gf(10), gf(20), gf(30))],
                            want_z=gf(30) != 0.0)
-            elif ent in ("SOLID", "3DFACE"):
+            elif ent in ("SOLID", "TRACE", "3DFACE"):
                 want_z = any(gf(c) != 0.0 for c in (30, 31, 32, 33))
                 c = [
                     (gf(10), gf(20), gf(30)), (gf(11), gf(21), gf(31)),
@@ -824,12 +837,29 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
                 wkt = _wkt("LINESTRING", pts, want_z=gf(30) != 0.0)
                 if axes is not None:
                     wkt = _ocs_wkt(wkt, axes)
-            elif ent == "SPLINE":
+            elif ent in ("SPLINE", "HELIX"):
                 pts, has_z = _spline_points(codes)
                 if pts is not None:
                     wkt = _wkt("LINESTRING", pts, want_z=has_z)
             elif ent == "HATCH":
                 wkt = _parse_hatch(cur.get("_seq", []), step=arc_step)
+            elif ent == "WIPEOUT":
+                # TranslateWIPEOUT (:2864-2980, #11022): insertion point,
+                # u/v vector scales, boundary vertices mapped
+                # (xoff+(0.5+x)*xs, yoff+(0.5-y)*ys), closed polygon;
+                # point format 1 unsupported -> no geometry
+                if int(g(71, "0") or 0) != 1:
+                    xoff, yoff = gf(10), gf(20)
+                    xs_, ys_ = gf(11, 1.0), gf(22, 1.0)
+                    ring = [(xoff, yoff)] + [
+                        (
+                            xoff + (0.5 + float(x)) * xs_,
+                            yoff + (0.5 - float(y)) * ys_,
+                        )
+                        for x, y in zip(codes.get(14, []), codes.get(24, []))
+                    ]
+                    if len(ring) >= 2:
+                        wkt = _wkt("POLYGON", ring)
             elif ent == "POLYLINE":
                 vs = cur.get("_vertices", [])
                 closed = int(g(70, "0") or 0) & 1
@@ -878,7 +908,7 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
                 if bf["wkt"] is not None:
                     out["wkt"] = _transform_wkt(bf["wkt"], tfm)
                 target.append(out)
-        else:
+        elif ent in _EMITTED_ENTITIES:
             target.append({"wkt": wkt, "Entity": ent, **fields})
         cur, codes = None, {}
 

@@ -229,6 +229,21 @@ def test_dxf_26_solid_ocs():
     )
 
 
+def test_dxf_read_wipeout():
+    # autotest #11022: boundary vertices mapped through the insertion
+    # point + u/v scales; ignored entities (VIEWPORT) emit no feature
+    feats = parse_dxf(open(f"{DXF_DIR}/wipeout.dxf", encoding="latin-1").read())
+    assert [f["Entity"] for f in feats] == ["WIPEOUT", "WIPEOUT"]
+    p = _pts(feats[0]["wkt"])
+    np.testing.assert_allclose(
+        p[0], [448381.028869725, 6913933.17804321], atol=1e-7
+    )
+    np.testing.assert_allclose(
+        p[2], [448380.807997101, 6913933.38119118], atol=1e-7
+    )
+    assert p.shape[0] == 7
+
+
 def test_read_dxf_distributed(spark):
     df = read_dxf(spark, [ASSORTED])
     rows = df.orderBy("fid").collect()
