@@ -696,6 +696,229 @@ def _ocs_wkt(wkt: str, axes) -> str:
     return _re.sub(f"{num} {num}(?: {num})?", rep, wkt)
 
 
+def _merge_wkts(wkts: list[str]) -> str | None:
+    """SimplifyBlockGeometry: same-kind geometries promote to the Multi
+    form, mixed kinds to a collection, one geometry stays itself."""
+    if not wkts:
+        return None
+    if len(wkts) == 1:
+        return wkts[0]
+    kinds = {w.split("(", 1)[0].strip() for w in wkts}
+    bodies = [w[w.index("("):] for w in wkts]
+    if kinds == {"LINESTRING"}:
+        return "MULTILINESTRING (" + ",".join(bodies) + ")"
+    if kinds == {"POLYGON"}:
+        return "MULTIPOLYGON (" + ",".join(bodies) + ")"
+    if kinds == {"POINT"}:
+        return "MULTIPOINT (" + ",".join(bodies) + ")"
+    return "GEOMETRYCOLLECTION (" + ",".join(wkts) + ")"
+
+
+# AutoCAD defaults (ogr_autocad_services.cpp ACGetDimStylePropertyDefault)
+_DIMSTYLE_DEFAULTS = {
+    "DIMSCALE": 1.0, "DIMASZ": 0.18, "DIMEXO": 0.0625, "DIMEXE": 0.18,
+    "DIMSE1": 0, "DIMSE2": 0, "DIMTAD": 0, "DIMTXT": 0.18, "DIMGAP": 0.09,
+    "DIMDEC": 4,
+}
+_DIMSTYLE_CODES = {40: "DIMSCALE", 41: "DIMASZ", 42: "DIMEXO", 44: "DIMEXE",
+                   75: "DIMSE1", 76: "DIMSE2", 77: "DIMTAD", 140: "DIMTXT",
+                   147: "DIMGAP", 271: "DIMDEC"}
+
+
+def _text_unescape(s: str, mtext: bool = True) -> str:
+    """ACTextUnescape (ogr_autocad_services.cpp:18-209): pass 1 resolves
+    %%c/%%d/%%p symbols and ^-control escapes; pass 2 (MTEXT and
+    DIMENSION text) resolves \\P newline, \\~ space, \\U+XXXX, strips
+    {} grouping and inline \\W/\\T/\\f... formatting codes, and keeps
+    \\\\ / \\{ / \\} character escapes."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        low3 = s[i:i + 3].lower()
+        if c == "^" and i + 1 < n:
+            nxt = s[i + 1]
+            out.append("^" if nxt == " " else chr(ord(nxt.upper()) ^ 0x40))
+            i += 2
+        elif low3 == "%%c":
+            out.append("⌀")
+            i += 3
+        elif low3 == "%%d":
+            out.append("°")
+            i += 3
+        elif low3 == "%%p":
+            out.append("±")
+            i += 3
+        elif not mtext and low3 in ("%%u", "%%o", "%%k"):
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    if not mtext:
+        return "".join(out)
+    s = "".join(out)
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        nxt = s[i + 1] if i + 1 < n else ""
+        if c == "\\" and nxt == "P":
+            out.append("\n")
+            i += 2
+        elif c == "\\" and nxt == "~":
+            out.append(" ")
+            i += 2
+        elif c == "\\" and nxt == "U" and s[i + 2:i + 3] == "+" \
+                and len(s) - i >= 7:
+            try:
+                out.append(chr(int(s[i + 3:i + 7], 16)))
+            except ValueError:
+                pass
+            i += 7
+        elif c in "{}":
+            i += 1
+        elif c == "\\" and nxt in "WTAHFfCcQp":
+            j = s.find(";", i)
+            i = n if j < 0 else j + 1
+        elif c == "\\" and nxt in "KkLlOo":
+            i += 2
+        elif c == "\\" and nxt == "S":
+            i += 2
+            while i < n and s[i] != ";":
+                if s[i] == "\\" and i + 1 < n and s[i + 1] in "^/#~":
+                    out.append(s[i + 1])
+                    i += 2
+                else:
+                    if s[i] not in "^/#~":
+                        out.append(s[i])
+                    i += 1
+            if i < n:
+                i += 1
+        elif c == "\\" and nxt in "\\{}":
+            out.append(nxt)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _dimstyle_overrides(seq) -> dict:
+    """1001 ACAD / DSTYLE XDATA overrides (ogrdxf_dimension.cpp:138-157):
+    each 1070 group carries a DIMSTYLE table group code, the following
+    1005/1040/1070 group carries its value."""
+    out = {}
+    ready = False
+    i = 0
+    while i < len(seq):
+        code, val = seq[i]
+        if code == 1001:
+            ready = val.strip().upper() == "ACAD"
+        elif code == 1070 and ready and i + 1 < len(seq) \
+                and seq[i + 1][0] in (1005, 1040, 1070):
+            # the reference consumes the value group for every AutoCAD
+            # dimstyle code (ACGetDimStylePropertyName knows them all);
+            # we consume unconditionally and store the subset we model
+            try:
+                prop = _DIMSTYLE_CODES.get(int(val))
+            except ValueError:
+                prop = None
+            if prop:
+                out[prop] = seq[i + 1][1]
+            i += 1
+        i += 1
+    return out
+
+
+def _arrowhead_wkt(p1, p2, scale):
+    """GenerateDefaultArrowhead (ogrdxf_leader.cpp): solid wedge at p1
+    pointing along p1->p2, scale = arrowhead size / segment length."""
+    parx, pary = scale * (p2[0] - p1[0]), scale * (p2[1] - p1[1])
+    perpx, perpy = pary, -parx
+    ring = [
+        (p1[0] + parx + perpx / 6, p1[1] + pary + perpy / 6),
+        (p1[0], p1[1]),
+        (p1[0] + parx - perpx / 6, p1[1] + pary - perpy / 6),
+    ]
+    return _wkt("POLYGON", ring)
+
+
+def _dimension_features(codes, dimstyle, fields):
+    """TranslateDIMENSION fallback renderer (ogrdxf_dimension.cpp:190-440):
+    arrow2 from the vec1/vec2 line intersection, main + extension lines
+    as MULTILINESTRING, conditional default arrowheads, '<>' label with
+    the DIMDEC-formatted distance. Returns features in the reference's
+    pending-queue order: [mls, arrowhead*, label]."""
+    # code 1 is consumed as osText, never TranslateGenericProperty'd
+    fields = {k: v for k, v in fields.items() if k != "Text"}
+    gf = lambda c, d=0.0: float(codes.get(c, [d])[0] or d)  # noqa: E731
+    a1 = (gf(10), gf(20))
+    txt_pt = (gf(11), gf(21))
+    t2 = (gf(13), gf(23))
+    t1 = (gf(14), gf(24))
+    v1x, v1y = a1[0] - t1[0], a1[1] - t1[1]
+    ln = math.hypot(v1x, v1y)
+    if ln > 0:
+        v1x, v1y = v1x / ln, v1y / ln
+    if v1x == 0.0 and v1y == 0.0:
+        a2 = t2
+    elif v1x == 0.0:
+        a2 = (t2[0], a1[1])
+    elif v1y == 0.0:
+        a2 = (a1[0], t2[1])
+    else:
+        m1 = v1y / v1x
+        b1 = t2[1] - m1 * t2[0]
+        m2 = -v1x / v1y  # vec2 = (v1y, -v1x)
+        b2 = a1[1] - m2 * a1[0]
+        x = (b2 - b1) / (m1 - m2)
+        a2 = (x, m2 * x + b2)
+
+    scale = float(dimstyle.get("DIMSCALE", 1.0))
+    asz = float(dimstyle.get("DIMASZ", 0.18)) * scale
+    exo = float(dimstyle.get("DIMEXO", 0.0625))
+    exe = float(dimstyle.get("DIMEXE", 0.18))
+    lines = [[a1, a2]]
+    heads = []
+    seg = math.hypot(a2[0] - a1[0], a2[1] - a1[1])
+    for p1, p2 in ((a1, a2), (a2, a1)):
+        if asz > 0.0 and seg > 0.0 and asz <= 0.5 * seg:
+            heads.append(_arrowhead_wkt(p1, p2, asz / seg))
+    for tgt, arr, want in (
+        (t1, a1, int(float(dimstyle.get("DIMSE1", 0))) == 0),
+        (t2, a2, int(float(dimstyle.get("DIMSE2", 0))) == 0),
+    ):
+        ext = [
+            (tgt[0] + v1x * exo, tgt[1] + v1y * exo),
+            (arr[0] + v1x * exe, arr[1] + v1y * exe),
+        ]
+        if want and (ext[0] != ext[1]):
+            lines.append(ext)
+    bodies = [_wkt("LINESTRING", ps)[len("LINESTRING "):] for ps in lines]
+    out = [
+        {
+            "wkt": "MULTILINESTRING (" + ",".join(bodies) + ")",
+            "Entity": "DIMENSION",
+            **fields,
+        }
+    ]
+    for h in heads:
+        out.append({"wkt": h, "Entity": "DIMENSION", **fields})
+    text = codes.get(1, [""])[0] or ""
+    if text == " ":
+        return out
+    if not text:
+        text = "<>"
+    if "<>" in text:
+        prec = max(0, min(20, int(float(dimstyle.get("DIMDEC", 4)))))
+        text = text.replace("<>", f"{seg:.{prec}f}", 1)
+    out.append(
+        {"wkt": _wkt("POINT", [txt_pt]), "Entity": "DIMENSION",
+         **{**fields, "Text": _text_unescape(text)}}
+    )
+    return out
+
+
 _OCS_ENTITIES = {"TEXT", "MTEXT", "SOLID", "TRACE", "3DFACE", "LWPOLYLINE",
                  "POLYLINE", "CIRCLE", "ARC", "HATCH"}
 
@@ -713,9 +936,12 @@ _FIELD_CODES = {8: "Layer", 6: "Linetype", 5: "EntityHandle", 1: "Text",
                 67: "PaperSpace"}
 
 
-def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
+def parse_dxf(
+    text: str, arc_step: float = 4.0, merge_blocks: bool = True
+) -> list[dict]:
     """-> [{wkt, Layer, SubClasses, ...}] from the ENTITIES section.
-    arc_step is the OGR_ARC_STEPSIZE tessellation step in degrees."""
+    arc_step is the OGR_ARC_STEPSIZE tessellation step in degrees;
+    merge_blocks mirrors DXF_MERGE_BLOCK_GEOMETRIES (default TRUE)."""
     stream = list(_pairs(text))
     # locate ENTITIES section
     feats: list[dict] = []
@@ -892,7 +1118,13 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
         fields.setdefault("Linetype", "ByLayer")
         if ent == "INSERT":
             # inlined-blocks mode: emit the block's features transformed
-            # by the insertion point / scales / rotation
+            # by the insertion point / scales / rotation.  With
+            # merge_blocks (DXF_MERGE_BLOCK_GEOMETRIES default TRUE,
+            # InsertBlockInline ogrdxflayer.cpp:3063-3330) all non-label
+            # geometries collapse into ONE feature via
+            # SimplifyBlockGeometry; TEXT/MTEXT labels and
+            # geometry-less features stay separate, layer-0
+            # subfeatures take the INSERT's layer and EntityHandle.
             name = g(2)
             ix, iy = gf(10), gf(20)
             sx, sy = gf(41, 1.0) or 1.0, gf(42, 1.0) or 1.0
@@ -903,16 +1135,53 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
                 x, y = x * sx, y * sy
                 return (x * cr - y * sr + ix, x * sr + y * cr + iy)
 
+            merged: list[str] = []
+            extras: list[dict] = []
             for bf in blocks.get(name, []):
                 out = dict(bf)
                 if bf["wkt"] is not None:
                     out["wkt"] = _transform_wkt(bf["wkt"], tfm)
-                target.append(out)
+                is_label = out.get("Entity") in ("TEXT", "MTEXT")
+                if merge_blocks and out["wkt"] is not None and not is_label:
+                    merged.append(out["wkt"])
+                    continue
+                if out.get("Layer", "0") == "0" and fields.get("Layer"):
+                    out["Layer"] = fields["Layer"]
+                if fields.get("EntityHandle"):
+                    out["EntityHandle"] = fields["EntityHandle"]
+                extras.append(out)
+            if merged:
+                target.append(
+                    {"wkt": _merge_wkts(merged), "Entity": "INSERT", **fields}
+                )
+            target.extend(extras)
+        elif ent == "DIMENSION":
+            # TranslateDIMENSION (ogrdxf_dimension.cpp:40-190): a valid
+            # anonymous block (code 2) is inlined un-merged at identity
+            # transform; otherwise the fallback renderer draws the
+            # dimension from code 10/13/14 + DIMSTYLE properties (code 3
+            # table entry layered under 1001 ACAD DSTYLE overrides).
+            name = g(2)
+            if name and name in blocks:
+                for bf in blocks[name]:
+                    out = dict(bf)
+                    if out.get("Layer", "0") == "0" and fields.get("Layer"):
+                        out["Layer"] = fields["Layer"]
+                    if fields.get("EntityHandle"):
+                        out["EntityHandle"] = fields["EntityHandle"]
+                    target.append(out)
+            else:
+                style = dict(_DIMSTYLE_DEFAULTS)
+                style.update(dimstyles.get((g(3) or "").upper(), {}))
+                style.update(_dimstyle_overrides(cur.get("_seq", [])))
+                target.extend(_dimension_features(codes, style, fields))
         elif ent in _EMITTED_ENTITIES:
             target.append({"wkt": wkt, "Entity": ent, **fields})
         cur, codes = None, {}
 
     blocks: dict[str, list[dict]] = {}
+    dimstyles: dict[str, dict] = {}
+    dimstyle_cur: dict | None = None
     section = None
     block_name = None
     target = feats
@@ -922,6 +1191,20 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
         if code == 0 and val == "SECTION":
             if i < len(stream) and stream[i][0] == 2:
                 section = stream[i][1]
+            continue
+        if section == "TABLES":
+            # DIMSTYLE table entries (ReadDimStyleDefinition,
+            # ogrdxfdatasource.cpp): name at code 2, properties by the
+            # DIMSTYLE group codes; the table header (2 DIMSTYLE after
+            # 0 TABLE) never opens an entry because its name group
+            # arrives before any 0 DIMSTYLE record.
+            if code == 0:
+                dimstyle_cur = {} if val == "DIMSTYLE" else None
+            elif dimstyle_cur is not None:
+                if code == 2:
+                    dimstyles[val.upper()] = dimstyle_cur
+                elif code in _DIMSTYLE_CODES:
+                    dimstyle_cur[_DIMSTYLE_CODES[code]] = val
             continue
         if section == "BLOCKS":
             if code == 0 and val == "BLOCK":
@@ -960,7 +1243,7 @@ def parse_dxf(text: str, arc_step: float = 4.0) -> list[dict]:
                 cur = {"_entity": val}
                 codes = {}
         elif cur is not None:
-            if cur["_entity"] == "HATCH":
+            if cur["_entity"] in ("HATCH", "DIMENSION"):
                 cur.setdefault("_seq", []).append((code, val))
             if cur["_entity"] == "POLYLINE" and "_vertices" in cur and code in (10, 20, 30):
                 vs = cur["_vertices"]

@@ -1,8 +1,10 @@
 """DXF parity (ogr/ogrsf_frmts/dxf via autotest/ogr/ogr_dxf.py tests
-2-6 on assorted.dxf): ellipse tessellation through the exact
-approximateArcAngles math, point/line/mtext geometry, field mapping,
-and inlined-block INSERT expansion. DIMENSION block rendering is a
-documented deviation (features emitted with None geometry)."""
+2-6/9/46/47 on assorted.dxf + dimension fixtures): ellipse
+tessellation through the exact approximateArcAngles math,
+point/line/mtext geometry, field mapping, merged-block INSERT
+(SimplifyBlockGeometry), and the DIMENSION fallback renderer
+(DIMSTYLE table + XDATA DSTYLE overrides, default arrowheads,
+ACTextUnescape'd '<>' labels)."""
 
 import re
 
@@ -60,14 +62,97 @@ def test_dxf_4_5_6_point_line_mtext():
     assert feats[4]["wkt"] == "POINT (84 126)"
 
 
-def test_dxf_insert_expands_block():
+def test_dxf_insert_merges_block():
+    """ogr_dxf_9: merged-block INSERT — the STAR block's five LINEs
+    collapse into one MULTILINESTRING on the INSERT feature; the two
+    MTEXT labels stay separate and inherit the INSERT's handle."""
     feats = _feats()
+    ins = [f for f in feats if f["Entity"] == "INSERT"]
+    assert len(ins) == 1
+    assert ins[0]["EntityHandle"] == "55"
+    got = _pts(ins[0]["wkt"])
+    exp = _pts(
+        "MULTILINESTRING ((79.069506278985116 121.003652476272777,"
+        "79.716898725419625 118.892590150942851),(79.716898725419625"
+        " 118.892590150942851,78.140638855839953 120.440702522851453),"
+        "(78.140638855839953 120.440702522851453,80.139111190485622"
+        " 120.328112532167196),(80.139111190485622 120.328112532167196,"
+        "78.619146316248077 118.920737648613908),(78.619146316248077"
+        " 118.920737648613908,79.041358781314059 120.975504978601705))"
+    )
+    np.testing.assert_allclose(got, exp, atol=1e-9)
+    labels = [f for f in feats if f["Entity"] == "MTEXT"][-2:]
+    assert [f["EntityHandle"] for f in labels] == ["55", "55"]
+    np.testing.assert_allclose(
+        _pts(labels[0]["wkt"])[0],
+        [77.602201427662891, 120.775897075866169], atol=1e-9,
+    )
+
+
+def test_dxf_insert_unmerged_mode():
+    """DXF_MERGE_BLOCK_GEOMETRIES=FALSE path: each block entity stays
+    its own feature, transformed to the INSERT point."""
+    feats = parse_dxf(
+        open(ASSORTED, encoding="latin-1").read(), merge_blocks=False
+    )
     star = [f for f in feats if f["Entity"] in ("LINE", "MTEXT")][-7:]
     kinds = [f["Entity"] for f in star]
     assert kinds.count("LINE") == 5 and kinds.count("MTEXT") == 2
     # the star's lines sit near the INSERT point, not at the block origin
     xs = np.concatenate([_pts(f["wkt"])[:, 0] for f in star if f["wkt"]])
     assert 75 < xs.mean() < 85
+
+
+DIMONLY = "/root/reference/autotest/ogr/data/dxf/dimension-entities-only.dxf"
+
+
+def test_dxf_47_dimension_fallback():
+    """ogr_dxf_47: DIMENSION fallback renderer — default style, XDATA
+    DSTYLE overrides, and custom DIMSTYLE table entry; each DIMENSION
+    emits [MULTILINESTRING, arrowhead*, label] with the DIMDEC-formatted
+    '<>' substitution and ACTextUnescape'd text."""
+    feats = parse_dxf(open(DIMONLY, encoding="latin-1").read())
+    assert [f["Entity"] for f in feats] == ["DIMENSION"] * 12
+    assert feats[0]["wkt"] == (
+        "MULTILINESTRING ((320010 5820010.250872585,"
+        "320000 5820010.250872585),(320010 5820010.0625,"
+        "320010 5820010.430872585),(320000 5820010.0625,"
+        "320000 5820010.430872585))"
+    )
+    np.testing.assert_allclose(
+        _pts(feats[1]["wkt"]),
+        _pts("POLYGON ((320009.82 5820010.28087259,320010.0"
+             " 5820010.25087258,320009.82 5820010.22087258,"
+             "320009.82 5820010.28087259))"), atol=1e-8,
+    )
+    assert feats[3]["Text"] == "10.0000"
+    assert feats[3]["wkt"] == "POINT (320005 5820010.250872585)"
+    # XDATA DSTYLE overrides: DIMSCALE 1.2, DIMASZ 1.25, DIMDEC 1
+    assert feats[4]["wkt"] == "MULTILINESTRING ((320005 5820005,320000 5820010))"
+    np.testing.assert_allclose(
+        _pts(feats[5]["wkt"]),
+        _pts("POLYGON ((320004.116116524 5820006.23743687,320005 5820005,"
+             "320003.762563133 5820005.88388348,"
+             "320004.116116524 5820006.23743687))"), atol=1e-8,
+    )
+    assert feats[7]["Text"] == "7.1"
+    # custom DIMSTYLE: DIMEXO 0.1, DIMEXE 0.5
+    assert feats[8]["wkt"] == (
+        "MULTILINESTRING ((320000 5820001.5,320005 5820001.5),"
+        "(320000 5820002.4,320000 5820001),(320005 5820002.4,320005 5820001))"
+    )
+    assert feats[11]["Text"] == "±2 3\n\\P4 5.0000"
+    assert feats[11]["wkt"] == "POINT (320001.5 5820001.5)"
+
+
+def test_dxf_9_dimension_feature_order():
+    """assorted.dxf FID alignment: three DIMENSIONs at features 7-18
+    (each MLS + 2 arrowheads + label), merged INSERT at 19."""
+    feats = _feats()
+    assert [f["Entity"] for f in feats[7:19]] == ["DIMENSION"] * 12
+    assert feats[19]["Entity"] == "INSERT"
+    assert feats[10]["wkt"].startswith("POINT")
+    assert feats[7]["wkt"].startswith("MULTILINESTRING")
 
 
 def test_arc_angles_circle_closure():
@@ -233,7 +318,9 @@ def test_dxf_read_wipeout():
     # autotest #11022: boundary vertices mapped through the insertion
     # point + u/v scales; ignored entities (VIEWPORT) emit no feature
     feats = parse_dxf(open(f"{DXF_DIR}/wipeout.dxf", encoding="latin-1").read())
-    assert [f["Entity"] for f in feats] == ["WIPEOUT", "WIPEOUT"]
+    # the WIPEOUTs sit inside INSERTed blocks: merged-block mode emits
+    # them as the INSERT features (geometry golden unchanged)
+    assert [f["Entity"] for f in feats] == ["INSERT", "INSERT"]
     p = _pts(feats[0]["wkt"])
     np.testing.assert_allclose(
         p[0], [448381.028869725, 6913933.17804321], atol=1e-7
@@ -247,6 +334,6 @@ def test_dxf_read_wipeout():
 def test_read_dxf_distributed(spark):
     df = read_dxf(spark, [ASSORTED])
     rows = df.orderBy("fid").collect()
-    assert len(rows) == 17
+    assert len(rows) == 22
     assert rows[2].wkt == "POINT (83.5 160)"
     assert rows[0].fields["EntityHandle"] == "43"
