@@ -718,11 +718,13 @@ def _merge_wkts(wkts: list[str]) -> str | None:
 _DIMSTYLE_DEFAULTS = {
     "DIMSCALE": 1.0, "DIMASZ": 0.18, "DIMEXO": 0.0625, "DIMEXE": 0.18,
     "DIMSE1": 0, "DIMSE2": 0, "DIMTAD": 0, "DIMTXT": 0.18, "DIMGAP": 0.09,
-    "DIMDEC": 4,
+    "DIMCLRD": 0, "DIMCLRT": 0, "DIMDEC": 4, "DIMLDRBLK": "",
 }
+# the 13 codes of ACGetDimStylePropertyName (ogr_autocad_services.cpp:501)
 _DIMSTYLE_CODES = {40: "DIMSCALE", 41: "DIMASZ", 42: "DIMEXO", 44: "DIMEXE",
                    75: "DIMSE1", 76: "DIMSE2", 77: "DIMTAD", 140: "DIMTXT",
-                   147: "DIMGAP", 271: "DIMDEC"}
+                   147: "DIMGAP", 176: "DIMCLRD", 178: "DIMCLRT",
+                   271: "DIMDEC", 341: "DIMLDRBLK"}
 
 
 def _text_unescape(s: str, mtext: bool = True) -> str:
@@ -814,18 +816,18 @@ def _dimstyle_overrides(seq) -> dict:
         code, val = seq[i]
         if code == 1001:
             ready = val.strip().upper() == "ACAD"
-        elif code == 1070 and ready and i + 1 < len(seq) \
-                and seq[i + 1][0] in (1005, 1040, 1070):
-            # the reference consumes the value group for every AutoCAD
-            # dimstyle code (ACGetDimStylePropertyName knows them all);
-            # we consume unconditionally and store the subset we model
+        elif code == 1070 and ready:
+            # the value group is consumed only when the inner code is a
+            # known dimstyle property (ACGetDimStylePropertyName != NULL)
             try:
                 prop = _DIMSTYLE_CODES.get(int(val))
             except ValueError:
                 prop = None
-            if prop:
-                out[prop] = seq[i + 1][1]
-            i += 1
+            if prop and i + 1 < len(seq):
+                nxt_code, nxt_val = seq[i + 1]
+                if nxt_code in (1005, 1040, 1070):
+                    out[prop] = nxt_val
+                i += 1
         i += 1
     return out
 
@@ -917,6 +919,163 @@ def _dimension_features(codes, dimstyle, fields):
          **{**fields, "Text": _text_unescape(text)}}
     )
     return out
+
+
+def _interpolate_spline(pts, end_tangent):
+    """InterpolateSpline + GetBSplineControlPoints
+    (ogrdxf_leader.cpp:1245-1463): chord-length parameterisation, cubic
+    B-spline control points solved from the NP=D system (data points +
+    endpoint tangent rows), interpolated via the intronurbs rbspline2
+    at nctrl*8 points."""
+    import numpy as np
+
+    data = [tuple(pts[0])]
+    for p in pts[1:]:
+        if tuple(p) != data[-1]:
+            data.append(tuple(p))
+    n = len(data)
+    if n < 2:
+        return pts
+    d = np.asarray(data, dtype=float)
+    params = [0.0]
+    for i in range(1, n):
+        t = params[-1] + math.dist(data[i - 1], data[i])
+        if t == params[-1]:
+            return pts
+        params.append(t)
+    total = params[-1]
+    start_tan = (d[1] - d[0]) * (total / params[1])
+    et = np.asarray(end_tangent, dtype=float)
+    if not et.any():
+        et = (d[-1] - d[-2]) / (total - params[-2])
+    et = et * total
+    params = [p / total for p in params]
+    deg = 3
+    knots = [0.0] * deg + params + [1.0] * deg
+    N = np.zeros((n + 2, n + 2))
+    D = np.zeros((n + 2, 3))
+    D[0] = d[0]
+    for i in range(1, n - 1):
+        D[i + 1] = d[i]
+    D[n + 1] = d[-1]
+    D[1] = start_tan * (knots[deg + 1] / deg)
+    D[n] = et * ((1.0 - knots[n + 1]) / deg)
+    N[0, 0] = 1.0
+    N[1, 0], N[1, 1] = -1.0, 1.0
+    kn1 = [0.0] + knots  # 1-based convention of the intronurbs basis
+    for row in range(2, n):
+        vals = _basis(deg + 1, params[row - 1], n + 2, kn1)
+        N[row, :] = vals[1:n + 3]
+    N[n, n], N[n, n + 1] = -1.0, 1.0
+    N[n + 1, n + 1] = 1.0
+    try:
+        P = np.linalg.solve(N, D)
+    except np.linalg.LinAlgError:
+        return pts
+    nctrl = n + 2
+    b = [0.0] + [c for row_ in P for c in row_]
+    h = [0.0] + [1.0] * nctrl
+    return rbspline2(nctrl, deg + 1, nctrl * 8, b, h, False, kn1)
+
+
+# AutoCAD zero-length arrowhead blocks (InsertArrowhead,
+# ogrdxf_leader.cpp apszSpecialArrowheads)
+_SPECIAL_ARROWHEADS = {"_ArchTick", "_DotSmall", "_Integral", "_None",
+                       "_Oblique", "_Small"}
+
+
+def _insert_arrowhead_feats(p1, p2, size, handle, blocks, block_records,
+                            fields):
+    """InsertArrowhead (ogrdxf_leader.cpp): default wedge or custom
+    arrowhead block (DIMLDRBLK handle -> BLOCK_RECORD name) at p1
+    pointing p1->p2; returns (features, moved_endpoint_or_None) — the
+    line endpoint retreats by the arrowhead size except for the special
+    zero-length block names."""
+    seg = math.hypot(p2[0] - p1[0], p2[1] - p1[1])
+    if size == 0.0 or seg == 0.0 or size > 0.5 * seg:
+        return [], None
+    name = block_records.get(handle, "") if handle else ""
+    feats = []
+    if name == "":
+        feats = [{
+            "wkt": _arrowhead_wkt((p1[0], p1[1]), (p2[0], p2[1]), size / seg),
+            "Entity": "LEADER",
+            **fields,
+        }]
+    elif name in blocks:
+        ang = math.atan2(p2[1] - p1[1], p2[0] - p1[0]) + math.pi
+        cr, sr = math.cos(ang), math.sin(ang)
+
+        def tfm(x, y):
+            x, y = x * size, y * size
+            return (x * cr - y * sr + p1[0], x * sr + y * cr + p1[1])
+
+        for bf in blocks[name]:
+            o = dict(bf)
+            if o["wkt"] is not None:
+                o["wkt"] = _transform_wkt(o["wkt"], tfm)
+            if o.get("Layer", "0") == "0" and fields.get("Layer"):
+                o["Layer"] = fields["Layer"]
+            if fields.get("EntityHandle"):
+                o["EntityHandle"] = fields["EntityHandle"]
+            feats.append(o)
+    # else: handle names a block we never read (empty block) -> no arrowhead
+    moved = None
+    if name not in _SPECIAL_ARROWHEADS:
+        moved = (p1[0] + size * (p2[0] - p1[0]) / seg,
+                 p1[1] + size * (p2[1] - p1[1]) / seg)
+    return feats, moved
+
+
+def _leader_features(codes, dimstyle, fields, blocks, block_records):
+    """TranslateLEADER (ogrdxf_leader.cpp:46-280): leader polyline with
+    optional arrowhead (start point retreats), spline interpolation
+    (code 72) with the text-annotation end tangent, and the
+    undocumented DIMTAD text-hookline extension. Feature order matches
+    the reference: [line, arrowhead feature(s)]."""
+    fields = {k: v for k, v in fields.items() if k != "Text"}
+    g = lambda c, d=None: codes.get(c, [d])[0]  # noqa: E731
+    xs = [float(v) for v in codes.get(10, [])]
+    ys = [float(v) for v in codes.get(20, [])]
+    zs = [float(v) for v in codes.get(30, [])]
+    if len(zs) < len(xs):
+        zs = zs + [0.0] * (len(xs) - len(zs))
+    pts = [[x, y, z] for x, y, z in zip(xs, ys, zs)]
+    has_z = any(p[2] != 0.0 for p in pts)
+    want_arrow = int(g(71, "1") or 1) != 0
+    is_spline = int(g(72, "0") or 0) != 0
+    has_text = 73 in codes and int(g(73) or 0) == 0
+    flip = int(g(74, "1") or 1) != 0
+    hdir = [float(g(211, "1") or 1.0), float(g(221, "0") or 0.0),
+            float(g(231, "0") or 0.0)]
+    text_width = float(g(41, "0") or 0.0)
+    scale = float(dimstyle.get("DIMSCALE", 1.0)) or 1.0
+    asz = float(dimstyle.get("DIMASZ", 0.18))
+    gap = float(dimstyle.get("DIMGAP", 0.09))
+    want_ext = int(float(dimstyle.get("DIMTAD", 0) or 0)) > 0
+    ldrblk = str(dimstyle.get("DIMLDRBLK", "") or "")
+    heads = []
+    if want_arrow and len(pts) >= 2:
+        heads, moved = _insert_arrowhead_feats(
+            pts[0], pts[1], asz * scale, ldrblk, blocks, block_records,
+            fields,
+        )
+        if moved is not None:
+            pts[0][0], pts[0][1] = moved
+    if flip:
+        hdir[0] = -hdir[0]
+    if is_spline and len(pts) >= 2:
+        end_tan = tuple(hdir) if has_text else (0.0, 0.0, 0.0)
+        pts = [list(p) for p in _interpolate_spline(pts, end_tan)]
+    if want_ext and has_text and len(pts) >= 2:
+        last = pts[-1]
+        ext = gap * scale + text_width
+        pts = pts + [[last[0] + hdir[0] * ext, last[1] + hdir[1] * ext,
+                      last[2] + hdir[2] * ext]]
+    wkt = None
+    if len(pts) >= 2:
+        wkt = _wkt("LINESTRING", [tuple(p) for p in pts], want_z=has_z)
+    return [{"wkt": wkt, "Entity": "LEADER", **fields}] + heads
 
 
 _OCS_ENTITIES = {"TEXT", "MTEXT", "SOLID", "TRACE", "3DFACE", "LWPOLYLINE",
@@ -1175,13 +1334,22 @@ def parse_dxf(
                 style.update(dimstyles.get((g(3) or "").upper(), {}))
                 style.update(_dimstyle_overrides(cur.get("_seq", [])))
                 target.extend(_dimension_features(codes, style, fields))
+        elif ent == "LEADER":
+            style = dict(_DIMSTYLE_DEFAULTS)
+            style.update(dimstyles.get((g(3) or "").upper(), {}))
+            style.update(_dimstyle_overrides(cur.get("_seq", [])))
+            target.extend(
+                _leader_features(codes, style, fields, blocks, block_records)
+            )
         elif ent in _EMITTED_ENTITIES:
             target.append({"wkt": wkt, "Entity": ent, **fields})
         cur, codes = None, {}
 
     blocks: dict[str, list[dict]] = {}
     dimstyles: dict[str, dict] = {}
+    block_records: dict[str, str] = {}
     dimstyle_cur: dict | None = None
+    blockrec_handle: str | None = None
     section = None
     block_name = None
     target = feats
@@ -1197,14 +1365,22 @@ def parse_dxf(
             # ogrdxfdatasource.cpp): name at code 2, properties by the
             # DIMSTYLE group codes; the table header (2 DIMSTYLE after
             # 0 TABLE) never opens an entry because its name group
-            # arrives before any 0 DIMSTYLE record.
+            # arrives before any 0 DIMSTYLE record. BLOCK_RECORD
+            # entries map handle (5) -> block name (2) for
+            # GetBlockNameByRecordHandle (DIMLDRBLK arrowheads).
             if code == 0:
                 dimstyle_cur = {} if val == "DIMSTYLE" else None
+                blockrec_handle = "" if val == "BLOCK_RECORD" else None
             elif dimstyle_cur is not None:
                 if code == 2:
                     dimstyles[val.upper()] = dimstyle_cur
                 elif code in _DIMSTYLE_CODES:
                     dimstyle_cur[_DIMSTYLE_CODES[code]] = val
+            elif blockrec_handle is not None:
+                if code == 5:
+                    blockrec_handle = val
+                elif code == 2 and blockrec_handle:
+                    block_records[blockrec_handle] = val
             continue
         if section == "BLOCKS":
             if code == 0 and val == "BLOCK":
@@ -1243,7 +1419,7 @@ def parse_dxf(
                 cur = {"_entity": val}
                 codes = {}
         elif cur is not None:
-            if cur["_entity"] in ("HATCH", "DIMENSION"):
+            if cur["_entity"] in ("HATCH", "DIMENSION", "LEADER"):
                 cur.setdefault("_seq", []).append((code, val))
             if cur["_entity"] == "POLYLINE" and "_vertices" in cur and code in (10, 20, 30):
                 vs = cur["_vertices"]

@@ -145,6 +145,59 @@ def test_dxf_47_dimension_fallback():
     assert feats[11]["wkt"] == "POINT (320001.5 5820001.5)"
 
 
+LEADERS = "/root/reference/autotest/ogr/data/dxf/leader-mleader.dxf"
+
+
+def test_dxf_44_leader():
+    """ogr_dxf_44: LEADER rendering — DIMSTYLE-table + XDATA overrides,
+    default-wedge arrowhead with endpoint retreat, custom-arrowhead
+    block insertion via the BLOCK_RECORD handle map, DIMTAD hookline
+    extension, and cubic B-spline interpolation (NP=D control-point
+    solve + rbspline2 at nctrl*8 points)."""
+    feats = parse_dxf(open(LEADERS, encoding="latin-1").read())
+    # ISO-25 style, overrides DIMASZ 6 / DIMSCALE 1.5; hookline uses the
+    # table's DIMGAP 0.625
+    assert feats[0]["wkt"] == (
+        "LINESTRING (21 40,10 40,19.3125 34.6875,10.3125 34.6875,"
+        "-13.59907912687585 34.6875)"
+    )
+    assert feats[1]["wkt"] == "POLYGON ((21 41.5,30 40,21 38.5,21 41.5))"
+    # basic LEADER, no style info: default arrowhead at 3D vertices
+    got = _pts(feats[3]["wkt"])[:2]
+    np.testing.assert_allclose(
+        got,
+        [[-20.9782552979609, 38.1443878852919],
+         [-12.2152357926375, 44.793971841437]], atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        _pts(feats[4]["wkt"])[0],
+        [-20.9601206293303, 38.1204894796201], atol=1e-9,
+    )
+    # custom arrowhead block (SOLID + LINE) via DIMLDRBLK handle
+    assert feats[5]["wkt"] == (
+        "LINESTRING (26.8 77.6,10 65,25 55,25 50,40 65,48 65,"
+        "169.2825716234652 65)"
+    )
+    assert feats[6]["Entity"] == "SOLID"
+    assert feats[6]["wkt"] == (
+        "POLYGON ((27.2 80.4,30.4 82.8,32.8 79.6,29.6 77.2,27.2 80.4))"
+    )
+    assert feats[7]["wkt"] == "LINESTRING (28.4 78.8,26.8 77.6)"
+    # three LEADERs with empty/oversized/disabled arrowheads: line only
+    assert [f["wkt"].split(" ")[0] for f in feats[10:13]] == ["LINESTRING"] * 3
+    # spline LEADER: 5 control points -> 40 interpolated points
+    sp = _pts(feats[19]["wkt"])
+    assert sp.shape[0] == 40
+    np.testing.assert_allclose(sp[0], [75.0, -5.0], atol=1e-12)
+    np.testing.assert_allclose(
+        sp[1], [75.3293039686015, -5.27450166567948], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        sp[26], [82.9452821800198, -12.1575745539156], atol=1e-9
+    )
+    np.testing.assert_allclose(sp[-1], [79.0, -16.0], atol=1e-12)
+
+
 def test_dxf_9_dimension_feature_order():
     """assorted.dxf FID alignment: three DIMENSIONs at features 7-18
     (each MLS + 2 arrowheads + label), merged INSERT at 19."""
