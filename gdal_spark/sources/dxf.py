@@ -696,9 +696,21 @@ def _ocs_wkt(wkt: str, axes) -> str:
     return _re.sub(f"{num} {num}(?: {num})?", rep, wkt)
 
 
+def _polygon_rings(wkt: str):
+    """POLYGON wkt -> [[(x, y[, z]), ...], ...] ring coordinate lists."""
+    import re as _re
+
+    return [
+        [tuple(float(c) for c in p.split()) for p in m.group(1).split(",")]
+        for m in _re.finditer(r"\(([^()]+)\)", wkt)
+    ]
+
+
 def _merge_wkts(wkts: list[str]) -> str | None:
-    """SimplifyBlockGeometry: same-kind geometries promote to the Multi
-    form, mixed kinds to a collection, one geometry stays itself."""
+    """SimplifyBlockGeometry (ogrdxflayer.cpp:2789-2860): same-kind
+    geometries promote to the Multi form (polygons are assembled by
+    organizePolygons, nesting holes), mixed kinds to a collection, one
+    geometry stays itself."""
     if not wkts:
         return None
     if len(wkts) == 1:
@@ -708,7 +720,14 @@ def _merge_wkts(wkts: list[str]) -> str | None:
     if kinds == {"LINESTRING"}:
         return "MULTILINESTRING (" + ",".join(bodies) + ")"
     if kinds == {"POLYGON"}:
-        return "MULTIPOLYGON (" + ",".join(bodies) + ")"
+        # the reference drops polygons equal to the last one (oss-fuzz
+        # #8067 guard), then routes through organizePolygons
+        kept = [w for w in wkts[:-1] if w != wkts[-1]] + [wkts[-1]]
+        rings = [r for w in kept for r in _polygon_rings(w)]
+        if any(len(p) > 2 for r in rings for p in r):
+            return "MULTIPOLYGON (" + ",".join(
+                w[w.index("("):] for w in kept) + ")"
+        return _poly_wkt(_organize_rings(rings), want_z=False)
     if kinds == {"POINT"}:
         return "MULTIPOINT (" + ",".join(bodies) + ")"
     return "GEOMETRYCOLLECTION (" + ",".join(wkts) + ")"
@@ -1078,6 +1097,250 @@ def _leader_features(codes, dimstyle, fields, blocks, block_records):
     return [{"wkt": wkt, "Entity": "LEADER", **fields}] + heads
 
 
+def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
+    """TranslateMLEADER (ogrdxf_leader.cpp:310-1050): nested
+    300/301/302/303/304/305 section state machine (CONTEXT_DATA /
+    LEADER / LEADER_LINE), leader lines with landing + optional dogleg,
+    DIMBREAK gaps splitting the MULTILINESTRING, arrowheads on the
+    first segment, spline leader lines, scaled/rotated block content
+    with ATTDEF attribute substitution, and the text label point.
+    Feature order matches the reference pending queue:
+    [mls, arrowhead*, block*, attribute*, label]."""
+    fields = {k: v for k, v in fields.items() if k != "Text"}
+
+    def _f(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return 0.0
+
+    COMMON, CTX, LEADER, LINE = 0, 1, 2, 3
+    sec = COMMON
+    leaders: list[dict] = []
+    leader: dict | None = None
+    line: dict | None = None
+    cx = cy = cx2 = 0.0
+    curv = 0
+    scale = 1.0
+    has_dogleg = True
+    text = ""
+    tx = ty = 0.0
+    block_handle = ""
+    boff = [0.0, 0.0]
+    bscale = [1.0, 1.0]
+    bangle = 0.0
+    attr_handle = ""
+    block_attrs: dict[str, str] = {}
+    arrow_handle = ""
+    arrow_size = 4.0
+    ltype = 1  # MLT_STRAIGHT
+    for code, val in seq:
+        if sec == COMMON:
+            if code == 300:
+                sec = CTX
+            elif code == 342:
+                arrow_handle = val
+            elif code == 42:
+                arrow_size = _f(val)
+            elif code == 330:
+                attr_handle = val
+            elif code == 302 and attr_handle:
+                block_attrs[attr_handle] = _text_unescape(val)
+                attr_handle = ""
+            elif code == 170:
+                ltype = int(val)
+            elif code == 291:
+                has_dogleg = int(val) != 0
+        elif sec == CTX:
+            if code == 301:
+                sec = COMMON
+            elif code == 302:
+                sec = LEADER
+                leader = {"lx": 0.0, "ly": 0.0, "dx": 0.0, "dy": 0.0,
+                          "dlen": 0.0, "breaks": [], "lines": []}
+            elif code == 304:
+                text = _text_unescape(val)
+            elif code == 40:
+                scale = _f(val)
+            elif code == 12:
+                tx = _f(val)
+            elif code == 22:
+                ty = _f(val)
+            elif code == 341:
+                block_handle = val
+            elif code == 15:
+                boff[0] = _f(val)
+            elif code == 25:
+                boff[1] = _f(val)
+            elif code == 16:
+                bscale[0] = _f(val)
+            elif code == 26:
+                bscale[1] = _f(val)
+            elif code == 46:
+                bangle = _f(val)  # radians
+        elif sec == LEADER:
+            if code == 303:
+                sec = CTX
+                leaders.append(leader)
+                leader = None
+            elif code == 304:
+                sec = LINE
+                line = {"verts": [], "breaks": {}}
+            elif code == 10:
+                leader["lx"] = _f(val)
+            elif code == 20:
+                leader["ly"] = _f(val)
+            elif code == 11:
+                leader["dx"] = _f(val)
+            elif code == 21:
+                leader["dy"] = _f(val)
+            elif code == 12:
+                cx = _f(val)
+            elif code == 22:
+                cy = _f(val)
+            elif code == 13:
+                cx2 = _f(val)
+            elif code == 23:
+                leader["breaks"].append(((cx, cy), (cx2, _f(val))))
+            elif code == 40:
+                leader["dlen"] = _f(val)
+        else:  # LEADER_LINE
+            if code == 305:
+                sec = LEADER
+                leader["lines"].append(line)
+                line = None
+            elif code == 10:
+                cx = _f(val)
+            elif code == 20:
+                line["verts"].append((cx, _f(val)))
+            elif code == 90:
+                curv = int(val)
+                if curv >= len(line["verts"]):
+                    return [{"wkt": None, "Entity": "MULTILEADER", **fields}]
+            elif code == 11:
+                cx = _f(val)
+            elif code == 21:
+                cy = _f(val)
+            elif code == 12:
+                cx2 = _f(val)
+            elif code == 22:
+                line["breaks"].setdefault(curv, []).append(
+                    ((cx, cy), (cx2, _f(val)))
+                )
+
+    block_name = block_records.get(block_handle, "") if block_handle else ""
+    parts: list[list] = []
+    heads: list[dict] = []
+    if ltype != 0:  # MLT_NONE draws nothing
+        for L in leaders:
+            leader_has_dogleg = (
+                has_dogleg and ltype != 2 and L["dlen"] != 0.0
+                and (L["dx"] != 0.0 or L["dy"] != 0.0)
+            )
+            dgx = L["lx"] + L["dx"] * L["dlen"]
+            dgy = L["ly"] + L["dy"] * L["dlen"]
+            lx, ly = L["lx"], L["ly"]
+            if not has_dogleg or ltype == 2:
+                lx, ly = dgx, dgy
+            for ln in L["lines"]:
+                verts = ln["verts"]
+                if not verts:
+                    continue
+                p1 = list(verts[0])
+                p2 = verts[1] if len(verts) > 1 else (lx, ly)
+                hfeats, moved = _insert_arrowhead_feats(
+                    p1, p2, arrow_size * scale, arrow_handle, blocks,
+                    block_records, fields,
+                )
+                heads.extend(hfeats)
+                if moved is not None:
+                    p1 = list(moved)
+                cur = [tuple(p1)]
+                for i, v in enumerate(verts):
+                    if i > 0:
+                        cur.append(v)
+                    if ltype != 2:  # breaks ignored for spline leaders
+                        for b1, b2 in ln["breaks"].get(i, []):
+                            cur.append(b1)
+                            parts.append(cur)
+                            cur = [b2]
+                cur.append((lx, ly))
+                if ltype == 2:  # MLT_SPLINE
+                    end_tan = (0.0, 0.0, 0.0) if block_name else \
+                        (L["dx"], L["dy"], 0.0)
+                    cur3 = [(p[0], p[1], 0.0) for p in cur]
+                    cur = [(p[0], p[1])
+                           for p in _interpolate_spline(cur3, end_tan)]
+                parts.append(cur)
+            if leader_has_dogleg:
+                cur = [(lx, ly)]
+                for b1, b2 in L["breaks"]:
+                    cur.append(b1)
+                    parts.append(cur)
+                    cur = [b2]
+                cur.append((dgx, dgy))
+                parts.append(cur)
+    if parts:
+        mls = "MULTILINESTRING (" + ",".join(
+            "(" + ",".join(f"{_fmt(x)} {_fmt(y)}" for x, y in p) + ")"
+            for p in parts
+        ) + ")"
+    else:
+        mls = "MULTILINESTRING EMPTY"
+    out = [{"wkt": mls, "Entity": "MULTILEADER", **fields}] + heads
+
+    if block_name and block_name in blocks:
+        bsx, bsy = bscale[0] * scale, bscale[1] * scale
+        cr, sr = math.cos(bangle), math.sin(bangle)
+
+        def btfm(x, y):
+            x, y = x * bsx, y * bsy
+            return (x * cr - y * sr + boff[0], x * sr + y * cr + boff[1])
+
+        merged: list[str] = []
+        extras: list[dict] = []
+        attr_feats: list[dict] = []
+        for bf in blocks[block_name]:
+            o = dict(bf)
+            if o.get("Entity") == "ATTDEF":
+                txt = block_attrs.get(o.get("EntityHandle") or "")
+                if txt is not None:
+                    o["Text"] = txt
+                    if o["wkt"] is not None:
+                        o["wkt"] = _transform_wkt(o["wkt"], btfm)
+                    if o.get("Layer", "0") == "0" and fields.get("Layer"):
+                        o["Layer"] = fields["Layer"]
+                    if fields.get("EntityHandle"):
+                        o["EntityHandle"] = fields["EntityHandle"]
+                    attr_feats.append(o)
+                continue
+            if o["wkt"] is not None:
+                o["wkt"] = _transform_wkt(o["wkt"], btfm)
+            is_label = o.get("Entity") in ("TEXT", "MTEXT")
+            if merge_blocks and o["wkt"] is not None and not is_label:
+                merged.append(o["wkt"])
+                continue
+            if o.get("Layer", "0") == "0" and fields.get("Layer"):
+                o["Layer"] = fields["Layer"]
+            if fields.get("EntityHandle"):
+                o["EntityHandle"] = fields["EntityHandle"]
+            extras.append(o)
+        if merged:
+            out.append(
+                {"wkt": _merge_wkts(merged), "Entity": "MULTILEADER",
+                 **fields}
+            )
+        out.extend(extras)
+        out.extend(attr_feats)
+
+    if text and text != " ":
+        out.append(
+            {"wkt": f"POINT ({_fmt(tx)} {_fmt(ty)})",
+             "Entity": "MULTILEADER", **{**fields, "Text": text}}
+        )
+    return out
+
+
 _OCS_ENTITIES = {"TEXT", "MTEXT", "SOLID", "TRACE", "3DFACE", "LWPOLYLINE",
                  "POLYLINE", "CIRCLE", "ARC", "HATCH"}
 
@@ -1135,7 +1398,7 @@ def parse_dxf(
                     [(gf(10), gf(20), gf(30)), (gf(11), gf(21), gf(31))],
                     want_z=want_z,
                 )
-            elif ent in ("TEXT", "MTEXT"):
+            elif ent in ("TEXT", "MTEXT", "ATTDEF"):
                 wkt = _wkt("POINT", [(gf(10), gf(20), gf(30))],
                            want_z=gf(30) != 0.0)
             elif ent in ("SOLID", "TRACE", "3DFACE"):
@@ -1297,6 +1560,8 @@ def parse_dxf(
             merged: list[str] = []
             extras: list[dict] = []
             for bf in blocks.get(name, []):
+                if bf.get("Entity") == "ATTDEF":
+                    continue  # ATTDEFs are skipped when inlining
                 out = dict(bf)
                 if bf["wkt"] is not None:
                     out["wkt"] = _transform_wkt(bf["wkt"], tfm)
@@ -1323,6 +1588,8 @@ def parse_dxf(
             name = g(2)
             if name and name in blocks:
                 for bf in blocks[name]:
+                    if bf.get("Entity") == "ATTDEF":
+                        continue
                     out = dict(bf)
                     if out.get("Layer", "0") == "0" and fields.get("Layer"):
                         out["Layer"] = fields["Layer"]
@@ -1340,6 +1607,11 @@ def parse_dxf(
             style.update(_dimstyle_overrides(cur.get("_seq", [])))
             target.extend(
                 _leader_features(codes, style, fields, blocks, block_records)
+            )
+        elif ent in ("MULTILEADER", "MLEADER"):
+            target.extend(
+                _mleader_features(cur.get("_seq", []), fields, blocks,
+                                  block_records, merge_blocks)
             )
         elif ent in _EMITTED_ENTITIES:
             target.append({"wkt": wkt, "Entity": ent, **fields})
@@ -1419,7 +1691,8 @@ def parse_dxf(
                 cur = {"_entity": val}
                 codes = {}
         elif cur is not None:
-            if cur["_entity"] in ("HATCH", "DIMENSION", "LEADER"):
+            if cur["_entity"] in ("HATCH", "DIMENSION", "LEADER",
+                                  "MULTILEADER", "MLEADER"):
                 cur.setdefault("_seq", []).append((code, val))
             if cur["_entity"] == "POLYLINE" and "_vertices" in cur and code in (10, 20, 30):
                 vs = cur["_vertices"]

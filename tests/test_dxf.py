@@ -184,9 +184,9 @@ def test_dxf_44_leader():
     )
     assert feats[7]["wkt"] == "LINESTRING (28.4 78.8,26.8 77.6)"
     # three LEADERs with empty/oversized/disabled arrowheads: line only
-    assert [f["wkt"].split(" ")[0] for f in feats[10:13]] == ["LINESTRING"] * 3
+    assert [f["wkt"].split(" ")[0] for f in feats[13:16]] == ["LINESTRING"] * 3
     # spline LEADER: 5 control points -> 40 interpolated points
-    sp = _pts(feats[19]["wkt"])
+    sp = _pts(feats[35]["wkt"])
     assert sp.shape[0] == 40
     np.testing.assert_allclose(sp[0], [75.0, -5.0], atol=1e-12)
     np.testing.assert_allclose(
@@ -196,6 +196,98 @@ def test_dxf_44_leader():
         sp[26], [82.9452821800198, -12.1575745539156], atol=1e-9
     )
     np.testing.assert_allclose(sp[-1], [79.0, -16.0], atol=1e-12)
+
+
+def test_dxf_44_mleader():
+    """ogr_dxf_44 (MULTILEADER): 30x section state machine, dogleg +
+    landing geometry, DIMBREAK gaps, custom arrowheads, spline leader
+    lines, rotated/scaled block content organized into a polygon with
+    holes, ATTDEF attribute substitution, and label points."""
+    feats = parse_dxf(open(LEADERS, encoding="latin-1").read())
+
+    def P(w):
+        return _pts(w)
+
+    # custom arrowhead MULTILEADER: line + dogleg, block content, label
+    np.testing.assert_allclose(
+        P(feats[9]["wkt"]),
+        P("MULTILINESTRING ((26.8 32.6,10 20,25 10,25 5,40 20),"
+          "(40 20,48 20))"), atol=1e-9,
+    )
+    assert feats[10]["Entity"] == "SOLID"
+    assert feats[12]["Text"] == "Basic Multileader"
+    np.testing.assert_allclose(
+        P(feats[12]["wkt"])[0], [50.0, 22.0327421555252], atol=1e-9
+    )
+    # empty-block and too-large arrowheads suppressed
+    assert feats[16]["wkt"].startswith("MULTILINESTRING")
+    assert feats[17]["wkt"].startswith("POINT")
+    assert feats[18]["wkt"].startswith("MULTILINESTRING")
+    assert feats[19]["wkt"].startswith("POINT")
+    # blue MULTILEADER with two leader lines + dogleg
+    np.testing.assert_allclose(
+        P(feats[20]["wkt"]),
+        P("MULTILINESTRING ((7.6425115795681 -8.00285406769102,18.2 -20.0),"
+          "(19.2913880067389 -13.9367332958948,18.2 -20.0),"
+          "(18.2 -20.0,38 -20),"
+          "(54.8204921137545 -22.5800753657327,60.2227692307692 -20.0),"
+          "(60.2227692307692 -20.0,52.2227692307692 -20.0))"), atol=1e-9,
+    )
+    # rotated/scaled block content -> polygon with 4 holes; attribute text
+    assert feats[25]["wkt"].startswith("POLYGON")
+    assert feats[25]["wkt"].count("(") == 6
+    np.testing.assert_allclose(
+        P(feats[25]["wkt"])[0],
+        [-40.7553616986189, -14.3661762772835], atol=1e-9,
+    )
+    assert feats[26]["Entity"] == "ATTDEF"
+    assert feats[26]["Text"] == "Apples±"
+    np.testing.assert_allclose(
+        P(feats[26]["wkt"])[0],
+        [-42.7597068401767, -14.5165110820149], atol=1e-9,
+    )
+    # no-dogleg MULTILEADER: both lines end at the dogleg point
+    np.testing.assert_allclose(
+        P(feats[27]["wkt"]),
+        P("MULTILINESTRING ((-2.39659963256204 -14.5201521575302,"
+          "-3.98423252456234 -23.1105237601191),"
+          "(-26.0282877045921 -20.4748699216691,"
+          "-3.98423252456233 -23.1105237601191))"), atol=1e-9,
+    )
+    # block-content-only MULTILEADER: empty MLS + organized polygon
+    assert feats[32]["wkt"] == "MULTILINESTRING EMPTY"
+    np.testing.assert_allclose(
+        P(feats[33]["wkt"])[:5],
+        P("POLYGON ((-4.98423252456234 -22.1105237601191,"
+          "-6.98423252456234 -22.1105237601191,"
+          "-6.98423252456234 -24.1105237601191,"
+          "-4.98423252456234 -24.1105237601191,"
+          "-4.98423252456234 -22.1105237601191))"), atol=1e-9,
+    )
+    # spline MULTILEADER: arrowhead moved start + 40-point splines
+    sp = P(feats[36]["wkt"])
+    np.testing.assert_allclose(
+        sp[0], [97.9154085227223, -24.4884177083425], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        P(feats[37]["wkt"])[1], [96.0, -28.0], atol=1e-12
+    )
+    assert feats[38]["Text"] == "Splines"
+    np.testing.assert_allclose(
+        P(feats[38]["wkt"])[0], [110.7043505591, -4.20673403616296],
+        atol=1e-9,
+    )
+    # DIMBREAK gaps split the MLS
+    np.testing.assert_allclose(
+        P(feats[39]["wkt"]),
+        P("MULTILINESTRING ((50.8917622404846 41.5635728657296,"
+          "51.2877903403879 42.2579494192141),"
+          "(51.9070696740577 43.3437639093041,54.3108962133801"
+          " 47.5585173269448,55.9270734326513 48.2521008552884),"
+          "(57.0757636753042 48.7450620367561,59.4256548786735"
+          " 49.7535194092661),(60 50,60 50),(60 50,60 50),"
+          "(60.625 50.0,61.875 50.0),(63.125 50.0,63.6 50.0))"), atol=1e-9,
+    )
 
 
 def test_dxf_9_dimension_feature_order():
