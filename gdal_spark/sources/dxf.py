@@ -1341,6 +1341,85 @@ def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
     return out
 
 
+def _mline_wkt(seq):
+    """TranslateMLINE (ogrdxflayer.cpp:1542-1741): header codes up to
+    the first 11, then a strict 11/21/31 12/22/32 13/23/33 then
+    per-element 74 + 41-parameters (first = miter offset, odd = pen-up,
+    even = pen-down) + 75/42 area-fill reads; closed MLINEs join back
+    to each element's initial vertex. Extrusions are ignored."""
+    closed = False
+    nverts = 0
+    nelems = 0
+    i = 0
+    while i < len(seq) and seq[i][0] != 11:
+        code, val = seq[i]
+        if code == 71:
+            closed = (int(val) & 2) == 2
+        elif code == 72:
+            nverts = int(val)
+        elif code == 73:
+            nelems = int(val)
+            if nelems <= 0 or nelems > 1000:
+                return None
+        i += 1
+
+    def expect(code):
+        nonlocal i
+        if i >= len(seq) or seq[i][0] != code:
+            raise ValueError(code)
+        v = float(seq[i][1])
+        i += 1
+        return v
+
+    parts: list[list] = []
+    cur: list = [None] * nelems
+    init: list = [None] * nelems
+    try:
+        for iv in range(nverts):
+            vx, vy, vz = expect(11), expect(21), expect(31)
+            sx, sy, sz = expect(12), expect(22), expect(32)
+            mx, my, mz = expect(13), expect(23), expect(33)
+            for ie in range(nelems):
+                ssx = ssy = ssz = 0.0
+                nparams = int(expect(74))
+                if nparams > 0:
+                    dist = expect(41)
+                    ssx = vx + mx * dist
+                    ssy = vy + my * dist
+                    ssz = vz + mz * dist
+                    if closed and iv == 0:
+                        init[ie] = (ssx, ssy, ssz)
+                    if cur[ie] is not None:
+                        cur[ie].append((ssx, ssy, ssz))
+                        parts.append(cur[ie])
+                        cur[ie] = None
+                for ip in range(1, nparams):
+                    dist = expect(41)
+                    p = (ssx + sx * dist, ssy + sy * dist, ssz + sz * dist)
+                    if ip % 2 == 0:
+                        cur[ie].append(p)
+                        parts.append(cur[ie])
+                        cur[ie] = None
+                    else:
+                        cur[ie] = [p]
+                for _ in range(int(expect(75))):
+                    expect(42)
+    except (ValueError, IndexError):
+        return None
+    if closed:
+        for ie in range(nelems):
+            if cur[ie] is not None and init[ie] is not None:
+                cur[ie].append(init[ie])
+                parts.append(cur[ie])
+    if not parts:
+        return None
+    want_z = any(p[2] != 0.0 for part in parts for p in part)
+    return "MULTILINESTRING (" + ",".join(
+        _wkt("LINESTRING", part, want_z=want_z)[len("LINESTRING "):]
+        for part in parts
+    ) + ")"
+
+
 _OCS_ENTITIES = {"TEXT", "MTEXT", "SOLID", "TRACE", "3DFACE", "LWPOLYLINE",
                  "POLYLINE", "CIRCLE", "ARC", "HATCH"}
 
@@ -1491,6 +1570,8 @@ def parse_dxf(
                     wkt = _wkt("LINESTRING", pts, want_z=has_z)
             elif ent == "HATCH":
                 wkt = _parse_hatch(cur.get("_seq", []), step=arc_step)
+            elif ent == "MLINE":
+                wkt = _mline_wkt(cur.get("_seq", []))
             elif ent == "WIPEOUT":
                 # TranslateWIPEOUT (:2864-2980, #11022): insertion point,
                 # u/v vector scales, boundary vertices mapped
@@ -1552,33 +1633,69 @@ def parse_dxf(
             sx, sy = gf(41, 1.0) or 1.0, gf(42, 1.0) or 1.0
             rot = math.radians(gf(50))
             cr, sr = math.cos(rot), math.sin(rot)
+            # MInsert rows/columns (codes 70/71 + 44/45 spacing); the
+            # reference treats 0 as 1 and iterates columns fastest
+            ncols = int(g(70, "1") or 1) or 1
+            nrows = int(g(71, "1") or 1) or 1
+            colsp, rowsp = gf(44), gf(45)
+            for irow in range(nrows):
+                for icol in range(ncols):
+                    ex = icol * colsp * cr + irow * rowsp * (-sr)
+                    ey = icol * colsp * sr + irow * rowsp * cr
 
-            def tfm(x, y):
-                x, y = x * sx, y * sy
-                return (x * cr - y * sr + ix, x * sr + y * cr + iy)
+                    def tfm(x, y, ex=ex, ey=ey):
+                        x, y = x * sx, y * sy
+                        return (x * cr - y * sr + ix + ex,
+                                x * sr + y * cr + iy + ey)
 
-            merged: list[str] = []
-            extras: list[dict] = []
-            for bf in blocks.get(name, []):
-                if bf.get("Entity") == "ATTDEF":
-                    continue  # ATTDEFs are skipped when inlining
-                out = dict(bf)
-                if bf["wkt"] is not None:
-                    out["wkt"] = _transform_wkt(bf["wkt"], tfm)
-                is_label = out.get("Entity") in ("TEXT", "MTEXT")
-                if merge_blocks and out["wkt"] is not None and not is_label:
-                    merged.append(out["wkt"])
-                    continue
-                if out.get("Layer", "0") == "0" and fields.get("Layer"):
-                    out["Layer"] = fields["Layer"]
-                if fields.get("EntityHandle"):
-                    out["EntityHandle"] = fields["EntityHandle"]
-                extras.append(out)
-            if merged:
-                target.append(
-                    {"wkt": _merge_wkts(merged), "Entity": "INSERT", **fields}
-                )
-            target.extend(extras)
+                    merged: list[str] = []
+                    extras: list[dict] = []
+                    for bf in blocks.get(name, []):
+                        if bf.get("Entity") == "ATTDEF":
+                            continue  # ATTDEFs are skipped when inlining
+                        out = dict(bf)
+                        if bf["wkt"] is not None:
+                            out["wkt"] = _transform_wkt(bf["wkt"], tfm)
+                        is_label = out.get("Entity") in ("TEXT", "MTEXT")
+                        if merge_blocks and out["wkt"] is not None \
+                                and not is_label:
+                            merged.append(out["wkt"])
+                            continue
+                        if out.get("Layer", "0") == "0" and fields.get("Layer"):
+                            out["Layer"] = fields["Layer"]
+                        if fields.get("EntityHandle"):
+                            out["EntityHandle"] = fields["EntityHandle"]
+                        extras.append(out)
+                    if merged:
+                        target.append(
+                            {"wkt": _merge_wkts(merged), "Entity": "INSERT",
+                             **fields}
+                        )
+                    target.extend(extras)
+                    # attached ATTRIB entities: WCS text anchors shifted
+                    # by the cell offset only (GenerateINSERTFeatures)
+                    for a in cur.get("_attribs", []):
+                        ga = lambda c, d=None: a.get(c, [d])[0]  # noqa: E731
+                        az = float(ga(30, 0.0) or 0.0)
+                        af = {
+                            nm: ga(cd)
+                            for cd, nm in _FIELD_CODES.items()
+                            if cd in a
+                        }
+                        if 100 in a:
+                            af["SubClasses"] = ":".join(a[100])
+                        af.setdefault("Layer", "0")
+                        af.setdefault("Linetype", "ByLayer")
+                        target.append({
+                            "wkt": _wkt(
+                                "POINT",
+                                [(float(ga(10, 0.0) or 0.0) + ex,
+                                  float(ga(20, 0.0) or 0.0) + ey, az)],
+                                want_z=az != 0.0,
+                            ),
+                            "Entity": "ATTRIB",
+                            **af,
+                        })
         elif ent == "DIMENSION":
             # TranslateDIMENSION (ogrdxf_dimension.cpp:40-190): a valid
             # anonymous block (code 2) is inlined un-merged at identity
@@ -1624,6 +1741,8 @@ def parse_dxf(
     blockrec_handle: str | None = None
     section = None
     block_name = None
+    block_base = [0.0, 0.0]
+    block_owner = None
     target = feats
     while i < len(stream):
         code, val = stream[i]
@@ -1655,24 +1774,52 @@ def parse_dxf(
                     block_records[blockrec_handle] = val
             continue
         if section == "BLOCKS":
+            def _apply_base():
+                # ReadBlocksSection (ogrdxf_blockmap.cpp:125-132): shift
+                # every block feature by -(base point)
+                bx, by = block_base
+                if (bx, by) != (0.0, 0.0) and block_name is not None:
+                    for bf in blocks.get(block_name, []):
+                        if bf["wkt"] is not None:
+                            bf["wkt"] = _transform_wkt(
+                                bf["wkt"],
+                                lambda x, y, bx=bx, by=by: (x - bx, y - by),
+                            )
+
             if code == 0 and val == "BLOCK":
                 flush()
                 block_name = None
+                block_base = [0.0, 0.0]
+                block_owner = None
                 cur = None
                 codes = {}
                 target = []
                 continue
-            if code == 2 and block_name is None and cur is None:
-                block_name = val
-                blocks[val] = target
+            if cur is None and block_name is None:
+                # BLOCK header codes before the first entity
+                if code == 2:
+                    block_name = val
+                    blocks[val] = target
+                    if block_owner:
+                        block_records.setdefault(block_owner, val)
+                    continue
+                if code == 330:
+                    block_owner = val
+                    continue
+            if cur is None and code in (10, 20) and block_name is not None \
+                    and not blocks[block_name]:
+                # base point codes may follow the name group
+                block_base[0 if code == 10 else 1] = float(val)
                 continue
             if code == 0 and val == "ENDBLK":
                 flush()
+                _apply_base()
                 target = feats
                 block_name = None
                 continue
             if code == 0 and val == "ENDSEC":
                 flush()
+                _apply_base()
                 target = feats
                 section = None
                 continue
@@ -1684,15 +1831,22 @@ def parse_dxf(
                 section = None
             elif val == "VERTEX" and cur and cur["_entity"] == "POLYLINE":
                 cur.setdefault("_vertices", []).append(None)  # placeholder
-            elif val == "SEQEND" and cur and cur["_entity"] == "POLYLINE":
-                pass  # flushed on next entity/endsec
+            elif val == "ATTRIB" and cur and cur["_entity"] == "INSERT":
+                cur.setdefault("_attribs", []).append({})
+            elif val == "SEQEND" and cur and \
+                    cur["_entity"] in ("POLYLINE", "INSERT"):
+                cur["_seqend"] = True  # flushed on next entity/endsec
             else:
                 flush()
                 cur = {"_entity": val}
                 codes = {}
         elif cur is not None:
+            if cur["_entity"] == "INSERT" and cur.get("_attribs") \
+                    and not cur.get("_seqend"):
+                cur["_attribs"][-1].setdefault(code, []).append(val)
+                continue
             if cur["_entity"] in ("HATCH", "DIMENSION", "LEADER",
-                                  "MULTILEADER", "MLEADER"):
+                                  "MULTILEADER", "MLEADER", "MLINE"):
                 cur.setdefault("_seq", []).append((code, val))
             if cur["_entity"] == "POLYLINE" and "_vertices" in cur and code in (10, 20, 30):
                 vs = cur["_vertices"]

@@ -290,6 +290,96 @@ def test_dxf_44_mleader():
     )
 
 
+ADDITIONAL = "/root/reference/autotest/ogr/data/dxf/additional-entities.dxf"
+
+
+def test_dxf_52_mline():
+    """ogr_dxf_52 (MLINE): element lines offset along the miter vector,
+    pen-up/pen-down 41-parameters splitting segments, closed MLINEs
+    joining back to the initial vertices."""
+    feats = parse_dxf(open(ADDITIONAL, encoding="latin-1").read())
+    ml = [f for f in feats if f["Entity"] == "MLINE"]
+    assert len(ml) == 3
+    np.testing.assert_allclose(
+        _pts(ml[0]["wkt"]),
+        _pts("MULTILINESTRING ((-3.92232270276368 270.388386486182,"
+             "44.2014737139232 260.763627202844),(0 290,50 280),"
+             "(50 280,54.2440667916678 280.848813358334),"
+             "(66.6666666666666 283.333333333333,"
+             "87.2937093466817 287.458741869336),"
+             "(55.335512192016 260.671024384032,"
+             "83.0445264186877 266.212827229366),"
+             "(97.9166666666667 289.583333333333,150 300),"
+             "(93.6674837386727 268.337418693363,"
+             "122.93205511402 274.190332968433),(150 300,140 260),"
+             "(122.93205511402 274.190332968433,"
+             "120.597149997093 264.850712500727))"), atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        _pts(ml[1]["wkt"]),
+        _pts("MULTILINESTRING ((70 290,50 250),(61.0557280900008"
+             " 294.472135955,41.0557280900008 254.472135955))"), atol=1e-9,
+    )
+    # closed 3-element MLINE: 15 segments, joins back to initial verts
+    assert ml[2]["wkt"].count("(") - 1 == 15
+    np.testing.assert_allclose(
+        _pts(ml[2]["wkt"])[:2],
+        [[100, 300], [97.9166666666667, 289.583333333333]], atol=1e-9,
+    )
+
+
+def test_dxf_52_minsert_attrib():
+    """ogr_dxf_52 (MInsert): INSERT with 4x2 rows/columns at 13 degrees,
+    block content per cell plus ATTRIB text anchors shifted by the
+    cell offset only."""
+    feats = parse_dxf(open(ADDITIONAL, encoding="latin-1").read())
+    ins = [f for f in feats if f["Entity"] == "INSERT"]
+    att = [f for f in feats if f["Entity"] == "ATTRIB"]
+    assert len(ins) == 8 and len(att) == 8
+    np.testing.assert_allclose(
+        _pts(ins[0]["wkt"]),
+        _pts("LINESTRING (57.7504894565613 50.7437006478524,"
+             "69.4429302339842 53.4431132999787,"
+             "71.6924407774228 43.6994126521264,60 41,"
+             "57.7504894565613 50.7437006478524)"), atol=1e-9,
+    )
+    assert att[0]["Text"] == "N"
+    np.testing.assert_allclose(
+        _pts(att[0]["wkt"])[0], [62.5032851270548, 42.604233016948],
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        _pts(att[2]["wkt"])[0], [120.965489014169, 56.1012962775799],
+        atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        _pts(ins[7]["wkt"]),
+        _pts("LINESTRING (140.944774200355 90.4766968345049,"
+             "152.637214977778 93.1761094866313,"
+             "154.886725521217 83.4324088387789,"
+             "143.194284743794 80.7329961866526,"
+             "140.944774200355 90.4766968345049)"), atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        _pts(att[7]["wkt"])[0], [145.697569870849, 82.3372292036006],
+        atol=1e-9,
+    )
+    assert att[0]["SubClasses"] == "AcDbEntity:AcDbText:AcDbAttribute"
+
+
+def test_dxf_53_block_basepoint():
+    """ogr_dxf_53: block base point shifts block content by -(base)."""
+    feats = parse_dxf(
+        open("/root/reference/autotest/ogr/data/dxf/block-basepoint.dxf",
+             encoding="latin-1").read()
+    )
+    np.testing.assert_allclose(
+        _pts(feats[0]["wkt"]),
+        _pts("MULTILINESTRING ((290 160,310 140),(310 160,290 140))"),
+        atol=1e-12,
+    )
+
+
 def test_dxf_9_dimension_feature_order():
     """assorted.dxf FID alignment: three DIMENSIONs at features 7-18
     (each MLS + 2 arrowheads + label), merged INSERT at 19."""
