@@ -37,6 +37,8 @@ import math
 import numpy as np
 import pandas as pd
 
+from gdal_spark.sources import dxf_style as _ST
+
 
 def _fmt(v: float) -> str:
     return repr(int(v)) if float(v).is_integer() else repr(float(v))
@@ -864,7 +866,7 @@ def _arrowhead_wkt(p1, p2, scale):
     return _wkt("POLYGON", ring)
 
 
-def _dimension_features(codes, dimstyle, fields):
+def _dimension_features(codes, dimstyle, fields, sp=None, ctx=None):
     """TranslateDIMENSION fallback renderer (ogrdxf_dimension.cpp:190-440):
     arrow2 from the vec1/vec2 line intersection, main + extension lines
     as MULTILINESTRING, conditional default arrowheads, '<>' label with
@@ -916,15 +918,25 @@ def _dimension_features(codes, dimstyle, fields):
         if want and (ext[0] != ext[1]):
             lines.append(ext)
     bodies = [_wkt("LINESTRING", ps)[len("LINESTRING "):] for ps in lines]
-    out = [
-        {
-            "wkt": "MULTILINESTRING (" + ",".join(bodies) + ")",
-            "Entity": "DIMENSION",
-            **fields,
-        }
-    ]
+    sp = dict(sp or {})
+    mls_feat = {
+        "wkt": "MULTILINESTRING (" + ",".join(bodies) + ")",
+        "Entity": "DIMENSION",
+        **fields,
+        "_sp": sp,
+        "_kind": "pen",
+    }
+    if ctx is not None:
+        mls_feat["Style"] = _ST.pen_style(
+            mls_feat, ctx["layers"], ctx["linetypes"], ctx["ltscale"]
+        )
+    out = [mls_feat]
     for h in heads:
-        out.append({"wkt": h, "Entity": "DIMENSION", **fields})
+        hf = {"wkt": h, "Entity": "DIMENSION", **fields,
+              "_sp": dict(sp), "_kind": "brush"}
+        if ctx is not None:
+            hf["Style"] = _ST.brush_style(hf, ctx["layers"])
+        out.append(hf)
     text = codes.get(1, [""])[0] or ""
     if text == " ":
         return out
@@ -933,10 +945,34 @@ def _dimension_features(codes, dimstyle, fields):
     if "<>" in text:
         prec = max(0, min(20, int(float(dimstyle.get("DIMDEC", 4)))))
         text = text.replace("<>", f"{seg:.{prec}f}", 1)
-    out.append(
-        {"wkt": _wkt("POINT", [txt_pt]), "Entity": "DIMENSION",
-         **{**fields, "Text": _text_unescape(text)}}
-    )
+    text = _text_unescape(text)
+    label = {"wkt": _wkt("POINT", [txt_pt]), "Entity": "DIMENSION",
+             **{**fields, "Text": text}, "_kind": "label"}
+    if ctx is not None:
+        # label styling (ogrdxf_dimension.cpp:360-425): p:11 when DIMTAD
+        # is 0 (supposedly centered), atan-folded angle, DIMTXT height,
+        # DIMCLRT color
+        lsp = dict(sp)
+        lsp["Color"] = str(dimstyle.get("DIMCLRT", 0) or 0)
+        label["_sp"] = lsp
+        scale = float(dimstyle.get("DIMSCALE", 1.0) or 1.0)
+        if a1[0] == a2[0]:
+            angle = -90.0
+        else:
+            angle = math.degrees(
+                math.atan((a1[1] - a2[1]) / (a1[0] - a2[0]))
+            )
+        label["Style"] = _ST.label_style(
+            font="Arial", bold=False, italic=False, text=text,
+            anchor=11 if int(float(dimstyle.get("DIMTAD", 0) or 0)) == 0
+            else 5,
+            angle=angle,
+            height=float(dimstyle.get("DIMTXT", 0.18) or 0) * scale,
+            width_pct=None, dx=None, dy=None,
+            color=_ST.feature_color(lsp, fields.get("Layer", "0"),
+                                    ctx["layers"]),
+        )
+    out.append(label)
     return out
 
 
@@ -1004,23 +1040,31 @@ _SPECIAL_ARROWHEADS = {"_ArchTick", "_DotSmall", "_Integral", "_None",
 
 
 def _insert_arrowhead_feats(p1, p2, size, handle, blocks, block_records,
-                            fields):
+                            fields, owner=None, ctx=None):
     """InsertArrowhead (ogrdxf_leader.cpp): default wedge or custom
     arrowhead block (DIMLDRBLK handle -> BLOCK_RECORD name) at p1
     pointing p1->p2; returns (features, moved_endpoint_or_None) — the
     line endpoint retreats by the arrowhead size except for the special
-    zero-length block names."""
+    zero-length block names. ``owner`` is the feature the reference
+    clones for styling (the arrowhead inherits its style properties:
+    default wedge -> PrepareBrushStyle, block content ->
+    PrepareFeatureStyle against the clone)."""
     seg = math.hypot(p2[0] - p1[0], p2[1] - p1[1])
     if size == 0.0 or seg == 0.0 or size > 0.5 * seg:
         return [], None
     name = block_records.get(handle, "") if handle else ""
     feats = []
     if name == "":
-        feats = [{
+        hf = {
             "wkt": _arrowhead_wkt((p1[0], p1[1]), (p2[0], p2[1]), size / seg),
-            "Entity": "LEADER",
-            **fields,
-        }]
+            "Entity": fields.get("Entity", "LEADER"),
+            **{k: v for k, v in fields.items() if k != "Entity"},
+        }
+        if ctx is not None and owner is not None:
+            hf["_sp"] = dict(owner.get("_sp", {}))
+            hf["_kind"] = "brush"
+            hf["Style"] = _ST.brush_style(hf, ctx["layers"])
+        feats = [hf]
     elif name in blocks:
         ang = math.atan2(p2[1] - p1[1], p2[0] - p1[0]) + math.pi
         cr, sr = math.cos(ang), math.sin(ang)
@@ -1035,6 +1079,8 @@ def _insert_arrowhead_feats(p1, p2, size, handle, blocks, block_records,
                 o["wkt"] = _transform_wkt(o["wkt"], tfm)
             if o.get("Layer", "0") == "0" and fields.get("Layer"):
                 o["Layer"] = fields["Layer"]
+            if ctx is not None and owner is not None:
+                _restyle_inserted(o, owner, ctx)
             if fields.get("EntityHandle"):
                 o["EntityHandle"] = fields["EntityHandle"]
             feats.append(o)
@@ -1046,12 +1092,15 @@ def _insert_arrowhead_feats(p1, p2, size, handle, blocks, block_records,
     return feats, moved
 
 
-def _leader_features(codes, dimstyle, fields, blocks, block_records):
+def _leader_features(codes, dimstyle, fields, blocks, block_records,
+                     sp=None, ctx=None):
     """TranslateLEADER (ogrdxf_leader.cpp:46-280): leader polyline with
     optional arrowhead (start point retreats), spline interpolation
     (code 72) with the text-annotation end tangent, and the
     undocumented DIMTAD text-hookline extension. Feature order matches
-    the reference: [line, arrowhead feature(s)]."""
+    the reference: [line, arrowhead feature(s)]. Styling: DIMCLRD
+    overrides the pen color when positive (:209-210); arrowheads clone
+    the leader feature (:1111)."""
     fields = {k: v for k, v in fields.items() if k != "Text"}
     g = lambda c, d=None: codes.get(c, [d])[0]  # noqa: E731
     xs = [float(v) for v in codes.get(10, [])]
@@ -1073,11 +1122,18 @@ def _leader_features(codes, dimstyle, fields, blocks, block_records):
     gap = float(dimstyle.get("DIMGAP", 0.09))
     want_ext = int(float(dimstyle.get("DIMTAD", 0) or 0)) > 0
     ldrblk = str(dimstyle.get("DIMLDRBLK", "") or "")
+    sp = dict(sp or {})
+    leader_color = _ST._atoi(dimstyle.get("DIMCLRD", "0"))
+    if leader_color > 0:
+        sp["Color"] = str(dimstyle.get("DIMCLRD"))
+    owner = {"_sp": sp, "Layer": fields.get("Layer", "0"),
+             "Linetype": fields.get("Linetype"),
+             "_lt": fields.get("_lt", "")}
     heads = []
     if want_arrow and len(pts) >= 2:
         heads, moved = _insert_arrowhead_feats(
             pts[0], pts[1], asz * scale, ldrblk, blocks, block_records,
-            fields,
+            fields, owner, ctx,
         )
         if moved is not None:
             pts[0][0], pts[0][1] = moved
@@ -1094,10 +1150,16 @@ def _leader_features(codes, dimstyle, fields, blocks, block_records):
     wkt = None
     if len(pts) >= 2:
         wkt = _wkt("LINESTRING", [tuple(p) for p in pts], want_z=has_z)
-    return [{"wkt": wkt, "Entity": "LEADER", **fields}] + heads
+    lf = {"wkt": wkt, "Entity": "LEADER", **fields, "_sp": sp,
+          "_kind": "pen"}
+    if ctx is not None:
+        lf["Style"] = _ST.pen_style(lf, ctx["layers"], ctx["linetypes"],
+                                    ctx["ltscale"])
+    return [lf] + heads
 
 
-def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
+def _mleader_features(seq, fields, blocks, block_records, merge_blocks,
+                      ctx=None):
     """TranslateMLEADER (ogrdxf_leader.cpp:310-1050): nested
     300/301/302/303/304/305 section state machine (CONTEXT_DATA /
     LEADER / LEADER_LINE), leader lines with landing + optional dogleg,
@@ -1134,6 +1196,12 @@ def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
     arrow_handle = ""
     arrow_size = 4.0
     ltype = 1  # MLT_STRAIGHT
+    leader_color = "0"
+    overall_sp: dict = {}
+    theight = 4.0
+    tangle = 0.0
+    talign = 1
+    tstyle_handle = ""
     for code, val in seq:
         if sec == COMMON:
             if code == 300:
@@ -1151,6 +1219,13 @@ def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
                 ltype = int(val)
             elif code == 291:
                 has_dogleg = int(val) != 0
+            elif code == 91:
+                leader_color = val
+            elif code in _STYLE_PROP_CODES:
+                # default: TranslateGenericProperty (:439-441)
+                overall_sp[_STYLE_PROP_CODES[code]] = val
+            elif code == 60 and int(val or 0):
+                overall_sp["Hidden"] = "1"
         elif sec == CTX:
             if code == 301:
                 sec = COMMON
@@ -1166,6 +1241,14 @@ def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
                 tx = _f(val)
             elif code == 22:
                 ty = _f(val)
+            elif code == 41:
+                theight = _f(val)
+            elif code == 42:
+                tangle = math.degrees(_f(val))
+            elif code == 171:
+                talign = int(val)
+            elif code == 340:
+                tstyle_handle = val
             elif code == 341:
                 block_handle = val
             elif code == 15:
@@ -1229,6 +1312,19 @@ def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
                 )
 
     block_name = block_records.get(block_handle, "") if block_handle else ""
+    # Styling owners (:659-669): the leader feature carries the raw
+    # 32-bit leader color; arrowheads are owned by the overall feature
+    # when the leader color is ByLayer/ByBlock.
+    overall_feat = {"_sp": overall_sp, "Layer": fields.get("Layer", "0"),
+                    "Linetype": fields.get("Linetype"),
+             "_lt": fields.get("_lt", "")}
+    leader_sp = dict(overall_sp)
+    leader_sp["Color"] = leader_color
+    arrow_owner = {"_sp": leader_sp, "Layer": fields.get("Layer", "0"),
+                   "Linetype": fields.get("Linetype"),
+             "_lt": fields.get("_lt", "")}
+    if (_ST._atoi(leader_color) & 0xC2000000) == 0xC0000000:
+        arrow_owner = overall_feat
     parts: list[list] = []
     heads: list[dict] = []
     if ltype != 0:  # MLT_NONE draws nothing
@@ -1250,7 +1346,7 @@ def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
                 p2 = verts[1] if len(verts) > 1 else (lx, ly)
                 hfeats, moved = _insert_arrowhead_feats(
                     p1, p2, arrow_size * scale, arrow_handle, blocks,
-                    block_records, fields,
+                    block_records, fields, arrow_owner, ctx,
                 )
                 heads.extend(hfeats)
                 if moved is not None:
@@ -1287,7 +1383,13 @@ def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
         ) + ")"
     else:
         mls = "MULTILINESTRING EMPTY"
-    out = [{"wkt": mls, "Entity": "MULTILEADER", **fields}] + heads
+    mlf = {"wkt": mls, "Entity": "MULTILEADER", **fields,
+           "_sp": leader_sp, "_kind": "pen"}
+    if ctx is not None:
+        # PrepareLineStyle(poLeaderFeature, poOverallFeature) (:792)
+        mlf["Style"] = _ST.pen_style(mlf, ctx["layers"], ctx["linetypes"],
+                                     ctx["ltscale"], overall_feat)
+    out = [mlf] + heads
 
     if block_name and block_name in blocks:
         bsx, bsy = bscale[0] * scale, bscale[1] * scale
@@ -1306,10 +1408,20 @@ def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
                 txt = block_attrs.get(o.get("EntityHandle") or "")
                 if txt is not None:
                     o["Text"] = txt
+                    # replace the t:"..." value in the LABEL style
+                    # before the color surgery (:900-926)
+                    if (o.get("Style") or "").startswith("LABEL("):
+                        o["Style"] = _ST.replace_label_text(o["Style"], txt)
                     if o["wkt"] is not None:
                         o["wkt"] = _transform_wkt(o["wkt"], btfm)
                     if o.get("Layer", "0") == "0" and fields.get("Layer"):
                         o["Layer"] = fields["Layer"]
+                    if ctx is not None:
+                        _restyle_inserted(o, overall_feat, ctx)
+                        if o.get("Style"):
+                            o["Style"] = _ST.adjust_text(
+                                o["Style"], math.degrees(bangle), bsx, bsy
+                            )
                     if fields.get("EntityHandle"):
                         o["EntityHandle"] = fields["EntityHandle"]
                     attr_feats.append(o)
@@ -1322,22 +1434,43 @@ def _mleader_features(seq, fields, blocks, block_records, merge_blocks):
                 continue
             if o.get("Layer", "0") == "0" and fields.get("Layer"):
                 o["Layer"] = fields["Layer"]
+            if ctx is not None:
+                _restyle_inserted(o, overall_feat, ctx)
             if fields.get("EntityHandle"):
                 o["EntityHandle"] = fields["EntityHandle"]
             extras.append(o)
         if merged:
-            out.append(
-                {"wkt": _merge_wkts(merged), "Entity": "MULTILEADER",
-                 **fields}
-            )
+            bmf = {"wkt": _merge_wkts(merged), "Entity": "MULTILEADER",
+                   **fields, "_sp": dict(overall_sp), "_kind": "pen"}
+            if ctx is not None:
+                bmf["Style"] = _ST.pen_style(
+                    bmf, ctx["layers"], ctx["linetypes"], ctx["ltscale"]
+                )
+            out.append(bmf)
         out.extend(extras)
         out.extend(attr_feats)
 
     if text and text != " ":
-        out.append(
-            {"wkt": f"POINT ({_fmt(tx)} {_fmt(ty)})",
-             "Entity": "MULTILEADER", **{**fields, "Text": text}}
-        )
+        lsp = dict(overall_sp)
+        lab = {"wkt": f"POINT ({_fmt(tx)} {_fmt(ty)})",
+               "Entity": "MULTILEADER", **{**fields, "Text": text},
+               "_sp": lsp, "_kind": "label"}
+        if ctx is not None:
+            # label style (:979-1054): p = alignment + 6 (vertical top),
+            # %.3g angle/height, textstyle width factor, clone color
+            sname = ctx["textstyle_handles"].get(tstyle_handle, "")
+            ts = ctx["textstyles"].get(sname, {})
+            wf = float(ts.get("Width", 1) or 1)
+            lab["Style"] = _ST.label_style(
+                font=ts.get("Font", "Arial"),
+                bold=ts.get("Bold") == "1", italic=ts.get("Italic") == "1",
+                text=text, anchor=talign + 6, angle=tangle, height=theight,
+                width_pct=wf * 100.0 if wf != 1.0 else None,
+                dx=None, dy=None,
+                color=_ST.feature_color(lsp, fields.get("Layer", "0"),
+                                        ctx["layers"]),
+            )
+        out.append(lab)
     return out
 
 
@@ -1420,6 +1553,227 @@ def _mline_wkt(seq):
     ) + ")"
 
 
+# style-property group codes captured for every entity
+# (TranslateGenericProperty, ogrdxflayer.cpp)
+_STYLE_PROP_CODES = {62: "Color", 420: "TrueColor", 440: "Transparency",
+                     48: "LinetypeScale", 370: "LineWeight",
+                     39: "LineWeight"}
+
+
+def _style_props(codes) -> dict:
+    sp = {}
+    for code, name in _STYLE_PROP_CODES.items():
+        if code in codes:
+            sp[name] = codes[code][0]
+    if 60 in codes and int(codes[60][0] or 0):
+        sp["Hidden"] = "1"
+    return sp
+
+
+def _hatch_style_props(seq, sp, fields):
+    """TranslateHATCH style-property codes (ogrdxf_hatch.cpp:52-101):
+    fill flag (70), pattern name (2, stored in the Text field), pattern
+    rotation (52) / scale (41), and the HATCHBACKGROUNDCOLOR extended
+    datum (1001/1071)."""
+    xdata = ""
+    for code, val in seq:
+        if code == 70:
+            sp["FillFlag"] = "Filled" if int(val or 0) else "Pattern"
+        elif code == 2:
+            fields["Text"] = val
+        elif code == 52:
+            sp["HatchPatternRotation"] = val
+        elif code == 41:
+            sp["HatchPatternScale"] = val
+        elif code == 1001:
+            xdata = val
+        elif code == 1071 and xdata == "HATCHBACKGROUNDCOLOR":
+            sp["HatchBackgroundColor"] = val
+
+
+def _text_label_style(codes, sp, layer, ctx, attrib=False):
+    """TranslateTEXT style assembly (ogrdxflayer.cpp:920-1050): anchor
+    from 72/73(74) alignment, a:/s: from 50/40, w: from the 41 width
+    factor, dx:/dy: from the 11/21 alignment point."""
+    g = lambda c, d=None: codes.get(c, [d])[0]  # noqa: E731
+    gf = lambda c, d=0.0: float(g(c, d) or d)  # noqa: E731
+    text = _text_unescape("".join(codes.get(1, [])), mtext=False)
+    if attrib and int(g(70, "0") or 0) & 1:
+        sp["Hidden"] = "1"
+    ha = int(g(72, "0") or 0)
+    va = int(g(74 if attrib else 73, "0") or 0)
+    anchor = 1
+    if ha > 0 or va > 0:
+        anchor = {1: 10, 2: 4, 3: 7}.get(va, 5 if ha == 4 else 1)
+        if ha < 3:
+            anchor += ha
+    x, y = gf(10), gf(20)
+    ax, ay = gf(11), gf(21)
+    has_align = 21 in codes
+    sname = (g(7) or "STANDARD").upper()
+    ts = ctx["textstyles"].get(sname, {})
+    widthf = gf(41, 1.0)
+    return text, _ST.label_style(
+        font=ts.get("Font", "Arial"),
+        bold=ts.get("Bold") == "1", italic=ts.get("Italic") == "1",
+        text=text, anchor=anchor, angle=gf(50),
+        height=gf(40),
+        width_pct=widthf * 100.0 if widthf != 1.0 else None,
+        dx=(ax - x) if has_align and ax != x else None,
+        dy=(ay - y) if has_align and ay != y else None,
+        color=_ST.feature_color(sp, layer, ctx["layers"]),
+    )
+
+
+def _mtext_label_style(codes, sp, layer, ctx):
+    """TranslateMTEXT style assembly (ogrdxflayer.cpp:560-745): text
+    from 3-chunks + 1, attachment map, direction-vector angle, style
+    width; p: after s:/w: like the reference emitter."""
+    g = lambda c, d=None: codes.get(c, [d])[0]  # noqa: E731
+    gf = lambda c, d=0.0: float(g(c, d) or d)  # noqa: E731
+    text = "".join(
+        _text_unescape(v, mtext=True) for v in codes.get(3, [])
+    ) + "".join(_text_unescape(v, mtext=True) for v in codes.get(1, []))
+    if text.endswith("\n"):
+        text = text[:-1]
+    angle = gf(50)
+    if 21 in codes:
+        angle = math.degrees(math.atan2(gf(21), gf(11)))
+    ap = int(g(71, "-1") or -1)
+    anchor_map = [-1, 7, 8, 9, 4, 5, 6, 1, 2, 3]
+    anchor = anchor_map[ap] if 0 <= ap <= 9 else None
+    sname = (g(7) or "STANDARD").upper()
+    ts = ctx["textstyles"].get(sname, {})
+    wf = float(ts.get("Width", 1) or 1)
+    return text, _ST.label_style(
+        font=ts.get("Font", "Arial"),
+        bold=ts.get("Bold") == "1", italic=ts.get("Italic") == "1",
+        text=text, anchor=anchor, angle=angle, height=gf(40),
+        width_pct=wf * 100.0 if wf != 1.0 else None,
+        dx=None, dy=None,
+        color=_ST.feature_color(sp, layer, ctx["layers"]),
+        anchor_first=False,
+    )
+
+
+def _restyle_inserted(out, ins_feat, ctx):
+    """PrepareFeatureStyle(sub, insert) during block insertion: LABEL
+    styles get color surgery, brushes/pens are fully regenerated with
+    the block context."""
+    out["_sp"] = dict(out.get("_sp", {}))
+    kind = out.get("_kind", "pen")
+    if kind == "label":
+        if out.get("Style"):
+            out["Style"] = _ST.replace_label_color(
+                out["Style"],
+                _ST.feature_color(out["_sp"], out.get("Layer", "0"),
+                                  ctx["layers"], ins_feat.get("_sp", {}),
+                                  ins_feat.get("Layer", "0")),
+            )
+    elif kind == "brush":
+        out["Style"] = _ST.brush_style(out, ctx["layers"], ins_feat)
+    else:
+        out["Style"] = _ST.pen_style(out, ctx["layers"], ctx["linetypes"],
+                                     ctx["ltscale"], ins_feat)
+
+
+_TABLE_ENTRY_KINDS = {"DIMSTYLE", "BLOCK_RECORD", "LAYER", "LTYPE", "STYLE"}
+
+
+def _commit_table_entry(entry, dimstyles, block_records, layers, linetypes,
+                        textstyles, textstyle_handles):
+    """Parse one collected TABLES entry into the matching lookup table
+    (ogrdxfdatasource.cpp ReadDimStyleDefinition / ReadLayerDefinition /
+    ReadLineTypeDefinition / ReadTextStyleDefinition)."""
+    if entry is None:
+        return
+    kind, pairs = entry
+    if kind == "DIMSTYLE":
+        props: dict = {}
+        for code, val in pairs:
+            if code == 2:
+                dimstyles[val.upper()] = props
+            elif code in _DIMSTYLE_CODES:
+                props[_DIMSTYLE_CODES[code]] = val
+    elif kind == "BLOCK_RECORD":
+        handle = name = None
+        for code, val in pairs:
+            if code == 5:
+                handle = val
+            elif code == 2:
+                name = val
+        if handle and name:
+            block_records[handle] = name
+    elif kind == "LAYER":
+        lprops = {"Hidden": "0"}
+        lname = ""
+        for code, val in pairs:
+            if code == 2:
+                lname = val
+            elif code == 6:
+                lprops["Linetype"] = val
+            elif code == 62:
+                lprops["Color"] = val
+                if int(val) < 0 and lprops["Hidden"] != "2":
+                    lprops["Hidden"] = "1"
+            elif code == 420:
+                lprops["TrueColor"] = val
+            elif code == 440:
+                lprops["Transparency"] = val
+            elif code == 70:
+                lprops["Flags"] = val
+                if int(val) & 0x01:
+                    lprops["Hidden"] = "2"
+            elif code in (370, 39):
+                lprops["LineWeight"] = val
+        layers[lname] = lprops
+    elif kind == "LTYPE":
+        ltname = ""
+        dashes: list[float] = []
+        for code, val in pairs:
+            if code == 2:
+                ltname = val
+            elif code == 49:
+                v = float(val)
+                if dashes and (v < 0) == (dashes[-1] < 0):
+                    dashes[-1] += v
+                else:
+                    dashes.append(v)
+        if len(dashes) % 2 == 1:
+            dashes[0] += dashes.pop()
+        if dashes:
+            if dashes[0] < 0:
+                dashes = dashes[1:] + dashes[:1]
+            linetypes[ltname] = dashes
+    elif kind == "STYLE":
+        handle = ""
+        sname = ""
+        in_acad = False
+        ok = True
+        for code, val in pairs:
+            if code == 5:
+                handle = val
+            elif code == 2:
+                sname = val.upper()
+            elif code == 70 and int(val) & 1:
+                ok = False  # shape file record, not a text style
+                break
+            elif code == 41:
+                textstyles.setdefault(sname, {})["Width"] = val
+            elif code == 1001:
+                in_acad = val.strip().upper() == "ACAD"
+            elif code == 1000 and in_acad:
+                textstyles.setdefault(sname, {})["Font"] = val
+            elif code == 1071 and in_acad:
+                flags = int(val)
+                textstyles.setdefault(sname, {})["Bold"] = \
+                    "1" if flags & 0x2000000 else "0"
+                textstyles.setdefault(sname, {})["Italic"] = \
+                    "1" if flags & 0x1000000 else "0"
+        if ok and handle:
+            textstyle_handles[handle] = sname
+
+
 _OCS_ENTITIES = {"TEXT", "MTEXT", "SOLID", "TRACE", "3DFACE", "LWPOLYLINE",
                  "POLYLINE", "CIRCLE", "ARC", "HATCH"}
 
@@ -1442,12 +1796,31 @@ def parse_dxf(
 ) -> list[dict]:
     """-> [{wkt, Layer, SubClasses, ...}] from the ENTITIES section.
     arc_step is the OGR_ARC_STEPSIZE tessellation step in degrees;
-    merge_blocks mirrors DXF_MERGE_BLOCK_GEOMETRIES (default TRUE)."""
+    merge_blocks mirrors DXF_MERGE_BLOCK_GEOMETRIES (default TRUE).
+    Blocks may reference blocks defined later in the BLOCKS section
+    (the reference defers inlining to read time); eager inlining
+    handles that with a fixpoint re-pass seeded by the previous pass's
+    complete block table."""
     stream = list(_pairs(text))
-    # locate ENTITIES section
+    seed: dict[str, list[dict]] = {}
     feats: list[dict] = []
+    for _ in range(5):
+        feats, blocks, missed = _parse_dxf_pass(
+            stream, arc_step, merge_blocks, seed
+        )
+        if not missed:
+            break
+        seed = blocks
+    return feats
+
+
+def _parse_dxf_pass(
+    stream: list, arc_step: float, merge_blocks: bool,
+    seed_blocks: dict,
+) -> tuple[list[dict], dict, bool]:
+    feats: list[dict] = []
+    unresolved = [False]
     i = 0
-    in_entities = False
     cur: dict | None = None
     codes: dict[int, list[str]] = {}
 
@@ -1617,8 +1990,16 @@ def parse_dxf(
                 ent == "POLYLINE" and int(g(70, "0") or 0) & 8
             ):
                 wkt = _ocs_wkt(wkt, _ocs_axes(n))
+        fields["_lt"] = fields.get("Linetype", "")
         fields.setdefault("Layer", "0")
         fields.setdefault("Linetype", "ByLayer")
+        sp = _style_props(codes)
+        ctx = {
+            "layers": layers, "linetypes": linetypes,
+            "textstyles": textstyles,
+            "textstyle_handles": textstyle_handles,
+            "ltscale": float(header_vars.get("$LTSCALE", "1.0") or 1.0),
+        }
         if ent == "INSERT":
             # inlined-blocks mode: emit the block's features transformed
             # by the insertion point / scales / rotation.  With
@@ -1629,6 +2010,10 @@ def parse_dxf(
             # geometry-less features stay separate, layer-0
             # subfeatures take the INSERT's layer and EntityHandle.
             name = g(2)
+            if name and name not in blocks and target is not feats:
+                # forward reference to a block defined later in the
+                # BLOCKS section — resolved by the fixpoint re-pass
+                unresolved[0] = True
             ix, iy = gf(10), gf(20)
             sx, sy = gf(41, 1.0) or 1.0, gf(42, 1.0) or 1.0
             rot = math.radians(gf(50))
@@ -1648,6 +2033,9 @@ def parse_dxf(
                         return (x * cr - y * sr + ix + ex,
                                 x * sr + y * cr + iy + ey)
 
+                    ins_feat = {"_sp": sp, "Layer": fields.get("Layer", "0"),
+                                "Linetype": fields.get("Linetype"),
+             "_lt": fields.get("_lt", "")}
                     merged: list[str] = []
                     extras: list[dict] = []
                     for bf in blocks.get(name, []):
@@ -1663,14 +2051,21 @@ def parse_dxf(
                             continue
                         if out.get("Layer", "0") == "0" and fields.get("Layer"):
                             out["Layer"] = fields["Layer"]
+                        _restyle_inserted(out, ins_feat, ctx)
+                        if out.get("_kind") == "label" and out.get("Style"):
+                            out["Style"] = _ST.adjust_text(
+                                out["Style"], math.degrees(rot), sx, sy
+                            )
                         if fields.get("EntityHandle"):
                             out["EntityHandle"] = fields["EntityHandle"]
                         extras.append(out)
                     if merged:
-                        target.append(
-                            {"wkt": _merge_wkts(merged), "Entity": "INSERT",
-                             **fields}
+                        mf = {"wkt": _merge_wkts(merged), "Entity": "INSERT",
+                              **fields, "_sp": dict(sp), "_kind": "pen"}
+                        mf["Style"] = _ST.pen_style(
+                            mf, layers, linetypes, ctx["ltscale"]
                         )
+                        target.append(mf)
                     target.extend(extras)
                     # attached ATTRIB entities: WCS text anchors shifted
                     # by the cell offset only (GenerateINSERTFeatures)
@@ -1685,7 +2080,12 @@ def parse_dxf(
                         if 100 in a:
                             af["SubClasses"] = ":".join(a[100])
                         af.setdefault("Layer", "0")
+                        af["_lt"] = af.get("Linetype", "")
                         af.setdefault("Linetype", "ByLayer")
+                        asp = _style_props(a)
+                        atext, astyle = _text_label_style(
+                            a, asp, af["Layer"], ctx, attrib=True
+                        )
                         target.append({
                             "wkt": _wkt(
                                 "POINT",
@@ -1695,6 +2095,10 @@ def parse_dxf(
                             ),
                             "Entity": "ATTRIB",
                             **af,
+                            "Text": atext,
+                            "Style": astyle,
+                            "_sp": asp,
+                            "_kind": "label",
                         })
         elif ent == "DIMENSION":
             # TranslateDIMENSION (ogrdxf_dimension.cpp:40-190): a valid
@@ -1703,13 +2107,19 @@ def parse_dxf(
             # dimension from code 10/13/14 + DIMSTYLE properties (code 3
             # table entry layered under 1001 ACAD DSTYLE overrides).
             name = g(2)
+            if name and name not in blocks and target is not feats:
+                unresolved[0] = True
             if name and name in blocks:
+                dim_feat = {"_sp": sp, "Layer": fields.get("Layer", "0"),
+                            "Linetype": fields.get("Linetype"),
+             "_lt": fields.get("_lt", "")}
                 for bf in blocks[name]:
                     if bf.get("Entity") == "ATTDEF":
                         continue
                     out = dict(bf)
                     if out.get("Layer", "0") == "0" and fields.get("Layer"):
                         out["Layer"] = fields["Layer"]
+                    _restyle_inserted(out, dim_feat, ctx)
                     if fields.get("EntityHandle"):
                         out["EntityHandle"] = fields["EntityHandle"]
                     target.append(out)
@@ -1717,28 +2127,63 @@ def parse_dxf(
                 style = dict(_DIMSTYLE_DEFAULTS)
                 style.update(dimstyles.get((g(3) or "").upper(), {}))
                 style.update(_dimstyle_overrides(cur.get("_seq", [])))
-                target.extend(_dimension_features(codes, style, fields))
+                target.extend(
+                    _dimension_features(codes, style, fields, sp, ctx)
+                )
         elif ent == "LEADER":
             style = dict(_DIMSTYLE_DEFAULTS)
             style.update(dimstyles.get((g(3) or "").upper(), {}))
             style.update(_dimstyle_overrides(cur.get("_seq", [])))
             target.extend(
-                _leader_features(codes, style, fields, blocks, block_records)
+                _leader_features(codes, style, fields, blocks, block_records,
+                                 sp, ctx)
             )
         elif ent in ("MULTILEADER", "MLEADER"):
             target.extend(
                 _mleader_features(cur.get("_seq", []), fields, blocks,
-                                  block_records, merge_blocks)
+                                  block_records, merge_blocks, ctx)
             )
         elif ent in _EMITTED_ENTITIES:
-            target.append({"wkt": wkt, "Entity": ent, **fields})
+            feat = {"wkt": wkt, "Entity": ent, **fields}
+            feat["_sp"] = sp
+            if ent in ("TEXT", "ATTDEF"):
+                text, st = _text_label_style(
+                    codes, sp, feat["Layer"], ctx, attrib=(ent == "ATTDEF")
+                )
+                feat["Text"] = text
+                feat["Style"] = st
+                feat["_kind"] = "label"
+            elif ent == "MTEXT":
+                text, st = _mtext_label_style(codes, sp, feat["Layer"], ctx)
+                feat["Text"] = text
+                feat["Style"] = st
+                feat["_kind"] = "label"
+            elif ent == "HATCH" or (
+                ent in ("SOLID", "TRACE")
+                and wkt is not None and wkt.startswith("POLYGON")
+            ):
+                if ent == "HATCH":
+                    _hatch_style_props(cur.get("_seq", []), sp, feat)
+                feat["_kind"] = "brush"
+                feat["Style"] = _ST.brush_style(feat, layers)
+            else:
+                feat["_kind"] = "pen"
+                feat["Style"] = _ST.pen_style(
+                    feat, layers, linetypes, ctx["ltscale"]
+                )
+            target.append(feat)
         cur, codes = None, {}
 
-    blocks: dict[str, list[dict]] = {}
+    blocks: dict[str, list[dict]] = dict(seed_blocks)
     dimstyles: dict[str, dict] = {}
     block_records: dict[str, str] = {}
-    dimstyle_cur: dict | None = None
-    blockrec_handle: str | None = None
+    layers: dict[str, dict] = {}
+    linetypes: dict[str, list] = {}
+    textstyles: dict[str, dict] = {}
+    textstyle_handles: dict[str, str] = {}
+    header_vars: dict[str, str] = {}
+    header_var: str | None = None
+    table_entry: tuple | None = None
     section = None
     block_name = None
     block_base = [0.0, 0.0]
@@ -1751,27 +2196,29 @@ def parse_dxf(
             if i < len(stream) and stream[i][0] == 2:
                 section = stream[i][1]
             continue
+        if section == "HEADER":
+            # header variables: $NAME at code 9, value group follows
+            if code == 9:
+                header_var = val
+            elif header_var is not None:
+                header_vars[header_var] = val
+                header_var = None
+            continue
         if section == "TABLES":
-            # DIMSTYLE table entries (ReadDimStyleDefinition,
-            # ogrdxfdatasource.cpp): name at code 2, properties by the
-            # DIMSTYLE group codes; the table header (2 DIMSTYLE after
-            # 0 TABLE) never opens an entry because its name group
-            # arrives before any 0 DIMSTYLE record. BLOCK_RECORD
-            # entries map handle (5) -> block name (2) for
-            # GetBlockNameByRecordHandle (DIMLDRBLK arrowheads).
+            # Table entries (ReadDimStyleDefinition /
+            # ReadLayerDefinition / ReadLineTypeDefinition /
+            # ReadTextStyleDefinition, ogrdxfdatasource.cpp): each
+            # `0 <KIND>` record collects ordered pairs until the next
+            # code 0; the table header (2 <KIND> after 0 TABLE) never
+            # opens an entry. BLOCK_RECORD entries map handle (5) ->
+            # block name (2) for GetBlockNameByRecordHandle.
             if code == 0:
-                dimstyle_cur = {} if val == "DIMSTYLE" else None
-                blockrec_handle = "" if val == "BLOCK_RECORD" else None
-            elif dimstyle_cur is not None:
-                if code == 2:
-                    dimstyles[val.upper()] = dimstyle_cur
-                elif code in _DIMSTYLE_CODES:
-                    dimstyle_cur[_DIMSTYLE_CODES[code]] = val
-            elif blockrec_handle is not None:
-                if code == 5:
-                    blockrec_handle = val
-                elif code == 2 and blockrec_handle:
-                    block_records[blockrec_handle] = val
+                _commit_table_entry(table_entry, dimstyles, block_records,
+                                    layers, linetypes, textstyles,
+                                    textstyle_handles)
+                table_entry = (val, []) if val in _TABLE_ENTRY_KINDS else None
+            elif table_entry is not None:
+                table_entry[1].append((code, val))
             continue
         if section == "BLOCKS":
             def _apply_base():
@@ -1859,7 +2306,7 @@ def parse_dxf(
                 continue
             codes.setdefault(code, []).append(val)
     flush()
-    return feats
+    return feats, blocks, unresolved[0]
 
 
 def _transform_wkt(wkt: str, fn) -> str:
@@ -1911,7 +2358,8 @@ def read_dxf(spark, files: list[str]):
                             {
                                 k: str(v)
                                 for k, v in f.items()
-                                if k not in ("Entity", "wkt") and v is not None
+                                if k not in ("Entity", "wkt")
+                                and not k.startswith("_") and v is not None
                             },
                         )
                     )

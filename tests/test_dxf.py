@@ -572,3 +572,192 @@ def test_read_dxf_distributed(spark):
     assert len(rows) == 22
     assert rows[2].wkt == "POINT (83.5 160)"
     assert rows[0].fields["EntityHandle"] == "43"
+
+
+# ---------------------------------------------------------------------------
+# OGR_STYLE strings (PrepareLineStyle / PrepareBrushStyle /
+# PrepareFeatureStyle, ogrdxflayer.cpp:248-530; GetColor,
+# ogrdxf_feature.cpp:136-401; ACAdjustText, ogr_autocad_services.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _styles(name, **kw):
+    return [
+        f.get("Style")
+        for f in parse_dxf(
+            open(f"{DXF_DIR}/{name}.dxf", encoding="latin-1").read(), **kw
+        )
+    ]
+
+
+def test_dxf_styles_assorted():
+    # autotest ogr_dxf.py:89,162,203,300 goldens
+    st = _styles("assorted")
+    assert st[0] == "PEN(c:#000000)"
+    assert st[2] == "PEN(c:#ffbeb8)"
+    assert st[4] == 'LABEL(f:"Arial",t:"Test",a:30,s:5g,p:7,c:#000000)'
+    assert st[10] == 'LABEL(f:"Arial",t:"54.33",p:5,a:43.3,s:2.5g,c:#000000)'
+    assert st[8] == "BRUSH(fc:#000000)"  # dimension arrowhead
+
+
+def test_dxf_styles_hatch_patterns():
+    # autotest test_ogr_dxf_hatch_pattern_read golden list
+    assert _styles("hatch_pattern_generated_by_gdal") == [
+        "BRUSH(fc:#ff00ff)",
+        'BRUSH(fc:#ff0000,bc:#7f7f7f,id:"ogr-brush-7")',
+        'BRUSH(fc:#ff0000,bc:#0000ff,id:"ogr-brush-6")',
+        'BRUSH(fc:#00ff00,bc:#123456,id:"ogr-brush-5")',
+        'BRUSH(fc:#ff0000,bc:#00ff00,id:"ogr-brush-4")',
+        'BRUSH(fc:#ffff00,bc:#123456,id:"ogr-brush-3")',
+        'BRUSH(fc:#ff0000,bc:#0080ff,id:"ogr-brush-2",s:0.500000)',
+    ]
+
+
+def test_dxf_styles_linetypes():
+    # autotest ogr_dxf_45: LTYPE dash patterns scaled by LinetypeScale
+    assert _styles("linetypes")[:4] == [
+        'PEN(c:#000000,p:"12.5g 6.25g")',
+        'PEN(c:#000000,p:"0.625g 0.3125g")',
+        'PEN(c:#000000,p:"0.625g 0.3125g")',
+        'PEN(c:#000000,p:"35g 22.5g")',
+    ]
+
+
+def test_dxf_styles_text_fancy():
+    # autotest ogr_dxf_50: extended text styling + ByBlock/ByLayer (#7151,
+    # #7130) — font/bold/italic/width from the STYLE table, ByBlock
+    # lineweight/linetype inheritance, invisible entity alpha
+    assert _styles("text-fancy", merge_blocks=False)[:6] == [
+        'LABEL(f:"Times New Roman",bo:1,it:1,t:"Some nice text",p:5,'
+        's:10g,w:190,dx:84.3151g,dy:4.88825g,c:#0000ff)',
+        'PEN(c:#ff0000,w:2.1g,p:"2.5g 1.25g")',
+        'LABEL(f:"Times New Roman",bo:1,it:1,t:"Good text",p:1,s:5g,'
+        'c:#000000)',
+        "PEN(c:#0000ff,w:2.1g)",
+        'LABEL(f:"Times New Roman",bo:1,it:1,t:"Some nice MTEXT",s:10g,'
+        'w:250,p:8,c:#0000ff)',
+        'LABEL(f:"Times New Roman",bo:1,it:1,t:"Invisible text",p:1,s:5g,'
+        'c:#00000000)',
+    ]
+
+
+def test_dxf_styles_block_transform():
+    # autotest ogr_dxf_51: ACAdjustText angle/scale/offset surgery
+    want = sorted(
+        ["a:330", "c:#000000", "dx:1.96672g", "dy:-1.13549g", 'f:"Arial"',
+         "p:2", "s:3g", 't:"some text"', "w:25"]
+    )
+    for st in _styles("text-block-transform")[:3]:
+        assert sorted(st[6:-1].split(",")) == want
+
+
+def test_dxf_styles_leader_mleader():
+    # autotest ogr_dxf_44 style assertions
+    st = _styles("leader-mleader")
+    assert st[3] == "PEN(c:#ff0000)"
+    assert st[4] == "BRUSH(fc:#ff0000)"
+    assert st[5] == "PEN(c:#00ff00)"
+    assert st[6] == "BRUSH(fc:#00ff00)"
+    assert st[7] == "PEN(c:#00ff00)"
+    assert st[12] == 'LABEL(f:"Arial",t:"Basic Multileader",p:7,s:4g,c:#000000)'
+    assert st[20] == "PEN(c:#0000ff)"
+    assert st[21] == "BRUSH(fc:#0000ff)"
+    assert st[22] == "BRUSH(fc:#0000ff)"
+    assert st[23].startswith('LABEL(f:"Calibri",it:1,t:"wwmhyhua')
+    assert st[23].endswith('",p:7,s:4g,w:40,c:#0000ff)')
+    assert st[24] == "PEN(c:#ff00ff)"
+    # block-attribute label restyled + ACAdjustText'd (a: appended last)
+    assert st[26] == 'LABEL(f:"Arial",t:"Apples±",p:2,s:1g,c:#ff0000,a:10)'
+    assert st[38] == 'LABEL(f:"Arial",t:"Splines",p:7,a:342,s:2g,c:#000000)'
+
+
+def test_dxf_styles_transparency_and_attrib():
+    # autotest test_ogr_dxf_read_transparency + ogr_dxf_49 nested attrib
+    assert _styles("transparency")[0] == "PEN(c:#ffbeb87f)"
+    assert _styles("attrib-nested", merge_blocks=False) == [
+        'LABEL(f:"Arial",t:"Gamma Goochee",p:1,s:0.4g,w:100,c:#000000)'
+    ]
+
+
+def test_dxf_styles_minsert_attribs():
+    # autotest ogr_dxf_52 MInsert attribute style (8 copies)
+    got = [
+        f.get("Style")
+        for f in parse_dxf(
+            open(f"{DXF_DIR}/additional-entities.dxf",
+                 encoding="latin-1").read()
+        )
+        if f.get("Entity") == "ATTRIB"
+    ]
+    assert len(got) == 8
+    assert set(got) == {
+        'LABEL(f:"Arial",t:"N",p:5,a:13,s:8g,w:120,dx:2.21818g,'
+        'dy:4.61732g,c:#000000)'
+    }
+
+
+_FROZEN_VIS = (
+    ".hhh..hhh..hhhhhhhhhhhhhh.hhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhhh"
+    "hhhhhhhhhhhhhhhhhh.hhh..hhhhhhhhhhhhhh.hhh"
+)
+
+
+@pytest.mark.parametrize("freeze_layer0", [False, True])
+def test_dxf_styles_frozen_off_ladder(freeze_layer0):
+    # autotest ogr_dxf_53: ON/OFF/THAW/FREEZE visibility of entities and
+    # nested block contents (DEMOBLOCK references DEMOBLOCKWITHSUB,
+    # which is defined LATER in the BLOCKS section — exercises the
+    # forward-reference fixpoint re-pass)
+    txt = open(f"{DXF_DIR}/frozen-off.dxf", encoding="latin-1").read()
+    if freeze_layer0:
+        txt = txt.replace(
+            "0\nLAYER\n  2\n0\n 70\n     0", "0\nLAYER\n  2\n0\n 70\n     1"
+        )
+    feats = parse_dxf(txt, merge_blocks=False)
+    assert len(feats) == len(_FROZEN_VIS)
+    for n, (f, h) in enumerate(zip(feats, _FROZEN_VIS)):
+        s = f.get("Style") or ""
+        visible = "#000000)" in s or "#ff0000)" in s
+        assert visible != (h == "h"), f"feature {n}"
+
+
+def test_dxf_styles_byblock_bylayer_ladder():
+    # autotest ogr_dxf_54a: 819-feature color ladder over two levels of
+    # nested blocks with ByBlock / set / ByLayer colors on three layers
+    colors = (
+        "77727127527472412452477271275271121121521412412452"
+        "47127127527552512552545241245247527127527377271275"
+        "27472412452437231235231121121521412412452431231235"
+        "23552512552545241245243523123523777271275274724124"
+        "52477271275271121121521412412452471271275275525125"
+        "52545241245247527127527111211215214124124524112112"
+        "15211121121521412412452411211215215525125525452412"
+        "45241521121521311211215214124124524312312352311211"
+        "21521412412452431231235235525125525452412452435231"
+        "23523711211215214124124524712712752711211215214124"
+        "12452471271275275525125525452412452475271275275552"
+        "51255254524124524552512552511211215214124124524512"
+        "51255255525125525452412452455251255253552512552545"
+        "24124524352312352311211215214124124524312312352355"
+        "25125525452412452435231235237552512552545241245247"
+        "52712752711211215214124124524712712752755251255254"
+        "5241245247527127527"
+    )
+    cdict = {"#ff0000": "1", "#ffff00": "2", "#00ff00": "3",
+             "#00ffff": "4", "#0000ff": "5", "#000000": "7"}
+    feats = parse_dxf(
+        open(f"{DXF_DIR}/byblock-bylayer-new.dxf",
+             encoding="latin-1").read(),
+        merge_blocks=False,
+    )
+    assert len(feats) == len(colors)
+    for n, (f, e) in enumerate(zip(feats, colors)):
+        m = re.search("c:(#......)", f.get("Style") or "")
+        assert m and cdict.get(m.group(1)) == e, f"feature {n}"
+
+
+def test_dxf_styles_block_hidden_entities():
+    # autotest ogr_dxf_55: hidden (60=1) entities in blocks get alpha 00
+    st = _styles("block-hidden-entities", merge_blocks=False)
+    assert len(st) == 6
+    assert all("#ff000000)" in s or "#000000)" in s for s in st)
