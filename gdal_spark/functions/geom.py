@@ -214,6 +214,12 @@ def clip_wkb_to_box(
     axis-aligned case (ogrlayer.cpp:7537 semantics with box method geoms).
     Holes are clipped independently — correct when holes don't touch the
     box boundary in degenerate ways, which our fixtures avoid.
+
+    Documented deviation: the zero-net-area guard below classifies
+    boundary-only contact (a box touching the polygon along an edge or
+    at a point) as empty, i.e. predicates built on this kernel use
+    open-set Intersects semantics, whereas OGC/GEOS Intersects returns
+    true for pure boundary contact.
     """
     out_polys = []
     for rings in W.polygon_rings(wkb_buf):
