@@ -759,3 +759,72 @@ _UPDATE_ORACLE = f"""
 
 SPARK["raster_update_window"] = raster_update_window
 ORACLE["raster_update_window"] = _UPDATE_ORACLE
+
+
+# --------------------------------------------------------------------------
+# RPC_DEM direct projection (alg/gdal_rpc.cpp GDALRPCGetHeightAtLongLat
+# :550-636 + GDALRPCTransform reverse branch :1928-1953): per-point height
+# sampled from a WGS84 DEM by bilinear GDALInterpolateAtPoint, then the
+# 20-term rational. The DEM is a LINEAR plane over its pixel grid, so the
+# bilinear sample is closed-form and DuckDB recomputes the whole chain:
+# height = RPC_HEIGHT + dem(lon, lat) * RPC_HEIGHT_SCALE.
+# --------------------------------------------------------------------------
+
+_RPCDEM_GT = (125.0, 0.01, 0.0, 40.5, 0.0, -0.01)  # 200x200 WGS84 DEM
+
+
+def rpc_dem_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.rpc import RPCTransformer
+
+        r = np.arange(200)
+        dem = 30.0 + 0.5 * r[None, :] + 0.25 * r[:, None]
+        tr = RPCTransformer(
+            _RPC_MD, dem=dem, dem_gt=_RPCDEM_GT, rpc_height_scale=2.0
+        )
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                lon = 125.7510 + (k % 11 - 5) * 0.01
+                lat = 39.7792 + (k % 7 - 3) * 0.008
+                px, ln = tr.lonlat_to_pixel(lon, lat)
+                rows.append((k, round(float(px), 4), round(float(ln), 4)))
+            yield pd.DataFrame(rows, columns=[f.name for f in _RPC_SCH.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, _RPC_SCH)
+
+
+# dem[r, c] = 30 + 0.5*c + 0.25*r; bilinear at fractional DEM pixel
+# (dpx, dln) under the pixel-center convention == the plane at
+# (dpx - 0.5, dln - 0.5). All sample points sit well inside the DEM.
+_RPCDEM_H = """
+    ((30 + 0.5*((lon - 125.0)/0.01 - 0.5)
+         + 0.25*((40.5 - lat)/0.01 - 0.5)) * 2.0 - 97) / 501
+"""
+
+_RPCDEM_ORACLE = f"""
+    WITH pt AS (
+        SELECT n_nationkey AS k,
+               125.7510 + (n_nationkey % 11 - 5) * 0.01 AS lon,
+               39.7792 + (n_nationkey % 7 - 3) * 0.008 AS lat
+        FROM nation
+    ), nrm AS (
+        SELECT k,
+               (lon - 125.7510) / 0.1096 AS L,
+               (lat - 39.7792) / 0.0900 AS P,
+               {_RPCDEM_H} AS H
+        FROM pt
+    )
+    SELECT k,
+           round(({_rpc_poly_sql("SAMP_NUM_COEFF")})
+                 / ({_rpc_poly_sql("SAMP_DEN_COEFF")})
+                 * 15217 + 15184 + 0.5, 4) AS px,
+           round(({_rpc_poly_sql("LINE_NUM_COEFF")})
+                 / ({_rpc_poly_sql("LINE_DEN_COEFF")})
+                 * 16480 + 16201 + 0.5, 4) AS ln
+    FROM nrm
+"""
+
+SPARK["rpc_dem_project"] = rpc_dem_project
+ORACLE["rpc_dem_project"] = _RPCDEM_ORACLE

@@ -499,3 +499,138 @@ def interpolate_at_point(
     top = a[y0, x0] * (1 - tx) + a[y0, x1] * tx
     bot = a[y1, x0] * (1 - tx) + a[y1, x1] * tx
     return top * (1 - ty) + bot * ty
+
+
+def _cubic_kernel(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom cubic convolution, a=-0.5 (alg/gdalresamplingkernels.h
+    CubicKernel:23-42)."""
+    ax = np.abs(x)
+    x2 = x * x
+    inner = x2 * (1.5 * ax - 2.5) + 1.0
+    outer = x2 * (-0.5 * ax + 2.5) - 4.0 * ax + 2.0
+    return np.where(ax <= 1.0, inner, np.where(ax <= 2.0, outer, 0.0))
+
+
+def _cubic_spline_kernel(x: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (alg/gdalresamplingkernels.h CubicSplineKernel:45-59):
+    (1/6) * sum of clipped cubes at x+2, x+1, x, x-1."""
+    x = np.asarray(x, float)
+
+    def cube(v):
+        return np.where(v > 0.0, v * v * v, 0.0)
+
+    val = (
+        cube(x + 2.0) - 4.0 * cube(x + 1.0) + 6.0 * cube(x) - 4.0 * cube(x - 1.0)
+    ) / 6.0
+    return np.where(x > 2.0, 0.0, val)
+
+
+def interpolate_at_point_checked(
+    arr: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    method: str = "bilinear",
+    nodata: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """GDALInterpolateAtPoint with the reference's exact failure semantics
+    (alg/gdal_interpolateatpoint.cpp GDALInterpolateAtPointImpl:165-410):
+
+    * coords outside [0, W] x [0, H] fail (ok=False);
+    * "near" admits coords within 1e-5 past the bottom/right edge by
+      retreating 0.25 px (:177-180), then truncates to an integer pixel;
+    * cubic/cubicspline downgrade to bilinear when either dimension < 4,
+      bilinear downgrades to near when either dimension < 2 (:194-203);
+    * out-of-border kernel taps replicate the edge (dragReadDataInBorder);
+    * nodata: near/bilinear fail when any tap is nodata; the 4x4 kernels
+      skip nodata taps and renormalize, failing only when every tap is
+      skipped (:306-335).
+
+    Returns (values, ok) arrays; failed entries hold NaN.
+    """
+    h, w = arr.shape[:2]
+    xs = np.atleast_1d(np.asarray(xs, float)).copy()
+    ys = np.atleast_1d(np.asarray(ys, float)).copy()
+    a = arr.astype(np.float64)
+
+    if method == "near":
+        adj = (xs >= w) & (xs <= w + 1e-5)
+        xs = np.where(adj, xs - 0.25, xs)
+        adj = (ys >= h) & (ys <= h + 1e-5)
+        ys = np.where(adj, ys - 0.25, ys)
+    ok = (xs >= 0) & (xs <= w) & (ys >= 0) & (ys <= h)
+
+    if method in ("cubic", "cubicspline") and (w < 4 or h < 4):
+        method = "bilinear"
+    if method == "bilinear" and (w < 2 or h < 2):
+        method = "near"
+
+    out = np.full(xs.shape, np.nan)
+    cx = np.clip(xs, 0, w)  # keep indices legal for masked-out entries
+    cy = np.clip(ys, 0, h)
+    if method == "near":
+        ix = np.clip(cx.astype(int), 0, w - 1)
+        iy = np.clip(cy.astype(int), 0, h - 1)
+        val = a[iy, ix]
+        if nodata is not None:
+            ok = ok & ~_near_equal(val, nodata)
+        out[ok] = val[ok]
+        return out, ok
+    if method == "bilinear":
+        fx = cx - 0.5
+        fy = cy - 0.5
+        x0 = np.floor(fx).astype(int)
+        y0 = np.floor(fy).astype(int)
+        tx = fx - x0
+        ty = fy - y0
+        v00 = a[np.clip(y0, 0, h - 1), np.clip(x0, 0, w - 1)]
+        v01 = a[np.clip(y0, 0, h - 1), np.clip(x0 + 1, 0, w - 1)]
+        v10 = a[np.clip(y0 + 1, 0, h - 1), np.clip(x0, 0, w - 1)]
+        v11 = a[np.clip(y0 + 1, 0, h - 1), np.clip(x0 + 1, 0, w - 1)]
+        if nodata is not None:
+            bad = (
+                _near_equal(v00, nodata)
+                | _near_equal(v01, nodata)
+                | _near_equal(v10, nodata)
+                | _near_equal(v11, nodata)
+            )
+            ok = ok & ~bad
+        top = v00 * (1 - tx) + v01 * tx
+        bot = v10 * (1 - tx) + v11 * tx
+        val = top * (1 - ty) + bot * ty
+        out[ok] = val[ok]
+        return out, ok
+
+    kern = _cubic_spline_kernel if method == "cubicspline" else _cubic_kernel
+    fx = cx - 0.5
+    fy = cy - 0.5
+    dx = np.floor(fx).astype(int)
+    dy = np.floor(fy).astype(int)
+    deltax = fx - dx
+    deltay = fy - dy
+    sumh = np.zeros(xs.shape)
+    sumw = np.zeros(xs.shape)
+    for ki in range(4):
+        wy = kern((ki - 1) - deltay)
+        ty = np.clip(dy + (ki - 1), 0, h - 1)
+        for kj in range(4):
+            wgt = kern((kj - 1) - deltax) * wy
+            val = a[ty, np.clip(dx + (kj - 1), 0, w - 1)]
+            if nodata is not None:
+                keep = ~_near_equal(val, nodata)
+                sumh += np.where(keep, val * wgt, 0.0)
+                sumw += np.where(keep, wgt, 0.0)
+            else:
+                sumh += val * wgt
+                sumw += wgt
+    ok = ok & (sumw != 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        val = sumh / sumw
+    out[ok] = val[ok]
+    return out, ok
+
+
+def _near_equal(a, b, eps: float = 1e-10):
+    """CPLIsEqual-style comparison used by the nodata checks."""
+    return np.abs(np.asarray(a, float) - b) <= eps * np.maximum(
+        1.0, np.abs(b)
+    )

@@ -99,3 +99,99 @@ def test_rpc_vectorized():
         p1, l1 = rpc_transform_point(rpc, lons[i], lats[i], 0.0)
         assert float(px[i]) == pytest.approx(float(p1), abs=1e-12)
         assert float(ln[i]) == pytest.approx(float(l1), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# RPC_DEM (gcore/transformer.py test_transformer_5 DEM sections)
+# ---------------------------------------------------------------------------
+
+
+def _dem_utm52(pixel_size=200.0):
+    """The autotest's /vsimem/dem.tif: 100x100 EPSG:32652, Fill(15),
+    gt [213300, ps, 0, 4418700, 0, -ps]."""
+    dem = np.full((100, 100), 15.0)
+    gt = (213300.0, pixel_size, 0.0, 4418700.0, 0.0, -pixel_size)
+    return dem, gt
+
+
+def test_transformer_5_rpc_dem_height_scale():
+    """RPC_DEM + RPC_HEIGHT_SCALE=2 (expectations (4)): constant DEM 15
+    at scale 2 == RPC_HEIGHT 30."""
+    dem, gt = _dem_utm52()
+    tr = RPCTransformer(
+        RPC_MD, dem=dem, dem_gt=gt, dem_srs="EPSG:32652",
+        rpc_height_scale=2.0,
+    )
+    lon, lat = tr.pixel_to_lonlat(20.5, 10.5)
+    assert lon == pytest.approx(125.64828521533849, abs=1e-6)
+    assert lat == pytest.approx(39.869345204440144, abs=1e-6)
+    px, ln = tr.lonlat_to_pixel(lon, lat)
+    assert px == pytest.approx(20.5, abs=0.05)
+    assert ln == pytest.approx(10.5, abs=0.05)
+
+
+@pytest.mark.parametrize("interp", ["cubic", "near", "bilinear"])
+def test_transformer_5_rpc_dem_interpolation(interp):
+    """RPC_DEMINTERPOLATION variants (expectations (5)/(6)): on the
+    constant DEM every kernel yields the RPC_HEIGHT=30 answer at the
+    autotest's 1e-6 deg."""
+    dem, gt = _dem_utm52()
+    tr = RPCTransformer(
+        RPC_MD, dem=dem, dem_gt=gt, dem_srs="EPSG:32652",
+        rpc_height_scale=2.0, dem_interp=interp,
+    )
+    lon, lat = tr.pixel_to_lonlat(20.5, 10.5)
+    assert lon == pytest.approx(125.64828521533849, abs=1e-6)
+    assert lat == pytest.approx(39.869345204440144, abs=1e-6)
+    px, ln = tr.lonlat_to_pixel(lon, lat)
+    assert px == pytest.approx(20.5, abs=0.05)
+    assert ln == pytest.approx(10.5, abs=0.05)
+
+
+def test_transformer_5_rpc_dem_outside_extent_errors():
+    """Outside the DEM extent the default behaviour is an error in both
+    directions (transformer.py:358-366)."""
+    dem, gt = _dem_utm52()
+    tr = RPCTransformer(
+        RPC_MD, dem=dem, dem_gt=gt, dem_srs="EPSG:32652",
+        rpc_height_scale=2.0,
+    )
+    with pytest.raises(ValueError):
+        tr.pixel_to_lonlat(40000, 0)
+    with pytest.raises(ValueError):
+        tr.lonlat_to_pixel(125, 40)
+
+
+def test_transformer_5_rpc_dem_missing_value():
+    """RPC_DEM_MISSING_VALUE=0 admits off-DEM points at height 0
+    (transformer.py:369-399, 1m-pixel DEM variant)."""
+    dem, gt = _dem_utm52(pixel_size=1.0)
+    tr = RPCTransformer(
+        RPC_MD, dem=dem, dem_gt=gt, dem_srs="EPSG:32652",
+        rpc_height_scale=2.0, dem_missing_value=0.0,
+    )
+    lon, lat = tr.pixel_to_lonlat(-99.5, 0.5)
+    assert lon == pytest.approx(125.64746155942839, abs=1e-6)
+    assert lat == pytest.approx(39.869506789921168, abs=1e-6)
+    px, ln = tr.lonlat_to_pixel(lon, lat)
+    assert px == pytest.approx(-99.5, abs=0.05)
+    assert ln == pytest.approx(0.5, abs=0.05)
+
+
+def test_rpc_dem_terrain_height_actually_used():
+    """A sloped DEM changes the answer: the converged lonlat must
+    back-project through the height AT that lonlat (self-consistency
+    with a non-constant terrain)."""
+    dem = np.add.outer(np.zeros(100), np.linspace(50.0, 450.0, 100))
+    gt = (213300.0, 200.0, 0.0, 4418700.0, 0.0, -200.0)
+    tr = RPCTransformer(RPC_MD, dem=dem, dem_gt=gt, dem_srs="EPSG:32652")
+    lon, lat = tr.pixel_to_lonlat(20.5, 10.5)
+    h, ok, _, _ = tr._height_at_lonlat(lon, lat)
+    assert ok
+    assert h > 0.0
+    bx, by = rpc_transform_point(RPCInfo(RPC_MD), lon, lat, h)
+    assert bx == pytest.approx(20.5, abs=0.1)
+    assert by == pytest.approx(10.5, abs=0.1)
+    # and the flat-earth answer differs
+    lon0, lat0 = RPCTransformer(RPC_MD).pixel_to_lonlat(20.5, 10.5)
+    assert abs(lon - lon0) > 1e-7 or abs(lat - lat0) > 1e-7
