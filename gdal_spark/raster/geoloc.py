@@ -14,8 +14,18 @@ of an affine geotransform; netCDF/HDF GEOLOCATION metadata domain).
   numpy-vectorized over all quads instead of a CPLQuadTree), then the
   EXACT inverse bilinear interpolation (GDALInverseBilinearInterpolation
   :952-1010 — the quadratic-in-s method), mapped back through
-  STEP/OFFSET. Dateline shifting is not implemented (documented
-  deviation; swaths crossing +/-180 need ShiftGeoX).
+  STEP/OFFSET. With ``geographic_srs=True`` and longitudes within
+  [-180,180] (bGeographicSRSWithMinus180Plus180LongRange), antimeridian
+  swaths are handled exactly as the reference does:
+  - forward: corner longitudes are shifted toward the (iX, iY) corner
+    by +/-360 before interpolating, then renormalized
+    (ShiftGeoX/UnshiftGeoX, alg/gdalgeoloc.h:72-85 +
+    gdalgeoloc.cpp:437-449);
+  - inverse: each crossing quad (all four |lon| > 170 and a pairwise
+    jump > 180) is registered in TWO versions — corners shifted around
+    -180 and around +180 (gdalgeolocquadtree.cpp:137-175, the
+    BIT_IDX_RANGE_180 trick) — and mixed near-pole crossing quads are
+    skipped entirely (:147-157).
 * ``transform_geolocations`` — gdal.Transformer.TransformGeolocations:
   apply any (x, y) -> (X, Y) callable to the geoloc arrays in place.
 """
@@ -36,6 +46,7 @@ class GeoLocTransformer:
         line_step: float = 1.0,
         origin_top_left: bool = True,
         nodata: float | None = None,
+        geographic_srs: bool = False,
     ):
         self.gx = np.asarray(lon_array, float)
         self.gy = np.asarray(lat_array, float)
@@ -48,6 +59,35 @@ class GeoLocTransformer:
         self.line_step = float(line_step)
         self.conv_offset = 0.0 if origin_top_left else 0.5
         self.nodata = nodata
+        # bGeographicSRSWithMinus180Plus180LongRange (gdalgeoloc.cpp
+        # :199-207): geographic SRS AND every longitude in [-180,180]
+        valid = (
+            self.gx
+            if nodata is None
+            else self.gx[self.gx != nodata]
+        )
+        self.wrap = bool(
+            geographic_srs
+            and valid.size
+            and valid.min() >= -180.0
+            and valid.max() <= 180.0
+        )
+
+    # -- ShiftGeoX / UnshiftGeoX (alg/gdalgeoloc.h:72-85, .cpp:71-86) -------
+    def _shift_geo_x(self, x_ref: float, x: float) -> float:
+        if not self.wrap:
+            return x
+        if x_ref < -170 and x > 170:
+            return x - 360
+        if x_ref > 170 and x < -170:
+            return x + 360
+        return x
+
+    def _unshift_geo_x(self, x: float) -> float:
+        if not self.wrap or (-180 <= x <= 180):
+            return x
+        x = np.fmod(x + 180.0, 360.0)
+        return x + 180.0 if x < 0 else x - 180.0
 
     # -- PixelLineToXY (:371-527) -------------------------------------------
     def _pl_to_xy(self, p: float, l_: float):
@@ -67,6 +107,11 @@ class GeoLocTransformer:
                     and v01x != self.nodata
                     and v11x != self.nodata
                 ):
+                    # adjust corner longitudes toward the (iX, iY) corner
+                    # before interpolating (gdalgeoloc.cpp:437-449)
+                    v10x = self._shift_geo_x(v00x, v10x)
+                    v01x = self._shift_geo_x(v00x, v01x)
+                    v11x = self._shift_geo_x(v00x, v11x)
                     tx, ty = p - iX, l_ - iY
                     X = (1 - ty) * (v00x + tx * (v10x - v00x)) + ty * (
                         v01x + tx * (v11x - v01x)
@@ -74,7 +119,7 @@ class GeoLocTransformer:
                     Y = (1 - ty) * (v00y + tx * (v10y - v00y)) + ty * (
                         v01y + tx * (v11y - v01y)
                     )
-                    return X, Y
+                    return self._unshift_geo_x(X), Y
             # edge retreats (infinite extension beyond borders)
             if iX == w - 1 and iX >= 1 and iY + 1 < h:
                 iX -= 1
@@ -91,7 +136,10 @@ class GeoLocTransformer:
             ):
                 tx = p - iX
                 return (
-                    v00x + tx * (gx[iY, iX + 1] - v00x),
+                    self._unshift_geo_x(
+                        v00x
+                        + tx * (self._shift_geo_x(v00x, gx[iY, iX + 1]) - v00x)
+                    ),
                     v00y + tx * (gy[iY, iX + 1] - v00y),
                 )
             if iY + 1 < h and (
@@ -99,10 +147,13 @@ class GeoLocTransformer:
             ):
                 ty = l_ - iY
                 return (
-                    v00x + ty * (gx[iY + 1, iX] - v00x),
+                    self._unshift_geo_x(
+                        v00x
+                        + ty * (self._shift_geo_x(v00x, gx[iY + 1, iX]) - v00x)
+                    ),
                     v00y + ty * (gy[iY + 1, iX] - v00y),
                 )
-            return v00x, v00y
+            return self._unshift_geo_x(v00x), v00y
         return None
 
     def pixel_to_geo(self, px, py):
@@ -170,10 +221,12 @@ class GeoLocTransformer:
                     return True
         return inside
 
-    def geo_to_pixel(self, gx_q, gy_q):
-        gx_q = np.atleast_1d(np.asarray(gx_q, float))
-        gy_q = np.atleast_1d(np.asarray(gy_q, float))
-        # per-quad corner + bbox precompute (vectorized slicing)
+    def _quad_versions(self):
+        """Per-quad corner/bbox tables. With antimeridian wrapping, a
+        crossing quad (all four |lon| > 170 and a corner jump > 180) is
+        emitted in TWO versions — longitudes shifted around -180 and
+        around +180 (gdalgeolocquadtree.cpp:137-175) — and mixed
+        near-pole crossing quads are skipped (:147-157)."""
         x00 = self.gx[:-1, :-1]
         x10 = self.gx[:-1, 1:]
         x01 = self.gx[1:, :-1]
@@ -182,41 +235,90 @@ class GeoLocTransformer:
         y10 = self.gy[:-1, 1:]
         y01 = self.gy[1:, :-1]
         y11 = self.gy[1:, 1:]
-        bx0 = np.minimum(np.minimum(x00, x10), np.minimum(x01, x11))
-        bx1 = np.maximum(np.maximum(x00, x10), np.maximum(x01, x11))
-        by0 = np.minimum(np.minimum(y00, y10), np.minimum(y01, y11))
-        by1 = np.maximum(np.maximum(y00, y10), np.maximum(y01, y11))
+
+        def bundle(xs, eligible):
+            bx0 = np.minimum(np.minimum(xs[0], xs[1]), np.minimum(xs[2], xs[3]))
+            bx1 = np.maximum(np.maximum(xs[0], xs[1]), np.maximum(xs[2], xs[3]))
+            by0 = np.minimum(np.minimum(y00, y10), np.minimum(y01, y11))
+            by1 = np.maximum(np.maximum(y00, y10), np.maximum(y01, y11))
+            return xs, (y00, y10, y01, y11), (bx0, bx1, by0, by1), eligible
+
+        if not self.wrap:
+            return [bundle((x00, x10, x01, x11), None)]
+        over = [np.abs(a) > 170 for a in (x00, x10, x01, x11)]
+        jump = (
+            (np.abs(x10 - x00) > 180)
+            | (np.abs(x01 - x00) > 180)
+            | (np.abs(x11 - x00) > 180)
+        )
+        all170 = over[0] & over[1] & over[2] & over[3]
+        any170 = over[0] | over[1] | over[2] | over[3]
+        crossing = all170 & jump
+        skip = any170 & jump & ~all170
+        base_ok = None if not skip.any() else ~skip
+
+        def shifted(ref):
+            if ref < 0:  # ShiftGeoX toward -180: lon > 170 -> lon - 360
+                return tuple(
+                    np.where(crossing & (a > 170), a - 360, a)
+                    for a in (x00, x10, x01, x11)
+                )
+            return tuple(  # toward +180: lon < -170 -> lon + 360
+                np.where(crossing & (a < -170), a + 360, a)
+                for a in (x00, x10, x01, x11)
+            )
+
+        out = [bundle(shifted(-180.0), base_ok)]
+        if crossing.any():
+            out.append(bundle(shifted(180.0), crossing))
+        return out
+
+    def geo_to_pixel(self, gx_q, gy_q):
+        gx_q = np.atleast_1d(np.asarray(gx_q, float))
+        gy_q = np.atleast_1d(np.asarray(gy_q, float))
+        versions = self._quad_versions()
         ox = np.full(gx_q.shape, np.nan)
         oy = np.full(gx_q.shape, np.nan)
         for idx in np.ndindex(gx_q.shape):
             X, Y = gx_q[idx], gy_q[idx]
-            cand = np.argwhere(
-                (bx0 <= X) & (X <= bx1) & (by0 <= Y) & (Y <= by1)
-            )
-            for qy, qx in cand:
-                # corner naming per the quadtree caller: 0=(i,j),
-                # 1=(i,j+1) down, 2=(i+1,j) right, 3=(i+1,j+1)
-                c = dict(
-                    x0=x00[qy, qx], y0=y00[qy, qx],
-                    x2=x10[qy, qx], y2=y10[qy, qx],
-                    x1=x01[qy, qx], y1=y01[qy, qx],
-                    x3=x11[qy, qx], y3=y11[qy, qx],
-                )
-                xs = [c["x0"], c["x2"], c["x3"], c["x1"]]
-                ys = [c["y0"], c["y2"], c["y3"], c["y1"]]
-                if self.nodata is not None and self.nodata in xs:
-                    continue
-                if not self._point_in_quad(X, Y, xs, ys):
-                    continue
-                i, j = self._inverse_bilinear(
-                    X, Y,
-                    c["x0"], c["y0"], c["x1"], c["y1"],
-                    c["x2"], c["y2"], c["x3"], c["y3"],
-                    float(qx), float(qy),
-                )
-                ox[idx] = (i + self.conv_offset) * self.pixel_step + self.pixel_offset
-                oy[idx] = (j + self.conv_offset) * self.line_step + self.line_offset
-                break
+            found = False
+            for xs_c, ys_c, (bx0, bx1, by0, by1), eligible in versions:
+                x00, x10, x01, x11 = xs_c
+                y00, y10, y01, y11 = ys_c
+                hit = (bx0 <= X) & (X <= bx1) & (by0 <= Y) & (Y <= by1)
+                if eligible is not None:
+                    hit = hit & eligible
+                for qy, qx in np.argwhere(hit):
+                    # corner naming per the quadtree caller: 0=(i,j),
+                    # 1=(i,j+1) down, 2=(i+1,j) right, 3=(i+1,j+1)
+                    c = dict(
+                        x0=x00[qy, qx], y0=y00[qy, qx],
+                        x2=x10[qy, qx], y2=y10[qy, qx],
+                        x1=x01[qy, qx], y1=y01[qy, qx],
+                        x3=x11[qy, qx], y3=y11[qy, qx],
+                    )
+                    xs = [c["x0"], c["x2"], c["x3"], c["x1"]]
+                    ys = [c["y0"], c["y2"], c["y3"], c["y1"]]
+                    if self.nodata is not None and self.nodata in xs:
+                        continue
+                    if not self._point_in_quad(X, Y, xs, ys):
+                        continue
+                    i, j = self._inverse_bilinear(
+                        X, Y,
+                        c["x0"], c["y0"], c["x1"], c["y1"],
+                        c["x2"], c["y2"], c["x3"], c["y3"],
+                        float(qx), float(qy),
+                    )
+                    ox[idx] = (
+                        i + self.conv_offset
+                    ) * self.pixel_step + self.pixel_offset
+                    oy[idx] = (
+                        j + self.conv_offset
+                    ) * self.line_step + self.line_offset
+                    found = True
+                    break
+                if found:
+                    break
         if ox.size == 1:
             return float(ox.ravel()[0]), float(oy.ravel()[0])
         return ox, oy

@@ -97,3 +97,79 @@ def test_transformgeoloc_golden_utm():
     ]
     assert np.allclose(E, want_e)
     assert np.allclose(N, want_n)
+
+
+# ---------------------------------------------------------------------------
+# Antimeridian (ShiftGeoX/UnshiftGeoX + dual quad versions,
+# gdalgeoloc.h:72-85, gdalgeoloc.cpp:437-449, gdalgeolocquadtree.cpp:137-175)
+# ---------------------------------------------------------------------------
+
+
+def _dateline_swath():
+    """10x10 swath whose longitudes march across +/-180:
+    lon(col) = wrap(174 + 1.2*col), lat(row) = 10 + 0.5*row."""
+    cols = 174.0 + 1.2 * np.arange(10)
+    lons = np.where(cols > 180.0, cols - 360.0, cols)
+    lon = np.tile(lons, (10, 1))
+    lat = 10.0 + 0.5 * np.arange(10)[:, None] + np.zeros((1, 10))
+    return lon, lat
+
+
+def test_dateline_forward_interpolates_across_wrap():
+    lon, lat = _dateline_swath()
+    tr = GeoLocTransformer(lon, lat, geographic_srs=True)
+    # crossing quad: col 5 = 180.0, col 6 = -178.8; midpoint must be
+    # -179.4 (the short way), never the naive mean 0.6
+    X, Y = tr.pixel_to_geo(5.5, 2.0)
+    assert X == pytest.approx(-179.4, abs=1e-9)
+    assert Y == pytest.approx(11.0, abs=1e-9)
+    # without the geographic flag the naive mean leaks through
+    naive = GeoLocTransformer(lon, lat)
+    Xn, _ = naive.pixel_to_geo(5.5, 2.0)
+    assert Xn == pytest.approx(0.6, abs=1e-9)
+
+
+def test_dateline_forward_exact_wrap_point():
+    lon, lat = _dateline_swath()
+    tr = GeoLocTransformer(lon, lat, geographic_srs=True)
+    # three quarters into the crossing quad: 180 + 0.75*1.2 = -179.1
+    X, _ = tr.pixel_to_geo(5.75, 0.0)
+    assert X == pytest.approx(-179.1, abs=1e-9)
+
+
+def test_dateline_inverse_both_sides():
+    lon, lat = _dateline_swath()
+    tr = GeoLocTransformer(lon, lat, geographic_srs=True)
+    # west of the dateline (non-crossing quad [178.8, 180])
+    px, py = tr.geo_to_pixel(179.7, 11.0)
+    assert px == pytest.approx(4.75, abs=1e-9)
+    assert py == pytest.approx(2.0, abs=1e-9)
+    # inside the crossing quad, +180 version: 180 + 0.25*1.2 = 180.3
+    px, py = tr.geo_to_pixel(-179.7, 11.0)
+    assert px == pytest.approx(5.25, abs=1e-9)
+    assert py == pytest.approx(2.0, abs=1e-9)
+    # east of the dateline (same quad, other version)
+    px, py = tr.geo_to_pixel(-179.4, 11.0)
+    assert px == pytest.approx(5.5, abs=1e-9)
+    assert py == pytest.approx(2.0, abs=1e-9)
+
+
+def test_dateline_roundtrip_grid():
+    lon, lat = _dateline_swath()
+    tr = GeoLocTransformer(lon, lat, geographic_srs=True)
+    pts = [(1.25, 3.5), (5.5, 2.0), (5.9, 7.1), (8.25, 4.75)]
+    for p, l_ in pts:
+        X, Y = tr.pixel_to_geo(p, l_)
+        assert -180.0 <= X <= 180.0
+        bp, bl = tr.geo_to_pixel(X, Y)
+        assert bp == pytest.approx(p, abs=1e-6)
+        assert bl == pytest.approx(l_, abs=1e-6)
+
+
+def test_dateline_wrap_requires_range():
+    """Longitudes outside [-180,180] disable the wrap logic, matching
+    bGeographicSRSWithMinus180Plus180LongRange's range guard."""
+    lon = np.tile(174.0 + 1.2 * np.arange(10), (10, 1))  # up to 184.8
+    lat = np.tile(10.0 + 0.5 * np.arange(10)[:, None], (1, 10))
+    tr = GeoLocTransformer(lon, lat, geographic_srs=True)
+    assert not tr.wrap
