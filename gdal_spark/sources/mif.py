@@ -12,10 +12,20 @@ field name + MapInfo type. Data section objects supported:
   * MultiPoint n                   -> MULTIPOINT
   * Collection n                   -> GEOMETRYCOLLECTION
   * NONE                           -> no geometry
-  * RoundRect / Ellipse / Arc / Text: consumed (object-level skip with
-    geometry None — the reference tessellates arcs; documented
-    deviation), styling clauses (Pen/Brush/Symbol/Font/Smooth/Center/
-    Spacing/Justify/Angle/Label) skipped.
+  * Ellipse x1 y1 x2 y2            -> POLYGON (TABGenerateArc 180-pt
+                                      2-degree tessellation + TABCloseRing,
+                                      mitab_feature_mif.cpp:1379-1421)
+  * Arc bbox [a0 a1]               -> LINESTRING (numPts = |sweep|/2 + 1
+                                      with the duplicated final vertex,
+                                      :1497-1591; >=721-degree sweep rejected)
+  * Roundrect x1 y1 x2 y2 [a]      -> POLYGON (four 45-pt corner arcs,
+                                      radius a/2 clamped to the half-MBR,
+                                      :1196-1290; zero radius -> plain rect)
+  * Text ["str"] bbox [Angle a]    -> POINT at the pre-rotation lower-left
+                                      corner (quadrant formula over the
+                                      rotated MBR, :1670-1720)
+  Styling clauses (Pen/Brush/Symbol/Font/Smooth/Center/
+  Spacing/Justify/Angle/Label) are skipped.
 
 MID rows follow the declared Delimiter with doubled-quote escaping
 (mitab's "" convention); values are cast per the Columns types.
@@ -162,22 +172,113 @@ def _parse_object(it: _Lines):
         return "GEOMETRYCOLLECTION", [_parse_object(it) for _ in range(k)]
     if kw == "NONE":
         return None
-    if kw in ("ROUNDRECT", "ELLIPSE"):
-        # bbox on the object line (+ radius for roundrect); skip
-        return None
+    if kw == "ELLIPSE":
+        x1, y1, x2, y2 = (float(v) for v in tok[1:5])
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        rx, ry = abs(x2 - x1) / 2.0, abs(y2 - y1) / 2.0
+        ring = _tab_close_ring(
+            _tab_generate_arc(cx, cy, rx, ry, 0.0, 2.0 * np.pi, 180)
+        )
+        return "POLYGON", [ring]
+    if kw == "ROUNDRECT":
+        x1, y1, x2, y2 = (float(v) for v in tok[1:5])
+        x1, x2 = min(x1, x2), max(x1, x2)
+        y1, y2 = min(y1, y2), max(y1, y2)
+        if len(tok) >= 6:
+            r = float(tok[5]) / 2.0
+        else:
+            r = float(it.next().split()[0]) / 2.0
+        if r != 0.0:
+            # corner radius clamped to the half-MBR (:1259-1262)
+            rx = min(r, (x2 - x1) / 2.0)
+            ry = min(r, (y2 - y1) / 2.0)
+            pi = np.pi
+            ring = np.concatenate(
+                [
+                    _tab_generate_arc(x1 + rx, y1 + ry, rx, ry, pi, 1.5 * pi, 45),
+                    _tab_generate_arc(x2 - rx, y1 + ry, rx, ry, 1.5 * pi, 2 * pi, 45),
+                    _tab_generate_arc(x2 - rx, y2 - ry, rx, ry, 0.0, 0.5 * pi, 45),
+                    _tab_generate_arc(x1 + rx, y2 - ry, rx, ry, 0.5 * pi, pi, 45),
+                ]
+            )
+            ring = _tab_close_ring(ring)
+        else:
+            ring = np.array([(x1, y1), (x2, y1), (x2, y2), (x1, y2), (x1, y1)])
+        return "POLYGON", [ring]
     if kw == "ARC":
-        # bbox line, then possibly a separate angles line
-        nxt = it.peek()
-        if nxt and len(tok) < 7 and re.match(r"^[-\d.]", nxt):
-            it.next()
-        return None
+        x1, y1, x2, y2 = (float(v) for v in tok[1:5])
+        if len(tok) >= 7:
+            a0, a1 = float(tok[5]), float(tok[6])
+        else:
+            a_tok = it.next().split()
+            a0, a1 = float(a_tok[0]), float(a_tok[1])
+        if abs(a1 - a0) >= 721:
+            raise ValueError(f"wrong start and end angles: {a0} {a1}")
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        rx, ry = abs(x2 - x1) / 2.0, abs(y2 - y1) / 2.0
+        sweep = (a1 + 360.0 - a0) if a1 < a0 else (a1 - a0)
+        num = max(2, int(abs(sweep) / 2.0) + 1)
+        line = _tab_generate_arc(
+            cx, cy, rx, ry, a0 * np.pi / 180.0, a1 * np.pi / 180.0, num
+        )
+        return "LINESTRING", line
     if kw == "TEXT":
-        if len(tok) == 1 or tok[1].startswith('"'):
-            if len(tok) == 1:
-                it.next()  # the quoted string line
-            it.next()  # the bbox line
-        return None
+        # string either inline ("Text ""str""") or on its own line
+        # (:8-33); the 4-coord MBR always follows on the next line (:58-62)
+        if len(tok) == 1:
+            it.next()  # the quoted string line
+        bbox = it.next().split()
+        x1, y1, x2, y2 = (float(v) for v in bbox[:4])
+        x1, x2 = min(x1, x2), max(x1, x2)
+        y1, y2 = min(y1, y2), max(y1, y2)
+        height = y2 - y1
+        angle = 0.0
+        # the Angle clause lives among the trailing style lines
+        while True:
+            nxt = it.peek()
+            if nxt is None:
+                break
+            first = nxt.split()[0].lower()
+            if not any(first.startswith(s) for s in _STYLE):
+                break
+            if first.startswith("angle"):
+                angle = float(nxt.split()[1])
+            it.next()
+        ds, dc = np.sin(angle * np.pi / 180.0), np.cos(angle * np.pi / 180.0)
+        # pre-rotation lower-left corner (mitab_feature_mif.cpp:1682-1706)
+        if ds > 0.0 and dc > 0.0:
+            pt = (x1 + height * ds, y1)
+        elif ds > 0.0 and dc < 0.0:
+            pt = (x2, y1 - height * dc)
+        elif ds < 0.0 and dc < 0.0:
+            pt = (x2 + height * ds, y2)
+        else:
+            pt = (x1, y2 - height * dc)
+        return "POINT", pt
     raise ValueError(f"unsupported MIF object {kw}")
+
+
+def _tab_generate_arc(
+    cx: float, cy: float, rx: float, ry: float,
+    a0: float, a1: float, num_points: int,
+) -> np.ndarray:
+    """TABGenerateArc (mitab_utils.cpp:46-72): counterclockwise sweep in
+    num_points steps, plus the reference's duplicated final vertex."""
+    if a1 < a0:
+        a1 += 2.0 * np.pi
+    step = (a1 - a0) / (num_points - 1.0)
+    ang = a0 + step * np.arange(num_points)
+    xs = cx + rx * np.cos(ang)
+    ys = cy + ry * np.sin(ang)
+    return np.column_stack([np.append(xs, xs[-1]), np.append(ys, ys[-1])])
+
+
+def _tab_close_ring(ring: np.ndarray) -> np.ndarray:
+    """TABCloseRing (mitab_utils.cpp:78-94): append the first vertex when
+    the ring isn't exactly closed."""
+    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+        return np.vstack([ring, ring[0]])
+    return ring
 
 
 def parse_mif(mif_text: str, mid_text: str | None = None) -> list[dict]:

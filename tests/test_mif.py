@@ -1,6 +1,9 @@
 """MapInfo MIF/MID parity (ogr/ogrsf_frmts/mitab via
 autotest/ogr/ogr_mitab.py test 10 and the all_geoms.mif golden CSV)."""
 
+import re
+
+import numpy as np
 import pytest
 
 from gdal_spark.sources.mif import parse_mif, read_mif
@@ -35,8 +38,24 @@ def test_all_geoms_golden_subset():
     assert wkts[5] == "LINESTRING (0 1,2 3)"  # Pline n
     assert wkts[6] == "MULTILINESTRING ((0 1,2 3),(3 4,5 6))"
     assert wkts[7] == "POLYGON ((-1 -1,1 -1,1 1,-1 1,-1 -1))"  # Rect
-    # RoundRect / Ellipse / Arc / Arc / Text: arc tessellation skipped
-    assert wkts[8:13] == [None] * 5
+
+    # RoundRect / Ellipse / Arc / Arc / Text tessellations: numeric
+    # vertex-for-vertex parity with all_geoms.mif.golden.csv rows 8-12
+    import csv
+
+    with open(f"{MITAB}/all_geoms.mif.golden.csv") as fh:
+        golden = [r[0] for r in csv.reader(fh)][1:]
+
+    def coords(wkt):
+        nums = re.findall(r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?", wkt)
+        return np.array([float(v) for v in nums]).reshape(-1, 2)
+
+    for i in range(8, 13):
+        mine, ref = coords(wkts[i]), coords(golden[i])
+        assert mine.shape == ref.shape, (i, mine.shape, ref.shape)
+        np.testing.assert_allclose(mine, ref, atol=1e-12)
+        assert wkts[i].split(" ")[0] == golden[i].split(" ")[0]
+
     assert wkts[13] == "MULTIPOINT ((0 1),(2 3))"
     assert wkts[14] == "POLYGON ((0 1,1 1,1 0,0 1))"  # Region
     assert wkts[15] == (
