@@ -5,12 +5,15 @@ OGRGeometry::Buffer -> GEOS Buffer. GEOS discretizes circular arcs with
 ``quadsegs`` segments per quarter circle, vertices ON the circle — same
 convention here, so areas/vertex counts are closed-form for fixtures.
 
-Scope (documented deviation): points (disc), 2-point line strings
-(capsule), and CONVEX polygons (positive offset = edges + vertex arcs;
-negative offset = half-plane erosion). Concave polygon buffering needs
-self-intersection cleanup of the offset curve (GEOS does raw-offset +
-winding repair); that repair pass is not implemented — callers get a
-ValueError instead of a silently wrong ring.
+Scope: points (disc), 2-point line strings (capsule), CONVEX polygons
+(positive offset = edges + vertex arcs; negative offset = half-plane
+erosion), and CONCAVE polygons for positive offsets via the exact
+Minkowski identity  poly ⊕ disc = poly ∪ ⋃(edge capsules)  evaluated
+with the slab-sweep union kernel (functions/polyunion.py) — closed
+pockets become holes, matching GEOS Buffer's topology. Documented
+deviations: negative buffer of a concave polygon (offset-curve winding
+repair) and polygons with holes still raise ValueError instead of
+returning a silently wrong ring.
 """
 
 from __future__ import annotations
@@ -57,18 +60,48 @@ def buffer_point(x: float, y: float, dist: float, quadsegs: int = 8) -> bytes:
     return W.write_polygon([np.array(pts, dtype=np.float64)])
 
 
-def buffer_segment(
-    a, b, dist: float, quadsegs: int = 8
-) -> bytes:
-    """Capsule around segment a-b: two offset sides + two semicircle caps."""
+def _capsule_ring(a, b, dist: float, quadsegs: int) -> np.ndarray:
+    """Capsule ring around segment a-b: two offset sides + two
+    semicircle caps (degenerate segment -> disc)."""
     ax, ay, bx, by = float(a[0]), float(a[1]), float(b[0]), float(b[1])
+    if ax == bx and ay == by:
+        pts = _arc(ax, ay, dist, 0.0, 2.0 * math.pi, quadsegs)
+        pts[-1] = pts[0]
+        return np.array(pts, dtype=np.float64)
     theta = math.atan2(by - ay, bx - ax)
     ring = []
     # right side of a->b, then cap at b (theta-pi/2 .. theta+pi/2)
     ring += _arc(bx, by, dist, theta - math.pi / 2.0, theta + math.pi / 2.0, quadsegs)
     ring += _arc(ax, ay, dist, theta + math.pi / 2.0, theta + 3.0 * math.pi / 2.0, quadsegs)
     ring.append(ring[0])
-    return W.write_polygon([np.array(ring, dtype=np.float64)])
+    return np.array(ring, dtype=np.float64)
+
+
+def buffer_segment(
+    a, b, dist: float, quadsegs: int = 8
+) -> bytes:
+    """Capsule around segment a-b: two offset sides + two semicircle caps."""
+    return W.write_polygon([_capsule_ring(a, b, dist, quadsegs)])
+
+
+def _buffer_concave_ring(
+    ring: np.ndarray, dist: float, quadsegs: int
+) -> list[list[np.ndarray]]:
+    """Positive buffer of an arbitrary simple ring via the Minkowski
+    identity: region ⊕ disc == region ∪ ⋃(capsule(edge_i)). The slab
+    union handles the offset-curve self-intersections exactly, and
+    structure_rings turns closed pockets into holes — the same topology
+    GEOS Buffer produces after winding repair."""
+    from gdal_spark.functions.polyclip import structure_rings
+    from gdal_spark.functions.polyunion import union_rings
+
+    ring = _ccw(np.asarray(ring, dtype=np.float64))
+    feats: list[list[np.ndarray]] = [[ring]]
+    p = ring[:-1]
+    n = len(p)
+    for i in range(n):
+        feats.append([_capsule_ring(p[i], p[(i + 1) % n], dist, quadsegs)])
+    return structure_rings(union_rings(feats))
 
 
 def _buffer_convex_ring(ring: np.ndarray, dist: float, quadsegs: int):
@@ -159,7 +192,10 @@ def buffer_wkb(buf: bytes, dist: float, quadsegs: int = 8) -> bytes | None:
         if len(rings) > 1:
             raise ValueError("buffer: polygons with holes not supported")
         if dist >= 0:
-            out.append([_buffer_convex_ring(rings[0], dist, quadsegs)])
+            if _is_convex(_ccw(np.asarray(rings[0], dtype=np.float64))):
+                out.append([_buffer_convex_ring(rings[0], dist, quadsegs)])
+            else:
+                out.extend(_buffer_concave_ring(rings[0], dist, quadsegs))
         else:
             r = _erode_convex_ring(rings[0], -dist)
             if r is not None:
