@@ -201,3 +201,79 @@ def zoom_for_pixel_size_py(pixel_size: float) -> int:
         if pixel_size > resolution_py(i):
             return max(0, i - 1)
     return MAX_ZOOM
+
+
+# ---------------------------------------------------------------------------
+# TMS Global Geodetic profile (gdal2tiles.py GlobalGeodetic:535-629):
+# EPSG:4326 Plate Carree pyramid. resFact = 180/tile_size when
+# tmscompatible (2 tiles at level 0, the OSGeo TMS spec) else
+# 360/tile_size (1 tile at level 0, OpenLayers/WMTS default). Same
+# ceil(p/ts)-1 tile addressing as GlobalMercator.
+# ---------------------------------------------------------------------------
+
+
+def geodetic_resolution_py(
+    zoom: int, tms_compatible: bool = True, tile_size: int = TILE_SIZE
+) -> float:
+    res_fact = (180.0 if tms_compatible else 360.0) / tile_size
+    return res_fact / 2**zoom
+
+
+def lonlat_to_tile_geodetic_py(
+    lon: float,
+    lat: float,
+    zoom: int,
+    tms_compatible: bool = True,
+    tile_size: int = TILE_SIZE,
+) -> tuple[int, int]:
+    res = geodetic_resolution_py(zoom, tms_compatible, tile_size)
+    px = (180.0 + lon) / res
+    py = (90.0 + lat) / res
+    return (
+        int(math.ceil(px / float(tile_size)) - 1),
+        int(math.ceil(py / float(tile_size)) - 1),
+    )
+
+
+def tile_bounds_geodetic_py(
+    tx: int,
+    ty: int,
+    zoom: int,
+    tms_compatible: bool = True,
+    tile_size: int = TILE_SIZE,
+) -> tuple[float, float, float, float]:
+    res = geodetic_resolution_py(zoom, tms_compatible, tile_size)
+    return (
+        tx * tile_size * res - 180.0,
+        ty * tile_size * res - 90.0,
+        (tx + 1) * tile_size * res - 180.0,
+        (ty + 1) * tile_size * res - 90.0,
+    )
+
+
+def geodetic_zoom_for_pixel_size_py(
+    pixel_size: float, tms_compatible: bool = True, tile_size: int = TILE_SIZE
+) -> int:
+    """GlobalGeodetic.ZoomForPixelSize (gdal2tiles.py:608-614)."""
+    for i in range(MAX_ZOOM + 1):
+        if pixel_size > geodetic_resolution_py(i, tms_compatible, tile_size):
+            return max(0, i - 1)
+    return MAX_ZOOM
+
+
+def lonlat_to_tile_geodetic(
+    lon: Column,
+    lat: Column,
+    zoom: Column | int,
+    tms_compatible: bool = True,
+    tile_size: int = TILE_SIZE,
+) -> tuple[Column, Column]:
+    """Pure-Column geodetic tile addressing (TMS row origin bottom)."""
+    z = F.lit(zoom) if isinstance(zoom, int) else zoom
+    res_fact = (180.0 if tms_compatible else 360.0) / tile_size
+    res = F.lit(res_fact) / F.pow(F.lit(2.0), z.cast("double"))
+    px = (F.lit(180.0) + lon) / res
+    py = (F.lit(90.0) + lat) / res
+    tx = (F.ceil(px / F.lit(float(tile_size))) - F.lit(1)).cast("long")
+    ty = (F.ceil(py / F.lit(float(tile_size))) - F.lit(1)).cast("long")
+    return tx, ty

@@ -533,3 +533,69 @@ ORACLE = {
     "tile_cover_z8": TILE_COVER_SQL,
     "tile_pyramid_z8": TILE_PYRAMID_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Geodetic (EPSG:4326 Plate Carree) tile cover — gdal2tiles -p geodetic
+# (GlobalGeodetic, gdal2tiles.py:535-629), tmscompatible resFact=180/256.
+# Same footprint fixture as tile_cover_z8; no mercator projection, no
+# +/-85 clamp semantics needed beyond the fixture's own bbox clamp.
+# ---------------------------------------------------------------------------
+
+Z_GEODETIC = 6
+
+
+def tile_cover_geodetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _images_meta(spark, N_COVER)
+    tx0, ty0 = M.lonlat_to_tile_geodetic(
+        F.col("lon_min"), F.col("lat_min"), Z_GEODETIC
+    )
+    tx1, ty1 = M.lonlat_to_tile_geodetic(
+        F.col("lon_max"), F.col("lat_max"), Z_GEODETIC
+    )
+    tiles = (
+        df.select(
+            F.explode(F.sequence(tx0, tx1)).alias("tx"),
+            F.sequence(ty0, ty1).alias("tys"),
+        )
+        .select("tx", F.explode("tys").alias("ty_tms"))
+    )
+    return tiles.groupBy("tx", "ty_tms").agg(
+        F.count(F.lit(1)).alias("n_images")
+    )
+
+
+TILE_COVER_GEODETIC_SQL = f"""
+with idx as (select cast(i as double) as i, i as ii from generate_series(0, {N_COVER - 1}) t(i)),
+fp as (
+  select i,
+    case when ii % 5 = 0 then 10.0 + fmod(i * cast(137.50776405003785 as double), 1.0)
+         else -180.0 + fmod(i * cast(137.50776405003785 as double), 360.0) end as lon_c,
+    case when ii % 5 = 0 then 45.0 + fmod(i * cast(78.61803398874989 as double), 1.0)
+         else -85.0 + fmod(i * cast(78.61803398874989 as double), 170.0) end as lat_c,
+    0.01 + cast(ii * 37 % 49 as double) / 100.0 as dlon,
+    0.01 + cast(ii * 23 % 49 as double) / 100.0 as dlat
+  from idx),
+bbox as (
+  select i,
+    lon_c - dlon / 2 as lon_min, lon_c + dlon / 2 as lon_max,
+    greatest(-85.0, least(85.0, lat_c - dlat / 2)) as lat_min,
+    greatest(-85.0, least(85.0, lat_c + dlat / 2)) as lat_max
+  from fp),
+tr as (
+  select i,
+    cast(ceil((180.0 + lon_min) / (0.703125 / {2**Z_GEODETIC}) / 256.0) - 1 as bigint) as tx0,
+    cast(ceil((180.0 + lon_max) / (0.703125 / {2**Z_GEODETIC}) / 256.0) - 1 as bigint) as tx1,
+    cast(ceil((90.0 + lat_min) / (0.703125 / {2**Z_GEODETIC}) / 256.0) - 1 as bigint) as ty0,
+    cast(ceil((90.0 + lat_max) / (0.703125 / {2**Z_GEODETIC}) / 256.0) - 1 as bigint) as ty1
+  from bbox),
+tiles as (
+  select tx, unnest(generate_series(ty0, ty1)) as ty_tms
+  from (select ty0, ty1, unnest(generate_series(tx0, tx1)) as tx from tr)
+)
+select tx, ty_tms, count(*) as n_images
+from tiles group by tx, ty_tms
+"""
+
+SPARK["tile_cover_geodetic"] = tile_cover_geodetic
+ORACLE["tile_cover_geodetic"] = TILE_COVER_GEODETIC_SQL

@@ -159,3 +159,39 @@ class TestResumeAndPyramid:
     def test_max_zoom_selection(self, images):
         z = P.max_zoom_for(images)
         assert 5 <= z <= 16  # 64px over 0.01-0.5 deg footprints
+
+
+# ---------------------------------------------------------------------------
+# GlobalGeodetic profile (gdal2tiles.py:535-629)
+# ---------------------------------------------------------------------------
+
+
+def test_geodetic_tile_math_pinned():
+    from gdal_spark.functions import mercator as M
+
+    # tmscompatible: resFact=180/256; z=3 -> res=0.087890625
+    assert M.lonlat_to_tile_geodetic_py(10.0, 45.0, 3) == (8, 5)
+    # py = 135/res = 1536.0 exactly: ceil(1536/256)-1 = 5 (boundary rule)
+    assert M.tile_bounds_geodetic_py(8, 5, 3) == (0.0, 22.5, 22.5, 45.0)
+    # non-tms (1 tile at level 0): resFact=360/256
+    assert M.lonlat_to_tile_geodetic_py(10.0, 45.0, 3, tms_compatible=False) == (4, 2)
+    # whole world at z0 (tms): two tiles side by side
+    assert M.lonlat_to_tile_geodetic_py(-179.9, -89.9, 0) == (0, 0)
+    assert M.lonlat_to_tile_geodetic_py(179.9, 89.9, 0) == (1, 0)
+    # ZoomForPixelSize never scales up
+    assert M.geodetic_zoom_for_pixel_size_py(0.703125) == 0
+    assert M.geodetic_zoom_for_pixel_size_py(0.08) == 3
+
+
+def test_geodetic_column_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    lons = np.linspace(-179.5, 179.5, 41)
+    lats = np.linspace(-89.5, 89.5, 41)
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in zip(lons, lats)], "lon double, lat double"
+    )
+    tx, ty = M.lonlat_to_tile_geodetic(F.col("lon"), F.col("lat"), 7)
+    rows = df.select(tx.alias("tx"), ty.alias("ty")).collect()
+    for (lo, la), r in zip(zip(lons, lats), rows):
+        assert (r.tx, r.ty) == M.lonlat_to_tile_geodetic_py(float(lo), float(la), 7)
