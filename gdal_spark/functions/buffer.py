@@ -10,10 +10,14 @@ Scope: points (disc), 2-point line strings (capsule), CONVEX polygons
 erosion), and CONCAVE polygons for positive offsets via the exact
 Minkowski identity  poly ⊕ disc = poly ∪ ⋃(edge capsules)  evaluated
 with the slab-sweep union kernel (functions/polyunion.py) — closed
-pockets become holes, matching GEOS Buffer's topology. Documented
-deviations: negative buffer of a concave polygon (offset-curve winding
-repair) and polygons with holes still raise ValueError instead of
-returning a silently wrong ring.
+pockets become holes, matching GEOS Buffer's topology. Polygons with
+holes: positive  (outer ⊕ disc) \ ⋃(hole ⊖ disc),  negative
+(outer ⊖ disc) \ ⋃(hole ⊕ disc),  via the slab boolean_rings
+difference. Documented deviation: EROSION of a concave ring (negative
+buffer of a concave outer, positive buffer of a polygon with a concave
+hole) still raises ValueError instead of returning a silently wrong
+ring — the offset-curve winding repair is only implemented for the
+dilation direction.
 """
 
 from __future__ import annotations
@@ -189,17 +193,49 @@ def buffer_wkb(buf: bytes, dist: float, quadsegs: int = 8) -> bytes | None:
         return buffer_segment(v[0], v[1], dist, quadsegs)
     out = []
     for rings in W.polygon_rings(buf):
-        if len(rings) > 1:
-            raise ValueError("buffer: polygons with holes not supported")
+        outer, holes = rings[0], rings[1:]
         if dist >= 0:
-            if _is_convex(_ccw(np.asarray(rings[0], dtype=np.float64))):
-                out.append([_buffer_convex_ring(rings[0], dist, quadsegs)])
+            if _is_convex(_ccw(np.asarray(outer, dtype=np.float64))):
+                polys = [[_buffer_convex_ring(outer, dist, quadsegs)]]
             else:
-                out.extend(_buffer_concave_ring(rings[0], dist, quadsegs))
+                polys = _buffer_concave_ring(outer, dist, quadsegs)
+            if holes:
+                # buffer(poly, +d) = (outer ⊕ disc) \ ⋃(hole ⊖ disc):
+                # holes shrink by d and vanish when erosion empties them
+                shrunk = []
+                for h in holes:
+                    r = _erode_convex_ring(h, dist)
+                    if r is not None:
+                        shrunk.append([r])
+                if shrunk:
+                    from gdal_spark.functions.polyclip import structure_rings
+                    from gdal_spark.functions.polyunion import boolean_rings
+
+                    polys = structure_rings(
+                        boolean_rings(polys, shrunk, "difference")
+                    )
+            out.extend(polys)
         else:
-            r = _erode_convex_ring(rings[0], -dist)
-            if r is not None:
-                out.append([r])
+            r = _erode_convex_ring(outer, -dist)
+            if r is None:
+                continue
+            polys = [[r]]
+            if holes:
+                # buffer(poly, -d) = (outer ⊖ disc) \ ⋃(hole ⊕ disc)
+                grown = []
+                for h in holes:
+                    hr = _ccw(np.asarray(h, dtype=np.float64))
+                    if _is_convex(hr):
+                        grown.append([_buffer_convex_ring(h, -dist, quadsegs)])
+                    else:
+                        grown.extend(_buffer_concave_ring(h, -dist, quadsegs))
+                from gdal_spark.functions.polyclip import structure_rings
+                from gdal_spark.functions.polyunion import boolean_rings
+
+                polys = structure_rings(
+                    boolean_rings(polys, grown, "difference")
+                )
+            out.extend(polys)
     if not out:
         return None
     if len(out) == 1:

@@ -190,3 +190,62 @@ def test_concave_buffer_contains_original_vertices():
     pts = L[:-1]
     hit = G.points_in_wkb(pts[:, 0], pts[:, 1], out)
     assert bool(np.all(hit))
+
+
+# ---------------------------------------------------------------------------
+# Polygons with holes
+# ---------------------------------------------------------------------------
+
+
+def _donut_wkb(outer, hole):
+    return W.write_polygon(
+        [np.asarray(outer, dtype=np.float64), np.asarray(hole, dtype=np.float64)]
+    )
+
+
+SQ10 = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+HOLE = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+
+
+def test_hole_positive_buffer_shrinks_hole():
+    out = B.buffer_wkb(_donut_wkb(SQ10, HOLE), 0.5)
+    polys = list(W.polygon_rings(out))
+    assert len(polys) == 1 and len(polys[0]) == 2
+    area = sum(_shoelace(np.asarray(r)) for r in polys[0])
+    # outer square dilates, hole erodes from 2x2 to 1x1
+    outer_area = 100 + 4 * 10 * 0.5 + 4 * 8 * 0.5 * 0.25 * math.sin(
+        math.pi / 2 / 8
+    )
+    assert abs(area) == pytest.approx(outer_area - 1.0, rel=1e-3)
+
+
+def test_hole_positive_buffer_fills_small_hole():
+    out = B.buffer_wkb(_donut_wkb(SQ10, HOLE), 1.0)
+    polys = list(W.polygon_rings(out))
+    # 2x2 hole eroded by 1.0 -> empty: no interior ring survives
+    assert len(polys) == 1 and len(polys[0]) == 1
+
+
+def test_hole_negative_buffer_grows_hole():
+    out = B.buffer_wkb(_donut_wkb(SQ10, HOLE), -0.5)
+    polys = list(W.polygon_rings(out))
+    assert len(polys) == 1 and len(polys[0]) == 2
+    outer = polys[0][0]
+    np.testing.assert_allclose(
+        np.sort(np.unique(np.asarray(outer)[:, 0])), [0.5, 9.5]
+    )
+    area = sum(_shoelace(np.asarray(r)) for r in polys[0])
+    hole_grown = 4.0 + 4 * 2 * 0.5 + 4 * 8 * 0.5 * 0.25 * math.sin(
+        math.pi / 2 / 8
+    )
+    assert abs(area) == pytest.approx(81.0 - hole_grown, rel=1e-3)
+
+
+def test_hole_negative_buffer_to_annulus_split():
+    # eroding a 10x10 with a 2x8 horizontal slot hole by 1.4 splits the
+    # region into two bands
+    slot = [(1, 4), (9, 4), (9, 6), (1, 6), (1, 4)]
+    out = B.buffer_wkb(_donut_wkb(SQ10, slot), -1.6)
+    polys = list(W.polygon_rings(out))
+    assert len(polys) == 2
+    assert all(len(rs) == 1 for rs in polys)
