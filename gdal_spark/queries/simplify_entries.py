@@ -785,6 +785,10 @@ _CHECK_GEOM_ORACLE = """
 #   poly-  same square, -1: area (s-2)^2, 5 points
 #   point  disc: area C(d), 33 points
 #   line   capsule over a 6-long segment: area 12d + C(d), 35 points
+#   donut  same square with a centered s/2 hole, +d: hole erodes to
+#          side s/2-2d (vanishing at <= 0, exactly-collapsing at 0):
+#          area = dilated outer - max(s/2-2d, 0)^2, npts 37 (+5 if the
+#          hole survives)
 # where C(d) = (d^2/2) * 32 * sin(pi/16) is the discretized full circle.
 
 _QUADSEGS = 8
@@ -800,7 +804,7 @@ def vector_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = n.select(
         F.col("n_nationkey").alias("k"),
         F.explode(
-            F.array(*[F.lit(x) for x in ("poly_pos", "poly_neg", "point", "line")])
+            F.array(*[F.lit(x) for x in ("poly_pos", "poly_neg", "point", "line", "donut")])
         ).alias("kind"),
     )
 
@@ -828,6 +832,20 @@ def vector_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     g = W.write_polygon([ring])
                     dist = d if r.kind == "poly_pos" else -1.0
+                elif r.kind == "donut":
+                    ring = np.array(
+                        [(x0, 0.0), (x0 + s, 0.0), (x0 + s, s), (x0, s), (x0, 0.0)],
+                        dtype=np.float64,
+                    )
+                    h = s / 2.0
+                    c0 = x0 + (s - h) / 2.0
+                    c1 = (s - h) / 2.0
+                    hole = np.array(
+                        [(c0, c1), (c0 + h, c1), (c0 + h, c1 + h), (c0, c1 + h), (c0, c1)],
+                        dtype=np.float64,
+                    )
+                    g = W.write_polygon([ring, hole])
+                    dist = d
                 elif r.kind == "point":
                     g = W.write_point(x0, 20.0)
                     dist = d
@@ -857,16 +875,23 @@ _BUFFER_ORACLE = """
                1.0 + (n_nationkey % 2) * 0.5 AS d
         FROM nation
         CROSS JOIN (SELECT 'poly_pos' AS kind UNION ALL SELECT 'poly_neg'
-                    UNION ALL SELECT 'point' UNION ALL SELECT 'line') kinds
+                    UNION ALL SELECT 'point' UNION ALL SELECT 'line'
+                    UNION ALL SELECT 'donut') kinds
     )
     SELECT k, kind,
            round(CASE kind
                  WHEN 'poly_pos' THEN s*s + 4*s*d + d*d/2*32*sin(pi()/16)
                  WHEN 'poly_neg' THEN (s-2)*(s-2)
                  WHEN 'point'    THEN d*d/2*32*sin(pi()/16)
+                 WHEN 'donut'    THEN s*s + 4*s*d + d*d/2*32*sin(pi()/16)
+                      - CASE WHEN s/2.0 - 2*d > 1e-9
+                             THEN (s/2.0 - 2*d)*(s/2.0 - 2*d) ELSE 0 END
                  ELSE 12.0*d + d*d/2*32*sin(pi()/16) END, 6) AS area,
            CAST(CASE kind WHEN 'poly_pos' THEN 37 WHEN 'poly_neg' THEN 5
-                          WHEN 'point' THEN 33 ELSE 35 END AS INT) AS npts
+                          WHEN 'point' THEN 33
+                          WHEN 'donut' THEN
+                               CASE WHEN s/2.0 - 2*d > 1e-9 THEN 42 ELSE 37 END
+                          ELSE 35 END AS INT) AS npts
     FROM base
 """
 
