@@ -90,8 +90,19 @@ def max_zoom_for(images: DataFrame) -> int:
     return M.zoom_for_pixel_size_py(row["res"])
 
 
-def base_patches(images: DataFrame, tz: int, resample: str = "bilinear") -> DataFrame:
-    """Stage 1: decode once, warp to each covering tile, emit RGBA patches."""
+def base_patches(
+    images: DataFrame,
+    tz: int,
+    resample: str = "bilinear",
+    profile: str = "mercator",
+) -> DataFrame:
+    """Stage 1: decode once, warp to each covering tile, emit RGBA patches.
+
+    profile: "mercator" (gdal2tiles default; lonlat sources warped onto
+    EPSG:3857 tile grids) or "geodetic" (gdal2tiles -p geodetic: the
+    EPSG:4326 Plate Carree pyramid, GlobalGeodetic tmscompatible — no
+    reprojection, pure resample onto the lon/lat tile grid)."""
+    geodetic = profile == "geodetic"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gdal_spark.functions import codecs
@@ -105,17 +116,33 @@ def base_patches(images: DataFrame, tz: int, resample: str = "bilinear") -> Data
                     r.lon_min, r.lat_min, r.lon_max, r.lat_max,
                     arr.shape[1], arr.shape[0],
                 )
-                mx0, my0 = lonlat_to_meters_np(np.float64(r.lon_min), np.float64(r.lat_min))
-                mx1, my1 = lonlat_to_meters_np(np.float64(r.lon_max), np.float64(r.lat_max))
-                txmin, tymin = M.meters_to_tile_py(float(mx0), float(my0), tz)
-                txmax, tymax = M.meters_to_tile_py(float(mx1), float(my1), tz)
+                if geodetic:
+                    txmin, tymin = M.lonlat_to_tile_geodetic_py(
+                        float(r.lon_min), float(r.lat_min), tz
+                    )
+                    txmax, tymax = M.lonlat_to_tile_geodetic_py(
+                        float(r.lon_max), float(r.lat_max), tz
+                    )
+                else:
+                    mx0, my0 = lonlat_to_meters_np(np.float64(r.lon_min), np.float64(r.lat_min))
+                    mx1, my1 = lonlat_to_meters_np(np.float64(r.lon_max), np.float64(r.lat_max))
+                    txmin, tymin = M.meters_to_tile_py(float(mx0), float(my0), tz)
+                    txmax, tymax = M.meters_to_tile_py(float(mx1), float(my1), tz)
                 for tx in range(txmin, txmax + 1):
                     for ty in range(tymin, tymax + 1):
-                        bxmin, bymin, bxmax, bymax = M.tile_bounds_meters_py(tx, ty, tz)
+                        if geodetic:
+                            bxmin, bymin, bxmax, bymax = (
+                                M.tile_bounds_geodetic_py(tx, ty, tz)
+                            )
+                        else:
+                            bxmin, bymin, bxmax, bymax = (
+                                M.tile_bounds_meters_py(tx, ty, tz)
+                            )
                         dst_gt = (bxmin, (bxmax - bxmin) / TILE_SIZE, 0.0,
                                   bymax, 0.0, -(bymax - bymin) / TILE_SIZE)
                         warped, mask = warp_array(
                             arr, src_gt, dst_gt, TILE_SIZE, TILE_SIZE,
+                            dst_crs="EPSG:4326" if geodetic else "EPSG:3857",
                             resample=resample, return_mask=True,
                         )
                         if not mask.any():
@@ -218,7 +245,7 @@ def resume_filter(patches_or_tiles: DataFrame, done_keys: DataFrame) -> DataFram
 def build_pyramid(
     images: DataFrame, tz_max: int, tz_min: int = 0,
     resample: str = "bilinear", existing: DataFrame | None = None,
-    overview_method: str = "average",
+    overview_method: str = "average", profile: str = "mercator",
 ) -> dict[int, DataFrame]:
     """Full pyramid: base zoom then iterative overview reduces (one Spark
     stage per zoom, descending — gdal2tiles' overview loop).
@@ -229,7 +256,7 @@ def build_pyramid(
     but it IS used as a child when pasting its parent overview tile.
     Returned frames contain only the NEW tiles per zoom.
     """
-    patches = base_patches(images, tz_max, resample=resample)
+    patches = base_patches(images, tz_max, resample=resample, profile=profile)
     if existing is not None:
         patches = resume_filter(patches, existing.filter(F.col("tz") == tz_max))
     new = {tz_max: composite_tiles(patches)}

@@ -195,3 +195,29 @@ def test_geodetic_column_matches_scalar(spark):
     rows = df.select(tx.alias("tx"), ty.alias("ty")).collect()
     for (lo, la), r in zip(zip(lons, lats), rows):
         assert (r.tx, r.ty) == M.lonlat_to_tile_geodetic_py(float(lo), float(la), 7)
+
+
+def test_geodetic_pyramid_cover_and_content(spark, images):
+    """-p geodetic end-to-end: base-tile keys == the closed-form geodetic
+    cover; overview zoom keys are the halved parents."""
+    tz = 5
+    tiles = P.composite_tiles(P.base_patches(images, tz, profile="geodetic"))
+    got = {(r.tx, r.ty) for r in tiles.select("tx", "ty").collect()}
+    fp = datagen.footprint_np(np.arange(N))
+    want = set()
+    for i in range(N):
+        tx0, ty0 = M.lonlat_to_tile_geodetic_py(
+            float(fp["lon_min"][i]), float(fp["lat_min"][i]), tz
+        )
+        tx1, ty1 = M.lonlat_to_tile_geodetic_py(
+            float(fp["lon_max"][i]), float(fp["lat_max"][i]), tz
+        )
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                want.add((tx, ty))
+    # warp masks can only drop empty tiles, never add
+    assert got <= want
+    assert len(got) >= 0.8 * len(want)
+    ov = P.overview_zoom(tiles)
+    parents = {(r.tx, r.ty) for r in ov.select("tx", "ty").collect()}
+    assert parents == {(tx // 2, ty // 2) for tx, ty in got}
