@@ -828,3 +828,92 @@ _RPCDEM_ORACLE = f"""
 
 SPARK["rpc_dem_project"] = rpc_dem_project
 ORACLE["rpc_dem_project"] = _RPCDEM_ORACLE
+
+
+# --------------------------------------------------------------------------
+# RPC orthorectification (gdalwarp -rpc + RPC_DEM, alg/gdal_rpc.cpp direct
+# path :1928-1953 through raster/gcp.py warp_array_rpc): mod-raster source,
+# per-nation output windows, linear-plane WGS84 DEM heights. Every output
+# pixel is closed-form: DuckDB recomputes lon/lat -> DEM height ->
+# 20-term rational -> source pixel -> mod value.
+# --------------------------------------------------------------------------
+
+_ORTHO_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("v", T.IntegerType()),
+    ]
+)
+
+_ORTHO_W, _ORTHO_H = 16, 12
+_ORTHO_RES = 5e-6
+
+
+def raster_warp_rpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.gcp import warp_array_rpc
+
+        rng = np.arange(64)
+        src = ((rng[:, None] * 37 + rng[None, :] * 101) % 97).astype(np.int32)
+        r = np.arange(200)
+        dem = 30.0 + 0.5 * r[None, :] + 0.25 * r[:, None]
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                lon0 = 125.64800 + (k % 5) * 2e-5
+                lat0 = 39.86950 - (k % 3) * 1.5e-5
+                dst_gt = (lon0, _ORTHO_RES, 0.0, lat0, 0.0, -_ORTHO_RES)
+                out, _ = warp_array_rpc(
+                    src, _RPC_MD, resample="near", dst_gt=dst_gt,
+                    out_size=(_ORTHO_W, _ORTHO_H), nodata=-1,
+                    dem=dem, dem_gt=_RPCDEM_GT, rpc_height_scale=2.0,
+                )
+                for y in range(_ORTHO_H):
+                    for x in range(_ORTHO_W):
+                        rows.append((k, y, x, int(out[y, x])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _ORTHO_SCH.fields]
+            )
+
+    return _nation(spark, sf_dir).mapInPandas(run, _ORTHO_SCH)
+
+
+_ORTHO_ORACLE = f"""
+    WITH px AS (
+        SELECT n_nationkey AS k, y, x,
+               125.64800 + (n_nationkey % 5) * 2e-5
+                   + (x + 0.5) * {_ORTHO_RES} AS lon,
+               39.86950 - (n_nationkey % 3) * 1.5e-5
+                   - (y + 0.5) * {_ORTHO_RES} AS lat
+        FROM nation,
+             generate_series(0, {_ORTHO_H - 1}) t1(y),
+             generate_series(0, {_ORTHO_W - 1}) t2(x)
+    ), nrm AS (
+        SELECT k, y, x,
+               (lon - 125.7510) / 0.1096 AS L,
+               (lat - 39.7792) / 0.0900 AS P,
+               {_RPCDEM_H} AS H
+        FROM px
+    ), sp AS (
+        SELECT k, y, x,
+               ({_rpc_poly_sql("SAMP_NUM_COEFF")})
+                   / ({_rpc_poly_sql("SAMP_DEN_COEFF")})
+                   * 15217 + 15184 + 0.5 - 0.5 AS s,
+               ({_rpc_poly_sql("LINE_NUM_COEFF")})
+                   / ({_rpc_poly_sql("LINE_DEN_COEFF")})
+                   * 16480 + 16201 + 0.5 - 0.5 AS t
+        FROM nrm
+    )
+    SELECT k, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+           CAST(CASE WHEN s >= -0.5 AND s <= 63.5 AND t >= -0.5 AND t <= 63.5
+                THEN CAST((least(greatest(round(t), 0), 63) * 37
+                     + least(greatest(round(s), 0), 63) * 101) AS BIGINT) % 97
+                ELSE -1 END AS INT) AS v
+    FROM sp
+"""
+
+SPARK["raster_warp_rpc"] = raster_warp_rpc
+ORACLE["raster_warp_rpc"] = _ORTHO_ORACLE

@@ -199,7 +199,16 @@ def warp_array_gcp(
     PX, PY = np.meshgrid(xs, ys)
     gx, gy = K.gt_pixel_to_geo(dst_gt, PX, PY)
     spx, spy = tr.geo_to_pixel(gx, gy)
-    spx, spy = spx - 0.5, spy - 0.5
+    out = _gather_inverse(arr, spx - 0.5, spy - 0.5, resample, nodata)
+    return out, dst_gt
+
+
+def _gather_inverse(arr, spx, spy, resample, nodata):
+    """Shared inverse-map gather: sample src pixel coords (center-based)
+    with the requested kernel, nodata outside the source."""
+    from gdal_spark.raster import kernels as K
+
+    h, w = arr.shape[:2]
     inside = (spx >= -0.5) & (spx <= w - 0.5) & (spy >= -0.5) & (spy <= h - 0.5)
     if resample == "bilinear":
         out = K._bilinear_gather(arr, spx, spy)
@@ -210,5 +219,60 @@ def warp_array_gcp(
         iy = np.round(spy).astype(np.int64).clip(0, h - 1)
         out = arr[iy, ix]
     inside2 = inside[:, :, None] if arr.ndim == 3 else inside
-    out = np.where(inside2, out, np.asarray(nodata, dtype=out.dtype))
+    return np.where(inside2, out, np.asarray(nodata, dtype=out.dtype))
+
+
+def warp_array_rpc(
+    arr: np.ndarray,
+    rpc_md: dict,
+    resample: str = "near",
+    out_res: float | None = None,
+    nodata: float = 0.0,
+    dst_gt: tuple | None = None,
+    out_size: tuple[int, int] | None = None,
+    **rpc_opts,
+):
+    """gdalwarp with RPC georeferencing (-rpc [-to RPC_DEM=...]):
+    orthorectification. Output grid either given (dst_gt + out_size
+    (w, h)) or suggested from a 21x21 border sample of the iterative
+    pixel->lonlat forward model; every dst pixel center is inverse-mapped
+    through the DIRECT rational evaluation (with per-point DEM heights,
+    alg/gdal_rpc.cpp:1928-1953) and gathered. Returns (out, dst_gt)."""
+    from gdal_spark.raster import kernels as K
+    from gdal_spark.raster.rpc import RPCTransformer
+
+    tr = RPCTransformer(rpc_md, **rpc_opts)
+    h, w = arr.shape[:2]
+    if dst_gt is None:
+        edge = np.linspace(0, 1, 21)
+        px = np.concatenate(
+            [edge * w, edge * w, np.zeros(21), np.full(21, float(w))]
+        )
+        py = np.concatenate(
+            [np.zeros(21), np.full(21, float(h)), edge * h, edge * h]
+        )
+        tx, ty = tr.pixel_to_lonlat(px, py)
+        xmin, xmax = float(tx.min()), float(tx.max())
+        ymin, ymax = float(ty.min()), float(ty.max())
+        if out_res is None:
+            out_res = math.sqrt((xmax - xmin) * (ymax - ymin) / (w * h))
+        ow = max(1, int(round((xmax - xmin) / out_res)))
+        oh = max(1, int(round((ymax - ymin) / out_res)))
+        dst_gt = (
+            xmin, (xmax - xmin) / ow, 0.0, ymax, 0.0, -(ymax - ymin) / oh,
+        )
+    else:
+        ow, oh = out_size
+    xs = np.arange(ow) + 0.5
+    ys = np.arange(oh) + 0.5
+    PX, PY = np.meshgrid(xs, ys)
+    gx, gy = K.gt_pixel_to_geo(dst_gt, PX, PY)
+    from gdal_spark.raster.rpc import rpc_transform_point
+
+    heights, ok = tr.heights_at_lonlat(gx, gy)
+    spx, spy = rpc_transform_point(tr.rpc, gx, gy, heights)
+    # dst pixels without a DEM height become nodata (panSuccess=FALSE)
+    spx = np.where(ok, spx, -1e9)
+    spy = np.where(ok, spy, -1e9)
+    out = _gather_inverse(arr, spx - 0.5, spy - 0.5, resample, nodata)
     return out, dst_gt

@@ -177,6 +177,7 @@ class RPCTransformer:
             ]
             self._dem_gt = g
         self._wgs84_to_dem = None
+        self._dem_srs = dem_srs
         if dem_srs is not None and dem_srs.upper() not in (
             "EPSG:4326",
             "WGS84",
@@ -303,20 +304,59 @@ class RPCTransformer:
         lon_a = np.atleast_1d(np.asarray(lon, float))
         lat_a = np.atleast_1d(np.asarray(lat, float))
         z_a = np.broadcast_to(np.asarray(z, float), lon_a.shape)
-        heights = np.empty_like(lon_a)
-        for idx in np.ndindex(lon_a.shape):
-            h, ok, _, _ = self._height_at_lonlat(lon_a[idx], lat_a[idx])
-            if not ok:
-                raise ValueError(
-                    f"no DEM height at ({lon_a[idx]}, {lat_a[idx]})"
-                )
-            heights[idx] = h
+        heights, ok = self.heights_at_lonlat(lon_a, lat_a)
+        if not ok.all():
+            bad = np.argwhere(~ok)[0]
+            raise ValueError(
+                f"no DEM height at ({lon_a[tuple(bad)]}, {lat_a[tuple(bad)]})"
+            )
         px, ln = rpc_transform_point(
             self.rpc, lon_a, lat_a, z_a + heights
         )
         if px.size == 1:
             return float(px.ravel()[0]), float(ln.ravel()[0])
         return px, ln
+
+    def heights_at_lonlat(self, lon: np.ndarray, lat: np.ndarray):
+        """Vectorized GDALRPCGetHeightAtLongLat over point arrays:
+        -> (heights, ok). The rare dateline-retry points fall back to the
+        scalar path."""
+        lon = np.asarray(lon, float)
+        lat = np.asarray(lat, float)
+        if self.dem is None:
+            return (
+                np.full(lon.shape, self.height_offset),
+                np.ones(lon.shape, bool),
+            )
+        if self._wgs84_to_dem is not None:
+            x_t, y_t = self._dem_transform_vec(lon, lat)
+        else:
+            x_t, y_t = lon, lat
+        ig = self._dem_inv_gt
+        px = ig[0] + ig[1] * x_t + ig[2] * y_t
+        ln = ig[3] + ig[4] * x_t + ig[5] * y_t
+        vals, ok = interpolate_at_point_checked(
+            self.dem, px.ravel(), ln.ravel(), self.dem_interp, self.dem_nodata
+        )
+        heights = (
+            self.height_offset
+            + np.where(ok, vals, 0.0) * self.height_scale
+        ).reshape(lon.shape)
+        ok = ok.reshape(lon.shape)
+        if not ok.all():
+            # retry/missing-value handling point-by-point (rare)
+            for idx in np.argwhere(~ok):
+                idx = tuple(idx)
+                h, o, _, _ = self._height_at_lonlat(lon[idx], lat[idx])
+                heights[idx], ok[idx] = h, o
+        return heights, ok
+
+    def _dem_transform_vec(self, lon, lat):
+        """Vectorized WGS84 -> DEM-CRS (the scalar _wgs84_to_dem wraps the
+        same crs.transform, which is numpy-vectorized already)."""
+        from gdal_spark.functions import crs as _crs
+
+        return _crs.transform("EPSG:4326", self._dem_srs, lon, lat)
 
     # -- iterative: pixel/line (+z) -> long/lat (RPCInverseTransformPoint) ---
     def pixel_to_lonlat(self, pixel, line, z=0.0):

@@ -195,3 +195,70 @@ def test_rpc_dem_terrain_height_actually_used():
     # and the flat-earth answer differs
     lon0, lat0 = RPCTransformer(RPC_MD).pixel_to_lonlat(20.5, 10.5)
     assert abs(lon - lon0) > 1e-7 or abs(lat - lat0) > 1e-7
+
+
+# ---------------------------------------------------------------------------
+# RPC orthorectification (warp_array_rpc)
+# ---------------------------------------------------------------------------
+
+
+def test_warp_rpc_constant_dem_equals_rpc_height():
+    """gdalwarp -rpc with a constant DEM at HEIGHT_SCALE=2 must produce
+    the same raster as RPC_HEIGHT=30 (the transformer_5 equivalence)."""
+    from gdal_spark.raster.gcp import warp_array_rpc
+
+    rng = np.arange(64)
+    arr = ((rng[:, None] * 37 + rng[None, :] * 101) % 97).astype(np.uint8)
+    dem, gt = _dem_utm52()
+    # a fixed output window over the 64x64 source corner (the rpc.vrt
+    # scene spans ~7.2e-6 deg/px)
+    dst_gt = (125.64800, 5e-6, 0.0, 39.86950, 0.0, -5e-6)
+    a, _ = warp_array_rpc(
+        arr, RPC_MD, resample="near", dst_gt=dst_gt, out_size=(80, 60),
+        dem=dem, dem_gt=gt, dem_srs="EPSG:32652", rpc_height_scale=2.0,
+    )
+    b, _ = warp_array_rpc(
+        arr, RPC_MD, resample="near", dst_gt=dst_gt, out_size=(80, 60),
+        rpc_height=30.0,
+    )
+    assert np.array_equal(a, b)
+    assert a.any()
+
+
+def test_warp_rpc_inverse_consistency():
+    """Each non-nodata output pixel equals the source pixel the direct
+    RPC maps its center to (near resampling)."""
+    from gdal_spark.raster.gcp import warp_array_rpc
+    from gdal_spark.raster.rpc import RPCTransformer
+
+    rng = np.arange(64)
+    arr = ((rng[:, None] * 37 + rng[None, :] * 101) % 97).astype(np.uint8)
+    dst_gt = (125.64800, 5e-6, 0.0, 39.86950, 0.0, -5e-6)
+    out, _ = warp_array_rpc(
+        arr, RPC_MD, resample="near", dst_gt=dst_gt, out_size=(40, 30),
+        rpc_height=30.0,
+    )
+    tr = RPCTransformer(RPC_MD, rpc_height=30.0)
+    hits = 0
+    for oy in range(30):
+        for ox in range(40):
+            lon = dst_gt[0] + (ox + 0.5) * dst_gt[1]
+            lat = dst_gt[3] + (oy + 0.5) * dst_gt[5]
+            px, ln = tr.lonlat_to_pixel(lon, lat)
+            ix, iy = int(round(px - 0.5)), int(round(ln - 0.5))
+            if 0 <= ix < 64 and 0 <= iy < 64:
+                assert out[oy, ox] == arr[iy, ix]
+                hits += 1
+    assert hits > 100
+
+
+def test_warp_rpc_suggested_grid():
+    """Without dst_gt the output grid comes from the border sample and
+    covers the source footprint."""
+    from gdal_spark.raster.gcp import warp_array_rpc
+
+    arr = np.full((32, 32), 7, dtype=np.uint8)
+    out, gt = warp_array_rpc(arr, RPC_MD, resample="near", rpc_height=0.0)
+    assert out.shape[0] >= 16 and out.shape[1] >= 16
+    assert (out == 7).mean() > 0.3  # footprint fills a decent share
+    assert gt[1] > 0 and gt[5] < 0
