@@ -917,3 +917,78 @@ _ORTHO_ORACLE = f"""
 
 SPARK["raster_warp_rpc"] = raster_warp_rpc
 ORACLE["raster_warp_rpc"] = _ORTHO_ORACLE
+
+
+# --------------------------------------------------------------------------
+# nearblack / gdal raster clean-collar (apps/nearblack_lib.cpp two-passes
+# algorithm through raster/collar.py): per-nation 64x64 rasters with a
+# rectangular near-black frame around a non-near-black interior. With
+# maxNonBlack=0 the erosion removes exactly the frame, so the output and
+# mask are closed-form; DuckDB recomputes per-(k, y) row sums.
+# --------------------------------------------------------------------------
+
+_COLLAR_SCH = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("row_sum", T.LongType()),
+        T.StructField("row_valid", T.LongType()),
+    ]
+)
+
+
+def raster_clean_collar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.raster.collar import nearblack
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                t, b = 2 + k % 3, 1 + k % 4
+                l_, r_ = 3 + k % 5, 2 + k % 2
+                inside = (
+                    (yy >= t) & (yy < 64 - b) & (xx >= l_) & (xx < 64 - r_)
+                )
+                v = np.where(
+                    inside, 20 + (yy * 7 + xx * 11 + k) % 50,
+                    (yy + xx + k) % 12,
+                ).astype(np.uint8)
+                out, mask = nearblack(v, max_non_black=0, set_mask=True)
+                for y in range(64):
+                    rows.append(
+                        (
+                            k, y,
+                            int(out[y].astype(np.int64).sum()),
+                            int((mask[y] == 255).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _COLLAR_SCH.fields]
+            )
+
+    return _nation(spark, sf_dir).mapInPandas(run, _COLLAR_SCH)
+
+
+_COLLAR_ORACLE = """
+    WITH px AS (
+        SELECT n_nationkey AS k, y, x,
+               CASE WHEN y >= 2 + n_nationkey % 3
+                     AND y < 64 - (1 + n_nationkey % 4)
+                     AND x >= 3 + n_nationkey % 5
+                     AND x < 64 - (2 + n_nationkey % 2)
+                    THEN 1 ELSE 0 END AS inside,
+               20 + (y*7 + x*11 + n_nationkey) % 50 AS v
+        FROM nation,
+             generate_series(0, 63) t1(y),
+             generate_series(0, 63) t2(x)
+    )
+    SELECT k, CAST(y AS INT) AS y,
+           CAST(sum(inside * v) AS BIGINT) AS row_sum,
+           CAST(sum(inside) AS BIGINT) AS row_valid
+    FROM px GROUP BY k, y
+"""
+
+SPARK["raster_clean_collar"] = raster_clean_collar
+ORACLE["raster_clean_collar"] = _COLLAR_ORACLE
