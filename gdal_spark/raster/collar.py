@@ -173,6 +173,81 @@ def nearblack(
     return out, mask
 
 
+def nearblack_floodfill(
+    arr: np.ndarray,
+    max_non_black: int = 2,
+    near_dist: int = 15,
+    white: bool = False,
+    colors: list[list[int]] | None = None,
+    set_alpha: bool = False,
+    set_mask: bool = False,
+):
+    """The -alg floodfill variant (apps/nearblack_lib_floodfill.cpp):
+    span-fill from every border pixel across pixels near ANY collar
+    color (MustSet:100-145), replacing with bNearWhite ? 255 : 0
+    (:594 — NOT the two-passes single-color rule). With
+    maxNonBlack > 0 the two-passes algorithm runs FIRST and the flood
+    fill cleans up its result (:597-618). Interior lakes disconnected
+    from the border survive — the semantic difference from two-passes.
+    """
+    a = np.asarray(arr)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    h, w, n_src = a.shape
+    if colors is None or not len(colors):
+        colors = [[255 if white else 0] * n_src]
+    replace_value = 255 if white else 0
+
+    if max_non_black > 0:
+        pre, mask = nearblack(
+            a, max_non_black=max_non_black, near_dist=near_dist,
+            white=white, colors=colors, set_alpha=set_alpha,
+            set_mask=True,
+        )
+        out = pre  # 3D (with alpha appended when set_alpha)
+    else:
+        n_dst = n_src + (1 if set_alpha else 0)
+        out = np.empty((h, w, n_dst), np.uint8)
+        out[:, :, :n_src] = a.astype(np.uint8)
+        if set_alpha:
+            out[:, :, -1] = 255
+        mask = np.full((h, w), 255, np.uint8)
+
+    # near-any-color mask on the current (possibly two-passes) data
+    near = np.zeros((h, w), bool)
+    flat = out[:, :, :n_src].reshape(-1, n_src)
+    for color in colors:
+        ok = np.ones(flat.shape[0], bool)
+        for b, cv in enumerate(color):
+            pix = flat[:, b].astype(np.int64)
+            ok &= ~((cv - pix > near_dist) | (pix > near_dist + cv))
+        near |= ok.reshape(h, w)
+
+    # border-connected flood (4-connectivity), iterative frontier sweep
+    visited = np.zeros((h, w), bool)
+    frontier = np.zeros((h, w), bool)
+    frontier[0, :] = near[0, :]
+    frontier[-1, :] = near[-1, :]
+    frontier[:, 0] = near[:, 0]
+    frontier[:, -1] = near[:, -1]
+    while frontier.any():
+        visited |= frontier
+        grow = np.zeros((h, w), bool)
+        grow[1:, :] |= frontier[:-1, :]
+        grow[:-1, :] |= frontier[1:, :]
+        grow[:, 1:] |= frontier[:, :-1]
+        grow[:, :-1] |= frontier[:, 1:]
+        frontier = grow & near & ~visited
+
+    out[visited, :n_src] = replace_value
+    if set_alpha:
+        out[visited, -1] = 0
+    mask[visited] = 0
+    out = out[:, :, 0] if squeeze and not set_alpha else out
+    return out, (mask if set_mask else None)
+
+
 def clean_collar_images(
     images,
     max_non_black: int = 2,
