@@ -992,3 +992,68 @@ _COLLAR_ORACLE = """
 
 SPARK["raster_clean_collar"] = raster_clean_collar
 ORACLE["raster_clean_collar"] = _COLLAR_ORACLE
+
+
+# --------------------------------------------------------------------------
+# gdal raster compare (apps/gdalalg_raster_compare.cpp): two PNG image
+# tables joined on image_id, per-band differing-pixel counts + max abs
+# difference. Raster B plants (y*31+x*17+k)%23==0 bumps of 1+k%5 onto the
+# mod raster, so both statistics are closed-form for DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _compare_images_pair(spark: SparkSession, sf_dir: str):
+    sch = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+
+    def build(planted: bool):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from gdal_spark.functions import codecs
+
+            yy, xx = np.mgrid[0:32, 0:32]
+            for pdf in batches:
+                rows = []
+                for k in pdf["n_nationkey"]:
+                    k = int(k)
+                    v = ((yy * 37 + xx * 101 + k * 13) % 97).astype(np.uint8)
+                    if planted:
+                        bump = ((yy * 31 + xx * 17 + k) % 23 == 0)
+                        v = (v + bump * (1 + k % 5)).astype(np.uint8)
+                    rows.append(
+                        (f"img{k:04d}", bytearray(codecs.encode_image(v, "png")), "png")
+                    )
+                yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+        return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+    return build(False), build(True)
+
+
+def raster_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster import ops
+
+    a, b = _compare_images_pair(spark, sf_dir)
+    return ops.compare_images(a, b)
+
+
+# the engine PNG codec stores grayscale as RGB, so 3 identical bands
+_COMPARE_ORACLE = """
+    SELECT 'img' || lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS image_id,
+           CAST(band AS INT) AS band,
+           CAST(sum(CASE WHEN (y*31 + x*17 + n_nationkey) % 23 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+           CAST(1 + n_nationkey % 5 AS DOUBLE) AS max_abs_diff
+    FROM nation,
+         generate_series(0, 31) t1(y),
+         generate_series(0, 31) t2(x),
+         generate_series(1, 3) t3(band)
+    GROUP BY n_nationkey, band
+"""
+
+SPARK["raster_compare"] = raster_compare
+ORACLE["raster_compare"] = _COMPARE_ORACLE
