@@ -580,3 +580,84 @@ _DXF_ORACLE = """
 
 SPARK["dxf_codec_roundtrip"] = dxf_codec_roundtrip
 ORACLE["dxf_codec_roundtrip"] = _DXF_ORACLE
+
+
+def gpx_kml_codec_roundtrip(spark, sf_dir):
+    """GPX + KML readers at the driver gate: per-nation synthetic GPX
+    (waypoint + 2-point route) and KML (Folder/Placemark point) parsed
+    through the real drivers; DuckDB recomputes the exact WKT strings
+    and field values."""
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.gpx import parse_gpx
+    from gdal_spark.sources.kml import parse_kml
+    from gdal_spark.sources.tables import load
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("wpt_wkt", T.StringType()),
+            T.StructField("wpt_ele", T.DoubleType()),
+            T.StructField("wpt_time", T.StringType()),
+            T.StructField("rte_wkt", T.StringType()),
+            T.StructField("kml_layer", T.StringType()),
+            T.StructField("kml_name", T.StringType()),
+            T.StructField("kml_wkt", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                gpx_text = (
+                    '<gpx xmlns="http://www.topografix.com/GPX/1/1">'
+                    f'<wpt lat="{k}" lon="{k + 1}"><ele>{k * 10}</ele>'
+                    f"<time>2024-03-0{k % 9 + 1}T12:34:56Z</time>"
+                    f"<name>wp{k}</name></wpt>"
+                    f'<rte><rtept lat="{k}" lon="0"/>'
+                    f'<rtept lat="{k + 2}" lon="3"/></rte></gpx>'
+                )
+                L = parse_gpx(gpx_text)
+                w = L["waypoints"][0]
+                r = L["routes"][0]
+                kml_text = (
+                    '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+                    f"<Folder><name>layer{k % 4}</name>"
+                    f"<Placemark><name>pm{k}</name><Point>"
+                    f"<coordinates>{k + 5},{k + 6}</coordinates>"
+                    "</Point></Placemark></Folder></Document></kml>"
+                )
+                kl = parse_kml(kml_text)[0]
+                rows.append(
+                    (
+                        k, w["wkt"], w["ele"], w["time"], r["wkt"],
+                        kl["name"], kl["features"][0]["Name"],
+                        kl["features"][0]["wkt"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(run, sch)
+
+
+_GPX_KML_ORACLE = """
+    SELECT n_nationkey AS k,
+           'POINT (' || n_nationkey + 1 || ' ' || n_nationkey || ')'
+               AS wpt_wkt,
+           CAST(n_nationkey * 10 AS DOUBLE) AS wpt_ele,
+           '2024/03/0' || n_nationkey % 9 + 1 || ' 12:34:56+00' AS wpt_time,
+           'LINESTRING (0 ' || n_nationkey || ',3 ' || n_nationkey + 2
+               || ')' AS rte_wkt,
+           'layer' || n_nationkey % 4 AS kml_layer,
+           'pm' || n_nationkey AS kml_name,
+           'POINT (' || n_nationkey + 5 || ' ' || n_nationkey + 6 || ')'
+               AS kml_wkt
+    FROM nation
+"""
+
+SPARK["gpx_kml_codec_roundtrip"] = gpx_kml_codec_roundtrip
+ORACLE["gpx_kml_codec_roundtrip"] = _GPX_KML_ORACLE

@@ -1,0 +1,181 @@
+"""KML + GPX driver parity (ogr/ogrsf_frmts/kml, ogr/ogrsf_frmts/gpx)
+against the reference's own autotests (ogr_kml.py, ogr_gpx.py) on its
+own data files."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from gdal_spark.sources.gpx import parse_gpx
+from gdal_spark.sources.kml import parse_kml
+
+KML = "/root/reference/autotest/ogr/data/kml"
+GPX = "/root/reference/autotest/ogr/data/gpx"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(KML), reason="reference autotest data not present"
+)
+
+
+def _nums(wkt):
+    return np.array(
+        [float(v) for v in re.findall(r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?", wkt)]
+    )
+
+
+def _close(a, b):
+    na, nb = _nums(a), _nums(b)
+    assert na.shape == nb.shape, (a, b)
+    np.testing.assert_allclose(na, nb, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def samples():
+    return {
+        l["name"]: l["features"]
+        for l in parse_kml(open(f"{KML}/samples.kml").read())
+    }
+
+
+class TestKmlSamples:
+    def test_attributes_1(self, samples):
+        pm = samples["Placemarks"]
+        assert pm[0]["Name"] == "Simple placemark"
+        assert pm[0]["description"].startswith("Attached to the ground.")
+        assert pm[1]["Name"] == "Floating placemark"
+        assert pm[1]["description"] == (
+            "Floats a defined distance above the ground."
+        )
+        assert pm[2]["Name"] == "Extruded placemark"
+
+    def test_attributes_2(self, samples):
+        hi = samples["Highlighted Icon"]
+        assert hi[0]["Name"] == "Roll over this icon"
+        assert hi[0]["description"] == ""
+        assert len(hi) == 1
+
+    def test_attributes_3(self, samples):
+        pa = samples["Paths"]
+        assert pa[0]["Name"] == "Tessellated"
+        assert pa[1]["Name"] == "Untessellated"
+
+    def test_attributes_4(self, samples):
+        gc = samples["Google Campus"]
+        assert [f["Name"] for f in gc] == [f"Building {i}" for i in range(40, 44)]
+        assert all(f["description"] == "" for f in gc)
+
+    def test_point_read(self, samples):
+        pm = samples["Placemarks"]
+        _close(pm[0]["wkt"], "POINT (-122.0822035425683 37.42228990140251 0)")
+        _close(pm[1]["wkt"], "POINT (-122.084075 37.4220033612141 50)")
+        _close(pm[2]["wkt"], "POINT (-122.0857667006183 37.42156927867553 50)")
+
+    def test_linestring_read(self, samples):
+        pa = samples["Paths"]
+        _close(
+            pa[0]["wkt"],
+            "LINESTRING (-112.081423783034495 36.106778704771372 0,"
+            "-112.087026775269294 36.0905099328766 0)",
+        )
+        _close(
+            pa[1]["wkt"],
+            "LINESTRING (-112.080622229594994 36.106734600079953 0,"
+            "-112.085242575314993 36.090495986124218 0)",
+        )
+
+    def test_polygon_read(self, samples):
+        gc = samples["Google Campus"]
+        w = gc[0]["wkt"]
+        assert w.startswith("POLYGON Z (")
+        v = _nums(w)
+        assert abs(v[0] - -122.084893845961204) < 1e-12
+        assert abs(v[2] - 17.0) < 1e-12
+
+
+class TestKmlStructure:
+    def test_empty(self):
+        assert parse_kml(open(f"{KML}/empty.kml").read()) == []
+
+    def test_emptylayers(self):
+        e = parse_kml(open(f"{KML}/emptylayers.kml").read())
+        assert [(l["name"], len(l["features"])) for l in e] == [
+            ("Layer1", 0), ("Layer2", 0),
+        ]
+
+    def test_folder_with_subfolder_placemark(self):
+        f = parse_kml(open(f"{KML}/folder_with_subfolder_placemark.kml").read())
+        assert [(l["name"], len(l["features"])) for l in f] == [("MainFolder", 0)]
+
+    def test_weird_empty_folders(self):
+        w = parse_kml(open(f"{KML}/weird_empty_folders.kml").read())
+        assert len(w) == 1 and len(w[0]["features"]) == 0
+
+    def test_duplicate_folder_name(self):
+        d = parse_kml(open(f"{KML}/duplicate_folder_name.kml").read())
+        assert [l["name"] for l in d] == ["layer", "layer (#2)"]
+
+    def test_placemark_in_root_and_subfolder(self):
+        p = parse_kml(open(f"{KML}/placemark_in_root_and_subfolder.kml").read())
+        names = {l["name"]: len(l["features"]) for l in p}
+        assert names.get("TopLevel") == 1
+        assert names.get("SubFolder1") == 1
+
+    def test_non_conformant_multi(self):
+        nc = parse_kml(open(f"{KML}/non_conformant_multi.kml").read())
+        wkts = [f["wkt"] for f in nc[0]["features"]]
+        assert wkts == [
+            "MULTIPOLYGON (((0 0,0 1,1 1,1 0,0 0)))",
+            "MULTILINESTRING ((0 0,1 1))",
+            "MULTIPOINT ((0 0))",
+        ]
+
+
+class TestGpx:
+    @pytest.fixture(scope="class")
+    def layers(self):
+        return parse_gpx(open(f"{GPX}/test.gpx").read())
+
+    def test_waypoints(self, layers):
+        w = layers["waypoints"]
+        assert [f.get("ele") for f in w] == [2.0, None]
+        assert [f.get("name") for f in w] == ["waypoint name", None]
+        assert [f.get("link1_href") for f in w] == ["href", None]
+        assert [f.get("link1_text") for f in w] == ["text", None]
+        assert [f.get("link1_type") for f in w] == ["type", None]
+        assert [f.get("link2_href") for f in w] == ["href2", None]
+        assert [f.get("time") for f in w] == ["2007/11/25 17:58:00+01", None]
+        assert w[0]["wkt"] == "POINT (1 0)"
+        assert w[1]["wkt"] == "POINT (4 3)"
+
+    def test_routes(self, layers):
+        r = layers["routes"]
+        assert r[0]["wkt"] == "LINESTRING (6 5,9 8,12 11)"
+        assert r[1]["wkt"] == "LINESTRING EMPTY"
+
+    def test_route_points(self, layers):
+        rp = layers["route_points"]
+        assert [f.get("name") for f in rp] == ["route point name", None, None]
+        assert rp[0]["wkt"] == "POINT (6 5)"
+        assert [f["route_fid"] for f in rp] == [0, 0, 0]
+        assert [f["route_point_id"] for f in rp] == [0, 1, 2]
+
+    def test_tracks(self, layers):
+        t = layers["tracks"]
+        assert t[0]["wkt"] == "MULTILINESTRING ((15 14,18 17),(21 20,24 23))"
+        assert t[1]["wkt"] == "MULTILINESTRING EMPTY"
+        assert t[2]["wkt"] == "MULTILINESTRING EMPTY"
+
+    def test_track_points(self, layers):
+        tp = layers["track_points"]
+        assert [f.get("name") for f in tp] == [
+            "track point name", None, None, None,
+        ]
+        assert tp[0]["wkt"] == "POINT (15 14)"
+        assert tp[0]["track_fid"] == 0
+        assert tp[0]["track_seg_id"] == 0
+        assert tp[0]["track_seg_point_id"] == 0
+        assert [f["track_seg_id"] for f in tp] == [0, 0, 1, 1]
