@@ -237,3 +237,91 @@ def read_gpx(spark, paths, layer: str = "waypoints"):
             yield pd.DataFrame(rows, columns=["path", "fid", "wkt", "fields"])
 
     return pdf.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Write path (ogrgpxlayer.cpp WriteFeature paths, :1380-1610)
+# ---------------------------------------------------------------------------
+
+
+def _fmt_coord(v: float) -> str:
+    """OGRFormatDouble with '.' separator: trailing zeros trimmed but at
+    least one decimal digit kept (49 -> '49.0')."""
+    s = f"{float(v):.15f}".rstrip("0")
+    return s + "0" if s.endswith(".") else s
+
+
+def write_gpx(
+    waypoints: list[dict] | None = None,
+    route_points: list[dict] | None = None,
+    track_points: list[dict] | None = None,
+    creator: str = "gdal_spark",
+) -> str:
+    """Serialize the GPX layers the way the reference writer does
+    (two-space nesting, LF lines). route_points rows carry
+    (lon, lat, route_fid[, route_name]); a new <rte> opens when
+    route_fid changes and route_name is honored only on the route's
+    FIRST point (ogr_gpx_8 semantics — later names are ignored).
+    track_points rows carry (lon, lat, track_fid, track_seg_id
+    [, track_name]) with the same first-point rule per track."""
+    out = [
+        '<?xml version="1.0"?>',
+        f'<gpx version="1.1" creator="{creator}" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
+        'xmlns="http://www.topografix.com/GPX/1/1" '
+        'xsi:schemaLocation="http://www.topografix.com/GPX/1/1 '
+        'http://www.topografix.com/GPX/1/1/gpx.xsd">',
+    ]
+    for w in waypoints or []:
+        out.append(
+            f'<wpt lat="{_fmt_coord(w["lat"])}" lon="{_fmt_coord(w["lon"])}">'
+        )
+        for tag in ("ele", "time", "name", "cmt", "desc", "src"):
+            if w.get(tag) is not None:
+                out.append(f"  <{tag}>{w[tag]}</{tag}>")
+        out.append("</wpt>")
+
+    cur_fid = None
+    for p in route_points or []:
+        if p["route_fid"] != cur_fid:
+            if cur_fid is not None:
+                out.append("</rte>")
+            out.append("<rte>")
+            if p.get("route_name"):
+                out.append(f"  <name>{p['route_name']}</name>")
+            cur_fid = p["route_fid"]
+        out.append(
+            f'  <rtept lat="{_fmt_coord(p["lat"])}" '
+            f'lon="{_fmt_coord(p["lon"])}">'
+        )
+        out.append("  </rtept>")
+    if cur_fid is not None:
+        out.append("</rte>")
+
+    cur_fid = None
+    cur_seg = None
+    for p in track_points or []:
+        if p["track_fid"] != cur_fid:
+            if cur_fid is not None:
+                out.append("  </trkseg>")
+                out.append("</trk>")
+            out.append("<trk>")
+            if p.get("track_name"):
+                out.append(f"  <name>{p['track_name']}</name>")
+            out.append("  <trkseg>")
+            cur_fid, cur_seg = p["track_fid"], p["track_seg_id"]
+        elif p["track_seg_id"] != cur_seg:
+            out.append("  </trkseg>")
+            out.append("  <trkseg>")
+            cur_seg = p["track_seg_id"]
+        out.append(
+            f'    <trkpt lat="{_fmt_coord(p["lat"])}" '
+            f'lon="{_fmt_coord(p["lon"])}">'
+        )
+        out.append("    </trkpt>")
+    if cur_fid is not None:
+        out.append("  </trkseg>")
+        out.append("</trk>")
+
+    out.append("</gpx>")
+    return "\n".join(out) + "\n"

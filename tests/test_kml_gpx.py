@@ -179,3 +179,56 @@ class TestGpx:
         assert tp[0]["track_seg_id"] == 0
         assert tp[0]["track_seg_point_id"] == 0
         assert [f["track_seg_id"] for f in tp] == [0, 0, 1, 1]
+
+
+class TestGpxWriter:
+    def test_ogr_gpx_8_reference_output(self):
+        """write_gpx reproduces data/gpx/ogr_gpx_8_ref.txt byte-exactly
+        (grouped route_points/track_points, first-point name rule)."""
+        from gdal_spark.sources.gpx import write_gpx
+
+        rp = [
+            dict(lon=2, lat=49, route_fid=0, route_name="ROUTE_NAME"),
+            dict(lon=3, lat=50, route_fid=0, route_name="--ignored--"),
+            dict(lon=3, lat=51, route_fid=1, route_name="ROUTE_NAME2"),
+            dict(lon=3, lat=49, route_fid=1),
+        ]
+        tp = [
+            dict(lon=2, lat=49, track_fid=0, track_seg_id=0,
+                 track_name="TRACK_NAME"),
+            dict(lon=3, lat=50, track_fid=0, track_seg_id=0,
+                 track_name="--ignored--"),
+            dict(lon=3, lat=51, track_fid=0, track_seg_id=1),
+            dict(lon=3, lat=49, track_fid=1, track_seg_id=0,
+                 track_name="TRACK_NAME2"),
+        ]
+        got = write_gpx(route_points=rp, track_points=tp)
+        ref = open(f"{GPX}/ogr_gpx_8_ref.txt").read()
+        assert ref in got
+
+    def test_waypoint_roundtrip(self):
+        from gdal_spark.sources.gpx import write_gpx
+
+        txt = write_gpx(
+            waypoints=[
+                dict(lon=1.5, lat=0.25, ele=2.0, name="wp",
+                     time="2024-03-05T12:34:56Z"),
+            ]
+        )
+        w = parse_gpx(txt)["waypoints"][0]
+        assert w["wkt"] == "POINT (1.5 0.25)"
+        assert w["ele"] == 2.0 and w["name"] == "wp"
+        assert w["time"] == "2024/03/05 12:34:56+00"
+
+    def test_track_roundtrip(self):
+        from gdal_spark.sources.gpx import write_gpx
+
+        tp = [
+            dict(lon=x, lat=y, track_fid=f, track_seg_id=s)
+            for f, s, x, y in [
+                (0, 0, 1, 2), (0, 0, 3, 4), (0, 1, 5, 6), (1, 0, 7, 8),
+            ]
+        ]
+        L = parse_gpx(write_gpx(track_points=tp))
+        assert L["tracks"][0]["wkt"] == "MULTILINESTRING ((1 2,3 4),(5 6))"
+        assert L["tracks"][1]["wkt"] == "MULTILINESTRING ((7 8))"
