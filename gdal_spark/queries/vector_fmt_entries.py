@@ -661,3 +661,99 @@ _GPX_KML_ORACLE = """
 
 SPARK["gpx_kml_codec_roundtrip"] = gpx_kml_codec_roundtrip
 ORACLE["gpx_kml_codec_roundtrip"] = _GPX_KML_ORACLE
+
+def kml_gpx_writer_roundtrip(spark, sf_dir):
+    """KML + GPX WRITERS at the driver gate: per-nation features are
+    serialized through write_kml (Schema/Folder/Placemark layout of
+    ogrkmllayer.cpp ICreateFeature, default polygon/line style) and
+    write_gpx (ogrgpxlayer.cpp WriteFeature grouping), then parsed back
+    through the real readers; DuckDB recomputes every WKT/field value."""
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.gpx import parse_gpx, write_gpx
+    from gdal_spark.sources.kml import parse_kml, write_kml
+    from gdal_spark.sources.tables import load
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("kml_name", T.StringType()),
+            T.StructField("kml_pt", T.StringType()),
+            T.StructField("kml_poly", T.StringType()),
+            T.StructField("kml_val", T.LongType()),
+            T.StructField("n_style", T.LongType()),
+            T.StructField("wpt_wkt", T.StringType()),
+            T.StructField("wpt_ele", T.DoubleType()),
+            T.StructField("trk_wkt", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                m = k + 1
+                kml = write_kml(
+                    [
+                        dict(
+                            name=f"L{k % 3}",
+                            fields=[("name", "string"), ("val", "int")],
+                            features=[
+                                dict(name=f"pm{k}", val=2 * k,
+                                     wkt=f"POINT ({k} {m})"),
+                                dict(val=k + 7,
+                                     wkt=f"POLYGON ((0 0,{m} 0,{m} {m},0 0))"),
+                            ],
+                        )
+                    ]
+                )
+                lay = parse_kml(kml)[0]
+                gpx = write_gpx(
+                    waypoints=[dict(lon=m, lat=k, ele=10 * k)],
+                    track_points=[
+                        dict(lon=k, lat=0, track_fid=0, track_seg_id=0),
+                        dict(lon=m, lat=1, track_fid=0, track_seg_id=0),
+                        dict(lon=k + 2, lat=2, track_fid=0, track_seg_id=1),
+                    ],
+                )
+                G = parse_gpx(gpx)
+                rows.append(
+                    (
+                        k,
+                        lay["features"][0]["Name"],
+                        lay["features"][0]["wkt"],
+                        lay["features"][1]["wkt"],
+                        int(lay["features"][0]["val"]),
+                        kml.count("ff0000ff"),
+                        G["waypoints"][0]["wkt"],
+                        G["waypoints"][0]["ele"],
+                        G["tracks"][0]["wkt"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(run, sch)
+
+
+_KML_GPX_WRITER_ORACLE = """
+    SELECT n_nationkey AS k,
+           'pm' || n_nationkey AS kml_name,
+           'POINT (' || n_nationkey || ' ' || n_nationkey + 1 || ')'
+               AS kml_pt,
+           'POLYGON ((0 0,' || n_nationkey + 1 || ' 0,' || n_nationkey + 1
+               || ' ' || n_nationkey + 1 || ',0 0))' AS kml_poly,
+           CAST(2 * n_nationkey AS BIGINT) AS kml_val,
+           CAST(1 AS BIGINT) AS n_style,
+           'POINT (' || n_nationkey + 1 || ' ' || n_nationkey || ')'
+               AS wpt_wkt,
+           CAST(10 * n_nationkey AS DOUBLE) AS wpt_ele,
+           'MULTILINESTRING ((' || n_nationkey || ' 0,' || n_nationkey + 1
+               || ' 1),(' || n_nationkey + 2 || ' 2))' AS trk_wkt
+    FROM nation
+"""
+
+SPARK["kml_gpx_writer_roundtrip"] = kml_gpx_writer_roundtrip
+ORACLE["kml_gpx_writer_roundtrip"] = _KML_GPX_WRITER_ORACLE

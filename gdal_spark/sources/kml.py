@@ -312,3 +312,341 @@ def parse_kml(text: str) -> list[dict]:
             feats.append(f)
         out.append({"name": nm, "features": feats})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Write path — ogrkmldatasource.cpp (document/folder flow, :30-80 dtor,
+# :330-420 ICreateLayer), ogrkmllayer.cpp WriteSchema:230-308 +
+# ICreateFeature:314-566, ogr2kmlgeometry.cpp (geometry fragments).
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        str(s)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _is_int(v: float) -> bool:
+    return v == int(v) and abs(v) < 2**31
+
+
+def _g15(v: float) -> str:
+    """OGRFormatDouble default path: 15 significant digits; '.0' appended
+    when the text is all digits (ogrutils.cpp isInteger — note '-3' gets
+    no '.0', matching the reference quirk)."""
+    s = f"{float(v):.15g}"
+    return s + ".0" if s.isdigit() else s
+
+
+def _kml_coordinate(x: float, y: float, z: float, b3d: bool) -> str:
+    """MakeKMLCoordinate (ogr2kmlgeometry.cpp:34-105): lat snapped within
+    1e-8 of the poles, lon wrapped into [-180,180]; then the
+    OGRMakeWktCoordinate integer fast path with ',' separators."""
+    eps = 1e-8
+    if y > 90 and y < 90 + eps:
+        y = 90.0
+    elif y < -90 and y > -90 - eps:
+        y = -90.0
+    elif y < -90 or y > 90:
+        raise ValueError(f"latitude {y} outside [-90,90]")
+    if x > 180 and x < 180 + eps:
+        x = 180.0
+    elif x < -180 and x > -180 - eps:
+        x = -180.0
+    elif x > 180:
+        x -= int((x + 180) / 360) * 360
+    elif x < -180:
+        x += int((180 - x) / 360) * 360
+    if _is_int(x) and _is_int(y):
+        parts = [str(int(x)), str(int(y))]
+    else:
+        parts = [_g15(x), _g15(y)]
+    if b3d:
+        parts.append(str(int(z)) if _is_int(z) else _g15(z))
+    return ",".join(parts)
+
+
+_COORD_RE = re.compile(
+    r"(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
+    r"\s+(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
+    r"(?:\s+(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?))?"
+)
+
+
+def _wkt_tuples(body: str):
+    """(x, y, z-or-None) tuples of one parenthesized coordinate list."""
+    return [
+        (float(a), float(b), float(c) if c else None)
+        for a, b, c in _COORD_RE.findall(body)
+    ]
+
+
+def _split_wkt_groups(inner: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for i, c in enumerate(inner):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(inner[start:i].strip())
+            start = i + 1
+    out.append(inner[start:].strip())
+    return out
+
+
+def _coordinates_elt(pts) -> str:
+    """AppendCoordinateList (:139-163): space-joined tuples, 3D when any
+    tuple carries z."""
+    b3d = any(p[2] is not None for p in pts)
+    body = " ".join(
+        _kml_coordinate(p[0], p[1], p[2] if p[2] is not None else 0.0, b3d)
+        for p in pts
+    )
+    return f"<coordinates>{body}</coordinates>"
+
+
+def _geom_fragment(kind: str, body: str, alt: str, ring: bool = False) -> str:
+    """OGR2KMLGeometryAppend (ogr2kmlgeometry.cpp:171-330) on one WKT
+    node. `alt` is the pre-rendered <altitudeMode> string ('' default)."""
+    kind = kind.upper()
+    if kind == "POINT":
+        if not body or body.upper() == "EMPTY":
+            return "<Point/>"
+        pts = _wkt_tuples(body)
+        p = pts[0]
+        if p[2] is None:
+            return f"<Point><coordinates>{_kml_coordinate(p[0], p[1], 0.0, False)}</coordinates></Point>"
+        return f"<Point>{alt}<coordinates>{_kml_coordinate(p[0], p[1], p[2], True)}</coordinates></Point>"
+    if kind in ("LINESTRING", "LINEARRING"):
+        tag = "LinearRing" if (ring or kind == "LINEARRING") else "LineString"
+        return f"<{tag}>{alt}{_coordinates_elt(_wkt_tuples(body))}</{tag}>"
+    if kind == "POLYGON":
+        inner = body.strip()[1:-1]
+        rings = _split_wkt_groups(inner)
+        out = [f"<Polygon>{alt}"]
+        for i, r in enumerate(rings):
+            side = "outerBoundaryIs" if i == 0 else "innerBoundaryIs"
+            out.append(
+                f"<{side}>{_geom_fragment('LINEARRING', r, alt)}</{side}>"
+            )
+        out.append("</Polygon>")
+        return "".join(out)
+    if kind in ("MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON"):
+        member = kind[5:]
+        inner = body.strip()[1:-1]
+        parts = [
+            _geom_fragment(member, g, alt)
+            for g in _split_wkt_groups(inner)
+        ]
+        return f"<MultiGeometry>{''.join(parts)}</MultiGeometry>"
+    if kind == "GEOMETRYCOLLECTION":
+        inner = body.strip()[1:-1]
+        parts = []
+        for g in _split_wkt_groups(inner):
+            m = re.match(r"^([A-Za-z]+)\s*(.*)$", g, re.S)
+            parts.append(_geom_fragment(m.group(1), m.group(2).strip(), alt))
+        return f"<MultiGeometry>{''.join(parts)}</MultiGeometry>"
+    raise ValueError(f"unsupported geometry type in KML: {kind}")
+
+
+def geometry_to_kml(wkt: str, altitude_mode: str | None = None) -> str:
+    """OGR_G_ExportToKML (ogr2kmlgeometry.cpp:333-380)."""
+    alt = (
+        f"<altitudeMode>{altitude_mode}</altitudeMode>"
+        if altitude_mode
+        else ""
+    )
+    m = re.match(r"^\s*([A-Za-z]+)\s*(.*)$", wkt, re.S)
+    if not m:
+        raise ValueError(f"bad WKT: {wkt[:40]!r}")
+    return _geom_fragment(m.group(1), m.group(2).strip(), alt)
+
+
+_KML_TYPES = {
+    "int": ("int", "SimpleField"), "integer": ("int", "SimpleField"),
+    "float": ("float", "SimpleField"), "real": ("float", "SimpleField"),
+    "string": ("string", "SimpleField"),
+    "integerlist": ("int", "SimpleArrayField"),
+    "reallist": ("float", "SimpleArrayField"),
+    "stringlist": ("string", "SimpleArrayField"),
+    "date": ("string", "SimpleField"), "time": ("string", "SimpleField"),
+    "datetime": ("string", "SimpleField"),
+}
+
+_STYLED = ("POLYGON", "MULTIPOLYGON", "LINESTRING", "MULTILINESTRING")
+
+
+def _field_value_str(v, ftype: str) -> str:
+    if ftype in ("float", "real"):
+        return _g15(float(v)) if not isinstance(v, str) else v
+    if isinstance(v, float):
+        return _g15(v)
+    return str(v)
+
+
+def _write_schema(name: str, fields, name_field, description_field) -> str:
+    """OGRKMLLayer::WriteSchema (ogrkmllayer.cpp:230-308)."""
+    lines = []
+    for fname, ftype in fields:
+        if name_field and fname.lower() == name_field.lower():
+            continue
+        if description_field and fname.lower() == description_field.lower():
+            continue
+        if not lines:
+            lines.append(f'<Schema name="{name}" id="{name}">\n')
+        ktype, elt = _KML_TYPES.get(ftype.lower(), ("string", "SimpleField"))
+        lines.append(f'\t<{elt} name="{fname}" type="{ktype}"></{elt}>\n')
+    if lines:
+        lines.append("</Schema>\n")
+    return "".join(lines)
+
+
+def _parse_pen_style(style: str | None):
+    """The OGRStylePen subset ICreateFeature consumes (:408-470):
+    c:#rrggbb[aa] -> aabbggrr KML color, w:<n>px width."""
+    if not style:
+        return None
+    m = re.search(r"PEN\s*\(([^)]*)\)", style, re.I)
+    if not m:
+        return None
+    color, width = None, 1.0
+    for part in m.group(1).split(","):
+        part = part.strip()
+        if part.lower().startswith("c:"):
+            color = part[2:].strip()
+        elif part.lower().startswith("w:"):
+            wm = re.match(r"w:\s*([0-9.]+)\s*px", part, re.I)
+            if wm:
+                width = float(wm.group(1))
+    if color and color.startswith("#") and len(color) >= 7:
+        a = color[7:9] if len(color) == 9 else "FF"
+        kml = a + color[5:7] + color[3:5] + color[1:3]
+        return kml, width
+    return "default", width
+
+
+def write_kml(
+    layers,
+    name_field: str | None = "Name",
+    description_field: str | None = "Description",
+    document_id: str = "root_doc",
+    altitude_mode: str | None = None,
+) -> str:
+    """Serialize layers the way the reference KML writer does, including
+    the folder/schema ordering quirks: layer 0's schema goes BEFORE its
+    folder (written lazily at its first feature), later layers' schemas
+    are appended after the last </Folder> (the autotest's documented
+    FIXME), and a featureless single layer still gets its folder at
+    close. Each layer: {"name": str, "fields": [(name, type)],
+    "features": [{"wkt": ..., "style": ..., <field>: value}]}."""
+    out = [
+        '<?xml version="1.0" encoding="utf-8" ?>\n',
+        '<kml xmlns="http://www.opengis.net/kml/2.2">\n'
+        f'<Document id="{document_id}">\n',
+    ]
+    schema_written = [False] * len(layers)
+    any_folder_open = False
+    for li, layer in enumerate(layers):
+        lname = _xml_escape(layer["name"])
+        fields = layer.get("fields") or []
+        ftypes = {f[0]: f[1].lower() for f in fields}
+        if li > 0:
+            if li == 1 and not (layers[0].get("features") or []):
+                out.append(f"<Folder><name>{_xml_escape(layers[0]['name'])}</name>\n")
+            out.append("</Folder>\n")
+            out.append(f"<Folder><name>{lname}</name>\n")
+            any_folder_open = True
+        n = 0
+        for feat in layer.get("features") or []:
+            n += 1
+            if li == 0 and n == 1:
+                out.append(
+                    _write_schema(lname, fields, name_field, description_field)
+                )
+                schema_written[0] = True
+                out.append(f"<Folder><name>{lname}</name>\n")
+                any_folder_open = True
+            out.append(f'  <Placemark id="{lname}.{n}">\n')
+            for special, tag in (
+                (name_field, "name"),
+                (description_field, "description"),
+            ):
+                if not special:
+                    continue
+                for fname in ftypes:
+                    if fname.lower() == special.lower() and feat.get(fname) is not None:
+                        raw = str(feat[fname]).lstrip(" ")
+                        out.append(f"\t<{tag}>{_xml_escape(raw)}</{tag}>\n")
+            wkt = feat.get("wkt")
+            gkind = (
+                re.match(r"\s*([A-Za-z]+)", wkt).group(1).upper() if wkt else ""
+            )
+            flat = gkind
+            if flat == "GEOMETRYCOLLECTION":
+                flat = ""
+            if flat in _STYLED:
+                pen = _parse_pen_style(feat.get("style"))
+                out.append("\t<Style>")
+                if pen and pen[0] != "default":
+                    out.append(
+                        f"<LineStyle><color>{pen[0]}</color>"
+                        f"<width>{pen[1]:g}</width></LineStyle>"
+                    )
+                else:
+                    out.append(
+                        "<LineStyle><color>ff0000ff</color></LineStyle>"
+                    )
+                out.append("<PolyStyle><fill>0</fill></PolyStyle></Style>\n")
+            other = [
+                (fname, feat[fname])
+                for fname, _ in fields
+                if feat.get(fname) is not None
+                and not (name_field and fname.lower() == name_field.lower())
+                and not (
+                    description_field
+                    and fname.lower() == description_field.lower()
+                )
+            ]
+            if other:
+                out.append(
+                    f'\t<ExtendedData><SchemaData schemaUrl="#{lname}">\n'
+                )
+                for fname, v in other:
+                    ftype = ftypes.get(fname, "string")
+                    txt = _field_value_str(v, ftype).lstrip(" ")
+                    if ftype not in ("float", "real"):
+                        txt = _xml_escape(txt)
+                    out.append(
+                        f'\t\t<SimpleData name="{fname}">{txt}</SimpleData>\n'
+                    )
+                out.append("\t</SchemaData></ExtendedData>\n")
+            if wkt:
+                out.append(
+                    f"      {geometry_to_kml(wkt, altitude_mode)}\n"
+                )
+            out.append("  </Placemark>\n")
+    if layers:
+        if len(layers) == 1 and not (layers[0].get("features") or []):
+            out.append(
+                f"<Folder><name>{_xml_escape(layers[0]['name'])}</name>\n"
+            )
+            any_folder_open = True
+        out.append("</Folder>\n")
+        for li, layer in enumerate(layers):
+            if not schema_written[li] and (layer.get("features") or []):
+                out.append(
+                    _write_schema(
+                        _xml_escape(layer["name"]),
+                        layer.get("fields") or [],
+                        name_field,
+                        description_field,
+                    )
+                )
+    out.append("</Document></kml>\n")
+    return "".join(out)

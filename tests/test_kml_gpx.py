@@ -232,3 +232,148 @@ class TestGpxWriter:
         L = parse_gpx(write_gpx(track_points=tp))
         assert L["tracks"][0]["wkt"] == "MULTILINESTRING ((1 2,3 4),(5 6))"
         assert L["tracks"][1]["wkt"] == "MULTILINESTRING ((7 8))"
+
+
+def _compare_kml(content: str, expected: str):
+    """autotest ogr_kml.py compare_output: line count + per-line strip."""
+    got = content.strip().split("\n")
+    exp = expected.strip().split("\n")
+    assert len(got) == len(exp), content
+    for g, e in zip(got, exp):
+        assert g.strip() == e.strip(), (g, e)
+
+
+class TestKmlWriter:
+    def test_write_schema(self):
+        """test_ogr_kml_write_schema expected output, line-exact."""
+        from gdal_spark.sources.kml import write_kml
+
+        content = write_kml([
+            dict(
+                name="lyr",
+                fields=[("strfield", "string"), ("intfield", "int"),
+                        ("realfield", "float")],
+                features=[dict(strfield="strfield_val", intfield=1,
+                               realfield=2.34, wkt="POINT (1 2)")],
+            )
+        ])
+        _compare_kml(content, """<?xml version="1.0" encoding="utf-8" ?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+<Document id="root_doc">
+<Schema name="lyr" id="lyr">
+    <SimpleField name="strfield" type="string"></SimpleField>
+    <SimpleField name="intfield" type="int"></SimpleField>
+    <SimpleField name="realfield" type="float"></SimpleField>
+</Schema>
+<Folder><name>lyr</name>
+  <Placemark id="lyr.1">
+    <ExtendedData><SchemaData schemaUrl="#lyr">
+        <SimpleData name="strfield">strfield_val</SimpleData>
+        <SimpleData name="intfield">1</SimpleData>
+        <SimpleData name="realfield">2.34</SimpleData>
+    </SchemaData></ExtendedData>
+    <Point><coordinates>1,2</coordinates></Point>
+  </Placemark>
+</Folder>
+</Document></kml>""")
+
+    def test_write_empty_layer(self):
+        from gdal_spark.sources.kml import write_kml
+
+        _compare_kml(write_kml([dict(name="empty")]),
+                     """<?xml version="1.0" encoding="utf-8" ?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+<Document id="root_doc">
+<Folder><name>empty</name>
+</Folder>
+</Document></kml>""")
+
+    def test_write_two_layers(self):
+        """Empty layer then regular layer: trailing Schema placement
+        (the autotest's documented FIXME)."""
+        from gdal_spark.sources.kml import write_kml
+
+        content = write_kml([
+            dict(name="empty"),
+            dict(name="lyr", fields=[("foo", "string")],
+                 features=[dict(foo="bar")]),
+        ])
+        _compare_kml(content, """<?xml version="1.0" encoding="utf-8" ?>
+<kml xmlns="http://www.opengis.net/kml/2.2">
+<Document id="root_doc">
+<Folder><name>empty</name>
+</Folder>
+<Folder><name>lyr</name>
+  <Placemark id="lyr.1">
+    <ExtendedData><SchemaData schemaUrl="#lyr">
+        <SimpleData name="foo">bar</SimpleData>
+    </SchemaData></ExtendedData>
+  </Placemark>
+</Folder>
+<Schema name="lyr" id="lyr">
+    <SimpleField name="foo" type="string"></SimpleField>
+</Schema>
+</Document></kml>""")
+
+    def test_write_1_geometries_roundtrip(self):
+        """test_ogr_kml_write_1's geometry set: name/description become
+        tags (no Schema), every WKT survives write -> engine read."""
+        from gdal_spark.sources.kml import parse_kml, write_kml
+
+        wkts = [
+            "POINT (2 49)",
+            "POINT (2 49 1)",
+            "LINESTRING (0 1,2 3)",
+            "POLYGON ((0 1,2 3,4 5,0 1),(0 1,2 3,4 5,0 1))",
+            "MULTIPOINT (2 49,2 49)",
+            "MULTILINESTRING ((0 1,2 3),(0 1,2 3))",
+            "MULTIPOLYGON (((0 1,2 3,4 5,0 1),(0 1,2 3,4 5,0 1)),"
+            "((0 1,2 3,4 5,0 1),(0 1,2 3,4 5,0 1)))",
+            "GEOMETRYCOLLECTION (POINT (2 49 1),LINESTRING (0 1 0,2 3 0))",
+        ]
+        feats = [dict(name="my_name", description="my_description",
+                      wkt=wkts[0])]
+        feats += [dict(wkt=w) for w in wkts[1:]]
+        content = write_kml([
+            dict(name="test_wgs84",
+                 fields=[("name", "string"), ("description", "string")],
+                 features=feats)
+        ])
+        assert "Schema" not in content
+        assert "\t<name>my_name</name>\n" in content
+        assert "\t<description>my_description</description>\n" in content
+        # polygon/line features carry the default style, points don't
+        assert content.count(
+            "<Style><LineStyle><color>ff0000ff</color></LineStyle>"
+            "<PolyStyle><fill>0</fill></PolyStyle></Style>") == 4
+
+        layers = parse_kml(content)
+        assert len(layers) == 1
+        got = [f["wkt"] for f in layers[0]["features"]]
+        assert len(got) == 8
+        assert got[0] == "POINT (2 49)"
+        # the engine reader emits ISO WKT (Z keyword) for 2.5D
+        assert got[1] == "POINT Z (2 49 1)"
+        assert got[2] == "LINESTRING (0 1,2 3)"
+        assert layers[0]["features"][0]["Name"] == "my_name"
+        assert layers[0]["features"][0]["description"] == "my_description"
+
+    def test_pen_style_and_geometry_fragment(self):
+        from gdal_spark.sources.kml import geometry_to_kml, write_kml
+
+        # OGR color #rrggbbaa -> KML aabbggrr
+        content = write_kml([
+            dict(name="l", fields=[],
+                 features=[dict(wkt="LINESTRING (0 0,1 1)",
+                                style="PEN(c:#11223344,w:2px)")]),
+        ])
+        assert "<LineStyle><color>44332211</color><width>2</width>" in content
+        assert geometry_to_kml("POINT (2 49 1)", "absolute") == (
+            "<Point><altitudeMode>absolute</altitudeMode>"
+            "<coordinates>2,49,1</coordinates></Point>"
+        )
+        assert geometry_to_kml("POINT EMPTY") == "<Point/>"
+        # lat pole snap + lon wrap (MakeKMLCoordinate)
+        assert geometry_to_kml("POINT (190 90.000000001)") == (
+            "<Point><coordinates>-170,90</coordinates></Point>"
+        )
