@@ -308,7 +308,76 @@ _BLEND_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# 6. Hillshade on a plane DEM (closes the hillshade oracle gap: the Horn
+#    gradient of z = A*x + B*y is EXACTLY (A, B) on interior pixels, so
+#    every interior hillshade value is one constant DuckDB recomputes with
+#    scalar trig — apps/gdaldem_lib.cpp:809-1086 GDALHillshadeAlg).
+# --------------------------------------------------------------------------
+
+
+def hillshade_plane_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster import kernels as K
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("hs_min", T.IntegerType()),
+            T.StructField("hs_max", T.IntegerType()),
+            T.StructField("slope_c", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                a, b = 1 + k % 5, 2 + (3 * k) % 7
+                yy, xx = np.meshgrid(
+                    np.arange(_N), np.arange(_N), indexing="ij"
+                )
+                dem = (a * xx + b * yy).astype(np.float64)
+                hs = K.hillshade(dem)[1:-1, 1:-1]
+                sl = K.slope_deg(dem)[1:-1, 1:-1]
+                assert sl.min() == sl.max()
+                rows.append(
+                    (k, int(hs.min()), int(hs.max()),
+                     round(float(sl[0, 0]), 4))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+# interior Horn gradient of the plane is (a, b) exactly; fixture (a, b)
+# pairs are knife-edge-checked in tests/test_closedform_dem_extra.py so
+# round() ties can never split numpy (half-even) from DuckDB (half-away).
+_HILLSHADE_PLANE_ORACLE = """
+    WITH c AS (
+        SELECT n_nationkey AS k,
+               CAST(1 + n_nationkey % 5 AS DOUBLE) AS a,
+               CAST(2 + (3 * n_nationkey) % 7 AS DOUBLE) AS b
+        FROM nation
+    ), t AS (
+        SELECT k, atan(sqrt(a * a + b * b)) AS slope,
+               pi() / 2 - atan2(b, -a) AS aspect_n
+        FROM c
+    ), v AS (
+        SELECT k,
+               CAST(round(255 * greatest(
+                   sin(radians(45)) * cos(slope)
+                   + cos(radians(45)) * sin(slope)
+                       * cos(radians(315) - aspect_n), 0)) AS INT) AS hs,
+               round(degrees(slope), 4) AS slope_c
+        FROM t
+    )
+    SELECT k, hs AS hs_min, hs AS hs_max, slope_c FROM v
+"""
+
+
 SPARK = {
+    "hillshade_plane_mod": hillshade_plane_mod,
     "raster_dem_metrics_mod": raster_dem_metrics_mod,
     "raster_convolve_mod": raster_convolve_mod,
     "raster_warp_cutline_pixels": raster_warp_cutline_pixels,
@@ -317,6 +386,7 @@ SPARK = {
 }
 
 ORACLE = {
+    "hillshade_plane_mod": _HILLSHADE_PLANE_ORACLE,
     "raster_dem_metrics_mod": _DEM_METRICS_ORACLE,
     "raster_convolve_mod": _CONVOLVE_ORACLE,
     "raster_warp_cutline_pixels": _WARP_CUTLINE_ORACLE,

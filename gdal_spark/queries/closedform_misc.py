@@ -368,7 +368,77 @@ _IDENTIFY_ORACLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Quantize + dither exact-match (closes the quantize/dither oracle gap):
+# colors at exact 8*q multiples are FIXED POINTS of the whole
+# median-cut -> color-cube -> Floyd-Steinberg pipeline — a single-color
+# box's palette entry is ((q+q)<<3)/2 = 8q (alg/gdalmediancut.cpp:440),
+# the 5-bit cube cell representative (q*255)//31 stays L1-nearest to its
+# own palette entry at >=32 separation (alg/gdaldither.cpp:297), and the
+# diffusion error is therefore 0 at every pixel. palette[index[y,x]]
+# must equal the source color exactly, which DuckDB recomputes.
+# --------------------------------------------------------------------------
+
+
+def quantize_exact_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.quantize import (
+        dither_rgb2pct_gdal,
+        median_cut_pct_gdal,
+    )
+
+    _N = 16
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("orig", T.IntegerType()),
+            T.StructField("deref", T.IntegerType()),
+            T.StructField("n_pal", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                qs = [3 + ((k + i * 5) % 7) * 4 for i in range(4)]
+                rr, cc = np.meshgrid(
+                    np.arange(_N), np.arange(_N), indexing="ij"
+                )
+                gray = np.array([8 * q for q in qs], dtype=np.uint8)[
+                    (rr + cc) % 4
+                ]
+                arr = np.stack([gray] * 3, axis=-1)
+                pal = median_cut_pct_gdal(arr, 256)
+                out = dither_rgb2pct_gdal(arr, pal)
+                deref = pal[out][..., 0]
+                for y in range(_N):
+                    for x in range(_N):
+                        rows.append(
+                            (k, y, x, int(gray[y, x]), int(deref[y, x]),
+                             len(pal))
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_QUANTIZE_ORACLE = """
+    SELECT n_nationkey AS k, CAST(y.range AS INT) AS y,
+           CAST(x.range AS INT) AS x,
+           CAST(8 * (3 + ((n_nationkey + ((y.range + x.range) % 4) * 5) % 7)
+                * 4) AS INT) AS orig,
+           CAST(8 * (3 + ((n_nationkey + ((y.range + x.range) % 4) * 5) % 7)
+                * 4) AS INT) AS deref,
+           4 AS n_pal
+    FROM nation CROSS JOIN range(16) y CROSS JOIN range(16) x
+"""
+
+
 SPARK = {
+    "quantize_exact_mod": quantize_exact_mod,
     "raster_band_algebra_mod": raster_band_algebra_mod,
     "raster_viewshed_wall": raster_viewshed_wall,
     "rat_pixel_counts_mod": rat_pixel_counts_mod,
@@ -378,6 +448,7 @@ SPARK = {
 }
 
 ORACLE = {
+    "quantize_exact_mod": _QUANTIZE_ORACLE,
     "raster_band_algebra_mod": _BAND_ALGEBRA_ORACLE,
     "raster_viewshed_wall": _VIEWSHED_ORACLE,
     "rat_pixel_counts_mod": _RAT_ORACLE,
