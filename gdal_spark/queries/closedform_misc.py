@@ -437,7 +437,120 @@ _QUANTIZE_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# gdalenhance -equalize (apps/gdalenhance.cpp ComputeEqualizationLUTs +
+# EnhancerCallback): all-integer cum-histogram LUT arithmetic, so DuckDB
+# recomputes every output pixel. Two forms in one query: v_out applies
+# each image's own LUT (per-dataset semantics); v_glob applies ONE LUT
+# from the distributed histogram of ALL images — stage 1 emits tiny
+# per-partition partial histograms, one groupBy merges 97 rows, the LUT
+# broadcasts back into a pure map (the 100-TB shape for gdalenhance over
+# an image corpus).
+# --------------------------------------------------------------------------
+
+
+def raster_equalize_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.enhance import (
+        default_histogram_byte,
+        equalization_lut,
+        equalize_byte,
+    )
+
+    _N = 16
+    hist_sch = T.StructType(
+        [T.StructField("v", T.IntegerType()), T.StructField("c", T.LongType())]
+    )
+
+    def partial_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros(256, dtype=np.int64)
+            for k in pdf["n_nationkey"]:
+                acc += default_histogram_byte(_mod_raster(int(k)))
+            nz = acc.nonzero()[0]
+            yield pd.DataFrame({"v": nz.astype(np.int32), "c": acc[nz]})
+
+    nat = _nation(spark, sf_dir)
+    merged = (
+        nat.mapInPandas(partial_hist, hist_sch).groupBy("v").agg(
+            F.sum("c").alias("c")
+        )
+    ).collect()
+    ghist = np.zeros(256, dtype=np.int64)
+    for row in merged:
+        ghist[row["v"]] = row["c"]
+    glut = equalization_lut(ghist)
+    b_glut = spark.sparkContext.broadcast(glut)
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("v_out", T.IntegerType()),
+            T.StructField("v_glob", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = _mod_raster(k)
+                own = equalize_byte(arr)
+                glob = equalize_byte(arr, lut=b_glut.value)
+                for y in range(_N):
+                    for x in range(_N):
+                        rows.append(
+                            (k, y, x, int(own[y, x]), int(glob[y, x]))
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return nat.mapInPandas(run, sch)
+
+
+_EQUALIZE_ORACLE = """
+    WITH g AS (
+        SELECT n_nationkey AS k, y.range AS y, x.range AS x,
+               (y.range * 37 + x.range * 101 + n_nationkey * 13) % 97 AS v
+        FROM nation CROSS JOIN range(16) y CROSS JOIN range(16) x
+    ), h AS (
+        SELECT k, v,
+               CASE WHEN v = 0 OR v = 255 THEN 0 ELSE count(*) END AS c
+        FROM g GROUP BY k, v
+    ), cum AS (
+        SELECT k, v,
+               COALESCE(sum(c) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c // 2 AS ch,
+               sum(c) OVER (PARTITION BY k) AS total
+        FROM h
+    ), lut AS (
+        SELECT k, v, least(255, greatest(0, (ch * 256) // total)) AS lv
+        FROM cum
+    ), gh AS (
+        SELECT v, CASE WHEN v = 0 OR v = 255 THEN 0 ELSE count(*) END AS c
+        FROM g GROUP BY v
+    ), gcum AS (
+        SELECT v,
+               COALESCE(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c // 2 AS ch,
+               sum(c) OVER () AS total
+        FROM gh
+    ), glut AS (
+        SELECT v, least(255, greatest(0, (ch * 256) // total)) AS lv
+        FROM gcum
+    )
+    SELECT g.k, CAST(g.y AS INT) AS y, CAST(g.x AS INT) AS x,
+           CAST(l.lv AS INT) AS v_out, CAST(gl.lv AS INT) AS v_glob
+    FROM g JOIN lut l ON g.k = l.k AND g.v = l.v
+    JOIN glut gl ON g.v = gl.v
+"""
+
+
 SPARK = {
+    "raster_equalize_mod": raster_equalize_mod,
     "quantize_exact_mod": quantize_exact_mod,
     "raster_band_algebra_mod": raster_band_algebra_mod,
     "raster_viewshed_wall": raster_viewshed_wall,
@@ -448,6 +561,7 @@ SPARK = {
 }
 
 ORACLE = {
+    "raster_equalize_mod": _EQUALIZE_ORACLE,
     "quantize_exact_mod": _QUANTIZE_ORACLE,
     "raster_band_algebra_mod": _BAND_ALGEBRA_ORACLE,
     "raster_viewshed_wall": _VIEWSHED_ORACLE,
