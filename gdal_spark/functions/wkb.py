@@ -16,6 +16,9 @@ import numpy as np
 
 WKB_POINT = 1
 WKB_LINESTRING = 2
+# ISO WKB 2.5D (type = 2D + 1000, ogr/ogrgeometry.cpp exportToWkb)
+WKB_POINT_Z = 1001
+WKB_LINESTRING_Z = 1002
 WKB_POLYGON = 3
 WKB_MULTIPOLYGON = 6
 
@@ -41,6 +44,18 @@ def write_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
 
 def write_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def write_point_z(x: float, y: float, z: float) -> bytes:
+    return struct.pack("<BIddd", 1, WKB_POINT_Z, x, y, z)
+
+
+def write_linestring_z(coords) -> bytes:
+    coords = np.asarray(coords, dtype=np.float64)
+    return (
+        struct.pack("<BII", 1, WKB_LINESTRING_Z, len(coords))
+        + coords.astype("<f8").tobytes()
+    )
 
 
 def write_linestring(coords: np.ndarray) -> bytes:
@@ -72,8 +87,17 @@ def parse(buf: bytes) -> tuple[int, object]:
     buf = bytes(buf)
     byte_order, gtype = struct.unpack_from("<BI", buf, 0)
     assert byte_order == 1, "big-endian WKB not supported"
-    gtype = gtype & 0xFF  # strip Z/M flags if any
     pos = 5
+    if gtype == WKB_POINT_Z:
+        return gtype, struct.unpack_from("<ddd", buf, pos)
+    if gtype == WKB_LINESTRING_Z:
+        (npts,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        arr = np.frombuffer(
+            buf, dtype="<f8", count=npts * 3, offset=pos
+        ).reshape(npts, 3)
+        return gtype, np.asarray(arr)
+    gtype = gtype & 0xFF  # strip EWKB dimension flag bits
     if gtype == WKB_POINT:
         x, y = struct.unpack_from("<dd", buf, pos)
         return gtype, (x, y)

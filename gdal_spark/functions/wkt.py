@@ -36,6 +36,12 @@ def to_wkt(buf: bytes) -> str:
     if gtype == W.WKB_POINT:
         x, y = payload
         return f"POINT ({_fmt(x)} {_fmt(y)})"
+    if gtype == W.WKB_POINT_Z:
+        x, y, z = payload
+        return f"POINT Z ({_fmt(x)} {_fmt(y)} {_fmt(z)})"
+    if gtype == W.WKB_LINESTRING_Z:
+        body = ",".join(f"{_fmt(x)} {_fmt(y)} {_fmt(z)}" for x, y, z in payload)
+        return f"LINESTRING Z ({body})"
     if gtype == W.WKB_LINESTRING:
         return "LINESTRING " + _ring_txt(payload)
     if gtype == W.WKB_POLYGON:
@@ -55,6 +61,24 @@ _PAIR_RE = re.compile(rf"({_NUM})\s+({_NUM})")
 def _parse_pairs(txt: str) -> np.ndarray:
     pts = [(float(a), float(b)) for a, b in _PAIR_RE.findall(txt)]
     return np.asarray(pts, dtype=np.float64)
+
+
+_TRIPLE_RE = re.compile(rf"({_NUM})\s+({_NUM})\s+({_NUM})")
+
+
+def _parse_triples(txt: str, force: bool = False):
+    """(N,3) array when EVERY comma-separated tuple carries 3 numbers
+    (the importFromWkt 2.5D detection), else None."""
+    tuples = [t.strip() for t in txt.strip().lstrip("(").rstrip(")").split(",")]
+    out = []
+    for t in tuples:
+        m = _TRIPLE_RE.fullmatch(t.strip())
+        if m is None:
+            if force:
+                raise ValueError(f"expected x y z tuple: {t!r}")
+            return None
+        out.append((float(m.group(1)), float(m.group(2)), float(m.group(3))))
+    return np.asarray(out, dtype=np.float64)
 
 
 def _split_groups(body: str) -> list[str]:
@@ -79,12 +103,24 @@ def from_wkt(txt: str) -> bytes | None:
     if not m:
         raise ValueError(f"bad WKT: {txt[:40]!r}")
     kind, body = m.group(1).upper(), m.group(2).strip()
+    if body.upper().startswith("Z"):  # "POINT Z (...)" ISO form
+        kind, body = kind + "Z", body[1:].strip()
     if body == "EMPTY":
         return None
     if kind == "POINT":
+        trip = _parse_triples(body)
+        if trip is not None:
+            return W.write_point_z(*trip[0])
         pts = _parse_pairs(body)
         return W.write_point(float(pts[0, 0]), float(pts[0, 1]))
+    if kind == "POINTZ":
+        return W.write_point_z(*_parse_triples(body, force=True)[0])
+    if kind == "LINESTRINGZ":
+        return W.write_linestring_z(_parse_triples(body, force=True))
     if kind == "LINESTRING":
+        trip = _parse_triples(body)
+        if trip is not None:
+            return W.write_linestring_z(trip)
         return W.write_linestring(_parse_pairs(body))
     if kind == "POLYGON":
         rings = [_parse_pairs(g) for g in _split_groups(body[1:-1])]

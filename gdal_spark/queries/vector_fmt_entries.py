@@ -757,3 +757,95 @@ _KML_GPX_WRITER_ORACLE = """
 
 SPARK["kml_gpx_writer_roundtrip"] = kml_gpx_writer_roundtrip
 ORACLE["kml_gpx_writer_roundtrip"] = _KML_GPX_WRITER_ORACLE
+
+def ogrvrt_union_warped(spark, sf_dir):
+    """OGR vector VRT driver at the driver gate (ogr/ogrsf_frmts/vrt):
+    an inline VRT unions a plain layer (SrcSQL + PointFromColumns +
+    Field remap + FID column) with a mercator-WARPED layer over the same
+    parquet source; DuckDB recomputes the union FID offsets, field-union
+    nulls, and the exact EPSG:3857 forward formulas."""
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.ogrvrt import read_ogrvrt
+
+    src = f"{sf_dir}/nation.parquet"
+    xml = f"""<OGRVRTDataSource>
+      <OGRVRTUnionLayer name="u">
+        <OGRVRTLayer name="a">
+          <SrcDataSource>{src}</SrcDataSource>
+          <SrcSQL>SELECT n_nationkey, n_name, n_regionkey FROM nation
+                  WHERE n_nationkey &lt; 10</SrcSQL>
+          <FID>n_nationkey</FID>
+          <GeometryField encoding="PointFromColumns"
+                         x="n_regionkey" y="n_nationkey"/>
+          <Field name="name" src="n_name" type="String"/>
+        </OGRVRTLayer>
+        <OGRVRTWarpedLayer>
+          <OGRVRTLayer name="b">
+            <SrcDataSource>{src}</SrcDataSource>
+            <SrcSQL>SELECT n_nationkey, n_name, n_regionkey FROM nation
+                    WHERE n_nationkey &gt;= 10</SrcSQL>
+            <FID>n_nationkey</FID>
+            <GeometryField encoding="PointFromColumns"
+                           x="n_regionkey" y="n_nationkey"/>
+            <Field name="rk" src="n_regionkey" type="Integer"/>
+          </OGRVRTLayer>
+          <TargetSRS>EPSG:3857</TargetSRS>
+        </OGRVRTWarpedLayer>
+        <SourceLayerFieldName>src</SourceLayerFieldName>
+      </OGRVRTUnionLayer>
+    </OGRVRTDataSource>"""
+    lyr = read_ogrvrt(spark, xml)["u"]
+
+    sch = T.StructType(
+        [
+            T.StructField("fid", T.LongType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("rk", T.IntegerType()),
+            T.StructField("gx", T.DoubleType()),
+            T.StructField("gy", T.DoubleType()),
+        ]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        from gdal_spark.functions.wkb import parse
+
+        for pdf in batches:
+            xs, ys = [], []
+            for b in pdf["wkb"]:
+                _, p = parse(bytes(b))
+                xs.append(round(float(p[0]), 4))
+                ys.append(round(float(p[1]), 4))
+            yield pd.DataFrame(
+                {
+                    "fid": pdf["fid"], "src": pdf["src"],
+                    "name": pdf["name"], "rk": pdf["rk"],
+                    "gx": xs, "gy": ys,
+                }
+            )
+
+    return lyr.mapInPandas(decode, sch)
+
+
+_OGRVRT_ORACLE = """
+    SELECT CASE WHEN n_nationkey < 10 THEN n_nationkey
+                ELSE n_nationkey + 10 END AS fid,
+           CASE WHEN n_nationkey < 10 THEN 'a' ELSE 'b' END AS src,
+           CASE WHEN n_nationkey < 10 THEN n_name END AS name,
+           CASE WHEN n_nationkey >= 10 THEN CAST(n_regionkey AS INT)
+                END AS rk,
+           CASE WHEN n_nationkey < 10 THEN CAST(n_regionkey AS DOUBLE)
+                ELSE round(n_regionkey * 20037508.342789244 / 180, 4)
+                END AS gx,
+           CASE WHEN n_nationkey < 10 THEN CAST(n_nationkey AS DOUBLE)
+                ELSE round(ln(tan((90 + n_nationkey) * pi() / 360))
+                           / pi() * 20037508.342789244, 4)
+                END AS gy
+    FROM nation
+"""
+
+SPARK["ogrvrt_union_warped"] = ogrvrt_union_warped
+ORACLE["ogrvrt_union_warped"] = _OGRVRT_ORACLE

@@ -454,9 +454,14 @@ def read_shapefile(
     ranges = [(int(s[0]), int(s[-1]) + 1) for s in splits if len(s)]
     rng_df = spark.createDataFrame(ranges, "rec_lo: long, rec_hi: long")
 
+    # OGR's FID is virtual: a real dBase attribute named "fid"/"wkb" must
+    # not shadow the record columns, so those fall back to _-prefixed names
+    names_lc = {f[0].lower() for f in fields}
+    fid_col = "_fid" if "fid" in names_lc else "fid"
+    wkb_col = "_wkb" if "wkb" in names_lc else "wkb"
     schema_fields = [
-        T.StructField("fid", T.LongType()),
-        T.StructField("wkb", T.BinaryType()),
+        T.StructField(fid_col, T.LongType()),
+        T.StructField(wkb_col, T.BinaryType()),
     ]
     for name, ftype, flen, fdec in fields:
         if ftype in ("N", "F"):
@@ -478,8 +483,8 @@ def read_shapefile(
                         off_words, len_words = offsets[rec]
                         fsh.seek(int(off_words) * 2 + 8)
                         content = fsh.read(int(len_words) * 2)
-                        rows["fid"].append(rec)
-                        rows["wkb"].append(_parse_shp_record(content))
+                        rows[fid_col].append(rec)
+                        rows[wkb_col].append(_parse_shp_record(content))
                 with open(dbf, "rb") as fdb:
                     fdb.seek(hdr_len + lo * rec_len)
                     blob = fdb.read((hi - lo) * rec_len)
@@ -509,7 +514,10 @@ def read_dbf(
     ranges = [(int(sp[0]), int(sp[-1]) + 1) for sp in splits if len(sp)]
     rng_df = spark.createDataFrame(ranges, "rec_lo: long, rec_hi: long")
 
-    schema_fields = [T.StructField("fid", T.LongType())]
+    # FID is virtual (see read_shapefile): a real "fid" attribute wins
+    # the plain name and the record index falls back to "_fid"
+    fid_col = "_fid" if any(f[0].lower() == "fid" for f in fields) else "fid"
+    schema_fields = [T.StructField(fid_col, T.LongType())]
     for name, ftype, flen, fdec in fields:
         if ftype in ("N", "F"):
             t = T.DoubleType() if (fdec > 0) else T.LongType()
@@ -530,7 +538,7 @@ def read_dbf(
                     blob = fdb.read((hi - lo) * rec_len)
                 for rec in range(hi - lo):
                     r = blob[rec * rec_len : (rec + 1) * rec_len]
-                    rows["fid"].append(lo + rec)
+                    rows[fid_col].append(lo + rec)
                     pos = 1
                     for name, ftype, flen, fdec in fields:
                         rows[name].append(
