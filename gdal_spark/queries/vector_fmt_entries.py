@@ -849,3 +849,125 @@ _OGRVRT_ORACLE = """
 
 SPARK["ogrvrt_union_warped"] = ogrvrt_union_warped
 ORACLE["ogrvrt_union_warped"] = _OGRVRT_ORACLE
+
+def ogr2ogr_options_chain(spark, sf_dir):
+    """ogr2ogr option pipeline at the driver gate (-where -> -clipsrc ->
+    -segmentize -> -select, apps/ogr2ogr_lib.cpp order): nation-derived
+    box polygons go GeoJSON -> convert(...) -> CSV-WKT and back; DuckDB
+    recomputes the clip rectangle, the exact OGRSimpleCurve::segmentize
+    vertex count (floor(L/3 - 0.01) intermediates per edge above the
+    1e-5 split tolerance), and the clipped area."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources import vector_formats as VF
+    from gdal_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x0 = (k % 10).cast("double") * 10.0 - 50.0
+    y0 = (k % 5).cast("double") * 8.0 - 20.0
+
+    @pandas_udf(T.BinaryType())
+    def mk_box(xx: pd.Series, yy: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from gdal_spark.functions import wkb as W
+
+        out = []
+        for a, b in zip(xx, yy):
+            ring = np.array(
+                [[a, b], [a + 12, b], [a + 12, b + 9], [a, b + 9], [a, b]]
+            )
+            out.append(W.write_polygon([ring]))
+        return pd.Series(out)
+
+    feats = n.select(
+        k.cast("long").alias("fid"),
+        mk_box(x0, y0).alias("wkb"),
+        F.col("n_name").alias("name"),
+        (k % 7).cast("long").alias("pop"),
+    )
+    root = tempfile.mkdtemp(prefix="ogr2ogr_opts_")
+    VF.write_geojson_seq(feats, os.path.join(root, "src_seq"))
+    VF.convert(
+        spark,
+        os.path.join(root, "src_seq"), "geojsonseq",
+        os.path.join(root, "out_csv"), "csv",
+        where="pop > 1",
+        clipsrc=(-30.0, -15.0, 45.0, 25.0),
+        segmentize=3.0,
+        select=["name", "pop"],
+    )
+    out = VF.read_csv_wkt(spark, os.path.join(root, "out_csv"))
+
+    sch = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("pop", T.LongType()),
+            T.StructField("npts", T.IntegerType()),
+            T.StructField("area", T.DoubleType()),
+            T.StructField("cx0", T.DoubleType()),
+            T.StructField("cy0", T.DoubleType()),
+            T.StructField("cx1", T.DoubleType()),
+            T.StructField("cy1", T.DoubleType()),
+        ]
+    )
+
+    def emit(batches):
+        from gdal_spark.functions import wkb as W
+        from gdal_spark.functions.geomops import wkt_area
+        from gdal_spark.functions.simplify import n_points_wkb
+        from gdal_spark.functions.wkt import to_wkt
+
+        for pdf in batches:
+            rows = []
+            for name, pop, wkb in zip(pdf["name"], pdf["pop"], pdf["wkb"]):
+                buf = bytes(wkb)
+                ring = W.polygon_rings(buf)[0][0]
+                rows.append(
+                    (
+                        name, int(pop), int(n_points_wkb(buf)),
+                        round(float(wkt_area(to_wkt(buf))), 4),
+                        round(float(ring[:, 0].min()), 4),
+                        round(float(ring[:, 1].min()), 4),
+                        round(float(ring[:, 0].max()), 4),
+                        round(float(ring[:, 1].max()), 4),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return out.mapInPandas(emit, sch)
+
+
+_OGR2OGR_OPTS_ORACLE = """
+    WITH g AS (
+        SELECT n_name AS name, CAST(n_nationkey % 7 AS BIGINT) AS pop,
+               greatest(CAST((n_nationkey % 10) * 10 - 50 AS DOUBLE), -30)
+                   AS cx0,
+               least(CAST((n_nationkey % 10) * 10 - 50 AS DOUBLE) + 12, 45)
+                   AS cx1,
+               greatest(CAST((n_nationkey % 5) * 8 - 20 AS DOUBLE), -15)
+                   AS cy0,
+               least(CAST((n_nationkey % 5) * 8 - 20 AS DOUBLE) + 9, 25)
+                   AS cy1
+        FROM nation
+        WHERE n_nationkey % 7 > 1
+    )
+    SELECT name, pop,
+           CAST(5
+             + 2 * (CASE WHEN (cx1 - cx0) * (cx1 - cx0) > 9 + 9e-5
+                         THEN floor((cx1 - cx0) / 3.0 - 0.01) ELSE 0 END)
+             + 2 * (CASE WHEN (cy1 - cy0) * (cy1 - cy0) > 9 + 9e-5
+                         THEN floor((cy1 - cy0) / 3.0 - 0.01) ELSE 0 END)
+             AS INT) AS npts,
+           round((cx1 - cx0) * (cy1 - cy0), 4) AS area,
+           cx0, cy0, cx1, cy1
+    FROM g
+    WHERE cx1 > cx0 AND cy1 > cy0
+"""
+
+SPARK["ogr2ogr_options_chain"] = ogr2ogr_options_chain
+ORACLE["ogr2ogr_options_chain"] = _OGR2OGR_OPTS_ORACLE

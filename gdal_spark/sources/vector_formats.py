@@ -1025,12 +1025,78 @@ def convert(
     dst_fmt: str,
     s_srs: str | None = None,
     t_srs: str | None = None,
+    where: str | None = None,
+    select: list[str] | None = None,
+    limit: int | None = None,
+    clipsrc: tuple[float, float, float, float] | None = None,
+    simplify: float | None = None,
+    segmentize: float | None = None,
 ) -> int:
     """ogr2ogr src->dst: read with one driver, write with another;
     returns the feature count moved (apps/ogr2ogr_lib.cpp composition).
-    With ``t_srs`` every geometry vertex is reprojected through the CRS
-    kernel (-s_srs/-t_srs; s_srs defaults to EPSG:4326)."""
+
+    Option order follows the reference's per-feature pipeline
+    (ogr2ogr_lib.cpp SetupTargetLayer/Translate): -where and -spat/
+    -clipsrc filter first (clipsrc also CLIPS geometry to the rect,
+    dropping features whose geometry vanishes), then -segmentize /
+    -simplify transform the clipped geometry, -select prunes fields,
+    -limit caps the count, and -s_srs/-t_srs reprojects last. Filters
+    and projection go through Catalyst (pushdown); geometry steps are
+    Arrow-batched kernels."""
     df = READERS[src_fmt](spark, src)
+    if where is not None:
+        df = df.filter(where)
+    if clipsrc is not None:
+        import pandas as pd
+
+        from gdal_spark.functions.geom import clip_wkb_to_box
+
+        xmin, ymin, xmax, ymax = (float(v) for v in clipsrc)
+
+        @F.pandas_udf(T.BinaryType())
+        def clip_udf(col: pd.Series) -> pd.Series:
+            out = []
+            for v in col:
+                if v is None:
+                    out.append(None)
+                    continue
+                c = clip_wkb_to_box(bytes(v), xmin, ymin, xmax, ymax)
+                out.append(None if c is None else bytearray(c))
+            return pd.Series(out)
+
+        df = df.withColumn("wkb", clip_udf(F.col("wkb"))).filter(
+            F.col("wkb").isNotNull()
+        )
+    if segmentize is not None or simplify is not None:
+        import pandas as pd
+
+        from gdal_spark.functions import simplify as S
+
+        seg, tol = segmentize, simplify
+
+        @F.pandas_udf(T.BinaryType())
+        def geom_udf(col: pd.Series) -> pd.Series:
+            out = []
+            for v in col:
+                if v is None:
+                    out.append(None)
+                    continue
+                b = bytes(v)
+                if seg is not None:
+                    b = S.segmentize_wkb(b, seg)
+                if tol is not None:
+                    b = S.simplify_wkb(b, tol)
+                out.append(None if b is None else bytearray(b))
+            return pd.Series(out)
+
+        df = df.withColumn("wkb", geom_udf(F.col("wkb")))
+    if select is not None:
+        keep = [c for c in df.columns if c in ("fid", "wkb")] + [
+            c for c in select if c in df.columns
+        ]
+        df = df.select(*keep)
+    if limit is not None:
+        df = df.limit(limit)
     if t_srs is not None:
         from gdal_spark.operators.vectorops import reproject_wkb
 
