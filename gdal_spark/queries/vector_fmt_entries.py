@@ -971,3 +971,86 @@ _OGR2OGR_OPTS_ORACLE = """
 
 SPARK["ogr2ogr_options_chain"] = ogr2ogr_options_chain
 ORACLE["ogr2ogr_options_chain"] = _OGR2OGR_OPTS_ORACLE
+
+def mvt_tile_roundtrip(spark, sf_dir):
+    """MVT vector-tile sink + tileset scan at the driver gate
+    (ogr/ogrsf_frmts/mvt): nation-derived WebMercator points sit on
+    EXACT zoom-2 tile-pixel positions, so the write -> pbf tree -> read
+    roundtrip is lossless and DuckDB recomputes the tile assignment and
+    the dequantized coordinates bit-for-bit (to 4 decimals)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.mvt import (
+        MERC_MAX,
+        read_mvt_tileset,
+        write_mvt_tiles,
+    )
+    from gdal_spark.sources.tables import load
+
+    dim = 2 * MERC_MAX / 4  # zoom 2
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    m = (k * 1237) % 16384
+    q = (k * 911) % 16384
+    feats = n.select(
+        (F.lit(-MERC_MAX) + m.cast("double") * (dim / 4096)).alias("x"),
+        (F.lit(MERC_MAX) - q.cast("double") * (dim / 4096)).alias("y"),
+        F.col("n_name").alias("name"),
+    )
+    root = tempfile.mkdtemp(prefix="mvt_sink_")
+    write_mvt_tiles(feats, root, zoom=2, layer_name="nations")
+    back = read_mvt_tileset(spark, root)
+
+    sch = T.StructType(
+        [
+            T.StructField("z", T.IntegerType()),
+            T.StructField("tx", T.IntegerType()),
+            T.StructField("ty", T.IntegerType()),
+            T.StructField("layer", T.StringType()),
+            T.StructField("gx", T.DoubleType()),
+            T.StructField("gy", T.DoubleType()),
+        ]
+    )
+
+    def emit(batches):
+        import re
+
+        for pdf in batches:
+            rows = []
+            for z, x, y, layer, wkt in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["layer"], pdf["wkt"]
+            ):
+                nums = re.findall(r"-?\d+(?:\.\d+)?(?:[eE]-?\d+)?", wkt)
+                rows.append(
+                    (int(z), int(x), int(y), layer,
+                     round(float(nums[0]), 4), round(float(nums[1]), 4))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return back.mapInPandas(emit, sch)
+
+
+_MVT_M = 20037508.342789244
+
+_MVT_ORACLE = f"""
+    WITH g AS (
+        SELECT (n_nationkey * 1237) % 16384 AS m,
+               (n_nationkey * 911) % 16384 AS q
+        FROM nation
+    )
+    SELECT CAST(2 AS INT) AS z,
+           CAST(m // 4096 AS INT) AS tx,
+           CAST(q // 4096 AS INT) AS ty,
+           'nations' AS layer,
+           round((-{_MVT_M!r} + (m // 4096) * {_MVT_M!r} / 2)
+                 + (m % 4096) * ({_MVT_M!r} / 2) / 4096, 4) AS gx,
+           round(({_MVT_M!r} - (q // 4096) * {_MVT_M!r} / 2)
+                 - (q % 4096) * ({_MVT_M!r} / 2) / 4096, 4) AS gy
+    FROM g
+"""
+
+SPARK["mvt_tile_roundtrip"] = mvt_tile_roundtrip
+ORACLE["mvt_tile_roundtrip"] = _MVT_ORACLE
