@@ -1054,3 +1054,96 @@ _MVT_ORACLE = f"""
 
 SPARK["mvt_tile_roundtrip"] = mvt_tile_roundtrip
 ORACLE["mvt_tile_roundtrip"] = _MVT_ORACLE
+
+def mvt_polygon_pyramid(spark, sf_dir):
+    """write_mvt_pyramid polygon path at the driver gate: nation boxes
+    sit on exact zoom-1 tile-pixel positions (lossless quantization,
+    buffer 0), so every tile's clipped polygon area in pixel units is
+    the integer rectangle-intersection DuckDB recomputes."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.mvt import (
+        MERC_MAX,
+        read_mvt_tileset,
+        write_mvt_pyramid,
+    )
+    from gdal_spark.sources.tables import load
+
+    px = MERC_MAX / 4096  # zoom-1 pixel size
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x0p = (k * 371) % (8192 - 1200)
+    y0p = (k * 533) % (8192 - 900)
+
+    @pandas_udf(T.BinaryType())
+    def mk_box(xx: pd.Series, yy: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from gdal_spark.functions import wkb as W
+
+        out = []
+        for a, b in zip(xx, yy):
+            x0 = -MERC_MAX + float(a) * px
+            yt = MERC_MAX - float(b) * px
+            x1, yb = x0 + 1200 * px, yt - 900 * px
+            ring = np.array(
+                [[x0, yb], [x1, yb], [x1, yt], [x0, yt], [x0, yb]]
+            )
+            out.append(W.write_polygon([ring]))
+        return pd.Series(out)
+
+    feats = n.select(
+        k.cast("long").alias("k"), mk_box(x0p, y0p).alias("wkb")
+    )
+    root = tempfile.mkdtemp(prefix="mvt_pyr_")
+    write_mvt_pyramid(feats, root, 1, 1, layer_name="boxes",
+                      buffer_px=0, id_col="k")
+    back = read_mvt_tileset(spark, root)
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("tx", T.IntegerType()),
+            T.StructField("ty", T.IntegerType()),
+            T.StructField("area_px", T.LongType()),
+        ]
+    )
+
+    def emit(batches):
+        from gdal_spark.functions.geomops import wkt_area
+
+        for pdf in batches:
+            rows = []
+            for mvt_id, x, y, wkt in zip(
+                pdf["mvt_id"], pdf["x"], pdf["y"], pdf["wkt"]
+            ):
+                a = wkt_area(wkt) / (px * px)
+                rows.append((int(mvt_id), int(x), int(y), round(a)))
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return back.mapInPandas(emit, sch)
+
+
+_MVT_PYR_ORACLE = """
+    WITH g AS (
+        SELECT n_nationkey AS k,
+               (n_nationkey * 371) % (8192 - 1200) AS x0,
+               (n_nationkey * 533) % (8192 - 900) AS y0
+        FROM nation
+    ), t AS (
+        SELECT k, x0, y0, tx.range AS tx, ty.range AS ty
+        FROM g CROSS JOIN range(2) tx CROSS JOIN range(2) ty
+    )
+    SELECT k, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+           CAST((least(x0 + 1200, (tx + 1) * 4096) - greatest(x0, tx * 4096))
+              * (least(y0 + 900, (ty + 1) * 4096) - greatest(y0, ty * 4096))
+              AS BIGINT) AS area_px
+    FROM t
+    WHERE least(x0 + 1200, (tx + 1) * 4096) > greatest(x0, tx * 4096)
+      AND least(y0 + 900, (ty + 1) * 4096) > greatest(y0, ty * 4096)
+"""
+
+SPARK["mvt_polygon_pyramid"] = mvt_polygon_pyramid
+ORACLE["mvt_polygon_pyramid"] = _MVT_PYR_ORACLE

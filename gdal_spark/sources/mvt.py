@@ -531,3 +531,243 @@ def write_mvt_tiles(
 
     out = tagged.groupBy("_tx", "_ty").applyInPandas(emit, sch)
     return int(out.agg({"n": "sum"}).collect()[0][0] or 0)
+
+
+# ---------------------------------------------------------------------------
+# Full-geometry pyramid writer (the ogr2ogr -f MVT path:
+# ogrmvtdataset.cpp OGRMVTWriterDataset — per-zoom tile cover, per-tile
+# clip to tile+buffer, quantize, encode)
+# ---------------------------------------------------------------------------
+
+
+def clip_line_to_box(
+    coords: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> list[np.ndarray]:
+    """Liang-Barsky clip of a polyline to a box -> list of parts
+    (continuous runs that survive the clip)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    parts: list[list] = []
+    cur: list = []
+    for i in range(len(coords) - 1):
+        x0, y0 = coords[i]
+        x1, y1 = coords[i + 1]
+        dx, dy = x1 - x0, y1 - y0
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in (
+            (-dx, x0 - xmin), (dx, xmax - x0),
+            (-dy, y0 - ymin), (dy, ymax - y0),
+        ):
+            if p == 0:
+                if q < 0:
+                    ok = False
+                    break
+            else:
+                r = q / p
+                if p < 0:
+                    if r > t1:
+                        ok = False
+                        break
+                    t0 = max(t0, r)
+                else:
+                    if r < t0:
+                        ok = False
+                        break
+                    t1 = min(t1, r)
+        if not ok:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+            continue
+        a = (x0 + t0 * dx, y0 + t0 * dy)
+        b = (x0 + t1 * dx, y0 + t1 * dy)
+        if not cur:
+            cur = [a, b]
+        elif cur[-1] == a:
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = [a, b]
+        if t1 < 1.0:  # exited the box: close the run
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+    if len(cur) >= 2:
+        parts.append(cur)
+    return [np.asarray(p) for p in parts]
+
+
+def _quantize(pts, top_x, top_y, dim, extent):
+    """Mercator -> integer tile coords, consecutive duplicates dropped.
+    The world->tile y flip reverses ring orientation, which is exactly
+    the MVT winding convention (world-CCW exterior -> tile-CW)."""
+    out = []
+    for x, y in pts:
+        px = int(round((x - top_x) / dim * extent))
+        py = int(round((top_y - y) / dim * extent))
+        if not out or out[-1] != (px, py):
+            out.append((px, py))
+    return np.array(out) if out else np.empty((0, 2), dtype=np.int64)
+
+
+def _tile_parts(wkb_buf: bytes, top_x, top_y, dim, extent, buf_px):
+    """One feature's WKB -> (mvt_geom_type, integer parts) for the tile
+    at (top_x, top_y), clipped to tile + buffer. None when nothing
+    survives."""
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.functions.geom import clip_wkb_to_box
+
+    pad = buf_px * dim / extent
+    bx0, by0 = top_x - pad, top_y - dim - pad
+    bx1, by1 = top_x + dim + pad, top_y + pad
+    t, p = W.parse(bytes(wkb_buf))
+    if t == W.WKB_POINT:
+        x, y = p
+        if not (bx0 <= x <= bx1 and by0 <= y <= by1):
+            return None
+        q = _quantize([(x, y)], top_x, top_y, dim, extent)
+        return GEOM_POINT, [q]
+    if t == W.WKB_LINESTRING:
+        parts = clip_line_to_box(np.asarray(p), bx0, by0, bx1, by1)
+        parts = [
+            q for q in (
+                _quantize(pt, top_x, top_y, dim, extent) for pt in parts
+            ) if len(q) >= 2
+        ]
+        return (GEOM_LINESTRING, parts) if parts else None
+    if t in (W.WKB_POLYGON, W.WKB_MULTIPOLYGON):
+        clipped = clip_wkb_to_box(bytes(wkb_buf), bx0, by0, bx1, by1)
+        if clipped is None:
+            return None
+        rings_out = []
+        for rings in W.polygon_rings(clipped):
+            for ring in rings:
+                q = _quantize(ring, top_x, top_y, dim, extent)
+                if len(q) >= 2 and tuple(q[0]) == tuple(q[-1]):
+                    q = q[:-1]
+                if len(q) >= 3:
+                    rings_out.append(
+                        np.vstack([q, q[:1]])
+                    )
+        return (GEOM_POLYGON, rings_out) if rings_out else None
+    raise ValueError(f"unsupported geometry type {t} for MVT write")
+
+
+def write_mvt_pyramid(
+    df,
+    root: str,
+    minzoom: int,
+    maxzoom: int,
+    layer_name: str = "layer",
+    extent: int = 4096,
+    buffer_px: int = 80,
+    wkb_col: str = "wkb",
+    id_col: str | None = None,
+) -> int:
+    """ogr2ogr -f MVT equivalent over WebMercator WKB features: for
+    every zoom in [minzoom, maxzoom] each feature explodes onto the
+    tiles its bbox (+buffer) covers — pure Column sequence math — then
+    ONE groupBy(z, tx, ty) shuffle and each task clips, quantizes and
+    encodes its tiles locally. Returns tiles written."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    field_cols = [c for c in df.columns if c not in (wkb_col, id_col)]
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("xmin", T.DoubleType()),
+                T.StructField("ymin", T.DoubleType()),
+                T.StructField("xmax", T.DoubleType()),
+                T.StructField("ymax", T.DoubleType()),
+            ]
+        )
+    )
+    def bbox_udf(col):
+        from gdal_spark.functions import wkb as W
+
+        rows = []
+        for v in col:
+            t, p = W.parse(bytes(v))
+            if t == W.WKB_POINT:
+                rows.append((p[0], p[1], p[0], p[1]))
+            elif t == W.WKB_LINESTRING:
+                a = np.asarray(p)
+                rows.append((a[:, 0].min(), a[:, 1].min(),
+                             a[:, 0].max(), a[:, 1].max()))
+            else:
+                xs, ys = [], []
+                for rings in W.polygon_rings(bytes(v)):
+                    for r in rings:
+                        xs += [r[:, 0].min(), r[:, 0].max()]
+                        ys += [r[:, 1].min(), r[:, 1].max()]
+                rows.append((min(xs), min(ys), max(xs), max(ys)))
+        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    with_bbox = df.withColumn("_bb", bbox_udf(F.col(wkb_col)))
+    covered = None
+    for z in range(minzoom, maxzoom + 1):
+        dim = 2 * MERC_MAX / (1 << z)
+        pad = buffer_px * dim / extent
+        nmax = (1 << z) - 1
+        tx0 = F.greatest(
+            F.lit(0),
+            F.floor((F.col("_bb.xmin") - pad + MERC_MAX) / dim).cast("int"),
+        )
+        tx1 = F.least(
+            F.lit(nmax),
+            F.floor((F.col("_bb.xmax") + pad + MERC_MAX) / dim).cast("int"),
+        )
+        ty0 = F.greatest(
+            F.lit(0),
+            F.floor((MERC_MAX - (F.col("_bb.ymax") + pad)) / dim).cast("int"),
+        )
+        ty1 = F.least(
+            F.lit(nmax),
+            F.floor((MERC_MAX - (F.col("_bb.ymin") - pad)) / dim).cast("int"),
+        )
+        zdf = (
+            with_bbox.withColumn("_tx", F.explode(F.sequence(tx0, tx1)))
+            .withColumn("_ty", F.explode(F.sequence(ty0, ty1)))
+            .withColumn("_z", F.lit(z))
+        )
+        covered = zdf if covered is None else covered.unionByName(zdf)
+
+    sch = T.StructType([T.StructField("n", T.IntegerType())])
+
+    def emit(key, pdf):
+        z, tzx, tzy = int(key[0]), int(key[1]), int(key[2])
+        dim = 2 * MERC_MAX / (1 << z)
+        top_x = -MERC_MAX + tzx * dim
+        top_y = MERC_MAX - tzy * dim
+        feats = []
+        for _, row in pdf.iterrows():
+            tp = _tile_parts(
+                bytes(row[wkb_col]), top_x, top_y, dim, extent, buffer_px
+            )
+            if tp is None:
+                continue
+            feats.append(
+                {
+                    "id": int(row[id_col]) if id_col else None,
+                    "type": tp[0],
+                    "parts": tp[1],
+                    "fields": {c: row[c] for c in field_cols},
+                }
+            )
+        if not feats:
+            return pd.DataFrame({"n": [0]})
+        data = encode_mvt_tile(
+            [{"name": layer_name, "extent": extent, "features": feats}]
+        )
+        path = os.path.join(root, str(z), str(tzx))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, f"{tzy}.pbf"), "wb") as fh:
+            fh.write(data)
+        return pd.DataFrame({"n": [1]})
+
+    out = covered.groupBy("_z", "_tx", "_ty").applyInPandas(emit, sch)
+    return int(out.agg({"n": "sum"}).collect()[0][0] or 0)

@@ -11,6 +11,7 @@ from gdal_spark.sources.mvt import (
     GEOM_LINESTRING,
     GEOM_POINT,
     GEOM_POLYGON,
+    clip_line_to_box,
     decode_geometry,
     encode_mvt_tile,
     parse_mvt_tile,
@@ -221,3 +222,79 @@ class TestDistributed:
         assert set(back["layer"]) == {"pts"}
         assert (back["z"] == 2).all()
         assert back["wkt"].str.startswith("MULTIPOINT").all()
+
+
+class TestPyramidWriter:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from gdal_spark.session import get_session
+
+        s = get_session(master="local[4]")
+        s.sparkContext.setLogLevel("FATAL")
+        return s
+
+    def test_clip_line_to_box(self):
+        # crosses the box twice -> two parts
+        line = np.array([[-10, 5], [5, 5], [5, 20], [8, 20], [8, 5],
+                         [30, 5]], dtype=float)
+        parts = clip_line_to_box(line, 0, 0, 10, 10)
+        assert len(parts) == 2
+        assert np.allclose(parts[0][0], [0, 5])
+        assert np.allclose(parts[0][-1], [5, 10])
+        assert np.allclose(parts[1][0], [8, 10])
+        assert np.allclose(parts[1][-1], [10, 5])
+        # fully inside
+        parts = clip_line_to_box(np.array([[1, 1], [2, 2.0]]), 0, 0, 10, 10)
+        assert len(parts) == 1 and len(parts[0]) == 2
+        # fully outside
+        assert clip_line_to_box(
+            np.array([[20, 20], [30, 30.0]]), 0, 0, 10, 10) == []
+
+    def test_pyramid_polygons_lines(self, spark, tmp_path_factory):
+        """Polygon + line features across two zooms: decoded tiles
+        reassemble the clipped geometry within quantization error."""
+        from gdal_spark.functions.wkb import (
+            write_linestring,
+            write_polygon,
+        )
+        from gdal_spark.sources.mvt import (
+            read_mvt_tileset,
+            write_mvt_pyramid,
+        )
+
+        M = MERC_MAX = 20037508.342789244
+        # a polygon spanning tile boundaries at z1, and a long line
+        ring = np.array(
+            [[-M / 2, -M / 2], [M / 2, -M / 2], [M / 2, M / 2],
+             [-M / 2, M / 2], [-M / 2, -M / 2]]
+        )
+        line = np.array([[-M * 0.8, 0], [M * 0.8, M * 0.3]])
+        df = spark.createDataFrame(
+            [
+                dict(wkb=bytearray(write_polygon([ring])), name="poly"),
+                dict(wkb=bytearray(write_linestring(line)), name="line"),
+            ]
+        )
+        root = str(tmp_path_factory.mktemp("mvt_pyr"))
+        n = write_mvt_pyramid(df, root, 0, 1, layer_name="lyr",
+                              buffer_px=0)
+        assert n >= 5  # z0 tile + 4 z1 tiles
+        back = read_mvt_tileset(spark, root).toPandas()
+        z0 = back[back["z"] == 0]
+        # at z0 both features land in the single tile
+        assert set(z0["wkt"].str.split(" ").str[0]) == {
+            "MULTIPOLYGON", "MULTILINESTRING",
+        }
+        # polygon area at z0 within quantization error of M^2
+        from gdal_spark.functions.geomops import wkt_area
+
+        a = wkt_area(z0[z0["wkt"].str.startswith("MULTIPOLYGON")]
+                     ["wkt"].iloc[0])
+        assert abs(a - M * M) / (M * M) < 1e-3
+        # at z1 the polygon covers all four tiles, each tile clipped to
+        # its quadrant: total area ~= M^2 (buffer 0 -> no overlap)
+        z1 = back[(back["z"] == 1)
+                  & back["wkt"].str.startswith("MULTIPOLYGON")]
+        assert len(z1) == 4
+        total = sum(wkt_area(w) for w in z1["wkt"])
+        assert abs(total - M * M) / (M * M) < 1e-3
