@@ -1147,3 +1147,82 @@ _MVT_PYR_ORACLE = """
 
 SPARK["mvt_polygon_pyramid"] = mvt_polygon_pyramid
 ORACLE["mvt_polygon_pyramid"] = _MVT_PYR_ORACLE
+
+def flatgeobuf_roundtrip(spark, sf_dir):
+    """FlatGeobuf codec at the driver gate (ogr/ogrsf_frmts/flatgeobuf):
+    nation-derived features go through write_flatgeobuf (backward-built
+    flatbuffers) and the distributed read_flatgeobuf scan; DuckDB
+    recomputes every field and coordinate."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.flatgeobuf import (
+        COL_DOUBLE,
+        COL_LONG,
+        COL_STRING,
+        read_flatgeobuf,
+        write_flatgeobuf,
+    )
+    from gdal_spark.sources.tables import load
+
+    rows = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()  # 25-row dim: the write is a driver-side sink
+    )
+    cols = [("k", COL_LONG), ("nm", COL_STRING), ("rk", COL_DOUBLE)]
+    feats = []
+    for r in sorted(rows, key=lambda r: r["n_nationkey"]):
+        k = int(r["n_nationkey"])
+        feats.append(
+            dict(
+                gtype=1, xy=[k * 2.5, 100.0 - k], ends=None,
+                fields={"k": k, "nm": r["n_name"],
+                        "rk": float(r["n_regionkey"]) + 0.25},
+            )
+        )
+    root = tempfile.mkdtemp(prefix="fgb_")
+    path = os.path.join(root, "nations.fgb")
+    write_flatgeobuf(path, "nations", cols, feats)
+    back = read_flatgeobuf(spark, path)
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("nm", T.StringType()),
+            T.StructField("rk", T.DoubleType()),
+            T.StructField("gx", T.DoubleType()),
+            T.StructField("gy", T.DoubleType()),
+        ]
+    )
+
+    def emit(batches):
+        import re
+
+        for pdf in batches:
+            out = []
+            for wkt, fj in zip(pdf["wkt"], pdf["fields"]):
+                f = json.loads(fj)
+                nums = re.findall(r"-?\d+(?:\.\d+)?", wkt)
+                out.append(
+                    (int(f["k"]), f["nm"], float(f["rk"]),
+                     float(nums[0]), float(nums[1]))
+                )
+            yield pd.DataFrame(out, columns=[s.name for s in sch.fields])
+
+    return back.mapInPandas(emit, sch)
+
+
+_FGB_ORACLE = """
+    SELECT n_nationkey AS k, n_name AS nm,
+           CAST(n_regionkey AS DOUBLE) + 0.25 AS rk,
+           CAST(n_nationkey * 2.5 AS DOUBLE) AS gx,
+           CAST(100 - n_nationkey AS DOUBLE) AS gy
+    FROM nation
+"""
+
+SPARK["flatgeobuf_roundtrip"] = flatgeobuf_roundtrip
+ORACLE["flatgeobuf_roundtrip"] = _FGB_ORACLE
