@@ -238,6 +238,21 @@ from gdal_spark.functions.morefmts import (  # noqa: E402
 )
 from gdal_spark.functions.tiff import tiff_decode, tiff_encode  # noqa: E402
 
+def _nitf_decode(data: bytes) -> np.ndarray:
+    # lazy import: raster.nitf is header-logic heavy
+    from gdal_spark.raster.nitf import read_nitf
+
+    imgs = read_nitf(data)
+    a = imgs[0]["array"]
+    return a[:, :, 0] if a.shape[2] == 1 else a
+
+
+def _nitf_encode(arr: np.ndarray) -> bytes:
+    from gdal_spark.raster.nitf import nitf_encode
+
+    return nitf_encode(arr)
+
+
 def _cog_encode(arr: np.ndarray) -> bytes:
     # lazy import: raster.cog pulls in the overview-reduction kernels
     from gdal_spark.raster.cog import write_cog
@@ -250,16 +265,18 @@ DECODERS = {
     "tiff": tiff_decode, "bmp": bmp_decode, "pnm": pnm_decode,
     "gif": gif_decode, "tga": tga_decode,
     "cog": tiff_decode,  # a COG is a TIFF; IFD 0 is full resolution
+    "nitf": _nitf_decode,
 }
 ENCODERS = {
     "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,
     "tiff": tiff_encode, "bmp": bmp_encode, "pnm": pnm_encode,
     "gif": gif_encode, "tga": tga_encode,
     "cog": _cog_encode,
+    "nitf": _nitf_encode,
 }
 # gif is lossless only for <=256-color inputs; it is excluded here and its
 # contract entry asserts exactness on palette-sized fixtures instead
-LOSSLESS = {"png", "tiff", "bmp", "pnm", "tga", "cog"}
+LOSSLESS = {"png", "tiff", "bmp", "pnm", "tga", "cog", "nitf"}
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

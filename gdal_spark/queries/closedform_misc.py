@@ -549,7 +549,53 @@ _EQUALIZE_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# NITF codec (frmts/nitf): the mod raster goes through the spec-width
+# NITF02.10 writer and the NITFImageAccess-transcribed reader; every
+# output pixel is the (y*37 + x*101 + k*13) % 97 arithmetic DuckDB
+# recomputes, so the driver hash-checks the whole header/subheader/
+# block-layout roundtrip.
+# --------------------------------------------------------------------------
+
+
+def nitf_codec_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.nitf import nitf_encode, read_nitf
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = _mod_raster(k)
+                back = read_nitf(nitf_encode(arr))[0]["array"][:, :, 0]
+                for y in range(arr.shape[0]):
+                    for x in range(arr.shape[1]):
+                        rows.append((k, y, x, int(back[y, x])))
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_NITF_ORACLE = """
+    SELECT n_nationkey AS k, CAST(y.range AS INT) AS y,
+           CAST(x.range AS INT) AS x,
+           CAST((y.range * 37 + x.range * 101 + n_nationkey * 13) % 97
+                AS INT) AS v
+    FROM nation CROSS JOIN range(16) y CROSS JOIN range(16) x
+"""
+
+
 SPARK = {
+    "nitf_codec_mod": nitf_codec_mod,
     "raster_equalize_mod": raster_equalize_mod,
     "quantize_exact_mod": quantize_exact_mod,
     "raster_band_algebra_mod": raster_band_algebra_mod,
@@ -561,6 +607,7 @@ SPARK = {
 }
 
 ORACLE = {
+    "nitf_codec_mod": _NITF_ORACLE,
     "raster_equalize_mod": _EQUALIZE_ORACLE,
     "quantize_exact_mod": _QUANTIZE_ORACLE,
     "raster_band_algebra_mod": _BAND_ALGEBRA_ORACLE,
