@@ -238,6 +238,18 @@ from gdal_spark.functions.morefmts import (  # noqa: E402
 )
 from gdal_spark.functions.tiff import tiff_decode, tiff_encode  # noqa: E402
 
+def _dted_decode(data: bytes) -> np.ndarray:
+    from gdal_spark.raster.dted import read_dted
+
+    return read_dted(data)["array"]
+
+
+def _dted_encode(arr: np.ndarray) -> bytes:
+    from gdal_spark.raster.dted import dted_encode
+
+    return dted_encode(np.asarray(arr).astype(np.int16))
+
+
 def _nitf_decode(data: bytes) -> np.ndarray:
     # lazy import: raster.nitf is header-logic heavy
     from gdal_spark.raster.nitf import read_nitf
@@ -266,6 +278,7 @@ DECODERS = {
     "gif": gif_decode, "tga": tga_decode,
     "cog": tiff_decode,  # a COG is a TIFF; IFD 0 is full resolution
     "nitf": _nitf_decode,
+    "dted": _dted_decode,
 }
 ENCODERS = {
     "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,
@@ -273,6 +286,7 @@ ENCODERS = {
     "gif": gif_encode, "tga": tga_encode,
     "cog": _cog_encode,
     "nitf": _nitf_encode,
+    "dted": _dted_encode,
 }
 # gif is lossless only for <=256-color inputs; it is excluded here and its
 # contract entry asserts exactness on palette-sized fixtures instead

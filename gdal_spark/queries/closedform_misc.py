@@ -594,7 +594,54 @@ _NITF_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# DTED codec (frmts/dted): signed-magnitude profiles, south-first column
+# order, per-column checksums — the mod raster (shifted negative so the
+# sign bit is exercised) roundtrips through the writer + reader and
+# DuckDB recomputes every height.
+# --------------------------------------------------------------------------
+
+
+def dted_codec_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.dted import dted_encode, read_dted
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = (_mod_raster(k).astype(np.int16) - 48)
+                h = read_dted(dted_encode(arr), verify_checksum=True)
+                assert h["checksum_ok"]
+                back = h["array"]
+                for y in range(back.shape[0]):
+                    for x in range(back.shape[1]):
+                        rows.append((k, y, x, int(back[y, x])))
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_DTED_ORACLE = """
+    SELECT n_nationkey AS k, CAST(y.range AS INT) AS y,
+           CAST(x.range AS INT) AS x,
+           CAST((y.range * 37 + x.range * 101 + n_nationkey * 13) % 97 - 48
+                AS INT) AS v
+    FROM nation CROSS JOIN range(16) y CROSS JOIN range(16) x
+"""
+
+
 SPARK = {
+    "dted_codec_mod": dted_codec_mod,
     "nitf_codec_mod": nitf_codec_mod,
     "raster_equalize_mod": raster_equalize_mod,
     "quantize_exact_mod": quantize_exact_mod,
@@ -607,6 +654,7 @@ SPARK = {
 }
 
 ORACLE = {
+    "dted_codec_mod": _DTED_ORACLE,
     "nitf_codec_mod": _NITF_ORACLE,
     "raster_equalize_mod": _EQUALIZE_ORACLE,
     "quantize_exact_mod": _QUANTIZE_ORACLE,
