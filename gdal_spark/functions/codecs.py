@@ -238,6 +238,12 @@ from gdal_spark.functions.morefmts import (  # noqa: E402
 )
 from gdal_spark.functions.tiff import tiff_decode, tiff_encode  # noqa: E402
 
+def _usgsdem_decode(data: bytes) -> np.ndarray:
+    from gdal_spark.raster.usgsdem import read_usgsdem
+
+    return read_usgsdem(data)["array"]
+
+
 def _dted_decode(data: bytes) -> np.ndarray:
     from gdal_spark.raster.dted import read_dted
 
@@ -279,6 +285,7 @@ DECODERS = {
     "cog": tiff_decode,  # a COG is a TIFF; IFD 0 is full resolution
     "nitf": _nitf_decode,
     "dted": _dted_decode,
+    "usgsdem": _usgsdem_decode,
 }
 ENCODERS = {
     "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,

@@ -640,7 +640,52 @@ _DTED_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# USGS DEM codec (frmts/usgsdem): Fortran-D ASCII profiles with the
+# south-first lygap anchoring; the mod raster roundtrips through the
+# geographic writer + reader and DuckDB recomputes every height
+# (negatives exercise the signed token scanner).
+# --------------------------------------------------------------------------
+
+
+def usgsdem_codec_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.raster.usgsdem import read_usgsdem, usgsdem_encode
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = (_mod_raster(k).astype(np.int16) - 48)
+                back = read_usgsdem(usgsdem_encode(arr))["array"]
+                for y in range(back.shape[0]):
+                    for x in range(back.shape[1]):
+                        rows.append((k, y, x, int(back[y, x])))
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_USGSDEM_ORACLE = """
+    SELECT n_nationkey AS k, CAST(y.range AS INT) AS y,
+           CAST(x.range AS INT) AS x,
+           CAST((y.range * 37 + x.range * 101 + n_nationkey * 13) % 97 - 48
+                AS INT) AS v
+    FROM nation CROSS JOIN range(16) y CROSS JOIN range(16) x
+"""
+
+
 SPARK = {
+    "usgsdem_codec_mod": usgsdem_codec_mod,
     "dted_codec_mod": dted_codec_mod,
     "nitf_codec_mod": nitf_codec_mod,
     "raster_equalize_mod": raster_equalize_mod,
@@ -654,6 +699,7 @@ SPARK = {
 }
 
 ORACLE = {
+    "usgsdem_codec_mod": _USGSDEM_ORACLE,
     "dted_codec_mod": _DTED_ORACLE,
     "nitf_codec_mod": _NITF_ORACLE,
     "raster_equalize_mod": _EQUALIZE_ORACLE,
