@@ -90,6 +90,12 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "SQLite"
     if len(h) >= 4 and struct.unpack(">i", h[:4])[0] == 9994:
         return "ESRI Shapefile"
+    if h.startswith(b"fgb") and h[4:7] == b"fgb":
+        return "FlatGeobuf"
+    if h.startswith(b"NITF") or h.startswith(b"NSIF"):
+        return "NITF"
+    if h.startswith(b"UHL"):
+        return "DTED"
     if h.startswith(b"ARROW1"):
         return "Arrow"
     s = h.lstrip()
@@ -109,6 +115,10 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "CSV"
     if ext == "zarr":
         return "Zarr"
+    if ext == "pbf":
+        return "MVT"
+    if ext == "dem":
+        return "USGSDEM"
     return None
 
 

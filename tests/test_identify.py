@@ -85,3 +85,20 @@ def test_identify_table_distributed(spark):
     for i, fmt in enumerate(EXPECT):
         assert got[f"img{i}"] == EXPECT[fmt]
     assert got["imgN"] is None
+
+
+def test_identify_round2_formats():
+    """FlatGeobuf/NITF/DTED magic bytes + MVT/USGSDEM extension gates,
+    on the reference's own files."""
+    from gdal_spark.sources.identify import identify_driver
+
+    base = "/root/reference/autotest"
+    cases = [
+        (f"{base}/ogr/data/testfgb/poly.fgb", "FlatGeobuf"),
+        (f"{base}/gdrivers/data/nitf/rgb.ntf", "NITF"),
+        (f"{base}/gdrivers/data/n43.dt0", "DTED"),
+        (f"{base}/ogr/data/mvt/linestring/0/0/0.pbf", "MVT"),
+        (f"{base}/gdrivers/data/usgsdem/4619old_truncated.dem", "USGSDEM"),
+    ]
+    for p, exp in cases:
+        assert identify_driver(open(p, "rb").read(), p) == exp, p
