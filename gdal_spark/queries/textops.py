@@ -507,3 +507,60 @@ ORACLE = {
         GROUP BY fp
     """,
 }
+
+
+def canonicalize_url(col):
+    """URL canonicalization for crawl dedup, pure Column (codegen):
+    lowercase scheme+host, strip www., drop the fragment, drop utm_*
+    query params (removing a dangling '?'/'&'), strip a trailing slash.
+    The standard normalization pass before URL-level dedup in
+    common-crawl-style pipelines."""
+    u = col
+    # lowercase scheme://host, keep path case
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([^/]+//[^/]+)", 1)),
+        F.regexp_extract(u, r"^[^/]+//[^/]+(.*)$", 1),
+    )
+    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"([?&])utm_[^&]*", "$1")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: synthetic crawl URLs (scheme/host case noise,
+    www., utm_ params, fragments, trailing slashes) canonicalize to
+    doc_id%50 groups; one groupBy on the canonical key — the same
+    shape as exact text dedup, zero UDFs."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.com/p"),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("?utm_source=x"),
+                        F.when(d % 4 == 0, F.lit("&utm_c=y"))
+                        .otherwise(F.lit("")))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = canonicalize_url(raw)
+    return (
+        docs.select(canon.alias("url"))
+        .groupBy("url")
+        .agg(F.count("*").alias("n"))
+        .select("url", F.col("n").cast("long").alias("n"))
+    )
+
+
+SPARK["url_canonical_dedup"] = url_canonical_dedup
+ORACLE["url_canonical_dedup"] = r"""
+    SELECT 'https://' || lower(source) || '.example.com/p'
+               || (doc_id % 50) AS url,
+           count(*) AS n
+    FROM documents
+    GROUP BY url
+"""
