@@ -1226,3 +1226,87 @@ _FGB_ORACLE = """
 
 SPARK["flatgeobuf_roundtrip"] = flatgeobuf_roundtrip
 ORACLE["flatgeobuf_roundtrip"] = _FGB_ORACLE
+
+def dgn_codec_roundtrip(spark, sf_dir):
+    """DGN v7 codec at the driver gate (ogr/ogrsf_frmts/dgn + the VAX
+    double conversion of port/cpl_vax.cpp): per-nation line/shape/text
+    elements roundtrip through write_dgn -> read_dgn on an exact UOR
+    grid (1/10000 master units), DuckDB recomputes every coordinate,
+    color and label."""
+    from pyspark.sql import types as T
+
+    from gdal_spark.sources.dgn import read_dgn, write_dgn
+    from gdal_spark.sources.tables import load
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("line_wkt", T.StringType()),
+            T.StructField("shape_wkt", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tx", T.DoubleType()),
+            T.StructField("ty", T.DoubleType()),
+            T.StructField("color", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k, name in zip(pdf["n_nationkey"], pdf["n_name"]):
+                k = int(k)
+                a, b = k * 0.25, k * 0.5 + 1.0
+                data = write_dgn(
+                    [
+                        dict(type="line",
+                             points=[(a, b), (a + 2.0, b - 1.0)],
+                             level=2, color=(k % 7) + 1),
+                        dict(type="shape",
+                             points=[(0, 0), (k + 1.0, 0),
+                                     (k + 1.0, 3.0), (0, 0)],
+                             level=3, color=83),
+                        dict(type="text", origin=(a, b + 5.0),
+                             text=str(name), height=1.0),
+                    ],
+                    origin=(-50, -50, 0),
+                )
+                feats = read_dgn(data)
+                txt = feats[2]
+                import re
+
+                tc = [float(v) for v in
+                      re.findall(r"-?\d+(?:\.\d+)?", txt["wkt"])]
+                rows.append(
+                    (k, feats[0]["wkt"], feats[1]["wkt"], txt["Text"],
+                     round(tc[0], 4), round(tc[1], 4),
+                     int(feats[0]["ColorIndex"]))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .mapInPandas(run, sch)
+    )
+
+
+_DGN_ORACLE = """
+    SELECT n_nationkey AS k,
+           'LINESTRING (' || printf('%.8g', n_nationkey * 0.25) || ' '
+               || printf('%.8g', n_nationkey * 0.5 + 1.0) || ','
+               || printf('%.8g', n_nationkey * 0.25 + 2.0) || ' '
+               || printf('%.8g', n_nationkey * 0.5) || ')' AS line_wkt,
+           'POLYGON ((0 0,' || printf('%.8g', n_nationkey + 1.0) || ' 0,'
+               || printf('%.8g', n_nationkey + 1.0)
+               || ' 3,0 0))' AS shape_wkt,
+           n_name AS text,
+           CAST(n_nationkey * 0.25 AS DOUBLE) AS tx,
+           CAST(n_nationkey * 0.5 + 6.0 AS DOUBLE) AS ty,
+           CAST(n_nationkey % 7 + 1 AS INT) AS color
+    FROM nation
+"""
+
+SPARK["dgn_codec_roundtrip"] = dgn_codec_roundtrip
+ORACLE["dgn_codec_roundtrip"] = _DGN_ORACLE
