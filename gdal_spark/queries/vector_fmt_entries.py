@@ -1310,3 +1310,68 @@ _DGN_ORACLE = """
 
 SPARK["dgn_codec_roundtrip"] = dgn_codec_roundtrip
 ORACLE["dgn_codec_roundtrip"] = _DGN_ORACLE
+
+
+def pmtiles_roundtrip(spark, sf_dir):
+    """PMTiles v3 archive sink + distributed ranged scan at the driver
+    gate (ogr/ogrsf_frmts/pmtiles, pmtiles.hpp): the mvt_tile_roundtrip
+    zoom-2 nation points are written to a z/x/y pbf tree, packed into a
+    clustered single-file archive (Hilbert tile ids, varint directories,
+    gzip tile payloads), then read back with per-task byte-range reads.
+    Same closed form as the MVT oracle — the archive must be lossless."""
+    import json as _json
+    import re
+    import tempfile
+
+    from gdal_spark.sources.mvt import MERC_MAX, write_mvt_tiles
+    from gdal_spark.sources.pmtiles import (
+        read_pmtiles,
+        tiles_from_mvt_tree,
+        write_pmtiles,
+    )
+
+    dim = 2 * MERC_MAX / 4  # zoom 2
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    m = (k * 1237) % 16384
+    q = (k * 911) % 16384
+    feats = n.select(
+        (F.lit(-MERC_MAX) + m.cast("double") * (dim / 4096)).alias("x"),
+        (F.lit(MERC_MAX) - q.cast("double") * (dim / 4096)).alias("y"),
+        F.col("n_name").alias("name"),
+    )
+    root = tempfile.mkdtemp(prefix="pmt_tree_")
+    write_mvt_tiles(feats, root, zoom=2, layer_name="nations")
+    arch = root + ".pmtiles"
+    write_pmtiles(arch, tiles_from_mvt_tree(root), metadata={"name": "nations"})
+    back = read_pmtiles(spark, arch, force_multi=True)
+
+    sch = T.StructType(
+        [
+            T.StructField("z", T.IntegerType()),
+            T.StructField("tx", T.IntegerType()),
+            T.StructField("ty", T.IntegerType()),
+            T.StructField("layer", T.StringType()),
+            T.StructField("gx", T.DoubleType()),
+            T.StructField("gy", T.DoubleType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for z, x, y, layer, wkt in zip(
+                pdf["z"], pdf["x"], pdf["y"], pdf["layer"], pdf["wkt"]
+            ):
+                nums = re.findall(r"-?\d+(?:\.\d+)?(?:[eE]-?\d+)?", wkt)
+                rows.append(
+                    (int(z), int(x), int(y), layer,
+                     round(float(nums[0]), 4), round(float(nums[1]), 4))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return back.mapInPandas(emit, sch)
+
+
+SPARK["pmtiles_roundtrip"] = pmtiles_roundtrip
+ORACLE["pmtiles_roundtrip"] = _MVT_ORACLE

@@ -92,6 +92,8 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "ESRI Shapefile"
     if h.startswith(b"fgb") and h[4:7] == b"fgb":
         return "FlatGeobuf"
+    if h.startswith(b"PMTiles\x03"):
+        return "PMTiles"
     if h.startswith(b"NITF") or h.startswith(b"NSIF"):
         return "NITF"
     if h.startswith(b"UHL"):
