@@ -1375,3 +1375,103 @@ def pmtiles_roundtrip(spark, sf_dir):
 
 SPARK["pmtiles_roundtrip"] = pmtiles_roundtrip
 ORACLE["pmtiles_roundtrip"] = _MVT_ORACLE
+
+
+def spatialite_roundtrip(spark, sf_dir):
+    """SQLite/SpatiaLite driver at the gate (ogr/ogrsf_frmts/sqlite,
+    ImportSpatiaLiteGeometry/ExportSpatiaLiteGeometry): nation-derived
+    triangles written as COMPRESSED SpatiaLite blobs (intermediate
+    vertices = float32 deltas), read back through the rowid-range
+    partitioned scan, vertices re-emitted for the closed-form oracle.
+    Vertex 0 and the closing vertex are exact doubles; vertices 1-2 are
+    delta-compressed, lossless at 4 dp for these coordinate magnitudes."""
+    import tempfile
+
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.sources.spatialite import (
+        read_spatialite,
+        write_spatialite,
+    )
+    from gdal_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "nation")
+
+    sch_w = T.StructType(
+        [
+            T.StructField("wkb", T.BinaryType()),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+
+    def mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for kk, nm in zip(pdf["n_nationkey"], pdf["n_name"]):
+                kk = int(kk)
+                ring = np.array(
+                    [
+                        [kk * 0.25, kk * 0.5],
+                        [kk * 0.25 + 3.0, kk * 0.5 + 1.0],
+                        [kk * 0.25 + 1.0, kk * 0.5 + 4.0],
+                        [kk * 0.25, kk * 0.5],
+                    ]
+                )
+                rows.append((W.write_polygon([ring]), kk, str(nm)))
+            yield pd.DataFrame(rows, columns=["wkb", "k", "name"])
+
+    feats = n.select("n_nationkey", "n_name").mapInPandas(mk, sch_w)
+    path = tempfile.mktemp(suffix=".sqlite", prefix="splite_")
+    write_spatialite(
+        feats, path, layer="tri", srid=32631, geom_type="POLYGON",
+        compressed=True,
+    )
+    back = read_spatialite(spark, path)
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("srid", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y1", T.DoubleType()),
+            T.StructField("x2", T.DoubleType()),
+            T.StructField("y2", T.DoubleType()),
+            T.StructField("x3", T.DoubleType()),
+            T.StructField("y3", T.DoubleType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for kk, srid, blob, nm in zip(
+                pdf["k"], pdf["srid"], pdf["wkb"], pdf["name"]
+            ):
+                ring = W.polygon_rings(bytes(blob))[0][0]
+                rows.append(
+                    (int(kk), int(srid), str(nm))
+                    + tuple(round(float(v), 4) for v in ring[:3].ravel())
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return back.mapInPandas(emit, sch)
+
+
+_SPLITE_ORACLE = """
+    SELECT CAST(n_nationkey AS INT) AS k,
+           CAST(32631 AS INT) AS srid,
+           n_name AS name,
+           round(n_nationkey * 0.25, 4) AS x1,
+           round(n_nationkey * 0.5, 4) AS y1,
+           round(n_nationkey * 0.25 + 3.0, 4) AS x2,
+           round(n_nationkey * 0.5 + 1.0, 4) AS y2,
+           round(n_nationkey * 0.25 + 1.0, 4) AS x3,
+           round(n_nationkey * 0.5 + 4.0, 4) AS y3
+    FROM nation
+"""
+
+SPARK["spatialite_roundtrip"] = spatialite_roundtrip
+ORACLE["spatialite_roundtrip"] = _SPLITE_ORACLE
