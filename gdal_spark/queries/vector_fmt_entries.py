@@ -1475,3 +1475,57 @@ _SPLITE_ORACLE = """
 
 SPARK["spatialite_roundtrip"] = spatialite_roundtrip
 ORACLE["spatialite_roundtrip"] = _SPLITE_ORACLE
+
+
+def osm_lines_layer(spark, sf_dir):
+    """OSM PBF driver at the gate (ogr/ogrsf_frmts/osm): a deterministic
+    nation-derived OSM extract (two nodes + one tagged way per nation) is
+    encoded as a real PBF (dense nodes, delta ways), then the OGR
+    'lines' layer is assembled distributed — posexplode(refs) x nodes
+    join, regroup by way — with the osmconf.ini z_order formula. DuckDB
+    recomputes ids, coords and z_order in closed form."""
+    import tempfile
+
+    from gdal_spark.sources.osm import osm_layers, write_osm_pbf
+    from gdal_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "nation")
+    rows = n.select("n_nationkey", "n_name").collect()  # 25 rows: driver-ok
+    highways = ["motorway", "primary", "residential", "secondary"]
+    nodes, ways = [], []
+    for r in rows:
+        k = int(r.n_nationkey)
+        nodes.append((2 * k + 1, k * 0.1, k * 0.05, {}))
+        nodes.append((2 * k + 2, k * 0.1 + 1.0, k * 0.05 + 0.5, {}))
+        ways.append(
+            (k + 1, [2 * k + 1, 2 * k + 2],
+             {"highway": highways[k % 4], "name": str(r.n_name)})
+        )
+    path = tempfile.mktemp(suffix=".osm.pbf", prefix="osm_gate_")
+    write_osm_pbf(path, sorted(nodes), ways)
+    lines = osm_layers(spark, path)["lines"]
+    return lines.select(
+        F.col("osm_id").cast("int").alias("k1"),
+        F.col("name").alias("name"),
+        F.col("highway").alias("highway"),
+        F.col("z_order").alias("z_order"),
+        F.col("wkt").alias("wkt"),
+    )
+
+
+_OSM_ORACLE = """
+    SELECT CAST(n_nationkey + 1 AS INT) AS k1,
+           n_name AS name,
+           CASE n_nationkey % 4 WHEN 0 THEN 'motorway' WHEN 1 THEN 'primary'
+                WHEN 2 THEN 'residential' ELSE 'secondary' END AS highway,
+           CAST(CASE n_nationkey % 4 WHEN 0 THEN 9 WHEN 1 THEN 7
+                WHEN 2 THEN 3 ELSE 6 END AS INT) AS z_order,
+           'LINESTRING (' || printf('%.8g', n_nationkey * 0.1) || ' '
+               || printf('%.8g', n_nationkey * 0.05) || ','
+               || printf('%.8g', n_nationkey * 0.1 + 1.0) || ' '
+               || printf('%.8g', n_nationkey * 0.05 + 0.5) || ')' AS wkt
+    FROM nation
+"""
+
+SPARK["osm_lines_layer"] = osm_lines_layer
+ORACLE["osm_lines_layer"] = _OSM_ORACLE
