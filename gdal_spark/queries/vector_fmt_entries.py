@@ -1529,3 +1529,95 @@ _OSM_ORACLE = """
 
 SPARK["osm_lines_layer"] = osm_lines_layer
 ORACLE["osm_lines_layer"] = _OSM_ORACLE
+
+
+def filegdb_roundtrip(spark, sf_dir):
+    """OpenFileGDB driver at the gate (ogr/ogrsf_frmts/openfilegdb/
+    filegdbtable.cpp): nation triangles snap onto the layer's integer
+    grid (origin -400, scale 1e9 — exact at 4 dp), written as real
+    .gdbtable/.gdbtablx files (system catalog + field descriptors +
+    FileGDB signed-varint shape buffers) and read back through the
+    offset-sliced distributed scan."""
+    import tempfile
+
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.sources.openfilegdb import (
+        read_openfilegdb,
+        write_openfilegdb,
+    )
+    from gdal_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "nation")
+
+    sch_w = T.StructType(
+        [
+            T.StructField("wkb", T.BinaryType()),
+            T.StructField("k", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+
+    def mk(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for kk, nm in zip(pdf["n_nationkey"], pdf["n_name"]):
+                kk = int(kk)
+                ring = np.array(
+                    [
+                        [kk * 0.25, kk * 0.5],
+                        [kk * 0.25 + 3.0, kk * 0.5 + 1.0],
+                        [kk * 0.25 + 1.0, kk * 0.5 + 4.0],
+                        [kk * 0.25, kk * 0.5],
+                    ]
+                )
+                rows.append((W.write_polygon([ring]), kk, str(nm)))
+            yield pd.DataFrame(rows, columns=["wkb", "k", "name"])
+
+    feats = n.select("n_nationkey", "n_name").mapInPandas(mk, sch_w)
+    gdb = tempfile.mkdtemp(suffix=".gdb", prefix="fgdb_gate_")
+    write_openfilegdb(feats, gdb, layer="tri")
+    back = read_openfilegdb(spark, gdb)
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y1", T.DoubleType()),
+            T.StructField("x2", T.DoubleType()),
+            T.StructField("y2", T.DoubleType()),
+            T.StructField("x3", T.DoubleType()),
+            T.StructField("y3", T.DoubleType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for kk, blob, nm in zip(pdf["k"], pdf["wkb"], pdf["name"]):
+                ring = W.polygon_rings(bytes(blob))[0][0]
+                rows.append(
+                    (int(kk), str(nm))
+                    + tuple(round(float(v), 4) for v in ring[:3].ravel())
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return back.mapInPandas(emit, sch)
+
+
+_FGDB_ORACLE = """
+    SELECT CAST(n_nationkey AS INT) AS k,
+           n_name AS name,
+           round(n_nationkey * 0.25, 4) AS x1,
+           round(n_nationkey * 0.5, 4) AS y1,
+           round(n_nationkey * 0.25 + 3.0, 4) AS x2,
+           round(n_nationkey * 0.5 + 1.0, 4) AS y2,
+           round(n_nationkey * 0.25 + 1.0, 4) AS x3,
+           round(n_nationkey * 0.5 + 4.0, 4) AS y3
+    FROM nation
+"""
+
+SPARK["filegdb_roundtrip"] = filegdb_roundtrip
+ORACLE["filegdb_roundtrip"] = _FGDB_ORACLE
