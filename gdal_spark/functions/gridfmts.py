@@ -259,3 +259,206 @@ def read_grid_files(spark, files: list[tuple[str, str]], num_partitions: int | N
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return fdf.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------------------------
+# GXF — Geosoft eXchange Format (frmts/gxf/gxfopen.c)
+# --------------------------------------------------------------------------
+#
+# Header is #KEYWORD blocks (matched case-insensitively on the prefix, so
+# "#POIN" == "#POINTS", gxfopen.c:321 style STARTS_WITH_CI); data follows
+# #GRID. GTYPE 0 = whitespace-separated ASCII values with the #DUMMY
+# string replaced by dfSetDummyTo (default -1e12, gxfopen.c:215); GTYPE
+# n>0 = n-character base-90 tokens (digit value = char - 37,
+# gxfopen.c:439): '!'-prefixed token = dummy, '"'-prefixed = run (next
+# token = count unscaled, next = value scaled), else value; scaled value
+# = n * transform_scale + transform_offset (#TRANSFORM "scale offset").
+# Default #SENSE is 1 (lower-left origin scanning right) so raw rows are
+# bottom-up (gxfopen.c:212, GXFGetScanline :640).
+
+
+def gxf_decode(data: bytes) -> tuple[np.ndarray, tuple, float | None]:
+    text = data.decode("ascii", errors="replace")
+    lines = text.splitlines()
+    i = 0
+    ncols = nrows = None
+    xsep = ysep = 1.0
+    xorig = yorig = 0.0
+    dummy_str = None
+    set_dummy_to = -1e12
+    scale, offset = 1.0, 0.0
+    sense = 1
+    gtype = 0
+    grid_start = None
+    while i < len(lines):
+        line = lines[i].strip()
+        if line.startswith("#"):
+            key = line.upper()
+            vals = []
+            j = i + 1
+            while j < len(lines) and not lines[j].lstrip().startswith("#"):
+                vals.append(lines[j])
+                j += 1
+            first = vals[0].split() if vals else []
+            if key.startswith("#POIN"):
+                ncols = int(first[0])
+            elif key.startswith("#ROWS"):
+                nrows = int(first[0])
+            elif key.startswith("#PTSEP"):
+                xsep = float(first[0])
+            elif key.startswith("#RWSEP"):
+                ysep = float(first[0])
+            elif key.startswith("#XORIG"):
+                xorig = float(first[0])
+            elif key.startswith("#YORIG"):
+                yorig = float(first[0])
+            elif key.startswith("#DUMMY"):
+                dummy_str = vals[0].split()[0]
+                set_dummy_to = float(dummy_str)
+            elif key.startswith("#TRANS"):
+                scale, offset = float(first[0]), float(first[1])
+            elif key.startswith("#SENSE"):
+                sense = int(float(first[0]))
+            elif key.startswith("#GTYPE"):
+                gtype = int(first[0])
+            elif key.startswith("#GRID"):
+                grid_start = i + 1
+                break
+            i = j
+        else:
+            i += 1
+    if ncols is None or nrows is None or grid_start is None:
+        raise ValueError("not a GXF grid")
+
+    values: list[float] = []
+    if gtype == 0:
+        for line in lines[grid_start:]:
+            for tok in line.split():
+                if tok.startswith("#"):
+                    break
+                if dummy_str is not None and tok == dummy_str:
+                    values.append(set_dummy_to)
+                else:
+                    values.append(float(tok))
+            if len(values) >= ncols * nrows:
+                break
+    else:
+        def b90(tok: str) -> int:
+            v = 0
+            for ch in tok:
+                v = v * 90 + (ord(ch) - 37)
+            return v
+
+        stream: list[str] = []
+        for line in lines[grid_start:]:
+            if line.startswith("#"):
+                break
+            for k in range(0, len(line) - gtype + 1, gtype):
+                stream.append(line[k : k + gtype])
+        si = 0
+        while len(values) < ncols * nrows and si < len(stream):
+            tok = stream[si]
+            si += 1
+            if tok[0] == "!":
+                values.append(set_dummy_to)
+            elif tok[0] == '"':
+                count = b90(stream[si])
+                si += 1
+                vtok = stream[si]
+                si += 1
+                v = set_dummy_to if vtok[0] == "!" else (
+                    b90(vtok) * scale + offset
+                )
+                values.extend([v] * count)
+            else:
+                values.append(b90(tok) * scale + offset)
+    arr = np.array(values[: ncols * nrows], dtype=np.float64).reshape(
+        nrows, ncols
+    )
+    if sense == 1:  # GXFS_LL_RIGHT: raw rows bottom-up
+        arr = arr[::-1]
+    gt = (xorig - xsep / 2, xsep, 0.0, yorig + nrows * ysep - ysep / 2, 0.0,
+          -ysep)
+    nodata = set_dummy_to if dummy_str is not None or gtype > 0 else None
+    return arr, gt, nodata
+
+
+def gxf_encode(arr: np.ndarray, gt: tuple, nodata: float | None = None) -> bytes:
+    """Uncompressed (GTYPE 0) GXF writer, bottom-up rows like the spec
+    default sense."""
+    nrows, ncols = arr.shape
+    out = [f"#POINTS\n{ncols}", f"#ROWS\n{nrows}"]
+    out.append(f"#PTSEPARATION\n{gt[1]!r}")
+    out.append(f"#RWSEPARATION\n{-gt[5]!r}")
+    out.append(f"#XORIGIN\n{gt[0] + gt[1] / 2!r}")
+    out.append(f"#YORIGIN\n{gt[3] + gt[5] * nrows - gt[5] / 2!r}")
+    if nodata is not None:
+        out.append(f"#DUMMY\n{nodata!r}")
+    out.append("#GRID")
+    for row in arr[::-1]:
+        out.append(" ".join(repr(float(v)) for v in row))
+    return ("\n".join(out) + "\n").encode("ascii")
+
+
+# --------------------------------------------------------------------------
+# SAGA GIS binary grids (frmts/saga/sagadataset.cpp): .sgrd text header
+# (KEY = VALUE) + .sdat raw binary. TOPTOBOTTOM=FALSE (the default) means
+# the first .sdat row is the SOUTH row. POSITION_XMIN/YMIN are CELL
+# CENTERS.
+# --------------------------------------------------------------------------
+
+_SAGA_DTYPES = {
+    "BIT": np.uint8, "BYTE_UNSIGNED": np.uint8, "BYTE": np.int8,
+    "SHORTINT_UNSIGNED": np.uint16, "SHORTINT": np.int16,
+    "INTEGER_UNSIGNED": np.uint32, "INTEGER": np.int32,
+    "FLOAT": np.float32, "DOUBLE": np.float64,
+}
+
+
+def saga_decode(sgrd_text: str, sdat: bytes) -> tuple[np.ndarray, tuple, float | None]:
+    kv = {}
+    for line in sgrd_text.splitlines():
+        if "=" in line:
+            k, v = line.split("=", 1)
+            kv[k.strip().upper()] = v.strip()
+    ncols = int(kv["CELLCOUNT_X"])
+    nrows = int(kv["CELLCOUNT_Y"])
+    cell = float(kv["CELLSIZE"])
+    xmin = float(kv["POSITION_XMIN"])
+    ymin = float(kv["POSITION_YMIN"])
+    dtype = _SAGA_DTYPES[kv.get("DATAFORMAT", "FLOAT").upper()]
+    arr = np.frombuffer(sdat, dtype=dtype, count=ncols * nrows)
+    if kv.get("BYTEORDER_BIG", "FALSE").upper() == "TRUE":
+        arr = arr.byteswap()
+    arr = arr.reshape(nrows, ncols).astype(np.float64)
+    zf = float(kv.get("Z_FACTOR", "1.0"))
+    if zf != 1.0:
+        arr = arr * zf
+    if kv.get("TOPTOBOTTOM", "FALSE").upper() != "TRUE":
+        arr = arr[::-1]
+    nodata = float(kv["NODATA_VALUE"]) if "NODATA_VALUE" in kv else None
+    gt = (xmin - cell / 2, cell, 0.0, ymin + nrows * cell - cell / 2, 0.0,
+          -cell)
+    return arr, gt, nodata
+
+
+def saga_encode(arr: np.ndarray, gt: tuple, nodata: float | None = None) -> tuple[str, bytes]:
+    nrows, ncols = arr.shape
+    cell = gt[1]
+    hdr = "\n".join(
+        [
+            "NAME\t= grid",
+            "DATAFORMAT\t= DOUBLE",
+            "DATAFILE_OFFSET\t= 0",
+            "BYTEORDER_BIG\t= FALSE",
+            f"POSITION_XMIN\t= {gt[0] + cell / 2!r}",
+            f"POSITION_YMIN\t= {gt[3] + gt[5] * nrows - gt[5] / 2!r}",
+            f"CELLCOUNT_X\t= {ncols}",
+            f"CELLCOUNT_Y\t= {nrows}",
+            f"CELLSIZE\t= {cell!r}",
+            "Z_FACTOR\t= 1.000000",
+            f"NODATA_VALUE\t= {nodata if nodata is not None else -99999.0!r}",
+            "TOPTOBOTTOM\t= FALSE",
+        ]
+    ) + "\n"
+    return hdr, np.ascontiguousarray(arr[::-1], dtype="<f8").tobytes()

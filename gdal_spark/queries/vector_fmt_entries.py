@@ -1621,3 +1621,74 @@ _FGDB_ORACLE = """
 
 SPARK["filegdb_roundtrip"] = filegdb_roundtrip
 ORACLE["filegdb_roundtrip"] = _FGDB_ORACLE
+
+
+def chart_grid_formats_roundtrip(spark, sf_dir):
+    """BSB/KAP + GXF + SAGA drivers at the gate (frmts/bsb/bsb_read.c,
+    frmts/gxf/gxfopen.c, frmts/saga/sagadataset.cpp): each nation's
+    16x16 mod-raster v=(r*37+c*101+k*13)%97 roundtrips through all
+    three codecs in its task (BSB as the 1-based RLE palette stream,
+    GXF as ASCII grid, SAGA as .sgrd/.sdat), and the decoded aggregates
+    must match DuckDB's closed-form recomputation."""
+    from gdal_spark.functions.gridfmts import (
+        gxf_decode,
+        gxf_encode,
+        saga_decode,
+        saga_encode,
+    )
+    from gdal_spark.queries.closedform_raster import _mod_raster, _nation
+    from gdal_spark.raster.bsb import bsb_decode, bsb_encode
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("vsum", T.LongType()),
+            T.StructField("vmin", T.IntegerType()),
+            T.StructField("vmax", T.IntegerType()),
+        ]
+    )
+    gt = (0.0, 1.0, 0.0, 16.0, 0.0, -1.0)
+
+    def run(batches):
+        import numpy as np
+
+        pal = np.arange(97 * 3, dtype=np.uint8).reshape(97, 3)
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = _mod_raster(k)
+                back_b, _ = bsb_decode(bsb_encode(arr, pal))
+                back_g, _, _ = gxf_decode(gxf_encode(arr.astype(float), gt))
+                hdr, sdat = saga_encode(arr.astype(float), gt)
+                back_s, _, _ = saga_decode(hdr, sdat)
+                for fmt, back in (("bsb", back_b), ("gxf", back_g),
+                                  ("saga", back_s)):
+                    rows.append(
+                        (k, fmt, int(back.sum()), int(back.min()),
+                         int(back.max()))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_CHART_ORACLE = """
+    WITH cells AS (
+        SELECT n.n_nationkey AS k,
+               (r.range * 37 + c.range * 101 + n.n_nationkey * 13) % 97 AS v
+        FROM nation n, range(16) r, range(16) c
+    ), agg AS (
+        SELECT k, SUM(v) AS vsum, MIN(v) AS vmin, MAX(v) AS vmax
+        FROM cells GROUP BY k
+    )
+    SELECT CAST(k AS INT) AS k, f.fmt AS fmt,
+           CAST(vsum AS BIGINT) AS vsum,
+           CAST(vmin AS INT) AS vmin, CAST(vmax AS INT) AS vmax
+    FROM agg, (SELECT 'bsb' AS fmt UNION ALL SELECT 'gxf'
+               UNION ALL SELECT 'saga') f
+"""
+
+SPARK["chart_grid_formats_roundtrip"] = chart_grid_formats_roundtrip
+ORACLE["chart_grid_formats_roundtrip"] = _CHART_ORACLE
