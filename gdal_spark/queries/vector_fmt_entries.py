@@ -1692,3 +1692,62 @@ _CHART_ORACLE = """
 
 SPARK["chart_grid_formats_roundtrip"] = chart_grid_formats_roundtrip
 ORACLE["chart_grid_formats_roundtrip"] = _CHART_ORACLE
+
+
+def pcidsk_roundtrip(spark, sf_dir):
+    """PCIDSK driver at the gate (frmts/pcidsk/sdk): each nation's
+    mod-raster roundtrips through a BAND-interleaved .pix (big-endian
+    payload, spec-width ASCII header fields) in its task; decoded
+    aggregates match DuckDB's closed form."""
+    from gdal_spark.queries.closedform_raster import _mod_raster, _nation
+    from gdal_spark.raster.pcidsk import (
+        open_pcidsk,
+        read_band,
+        write_pcidsk,
+    )
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("vsum", T.LongType()),
+            T.StructField("vmin", T.IntegerType()),
+            T.StructField("vmax", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = _mod_raster(k)
+                enc = write_pcidsk([arr, (arr.astype(np.int16) * -1)])
+                info = open_pcidsk(enc)
+                back = read_band(enc, info, 0)
+                back2 = read_band(enc, info, 1)
+                assert np.array_equal(back2, arr.astype(np.int16) * -1)
+                rows.append(
+                    (k, int(back.sum()), int(back.min()), int(back.max()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_PCIDSK_ORACLE = """
+    WITH cells AS (
+        SELECT n.n_nationkey AS k,
+               (r.range * 37 + c.range * 101 + n.n_nationkey * 13) % 97 AS v
+        FROM nation n, range(16) r, range(16) c
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(SUM(v) AS BIGINT) AS vsum,
+           CAST(MIN(v) AS INT) AS vmin,
+           CAST(MAX(v) AS INT) AS vmax
+    FROM cells GROUP BY k
+"""
+
+SPARK["pcidsk_roundtrip"] = pcidsk_roundtrip
+ORACLE["pcidsk_roundtrip"] = _PCIDSK_ORACLE
