@@ -95,3 +95,61 @@ SPARK = {
 }
 
 ORACLE: dict[str, str] = {}
+
+
+def hfa_roundtrip(spark, sf_dir):
+    """HFA/Erdas Imagine driver at the gate (frmts/hfa): each nation's
+    mod-raster roundtrips through a real .img (EHFA entry tree + MIF
+    dictionary + 64x64 blocks) as uint8 AND float32 bands in its task;
+    decoded aggregates match DuckDB's closed form."""
+    from pyspark.sql import types as T
+
+    from gdal_spark.queries.closedform_raster import _mod_raster, _nation
+    from gdal_spark.raster.hfa import open_hfa, write_hfa
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("vsum", T.LongType()),
+            T.StructField("fsum", T.DoubleType()),
+            T.StructField("vmax", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = _mod_raster(k)
+                f32 = arr.astype(np.float32) * 0.5
+                f = open_hfa(write_hfa([arr, f32]))
+                b0 = f.read_band(f.layers()[0])
+                b1 = f.read_band(f.layers()[1])
+                rows.append(
+                    (k, int(b0.sum()), round(float(b1.sum()), 4),
+                     int(b0.max()))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_HFA_ORACLE = """
+    WITH cells AS (
+        SELECT n.n_nationkey AS k,
+               (r.range * 37 + c.range * 101 + n.n_nationkey * 13) % 97 AS v
+        FROM nation n, range(16) r, range(16) c
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(SUM(v) AS BIGINT) AS vsum,
+           round(SUM(v * 0.5), 4) AS fsum,
+           CAST(MAX(v) AS INT) AS vmax
+    FROM cells GROUP BY k
+"""
+
+SPARK["hfa_roundtrip"] = hfa_roundtrip
+ORACLE["hfa_roundtrip"] = _HFA_ORACLE
