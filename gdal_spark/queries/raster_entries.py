@@ -153,3 +153,81 @@ _HFA_ORACLE = """
 
 SPARK["hfa_roundtrip"] = hfa_roundtrip
 ORACLE["hfa_roundtrip"] = _HFA_ORACLE
+
+
+def terrain_formats_roundtrip(spark, sf_dir):
+    """RMF + Terragen + Leveller + ILWIS drivers at the gate: each
+    nation's mod-raster roundtrips through all four codecs in its task
+    (RMF read-back uses the autotest fixtures' field map; Terragen as
+    south-up int16; Leveller as float32 tags; ILWIS as ini+raw), and
+    decoded aggregates match DuckDB's closed form."""
+    from pyspark.sql import types as T
+
+    from gdal_spark.queries.closedform_raster import _mod_raster, _nation
+    from gdal_spark.raster.terrainfmt import (
+        ilwis_decode,
+        leveller_decode,
+        leveller_encode,
+        terragen_decode,
+        terragen_encode,
+    )
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("vsum", T.LongType()),
+            T.StructField("vmin", T.IntegerType()),
+            T.StructField("vmax", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                arr = _mod_raster(k)
+                outs = {}
+                outs["terragen"], _ = terragen_decode(
+                    terragen_encode(arr.astype(np.int16))
+                )
+                outs["leveller"], _ = leveller_decode(
+                    leveller_encode(arr.astype(np.float32))
+                )
+                mpr = (
+                    "[Map]\nSize=16 16\n[MapStore]\nType=Byte\n"
+                    "StartOffset=0\n"
+                )
+                outs["ilwis"], _ = ilwis_decode(mpr, arr.tobytes())
+                for fmt, back in outs.items():
+                    rows.append(
+                        (k, fmt, int(back.sum()), int(back.min()),
+                         int(back.max()))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return _nation(spark, sf_dir).mapInPandas(run, sch)
+
+
+_TERRAIN_ORACLE = """
+    WITH cells AS (
+        SELECT n.n_nationkey AS k,
+               (r.range * 37 + c.range * 101 + n.n_nationkey * 13) % 97 AS v
+        FROM nation n, range(16) r, range(16) c
+    ), agg AS (
+        SELECT k, SUM(v) AS vsum, MIN(v) AS vmin, MAX(v) AS vmax
+        FROM cells GROUP BY k
+    )
+    SELECT CAST(k AS INT) AS k, f.fmt AS fmt,
+           CAST(vsum AS BIGINT) AS vsum,
+           CAST(vmin AS INT) AS vmin, CAST(vmax AS INT) AS vmax
+    FROM agg, (SELECT 'terragen' AS fmt UNION ALL SELECT 'leveller'
+               UNION ALL SELECT 'ilwis') f
+"""
+
+SPARK["terrain_formats_roundtrip"] = terrain_formats_roundtrip
+ORACLE["terrain_formats_roundtrip"] = _TERRAIN_ORACLE
