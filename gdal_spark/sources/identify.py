@@ -100,6 +100,20 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "DTED"
     if h.startswith(b"ARROW1"):
         return "Arrow"
+    if h.startswith(b"EHFA_HEADER_TAG"):
+        return "HFA"
+    if h.startswith(b"PCIDSK  "):
+        return "PCIDSK"
+    if h.startswith(b"RSW\x00") or h.startswith(b"MTW\x00") or h.startswith(
+        b"\x00WSR"
+    ):
+        return "RMF"
+    if h.startswith(b"TERRAGENTERRAIN "):
+        return "Terragen"
+    if h.startswith(b"trrn"):
+        return "Leveller"
+    if h.startswith(b"EHFA"):
+        return "HFA"
     s = h.lstrip()
     if s.startswith(b"<VRTDataset"):
         return "VRT"
@@ -117,10 +131,18 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "CSV"
     if ext == "zarr":
         return "Zarr"
+    if b"OSMHeader" in h[:64] or filename.endswith(".osm.pbf"):
+        return "OSM"
     if ext == "pbf":
         return "MVT"
     if ext == "dem":
         return "USGSDEM"
+    if ext == "kap":
+        return "BSB"
+    if ext == "gxf":
+        return "GXF"
+    if ext == "osm":
+        return "OSM"
     return None
 
 

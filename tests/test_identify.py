@@ -102,3 +102,26 @@ def test_identify_round2_formats():
     ]
     for p, exp in cases:
         assert identify_driver(open(p, "rb").read(), p) == exp, p
+
+
+def test_identify_round2_wave3_formats():
+    """HFA/PCIDSK/RMF/Terragen/Leveller/BSB/GXF/OSM/PMTiles magics and
+    extension gates, on the reference's own files."""
+    from gdal_spark.sources.identify import identify_driver
+
+    base = "/root/reference/autotest"
+    cases = [
+        (f"{base}/gcore/data/utmsmall.img", "HFA"),
+        (f"{base}/gdrivers/data/pcidsk/utm.pix", "PCIDSK"),
+        (f"{base}/gdrivers/data/rmf/byte.rsw", "RMF"),
+        (f"{base}/gdrivers/data/rmf/big-endian.rsw", "RMF"),
+        (f"{base}/gdrivers/data/rmf/float64.mtw", "RMF"),
+        (f"{base}/gdrivers/data/terragen/float32.ter", "Terragen"),
+        (f"{base}/gdrivers/data/leveller/ter6test.ter", "Leveller"),
+        (f"{base}/gdrivers/data/bsb/rgbsmall.kap", "BSB"),
+        (f"{base}/gdrivers/data/gxf/small.gxf", "GXF"),
+        (f"{base}/ogr/data/osm/test.pbf", "OSM"),
+        (f"{base}/ogr/data/pmtiles/poly.pmtiles", "PMTiles"),
+    ]
+    for p, exp in cases:
+        assert identify_driver(open(p, "rb").read(1024), p) == exp, p
