@@ -1318,10 +1318,18 @@ def resample_convolution(
     wy = _conv_weights(h, out_h, kernel)
     wx = _conv_weights(w, out_w, kernel)
     a = arr.astype(np.float64)
+    # horizontal pass first into a double buffer, then vertical — the
+    # reference order (GDALResampleChunk_ConvolutionT, gcore/overview.cpp)
     if a.ndim == 3:
-        out = np.einsum("oh,hwc,pw->opc", wy, a, wx)
+        out = np.einsum("oh,hpc->opc", wy, np.einsum("hwc,pw->hpc", a, wx))
     else:
-        out = wy @ a @ wx.T
+        out = wy @ (a @ wx.T)
+    if arr.dtype != np.float64:
+        # every non-double source resamples through a float32 working type
+        # (ConvolutionT<_, float, GDT_Float32>); the final double->float32
+        # cast happens BEFORE integer rounding and flips half-ulp ties
+        # (autotest rasterio test 9's 10x10 bilinear checksum 1211)
+        out = out.astype(np.float32).astype(np.float64)
     if np.issubdtype(arr.dtype, np.integer):
         info = np.iinfo(arr.dtype)
         r = np.where(out >= 0, np.floor(out + 0.5), np.ceil(out - 0.5))
