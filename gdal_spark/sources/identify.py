@@ -114,6 +114,21 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "Leveller"
     if h.startswith(b"EHFA"):
         return "HFA"
+    if h[:6].upper() in (b"HEADER", b"HEAD74") and len(h) >= 128:
+        return "LAN"
+    if h.startswith(b"binterr"):
+        return "BT"
+    if h.startswith(b"HF2\x00"):
+        return "HF2"
+    if h.startswith(b"BEGIN_USGS_DOQ_HEADER"):
+        return "DOQ2"
+    if (
+        len(h) >= 20
+        and h[12:16] == b"\x02\x00\x00\x00"
+        and struct.unpack("<i", h[:4])[0]
+        == 4 * struct.unpack("<i", h[4:8])[0] > 0
+    ):
+        return "GSC"
     s = h.lstrip()
     if s.startswith(b"<VRTDataset"):
         return "VRT"
@@ -143,6 +158,18 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "GXF"
     if ext == "osm":
         return "OSM"
+    if ext == "rst":
+        return "RST"
+    if (
+        ext == "mem"
+        and len(data) >= 1011
+        and all(data[o:o + 2] in (b"19", b"20") for o in (11, 15, 19))
+    ):
+        return "JDEM"
+    if ext in ("zmap", "dat") and h.lstrip(b"! \r\n\t").startswith(b"@"):
+        return "ZMap"
+    if ext == "bil":
+        return "EHdr"
     return None
 
 
