@@ -97,8 +97,9 @@ def test_rpc_vectorized():
     px, ln = rpc_transform_point(rpc, lons, lats, hs)
     for i in range(3):
         p1, l1 = rpc_transform_point(rpc, lons[i], lats[i], 0.0)
-        assert float(px[i]) == pytest.approx(float(p1), abs=1e-12)
-        assert float(ln[i]) == pytest.approx(float(l1), abs=1e-12)
+        # vectorized and scalar numpy paths may differ by a couple ulp
+        assert float(px[i]) == pytest.approx(float(p1), rel=1e-12)
+        assert float(ln[i]) == pytest.approx(float(l1), rel=1e-12)
 
 
 # ---------------------------------------------------------------------------
