@@ -776,6 +776,162 @@ def hf2_encode(arr: np.ndarray, gt: tuple | None = None,
 
 
 # ---------------------------------------------------------------------------
+# EOSAT FAST format (frmts/raw/fastdataset.cpp)
+# ---------------------------------------------------------------------------
+
+_LISS_NAMES = [
+    "02345", "6789a", "bcdef", "ghijk", "lmnop", "qrstu", "vwxyz",
+]
+
+
+def _fast_value(header: str, name: str, size: int) -> str | None:
+    pos = header.find(name)
+    if pos < 0:
+        return None
+    pos += len(name)
+    while pos < len(header) and header[pos] == " ":
+        pos += 1
+    while pos < len(header) and header[pos] == "=":
+        pos += 1
+    return header[pos:pos + size].strip()
+
+
+def _fast_band_names(header: str, header_name: str) -> list[str]:
+    """Replicates the FAST band-file discovery conventions: FILENAME
+    fields, L7 .b0N fallbacks, and the Euromap IRS 1C/1D PAN/LISS3/WIFS
+    last-letter tables (em_names.pdf as transcribed by the reference)."""
+    sat = (_fast_value(header, "SATELLITE", 10) or "").upper()
+    sensor = (_fast_value(header, "SENSOR", 10) or "").upper()
+    names: list[str] = []
+    if "FILENAME" not in header and "GENERATING AGENCY =EUROMAP" in header:
+        last = header_name[-1]
+        if sat in ("IRS 1C", "IRS 1D") and sensor == "PAN":
+            c = last.lower()
+            if "a" <= c <= "j":
+                names.append(header_name[:-1] + chr(ord("0") + ord(c) - ord("a")))
+            elif "k" <= c <= "m":
+                names.append(header_name[:-1] + chr(ord("n") + ord(c) - ord("k")))
+        elif sat in ("IRS 1C", "IRS 1D") and sensor == "LISS3":
+            for row in _LISS_NAMES:
+                if last.lower() == row[0] or last == row[0]:
+                    names.extend(header_name[:-1] + ch for ch in row[1:])
+                    break
+        elif sat in ("IRS 1C", "IRS 1D") and sensor == "WIFS":
+            if last == "0":
+                names.extend(header_name[:-1] + ch for ch in "12")
+        return names
+    # FILENAME fields (up to 7); empty fields are skipped
+    pos = 0
+    for _ in range(7):
+        pos = header.find("FILENAME", pos)
+        if pos < 0:
+            break
+        pos += len("FILENAME")
+        while pos < len(header) and header[pos] == " ":
+            pos += 1
+        while pos < len(header) and header[pos] == "=":
+            pos += 1
+        val = header[pos:pos + 29].strip()
+        if val:
+            names.append(val)
+    return names
+
+
+def _gcps_to_gt(gcps: list[tuple[float, float, float, float]]) -> tuple:
+    """Least-squares affine fit (GDALGCPsToGeoTransform):
+    X = gt0 + gt1*pixel + gt2*line, Y = gt3 + gt4*pixel + gt5*line."""
+    A = np.array([[1.0, px, ln] for px, ln, _, _ in gcps])
+    bx = np.array([x for _, _, x, _ in gcps])
+    by = np.array([y for _, _, _, y in gcps])
+    cx, *_ = np.linalg.lstsq(A, bx, rcond=None)
+    cy, *_ = np.linalg.lstsq(A, by, rcond=None)
+    return (cx[0], cx[1], cx[2], cy[0], cy[1], cy[2])
+
+
+def fast_read(header_text: str, files: dict[str, bytes], header_name: str
+              ) -> tuple[list[np.ndarray], dict]:
+    """EOSAT FAST: fixed-layout ASCII administrative record + raw band
+    files. `files` maps sibling filenames to bytes (case preserved;
+    lookups are case-insensitive). Short band files zero-pad."""
+    header = header_text
+    if "ACQUISITION DATE =" not in header[:1024]:
+        raise ValueError("not a FAST header")
+    meta: dict = {
+        "ACQUISITION_DATE": _fast_value(header, "ACQUISITION DATE", 8) or "",
+        "SATELLITE": _fast_value(header, "SATELLITE", 10) or "",
+        "SENSOR": _fast_value(header, "SENSOR", 10) or "",
+    }
+    w = int(_fast_value(header, "PIXELS PER LINE", 5) or 0)
+    lines = _fast_value(header, "LINES PER BAND", 5) \
+        or _fast_value(header, "LINES PER IMAGE", 5)
+    h = int(lines or 0)
+    if w <= 0 or h <= 0:
+        raise ValueError("FAST missing dimensions")
+    bits = int(_fast_value(header, "OUTPUT BITS PER PIXEL", 2) or 8)
+    dt = np.dtype(">u2") if bits == 16 else np.dtype("u1")
+    lower = {k.lower(): k for k in files}
+    bands = []
+    for name in _fast_band_names(header, header_name):
+        key = lower.get(name.lower())
+        if key is None:
+            continue
+        raw = files[key]
+        need = w * h * dt.itemsize
+        if len(raw) < need:
+            raw = raw + b"\x00" * (need - len(raw))
+        bands.append(
+            np.frombuffer(raw, dt, w * h).reshape(h, w).astype(
+                dt.newbyteorder("=")
+            )
+        )
+    if not bands:
+        raise ValueError("FAST: no band files found")
+    zone = int(_fast_value(header, "USGS MAP ZONE", 3) or 0)
+    meta["projection"] = _fast_value(header, "MAP PROJECTION", 4) or "UTM"
+    meta["zone"] = zone
+    geom = header[header.find("PROJECTION"):]
+    corners = {}
+    for tag in ("UL ", "UR ", "LR ", "LL "):
+        p = geom.find(tag)
+        if p < 0:
+            continue
+        p += len(tag) + 28
+        try:
+            x = float(geom[p:p + 13].replace("D", "E"))
+            y = float(geom[p + 14:p + 27].replace("D", "E"))
+        except ValueError:
+            continue
+        corners[tag.strip()] = (x, y)
+    if len(corners) == 4 and all(
+        v != 0.0 for xy in corners.values() for v in xy
+    ):
+        adj = {
+            k: (x - zone * 1e6 if x >= 1e6 else x, y)
+            for k, (x, y) in corners.items()
+        }
+        gcps = [
+            (0.5, 0.5, *adj["UL"]),
+            (w - 0.5, 0.5, *adj["UR"]),
+            (w - 0.5, h - 0.5, *adj["LR"]),
+            (0.5, h - 0.5, *adj["LL"]),
+        ]
+        meta["gt"] = _gcps_to_gt(gcps)
+    params = []
+    p = header.find("USGS PROJECTION PARAMETERS")
+    if p >= 0:
+        txt = header[p + len("USGS PROJECTION PARAMETERS"):]
+        for tok in txt.replace("=", " ").split():
+            try:
+                params.append(float(tok.replace("D", "E")))
+            except ValueError:
+                break
+            if len(params) == 15:
+                break
+    meta["usgs_params"] = params
+    return bands, meta
+
+
+# ---------------------------------------------------------------------------
 # EHdr (ESRI .bil/.flt + .hdr)
 # ---------------------------------------------------------------------------
 

@@ -265,3 +265,59 @@ def test_ehdr_roundtrip():
     back, meta = RF.ehdr_decode(hdr, body)
     assert _cs(back) == 4672
     assert meta["gt"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+
+
+# -- FAST ---------------------------------------------------------------------
+
+FD = f"{GD}/fast"
+
+
+def _fast(hdr_name):
+    files = {n: _read(os.path.join(FD, n)) for n in os.listdir(FD)}
+    return RF.fast_read(files[hdr_name].decode("ascii", "replace"),
+                        files, hdr_name)
+
+
+def test_fast_hpn_landsat7():
+    bands, meta = _fast("L71118038_03820020111_HPN.FST")
+    assert len(bands) == 1
+    # test_fast_2: band 1 window (0,0,5000,1)
+    assert _cs(bands[0][:1, :5000]) == 60323
+    # test_fast_3/4 metadata
+    assert meta["ACQUISITION_DATE"] == "20020111"
+    assert meta["SATELLITE"] == "LANDSAT7"
+
+
+def test_fast_htm_two_bands():
+    bands, meta = _fast("L71230079_07920021111_HTM.FST")
+    assert len(bands) == 2
+    # test_fast_5: band 2 window (0,0,7000,1) + southern-TM geotransform
+    assert _cs(bands[1][:1, :7000]) == 19110
+    want = (528417.25, 30.0, 0.0, 7071187.0, 0.0, -30.0)
+    assert np.allclose(meta["gt"], want, atol=1e-6)
+
+
+def test_fast_euromap_liss3():
+    bands, meta = _fast("n0o0y867.0fl")
+    assert len(bands) == 4
+    assert _cs(bands[0][:1, :2741]) == 0  # test_fast_6
+    want = (14640936.89174916, 1.008817518246492, 24.9876841746236,
+            664274.3912497687, 24.98828832116786, -0.9907878581173808)
+    assert np.allclose(meta["gt"], want, atol=1e-6)
+
+
+def test_fast_euromap_pan():
+    bands, meta = _fast("h0o0y867.1ah")
+    assert len(bands) == 1
+    assert _cs(bands[0][:1, :5815]) == 0  # test_fast_7
+    assert np.allclose(meta["gt"], (676565.09, 5, 0, 5348341.5, 0, -5),
+                       atol=1e-6)
+
+
+def test_fast_euromap_wifs():
+    bands, meta = _fast("w0y13a4t.010")
+    assert len(bands) == 2
+    assert _cs(bands[0][:1, :4748]) == 0  # test_fast_8
+    want = (-336965.0150603952, 176.0817495260164, -37.35662873563219,
+            484122.7765089957, -37.35622603749736, -176.081791954023)
+    assert np.allclose(meta["gt"], want, atol=1e-6)
