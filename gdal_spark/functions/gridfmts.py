@@ -246,6 +246,35 @@ def read_grid_files(spark, files: list[tuple[str, str]], num_partitions: int | N
                     from gdal_spark.functions.netcdf import nc_decode_grid
 
                     arr, gt, nod = nc_decode_grid(raw)
+                elif r.fmt == "bt":
+                    from gdal_spark.raster.rawfmts import bt_decode
+
+                    arr, meta = bt_decode(raw)
+                    gt, nod = meta["gt"], None
+                elif r.fmt == "zmap":
+                    from gdal_spark.raster.rawfmts import zmap_decode
+
+                    arr, meta = zmap_decode(raw.decode("ascii"))
+                    gt, nod = meta["gt"], meta.get("nodata")
+                elif r.fmt == "hf2":
+                    from gdal_spark.raster.rawfmts import hf2_decode
+
+                    arr, meta = hf2_decode(raw)
+                    gt, nod = meta.get("gt"), None
+                elif r.fmt == "ehdr":
+                    from gdal_spark.raster.rawfmts import ehdr_decode
+
+                    hdr = open(os.path.splitext(r.path)[0] + ".hdr").read()
+                    arr, meta = ehdr_decode(
+                        hdr, raw, os.path.splitext(r.path)[1].lstrip(".")
+                    )
+                    gt, nod = meta.get("gt"), meta.get("nodata")
+                elif r.fmt == "rst":
+                    from gdal_spark.raster.rawfmts import rst_decode
+
+                    rdc = open(os.path.splitext(r.path)[0] + ".rdc").read()
+                    arr, meta = rst_decode(rdc, raw)
+                    gt, nod = meta.get("gt"), meta.get("nodata")
                 else:
                     raise ValueError(f"unknown grid format {r.fmt}")
                 rows.append(

@@ -364,10 +364,59 @@ _ARROW_ORACLE = """
 """
 
 
+def rawfmt_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate across the round-2 raw-family writers: the same
+    closed-form quarter-step DEM is pushed BT -> ZMap -> HF2
+    (VERTICAL_PRECISION=0.25, exact in float32) -> EHdr -> Idrisi RST
+    on disk, the last hop ingested with the distributed loader, reduced
+    to per-row sums. Reference semantics: frmts/raw/btdataset.cpp,
+    frmts/zmap, frmts/hf2, frmts/raw/ehdrdataset.cpp, frmts/idrisi.
+    Every hop is float32-exact so the DuckDB closed-form oracle
+    hash-matches; any writer/reader value slip fails the gate."""
+    import numpy as np
+
+    from gdal_spark.functions import gridfmts as GF
+    from gdal_spark.raster import rawfmts as RF
+
+    r, c = np.meshgrid(np.arange(GRID_H), np.arange(GRID_W), indexing="ij")
+    dem = (((r * 37 + c * 101) % 97) * 0.25).astype(np.float32)
+    gt = (500.0, 2.0, 0.0, 800.0, 0.0, -2.0)
+    a1, m1 = RF.bt_decode(RF.bt_encode(dem, gt))
+    a2, m2 = RF.zmap_decode(RF.zmap_encode(a1.astype(np.float64), m1["gt"]))
+    a3, m3 = RF.hf2_decode(
+        RF.hf2_encode(a2.astype(np.float32), m2["gt"], vert_pres=0.25)
+    )
+    hdr, body = RF.ehdr_encode(a3, m3["gt"])
+    a4, m4 = RF.ehdr_decode(hdr, body)
+    rdc, rst = RF.rst_encode(a4, m4["gt"])
+    root = tempfile.mkdtemp(prefix="rawfmt_chain_")
+    p = os.path.join(root, "chain.rst")
+    open(p, "wb").write(rst)
+    open(os.path.join(root, "chain.rdc"), "w").write(rdc)
+    df = GF.read_grid_files(spark, [(p, "rst")])
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def row_sums(data: pd.Series, h: pd.Series, w: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d, hh, ww in zip(data, h, w):
+            arr = np.frombuffer(bytes(d), "<f8").reshape(int(hh), int(ww))
+            out.append([float(v) for v in arr.sum(axis=1)])
+        return pd.Series(out)
+
+    return df.select(
+        F.posexplode(row_sums(F.col("data"), F.col("h"), F.col("w"))).alias(
+            "row_id", "row_sum"
+        )
+    )
+
+
 SPARK = {
     "ogr2ogr_format_chain": ogr2ogr_format_chain,
     "arrow_ipc_roundtrip": arrow_ipc_roundtrip,
     "grid_format_chain": grid_format_chain,
+    "rawfmt_chain": rawfmt_chain,
     "netcdf_grid_chain": netcdf_grid_chain,
     "zarr_chunk_scan": zarr_chunk_scan,
     "mbtiles_tile_scan": mbtiles_tile_scan,
@@ -380,6 +429,7 @@ ORACLE = {
     "ogr2ogr_format_chain": _CHAIN_ORACLE,
     "arrow_ipc_roundtrip": _ARROW_ORACLE,
     "grid_format_chain": _GRID_ORACLE,
+    "rawfmt_chain": _GRID_ORACLE,
     "xml_format_roundtrip": _XML_ORACLE,
 }
 
