@@ -1,0 +1,133 @@
+"""ERS / ROI_PAC / GenBin / RRASTER / SIGDEM vs the reference autotest
+(autotest/gdrivers/{ers,roipac,genbin,rraster,sigdem}.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gdal_spark.functions.checksum import checksum
+from gdal_spark.raster import moreraw as MR
+
+GD = "/root/reference/autotest/gdrivers/data"
+GCORE = "/root/reference/autotest/gcore/data"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GD), reason="reference autotest data not present"
+)
+
+
+def _read(path):
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+def _cs(arr):
+    return checksum(np.asarray(arr).astype(np.int32))
+
+
+def _cs_round(arr):
+    a = np.asarray(arr, np.float64)
+    return checksum(np.floor(a + 0.5).astype(np.int32))
+
+
+# -- ERS ----------------------------------------------------------------------
+
+def test_ers_srtm():
+    arr, meta = MR.ers_decode(
+        open(f"{GD}/ers/srtm.ers").read(), _read(f"{GD}/ers/srtm")
+    )
+    assert arr.dtype == np.int16
+    assert _cs(arr) == 64074  # test_ers_1
+    assert meta["nodata"] == 9999.0
+    assert meta["datum"] == "WGS84"
+
+
+def test_ers_dem():
+    arr, meta = MR.ers_decode(
+        open(f"{GD}/ers/ers_dem.ers").read(), _read(f"{GD}/ers/ers_dem")
+    )
+    assert arr.dtype == np.float32
+    assert _cs_round(arr) == 56588  # test_ers_recode (srs handling test data)
+    assert meta["nodata"] == -9999.0
+
+
+def test_ers_case_insensitive_keys():
+    arr, meta = MR.ers_decode(
+        open(f"{GD}/ers/caseinsensitive.ers").read(),
+        _read(f"{GD}/ers/caseinsensitive"),
+    )
+    assert arr.size > 0
+
+
+# -- ROI_PAC ------------------------------------------------------------------
+
+def test_roipac_srtm_dem():
+    arr, meta = MR.roipac_decode(
+        open(f"{GD}/roipac/srtm.dem.rsc").read(),
+        _read(f"{GD}/roipac/srtm.dem"), "dem",
+    )
+    assert arr.dtype == np.int16
+    assert _cs(arr) == 64074  # test_roipac_1
+    want = (-180.0083333, 0.0083333333, 0.0, -59.9916667, 0.0, -0.0083333333)
+    assert np.allclose(meta["gt"], want, atol=1e-9)
+    assert meta["z_scale"] == "2"  # test_roipac_1 metadata
+
+
+# -- GenBin -------------------------------------------------------------------
+
+def test_genbin():
+    arr, meta = MR.genbin_decode(
+        open(f"{GD}/genbin/tm4628_96.hdr").read(),
+        _read(f"{GD}/genbin/tm4628_96.bil"),
+    )
+    assert arr.shape[2] == 7
+    assert _cs(arr[:1, :500, 0]) == 5738  # test_genbin_1
+
+
+# -- RRASTER ------------------------------------------------------------------
+
+def test_rraster_byte():
+    arr, meta = MR.rraster_decode(
+        open(f"{GD}/rraster/byte_rraster.grd").read(),
+        _read(f"{GD}/rraster/byte_rraster.gri"),
+    )
+    assert _cs(arr) == 4672  # test_rraster_1
+    assert meta["gt"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+
+
+def test_rraster_rgba():
+    arr, meta = MR.rraster_decode(
+        open(f"{GD}/rraster/rgba_rraster.grd").read(),
+        _read(f"{GD}/rraster/rgba_rraster.gri"),
+    )
+    assert arr.ndim == 3 and arr.shape[2] == 4
+
+
+def test_rraster_roundtrip():
+    from gdal_spark.functions import tiff
+    arr, _ = tiff.tiff_parse(_read(f"{GCORE}/byte.tif"))
+    grd, gri = MR.rraster_encode(arr, (440720, 60, 0, 3751320, 0, -60))
+    back, meta = MR.rraster_decode(grd, gri)
+    assert _cs(back) == 4672  # test_rraster_2 CreateCopy semantics
+    assert meta["gt"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+
+
+# -- SIGDEM -------------------------------------------------------------------
+
+def test_sigdem_roundtrip_byte():
+    from gdal_spark.functions import tiff
+    arr, _ = tiff.tiff_parse(_read(f"{GCORE}/byte.tif"))
+    data = MR.sigdem_encode(arr.astype(np.float64),
+                            (440720, 60, 0, 3751320, 0, -60))
+    back, meta = MR.sigdem_decode(data)
+    assert _cs_round(back) == 4672  # test_sigdem_open / CreateCopy
+    assert meta["gt"] == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+
+
+def test_sigdem_nodata():
+    a = np.array([[1.5, np.nan], [2.25, 3.0]])
+    back, meta = MR.sigdem_decode(MR.sigdem_encode(a))
+    assert np.isnan(back[0, 1])
+    assert back[0, 0] == pytest.approx(1.5)
+    assert back[1, 0] == pytest.approx(2.25)
