@@ -449,3 +449,401 @@ def sigdem_encode(arr: np.ndarray, gt: tuple | None = None,
         float(SIGDEM_NO_DATA),
     ).astype(">i4")
     return hdr + cells.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# GTX (NOAA VDatum vertical shift grid) — frmts/raw/gtxdataset.cpp
+# ---------------------------------------------------------------------------
+
+GTX_NODATA = -88.8888
+
+
+def gtx_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """GTX: 40-byte big-endian header (lat0, lon0, dlat, dlon doubles +
+    rows, cols int32); float32-BE rows stored south-to-north."""
+    if len(data) < 40:
+        raise ValueError("GTX too short")
+    lat0, lon0, dlat, dlon = struct.unpack(">4d", data[:32])
+    rows, cols = struct.unpack(">ii", data[32:40])
+    if rows <= 0 or cols <= 0:
+        raise ValueError("bad GTX dimensions")
+    arr = np.frombuffer(data, ">f4", rows * cols, 40).reshape(rows, cols)
+    out = np.ascontiguousarray(arr[::-1]).astype("=f4")  # south-up -> north-up
+    if lon0 > 180.0:
+        lon0 -= 360.0
+    elif lon0 < -180.0 - dlon:
+        lon0 += 360.0
+    gt = (lon0 - dlon * 0.5, dlon, 0.0,
+          lat0 + dlat * (rows - 1) + dlat * 0.5, 0.0, -dlat)
+    return out, {"gt": gt, "nodata": GTX_NODATA}
+
+
+def gtx_encode(arr: np.ndarray, gt: tuple) -> bytes:
+    h, w = arr.shape
+    dlat = -gt[5]
+    dlon = gt[1]
+    lat0 = gt[3] + gt[5] * h + dlat * 0.5
+    lon0 = gt[0] + dlon * 0.5
+    hdr = struct.pack(">4dii", lat0, lon0, dlat, dlon, h, w)
+    return hdr + np.ascontiguousarray(arr[::-1]).astype(">f4").tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BYN (Natural Resources Canada vertical grids) — frmts/raw/byndataset.cpp
+# ---------------------------------------------------------------------------
+
+def byn_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """BYN: 80-byte little-endian header; extents in arc-seconds
+    (x1000 when nScale==1); int16/int32 rows north-to-south."""
+    if len(data) < 80:
+        raise ValueError("BYN too short")
+    south, north, west, east = struct.unpack("<4i", data[:16])
+    dlat, dlon, nglobal, ntype = struct.unpack("<4h", data[16:24])
+    factor, = struct.unpack("<d", data[24:32])
+    sizeof, vdatum = struct.unpack("<hh", data[32:36])
+    descrip, subtype, datum, ellipsoid, byteorder, scale = struct.unpack(
+        "<6h", data[40:52]
+    )
+    s, n, w_, e, dla, dlo = (float(v) for v in
+                             (south, north, west, east, dlat, dlon))
+    if scale == 1:
+        s *= 1000.0
+        n *= 1000.0
+        w_ *= 1000.0
+        e *= 1000.0
+        dla *= 1000.0
+        dlo *= 1000.0
+    if dla == 0 or dlo == 0:
+        raise ValueError("bad BYN spacing")
+    cols = int((e - w_ + 1.0) / dlo + 1.0)
+    rows = int((n - s + 1.0) / dla + 1.0)
+    bo = ">" if byteorder == 0 else "<"
+    if sizeof == 2:
+        dt = np.dtype(bo + "i2")
+    elif sizeof == 4:
+        dt = np.dtype(bo + "i4")
+    else:
+        raise ValueError(f"BYN nSizeOf {sizeof}")
+    total = rows * cols
+    need = 80 + total * dt.itemsize
+    if len(data) < need:
+        data = data + b"\x00" * (need - len(data))
+    arr = np.frombuffer(data, dt, total, 80).reshape(rows, cols)
+    gt = ((w_ - dlo / 2.0) / 3600.0, dlo / 3600.0, 0.0,
+          (n + dla / 2.0) / 3600.0, 0.0, -dla / 3600.0)
+    meta = {"gt": gt, "factor": factor, "vdatum": vdatum,
+            "nodata": 32767.0 if sizeof == 2 else 9999.0 * (factor or 1.0)}
+    return arr.astype(dt.newbyteorder("=")), meta
+
+
+# ---------------------------------------------------------------------------
+# ISG (International Service for the Geoid) — ASCII geoid grids
+# ---------------------------------------------------------------------------
+
+def isg_decode(text: str) -> tuple[np.ndarray, dict]:
+    """ISG: free text, 'begin_of_head', 'key : value' / 'key = value'
+    lines, 'end_of_head', then whitespace float rows north-first
+    (frmts/aaigrid ISGDataset)."""
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines) and not lines[i].startswith("begin_of_head"):
+        i += 1
+    if i >= len(lines):
+        raise ValueError("not an ISG file")
+    kv = {}
+    i += 1
+    while i < len(lines) and not lines[i].startswith("end_of_head"):
+        line = lines[i]
+        sep = "=" if "=" in line else (":" if ":" in line else None)
+        if sep:
+            k, _, v = line.partition(sep)
+            kv[k.strip().lower()] = v.strip()
+        i += 1
+    rows = int(kv["nrows"])
+    cols = int(kv["ncols"])
+    latmin, latmax = float(kv["lat min"]), float(kv["lat max"])
+    lonmin, lonmax = float(kv["lon min"]), float(kv["lon max"])
+    dlat = float(kv.get("delta lat", (latmax - latmin) / rows))
+    dlon = float(kv.get("delta lon", (lonmax - lonmin) / cols))
+    nodata = float(kv.get("nodata", "-9999"))
+    vals: list[float] = []
+    for line in lines[i + 1:]:
+        vals.extend(float(t) for t in line.split())
+        if len(vals) >= rows * cols:
+            break
+    if len(vals) < rows * cols:
+        raise ValueError("ISG data truncated")
+    arr = np.array(vals[: rows * cols], np.float64).reshape(rows, cols)
+    gt = (lonmin, dlon, 0.0, latmax, 0.0, -dlat)
+    return arr, {"gt": gt, "nodata": nodata, "model": kv.get("model name", "")}
+
+
+# ---------------------------------------------------------------------------
+# KRO (KOLOR raw) — frmts/raw/krodataset.cpp
+# ---------------------------------------------------------------------------
+
+def kro_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """KRO: 'KRO\\x01' + w,h,depth,ncomp int32-BE; interleaved raw."""
+    if not data.startswith(b"KRO\x01"):
+        raise ValueError("not a KRO file")
+    w, h, depth, ncomp = struct.unpack(">4i", data[4:20])
+    dt = {8: np.dtype("u1"), 16: np.dtype(">u2"), 32: np.dtype(">f4")}.get(depth)
+    if dt is None:
+        raise ValueError(f"KRO depth {depth}")
+    total = w * h * ncomp
+    arr = np.frombuffer(data, dt, total, 20)
+    out = arr.reshape(h, w, ncomp) if ncomp > 1 else arr.reshape(h, w)
+    return np.ascontiguousarray(out).astype(dt.newbyteorder("=")), {
+        "depth": depth, "ncomp": ncomp,
+    }
+
+
+def kro_encode(arr: np.ndarray) -> bytes:
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    if arr.dtype == np.uint8:
+        depth, dt = 8, np.dtype("u1")
+    elif arr.dtype == np.uint16:
+        depth, dt = 16, np.dtype(">u2")
+    else:
+        depth, dt = 32, np.dtype(">f4")
+    hdr = b"KRO\x01" + struct.pack(">4i", w, h, depth, ncomp)
+    return hdr + np.ascontiguousarray(arr.astype(dt)).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# ACE2 — frmts/raw/ace2dataset.cpp (everything from the filename)
+# ---------------------------------------------------------------------------
+
+_ACE2_SIZES = {"_5M": (180, 5.0 / 60), "_30S": (1800, 30.0 / 3600),
+               "_9S": (6000, 9.0 / 3600), "_3S": (18000, 3.0 / 3600)}
+
+
+def ace2_decode(data: bytes, filename: str) -> tuple[np.ndarray, dict]:
+    """ACE2: raw little-endian tiles; SW corner, cell size and data type
+    all encoded in the filename (e.g. 45N015E_5M.ACE2)."""
+    base = filename.rsplit("/", 1)[-1].split(".")[0]
+    if len(base) < 7:
+        raise ValueError("ACE2 filename too short")
+    lat = int(base[0:2])
+    lon = int(base[3:6])
+    if base[2] in "Ss":
+        lat = -lat
+    elif base[2] not in "Nn":
+        raise ValueError("bad ACE2 filename")
+    if base[6] in "Ww":
+        lon = -lon
+    elif base[6] not in "Ee":
+        raise ValueError("bad ACE2 filename")
+    int16 = any(t in base for t in ("_CONF_", "_QUALITY_", "_SOURCE_"))
+    dt = np.dtype("<i2") if int16 else np.dtype("<f4")
+    size = None
+    cell = None
+    for tag, (n, c) in _ACE2_SIZES.items():
+        if tag in base:
+            size, cell = n, c
+            break
+    if size is None:
+        size = int((len(data) // dt.itemsize) ** 0.5)
+        cell = 15.0 / size  # 15-degree tiles
+    total = size * size
+    need = total * dt.itemsize
+    if len(data) < need:
+        data = data + b"\x00" * (need - len(data))
+    arr = np.frombuffer(data, dt, total).reshape(size, size)
+    gt = (float(lon), cell, 0.0, lat + size * cell, 0.0, -cell)
+    return arr.astype(dt.newbyteorder("=")), {"gt": gt}
+
+
+# ---------------------------------------------------------------------------
+# SNODAS — frmts/raw/snodasdataset.cpp (NOHRSC .hdr + .dat)
+# ---------------------------------------------------------------------------
+
+def snodas_decode(hdr_text: str, dat: bytes | None
+                  ) -> tuple[np.ndarray, dict]:
+    """SNODAS: 'Key: value' header; int16 big-endian .dat named by
+    'Data file pathname'. A missing/placeholder .dat reads as zeros."""
+    kv = {}
+    for line in hdr_text.splitlines():
+        if ":" in line:
+            k, _, v = line.partition(":")
+            kv[k.strip().lower()] = v.strip()
+    if not kv.get("format version", "").startswith("NOHRSC"):
+        raise ValueError("not a SNODAS header")
+    w = int(kv["number of columns"])
+    h = int(kv["number of rows"])
+    xmin = float(kv["minimum x-axis coordinate"])
+    ymax = float(kv["maximum y-axis coordinate"])
+    dx = float(kv["x-axis resolution"])
+    dy = float(kv["y-axis resolution"])
+    nodata = float(kv.get("no data value", "-9999"))
+    total = w * h
+    body = dat or b""
+    need = total * 2
+    if len(body) < need:
+        body = body + b"\x00" * (need - len(body))
+    arr = np.frombuffer(body, ">i2", total).reshape(h, w).astype("=i2")
+    meta = {
+        "gt": (xmin, dx, 0.0, ymax, 0.0, -dy),
+        "nodata": nodata,
+        "slope": float(kv.get("data slope", "1")),
+        "intercept": float(kv.get("data intercept", "0")),
+        "units": kv.get("data units", ""),
+        "datafile": kv.get("data file pathname", ""),
+    }
+    return arr, meta
+
+
+# ---------------------------------------------------------------------------
+# NDF (NLAPS) — frmts/raw/ndfdataset.cpp
+# ---------------------------------------------------------------------------
+
+def ndf_read(header_text: str, files: dict[str, bytes]
+             ) -> tuple[list[np.ndarray], dict]:
+    """NDF: 'KEY=VALUE;' header; bands via BANDn_FILENAME (or .In
+    extension fallback); BYTE BSQ pixels. Short band files zero-pad."""
+    kv = {}
+    for line in header_text.splitlines():
+        line = line.strip().rstrip(";")
+        if "=" in line:
+            k, _, v = line.partition("=")
+            kv[k.strip().upper()] = v.strip()
+    if kv.get("PIXEL_FORMAT", "BYTE").upper() != "BYTE":
+        raise ValueError("NDF pixel format not supported")
+    w = int(kv["PIXELS_PER_LINE"])
+    h = int(kv["LINES_PER_DATA_FILE"])
+    nb = int(kv.get("NUMBER_OF_BANDS_IN_VOLUME", "1"))
+    lower = {k.lower(): k for k in files}
+    bands = []
+    for i in range(1, nb + 1):
+        name = kv.get(f"BAND{i}_FILENAME", "")
+        key = lower.get(name.lower()) if name else None
+        if key is None:
+            continue
+        raw = files[key]
+        need = w * h
+        if len(raw) < need:
+            raw = raw + b"\x00" * (need - len(raw))
+        bands.append(np.frombuffer(raw, np.uint8, need).reshape(h, w))
+    if not bands:
+        raise ValueError("NDF: no band files found")
+    return bands, kv
+
+
+# ---------------------------------------------------------------------------
+# NWT_GRD (Northwood/VerticalMapper .grd) — frmts/northwood
+# ---------------------------------------------------------------------------
+
+def _nwt_create_ip(index, r, g, b, cmap, marker):
+    """northwood.cpp createIP: linear ramp from the last watermark."""
+    if index == 0:
+        cmap[0] = (r, g, b)
+        return 0
+    if index <= marker:
+        return marker
+    wm = marker
+    r0, g0, b0 = cmap[wm]
+    span = index - wm
+    for i in range(wm + 1, index):
+        f = (i - wm)
+        cmap[i] = (
+            int(r0 + f * np.float32(r - r0) / np.float32(span) + 0.5),
+            int(g0 + f * np.float32(g - g0) / np.float32(span) + 0.5),
+            int(b0 + f * np.float32(b - b0) / np.float32(span) + 0.5),
+        )
+    cmap[index] = (r, g, b)
+    return index
+
+
+def _nwt_linear_color(lo, hi, mid):
+    zl, rl, gl, bl = lo
+    zh, rh, gh, bh = hi
+    if mid < zl:
+        return rl, gl, bl
+    if mid > zh:
+        return rh, gh, bh
+    s = (mid - zl) / (zh - zl)
+    return (int(s * (rh - rl) + rl + 0.5), int(s * (gh - gl) + gl + 0.5),
+            int(s * (bh - bl) + bl + 0.5))
+
+
+def _nwt_colormap(zmin, zmax, inflections, mapsize=4096):
+    cmap = [(255, 255, 255)] * mapsize
+    marker = _nwt_create_ip(0, 255, 255, 255, cmap, 0)
+    if not inflections:
+        return np.array(cmap, np.uint8)
+    if zmin <= inflections[0][0]:
+        marker = _nwt_create_ip(1, *inflections[0][1:], cmap, marker)
+        i = 1
+    else:
+        i = 1
+        while i < len(inflections):
+            if zmin < inflections[i][0]:
+                c = _nwt_linear_color(inflections[i - 1], inflections[i], zmin)
+                marker = _nwt_create_ip(1, *c, cmap, marker)
+                break
+            i += 1
+    if i >= len(inflections):
+        marker = _nwt_create_ip(1, *inflections[-1][1:], cmap, marker)
+        _nwt_create_ip(mapsize - 1, *inflections[-1][1:], cmap, marker)
+    else:
+        index = 0
+        while i < len(inflections):
+            if zmax < inflections[i][0]:
+                c = _nwt_linear_color(inflections[i - 1], inflections[i], zmax)
+                index = mapsize - 1
+                marker = _nwt_create_ip(index, *c, cmap, marker)
+                break
+            index = int(
+                (inflections[i][0] - zmin) / (zmax - zmin) * mapsize
+            )
+            index = min(index, mapsize - 1)
+            marker = _nwt_create_ip(index, *inflections[i][1:], cmap, marker)
+            i += 1
+        if index < mapsize - 1:
+            _nwt_create_ip(mapsize - 1, *inflections[-1][1:], cmap, marker)
+    return np.array(cmap, np.uint8)
+
+
+NWT_NODATA = np.float32(-1.0e37)
+
+
+def nwt_grd_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Northwood GRD surface grid: 1024-byte header, uint16-LE cells
+    (0 = nodata, else z = zmin + (raw-1)*(zmax-zmin)/65534). Returns an
+    (h, w, 4) array: the reference's 3 virtual color-ramp bands from the
+    4096-entry inflection colormap + the float z band (as the 4th plane
+    via meta['z'])."""
+    if len(data) < 1024 or data[:4] not in (b"HGPC", b"GRD\x00") \
+            and not data[:8].startswith(b"HGPC"):
+        # magic: first bytes 'HGPC' + format char; be tolerant, verify size
+        pass
+    fmt_c = data[4:5]
+    w = struct.unpack("<H", data[9:11])[0]
+    h = struct.unpack("<H", data[11:13])[0]
+    if w == 0:
+        w = struct.unpack("<I", data[128:132])[0]
+    if h == 0:
+        h = struct.unpack("<I", data[132:136])[0]
+    minx, maxx, miny, maxy = struct.unpack("<4d", data[13:45])
+    zmin, zmax = struct.unpack("<ff", data[45:53])
+    ninf = struct.unpack("<H", data[516:518])[0]
+    inflections = []
+    for i in range(min(ninf, 32)):
+        z, = struct.unpack("<f", data[518 + 7 * i:522 + 7 * i])
+        r, g, b = data[522 + 7 * i], data[523 + 7 * i], data[524 + 7 * i]
+        inflections.append((z, r, g, b))
+    raw = np.frombuffer(data, "<u2", w * h, 1024).reshape(h, w)
+    scale = (zmax - zmin) / 65534.0
+    z = np.where(raw == 0, NWT_NODATA,
+                 (zmin + (raw.astype(np.float64) - 1) * scale)
+                 .astype(np.float32))
+    cmap = _nwt_colormap(np.float32(zmin), np.float32(zmax), inflections)
+    rgb = cmap[np.minimum(raw // 16, 4095)]
+    step = (maxx - minx) / (w - 1)
+    gt = (minx - step / 2, step, 0.0, maxy + step / 2, 0.0, -step)
+    out = np.dstack([rgb, np.zeros((h, w, 1), np.uint8)])
+    meta = {"gt": gt, "z": z, "zmin": zmin, "zmax": zmax,
+            "nodata": float(NWT_NODATA)}
+    return out, meta

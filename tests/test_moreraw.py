@@ -131,3 +131,89 @@ def test_sigdem_nodata():
     assert np.isnan(back[0, 1])
     assert back[0, 0] == pytest.approx(1.5)
     assert back[1, 0] == pytest.approx(2.25)
+
+
+# -- GTX / BYN / ISG (vertical & geoid grids) ----------------------------------
+
+def test_gtx():
+    arr, meta = MR.gtx_decode(_read(f"{GD}/gtx/hydroc1.gtx"))
+    assert checksum(arr) == 64183  # test_gtx_1
+    assert meta["nodata"] == pytest.approx(-88.8888)
+
+
+@pytest.mark.parametrize("name", [
+    "cgg2013ai08_reduced.byn", "test_invalid_header_bytes.byn",
+])
+def test_byn(name):
+    arr, meta = MR.byn_decode(_read(f"{GD}/byn/{name}"))
+    assert _cs(arr) == 64764  # test_byn_1 / test_byn_invalid_header
+
+
+def test_isg():
+    arr, meta = MR.isg_decode(open(f"{GD}/isg/test.isg").read())
+    assert checksum(arr) == 159  # test_isg_1
+    assert arr.shape == (4, 6)
+    assert meta["nodata"] == -9999.0
+
+
+# -- KRO roundtrips -------------------------------------------------------------
+
+def test_kro_uint16_roundtrip():
+    from gdal_spark.functions import tiff
+    arr, _ = tiff.tiff_parse(_read(f"{GCORE}/uint16.tif"))
+    back, meta = MR.kro_decode(MR.kro_encode(arr.astype(np.uint16)))
+    assert _cs(back) == 4672  # test_kro_2
+
+
+def test_kro_float32_roundtrip():
+    from gdal_spark.functions import tiff
+    arr, _ = tiff.tiff_parse(_read(f"{GCORE}/float32.tif"))
+    back, meta = MR.kro_decode(MR.kro_encode(arr.astype(np.float32)))
+    assert checksum(back) == 4672  # test_kro_3
+
+
+def test_kro_rgb():
+    from gdal_spark.functions import tiff
+    arr, _ = tiff.tiff_parse(_read(f"{GCORE}/rgbsmall.tif"))
+    back, meta = MR.kro_decode(MR.kro_encode(arr.astype(np.uint8)))
+    assert _cs(back[:, :, 1]) == 21053  # test_kro_1 band 2
+
+
+# -- ACE2 / SNODAS / NDF --------------------------------------------------------
+
+def test_ace2_synthetic():
+    # test_ace2: /vsimem zero-filled 45N015E_5M.ACE2
+    arr, meta = MR.ace2_decode(b"\x00" * (180 * 180 * 4), "45N015E_5M.ACE2")
+    assert checksum(arr) == 0
+    want = (15.0, 0.08333333333333333, 0.0, 60.0, 0.0, -0.08333333333333333)
+    assert np.allclose(meta["gt"], want)
+
+
+def test_snodas():
+    arr, meta = MR.snodas_decode(
+        open(f"{GD}/snodas/fake_snodas.hdr").read(),
+        _read(f"{GD}/snodas/fake_snodas.dat"),
+    )
+    assert arr.shape == (3351, 6935)
+    assert _cs(arr[:1, :]) == 0  # test_snodas_1 (placeholder .dat)
+    assert meta["nodata"] == -9999.0
+    assert meta["datafile"] == "fake_snodas.dat"
+
+
+def test_ndf():
+    files = {"LE7134052000500350.I8": _read(f"{GD}/ndf/LE7134052000500350.I8")}
+    bands, kv = MR.ndf_read(
+        open(f"{GD}/ndf/LE7134052000500350.H3").read(), files
+    )
+    assert _cs(bands[0][:1, :15620]) == 6510  # test_ndf_1 window
+
+
+# -- NWT_GRD --------------------------------------------------------------------
+
+def test_nwt_grd():
+    arr, meta = MR.nwt_grd_decode(_read(f"{GD}/nwt_grd/nwt_grd.grd"))
+    # test_nwt_grd_1: bands 1-3 are the color-ramp planes, band 4 is Z
+    assert _cs(arr[:, :, 0]) == 28093
+    assert _cs(arr[:, :, 1]) == 33690
+    assert _cs(arr[:, :, 2]) == 20365
+    assert checksum(meta["z"]) == 25856
