@@ -847,3 +847,107 @@ def nwt_grd_decode(data: bytes) -> tuple[np.ndarray, dict]:
     meta = {"gt": gt, "z": z, "zmin": zmin, "zmax": zmax,
             "nodata": float(NWT_NODATA)}
     return out, meta
+
+
+# ---------------------------------------------------------------------------
+# LCP (FARSITE v4 landscape) — frmts/raw/lcpdataset.cpp
+# ---------------------------------------------------------------------------
+
+_LCP_SLOTS = {
+    # slot -> (description, metadata prefix, unit-value names)
+    1: ("Elevation", "ELEVATION", {0: "Meters", 1: "Feet"}),
+    2: ("Slope", "SLOPE", {0: "Degrees", 1: "Percent"}),
+    3: ("Aspect", "ASPECT", {0: "Grass categories", 1: "Grass degrees",
+                             2: "Azimuth degrees"}),
+    4: ("Fuel models", "FUEL_MODEL", {}),
+    5: ("Canopy cover", "CANOPY_COV", {0: "Categories (0-4)", 1: "Percent"}),
+    6: ("Canopy height", "CANOPY_HT", {1: "Meters", 2: "Feet",
+                                       3: "Meters x 10", 4: "Feet x 10"}),
+    7: ("Canopy base height", "CBH", {1: "Meters", 2: "Feet",
+                                      3: "Meters x 10", 4: "Feet x 10"}),
+    8: ("Canopy bulk density", "CBD", {1: "kg/m^3", 2: "lb/ft^3",
+                                       3: "kg/m^3 x 100",
+                                       4: "lb/ft^3 x 1000"}),
+    9: ("Duff", "DUFF", {1: "Mg/ha", 2: "t/ac"}),
+    10: ("Coarse woody debris", "CWD", {}),
+}
+
+_LCP_FUEL_DESC = {
+    0: "no custom models AND no conversion file needed",
+    1: "custom models BUT no conversion file needed",
+    2: "no custom models BUT conversion file needed",
+    3: "custom models AND conversion file needed",
+}
+
+
+def lcp_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """FARSITE v4 .lcp: 7316-byte little-endian header, BIP int16 bands.
+    Band set: elevation/slope/aspect/fuel/canopy-cover (+canopy height,
+    base height, bulk density with crown fuels; +duff, coarse woody
+    with ground fuels). Per-band metadata from the fixed header slots:
+    unit shorts at 4224+2*(slot-1), min/max/classes blocks at
+    44+412*(slot-1), file names at 4244+256*(slot-1)."""
+    if len(data) < 7316:
+        raise ValueError("LCP too short")
+    crown, ground, lat = struct.unpack("<iii", data[:12])
+    if crown not in (20, 21) or ground not in (20, 21) or not -90 <= lat <= 90:
+        raise ValueError("not a FARSITE v4 LCP")
+    have_crown = crown == 21
+    have_ground = ground == 21
+    w, h = struct.unpack("<ii", data[4164:4172])
+    east, west, north, south = struct.unpack("<4d", data[4172:4204])
+    lunit, = struct.unpack("<i", data[4204:4208])
+    cellx, celly = struct.unpack("<dd", data[4208:4224])
+    slots = [1, 2, 3, 4, 5]
+    if have_crown:
+        slots += [6, 7, 8]
+    if have_ground:
+        slots += [9, 10]
+    nb = len(slots)
+    total = w * h * nb
+    need = 7316 + total * 2
+    if len(data) < need:
+        data = data + b"\x00" * (need - len(data))
+    arr = np.frombuffer(data, "<i2", total, 7316).reshape(h, w, nb)
+    meta: dict = {
+        "gt": (west, cellx, 0.0, north, 0.0, -celly),
+        "LATITUDE": str(lat),
+        "LINEAR_UNIT": {0: "Meters", 1: "Feet"}.get(lunit, ""),
+        "DESCRIPTION": data[6804:7316].split(b"\x00")[0]
+        .decode("latin-1", "replace"),
+    }
+    bands_md = []
+    for slot in slots:
+        desc, pfx, units = _LCP_SLOTS[slot]
+        md = {"description": desc}
+        unit, = struct.unpack("<H", data[4224 + 2 * (slot - 1):
+                                         4226 + 2 * (slot - 1)])
+        base = 44 + 412 * (slot - 1)
+        mn, mx, ncls = struct.unpack("<iii", data[base:base + 12])
+        foff = 4244 + 256 * (slot - 1)
+        fname = data[foff:foff + 256].split(b"\x00")[0].decode(
+            "latin-1", "replace")
+        if slot == 4:
+            md[f"{pfx}_OPTION"] = str(unit)
+            md[f"{pfx}_OPTION_DESC"] = _LCP_FUEL_DESC.get(unit, "")
+            vals = []
+            if 0 < ncls <= 100:
+                for i in range(ncls + 1):
+                    v, = struct.unpack("<i", data[base + 12 + 4 * i:
+                                                  base + 16 + 4 * i])
+                    if mn <= v <= mx:
+                        vals.append(str(v))
+            md[f"{pfx}_VALUES"] = ",".join(vals)
+        elif slot == 10:
+            md[f"{pfx}_OPTION"] = str(unit)
+        else:
+            md[f"{pfx}_UNIT"] = str(unit)
+            if unit in units:
+                md[f"{pfx}_UNIT_NAME"] = units[unit]
+        md[f"{pfx}_MIN"] = str(mn)
+        md[f"{pfx}_MAX"] = str(mx)
+        md[f"{pfx}_NUM_CLASSES"] = str(ncls)
+        md[f"{pfx}_FILE"] = fname
+        bands_md.append(md)
+    meta["bands"] = bands_md
+    return np.ascontiguousarray(arr).astype("=i2"), meta

@@ -217,3 +217,37 @@ def test_nwt_grd():
     assert _cs(arr[:, :, 1]) == 33690
     assert _cs(arr[:, :, 2]) == 20365
     assert checksum(meta["z"]) == 25856
+
+
+# -- LCP (FARSITE) --------------------------------------------------------------
+
+def test_lcp_utm12():
+    arr, meta = MR.lcp_decode(_read(f"{GD}/lcp/test_FARSITE_UTM12.LCP"))
+    assert arr.shape[2] == 8  # crown fuels, no ground fuels
+    want_cs = [18645, 16431, 18851, 26182, 30038, 22077, 30388, 23249]
+    for i, cs in enumerate(want_cs):
+        assert _cs(arr[:, :, i]) == cs, f"band {i + 1}"
+    assert meta["LATITUDE"] == "49"
+    assert meta["LINEAR_UNIT"] == "Meters"
+    want_gt = (285807.932887174887583, 30, 0, 5379230.386217921040952, 0, -30)
+    assert np.allclose(meta["gt"], want_gt, atol=1e-5)
+    b = meta["bands"]
+    assert b[0]["ELEVATION_MIN"] == "1064"
+    assert b[0]["ELEVATION_MAX"] == "1492"
+    assert b[1]["SLOPE_UNIT_NAME"] == "Degrees"
+    assert b[2]["ASPECT_UNIT_NAME"] == "Azimuth degrees"
+    assert b[3]["FUEL_MODEL_VALUES"] == "1,2,5,8,10,99"
+    assert b[4]["CANOPY_COV_UNIT_NAME"] == "Categories (0-4)"
+    assert b[6]["CBH_UNIT_NAME"] == "Meters x 10"
+    assert b[7]["CBD_UNIT_NAME"] == "kg/m^3 x 100"
+    assert b[7]["CBD_FILE"] == "cbd.asc"
+
+
+def test_lcp_alb83():
+    arr, meta = MR.lcp_decode(_read(f"{GD}/lcp/test_USGS_LFNM_Alb83.lcp"))
+    assert arr.shape[2] == 8
+    want_cs = [28381, 25824, 28413, 19052, 30164, 22316, 30575, 23304]
+    for i, cs in enumerate(want_cs):
+        assert _cs(arr[:, :, i]) == cs, f"band {i + 1}"
+    assert meta["LATITUDE"] == "48"
+    assert np.allclose(meta["gt"], (-1328145, 30, 0, 2961735, 0, -30))
