@@ -166,8 +166,15 @@ def _decode_message(msg: bytes) -> dict:
         full[bitmap[:npts]] = vals[: bitmap[:npts].sum()]
     else:
         full = vals[:npts]
-    arr = full.reshape(nj, ni)
-    # scan mode: bit 7 = -i direction, bit 6 = +j (south to north)
+    if scan & 0x20:  # consecutive points run in the j direction
+        arr = np.ascontiguousarray(full.reshape(ni, nj).T)
+    else:
+        arr = full.reshape(nj, ni)
+    # scan mode: bit 7 = -i direction, bit 6 = +j (south to north),
+    # bit 4 = boustrophedon (adjacent rows opposite ways)
+    if scan & 0x10:
+        arr = arr.copy()
+        arr[1::2] = arr[1::2, ::-1]
     if scan & 0x80:
         arr = arr[:, ::-1]
     north_first = not (scan & 0x40)

@@ -49,3 +49,30 @@ def test_bug3246_different_sizes():
     big = np.zeros((78, 103))
     big[:21, :28] = msgs[3]["array"]
     assert checksum(big) == 4081
+
+
+# -- GRIB2 ---------------------------------------------------------------------
+
+def test_grib2_ds_mint():
+    """test_grib_1: complex packing + 2nd-order spatial differencing,
+    boustrophedon scan (0x50), degrib metric K->C normalization."""
+    from gdal_spark.raster import grib2 as G2
+    msgs = G2.grib2_messages(_read("ds.mint.bin"))
+    assert len(msgs) == 2
+    assert checksum(msgs[1]["array"]) == 46927
+    # test_grib_grib2_read_nodata: both bands nodata 9999
+    assert msgs[0]["nodata"] == 9999.0
+    assert msgs[1]["nodata"] == 9999.0
+    assert msgs[0]["array"].shape == (129, 177)
+    # values are minimum temperatures in deg C after normalization
+    v = msgs[1]["array"]
+    v = v[v != 9999.0]
+    assert 10 < v.min() < v.max() < 30
+
+
+def test_grib2_no_normalization():
+    from gdal_spark.raster import grib2 as G2
+    msgs = G2.grib2_messages(_read("ds.mint.bin"), normalize_units=False)
+    v = msgs[1]["array"]
+    v = v[v != 9999.0]
+    assert 283 < v.min() < v.max() < 303  # Kelvin
