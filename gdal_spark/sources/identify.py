@@ -118,6 +118,27 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "LAN"
     if h.startswith(b"binterr"):
         return "BT"
+    if h.startswith(b"GRIB"):
+        return "GRIB"
+    if h.startswith(b"SIGDEM"):
+        return "SIGDEM"
+    if h.startswith(b"KRO\x01"):
+        return "KRO"
+    if h.startswith(b"CCSD3Z") or h.startswith(b"NJPL1I"):
+        return "ISIS2"
+    if h.startswith(b"PDS_VERSION_ID"):
+        return "PDS"
+    if b"Object = IsisCube" in h[:64] or h.startswith(b"Object = IsisCube"):
+        return "ISIS3"
+    if b"datasetheader begin" in h.lower():
+        return "ERS"
+    if len(h) >= 12 and (
+        struct.unpack("<i", h[:4])[0] in (20, 21)
+        and struct.unpack("<i", h[4:8])[0] in (20, 21)
+        and -90 <= struct.unpack("<i", h[8:12])[0] <= 90
+        and ext == "lcp"
+    ):
+        return "LCP"
     if h.startswith(b"HF2\x00"):
         return "HF2"
     if h.startswith(b"BEGIN_USGS_DOQ_HEADER"):
