@@ -150,6 +150,16 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         == 4 * struct.unpack("<i", h[4:8])[0] > 0
     ):
         return "GSC"
+    low = h.lower()
+    if low.lstrip().startswith(b"north:") and b"cols:" in low:
+        return "GRASSASCIIGrid"
+    if (
+        b"ncols" in low
+        and b"nrows" in low
+        and (b"xllcorner" in low or b"xllcenter" in low
+             or b"cellsize" in low or b"dx" in low)
+    ):
+        return "AAIGrid"
     s = h.lstrip()
     if s.startswith(b"<VRTDataset"):
         return "VRT"

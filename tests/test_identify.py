@@ -125,3 +125,18 @@ def test_identify_round2_wave3_formats():
     ]
     for p, exp in cases:
         assert identify_driver(open(p, "rb").read(1024), p) == exp, p
+
+
+def test_identify_asciigrid_formats():
+    """AAIGrid keyword sniff + GRASS ASCII north: gate."""
+    from gdal_spark.sources.identify import identify_driver
+
+    base = "/root/reference/autotest/gdrivers/data"
+    cases = [
+        (f"{base}/aaigrid/pixel_per_line.asc", "AAIGrid"),
+        (f"{base}/aaigrid/byte.tif.grd", "AAIGrid"),
+        (f"{base}/aaigrid/case_sensitive.ASC", "AAIGrid"),
+        (f"{base}/grassasciigrid/grassascii.txt", "GRASSASCIIGrid"),
+    ]
+    for p, exp in cases:
+        assert identify_driver(open(p, "rb").read(1024), p) == exp, p
