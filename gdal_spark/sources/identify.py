@@ -37,6 +37,7 @@ each bytes cell — pure column scan, no shuffle, no decode.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import pandas as pd
@@ -201,6 +202,12 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "ZMap"
     if ext == "bil":
         return "EHdr"
+    if ext in ("hgt", "hgts", "raw") and re.search(
+        r"[NSns]\d{2}[EWew]\d{3}", filename.rsplit("/", 1)[-1]
+    ):
+        return "SRTMHGT"
+    if ext == "xyz":
+        return "XYZ"
     return None
 
 

@@ -140,3 +140,11 @@ def test_identify_asciigrid_formats():
     ]
     for p, exp in cases:
         assert identify_driver(open(p, "rb").read(1024), p) == exp, p
+
+
+def test_identify_xyz_srtm():
+    from gdal_spark.sources.identify import identify_driver
+
+    assert identify_driver(b"0 0 65\n0 1 66\n", "grid.xyz") == "XYZ"
+    assert identify_driver(b"\x00" * 16, "N43W080.hgt") == "SRTMHGT"
+    assert identify_driver(b"\x00" * 16, "n00e006.hgts") == "SRTMHGT"
