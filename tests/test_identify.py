@@ -148,3 +148,10 @@ def test_identify_xyz_srtm():
     assert identify_driver(b"0 0 65\n0 1 66\n", "grid.xyz") == "XYZ"
     assert identify_driver(b"\x00" * 16, "N43W080.hgt") == "SRTMHGT"
     assert identify_driver(b"\x00" * 16, "n00e006.hgts") == "SRTMHGT"
+
+
+def test_identify_fits():
+    from gdal_spark.sources.identify import identify_driver
+
+    p = "/root/reference/autotest/gdrivers/data/fits/byte_merc.fits"
+    assert identify_driver(open(p, "rb").read(64), p) == "FITS"
