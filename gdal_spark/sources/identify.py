@@ -119,6 +119,8 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "LAN"
     if h.startswith(b"binterr"):
         return "BT"
+    if h.lstrip(b" ").startswith(b"LBLSIZE"):
+        return "VICAR"
     if h.startswith(b"SIMPLE  ="):
         return "FITS"
     if h.startswith(b"GRIB"):

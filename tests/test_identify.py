@@ -155,3 +155,10 @@ def test_identify_fits():
 
     p = "/root/reference/autotest/gdrivers/data/fits/byte_merc.fits"
     assert identify_driver(open(p, "rb").read(64), p) == "FITS"
+
+
+def test_identify_vicar():
+    from gdal_spark.sources.identify import identify_driver
+
+    p = "/root/reference/autotest/gdrivers/data/vicar/vicar_byte.vic"
+    assert identify_driver(open(p, "rb").read(64), p) == "VICAR"
