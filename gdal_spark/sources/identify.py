@@ -121,6 +121,18 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "BT"
     if h.lstrip(b" ").startswith(b"LBLSIZE"):
         return "VICAR"
+    if (
+        len(h) >= 24
+        and h[0:5].isdigit()
+        and h[5:6] in b"23"
+        and h[6:7] == b"L"
+        and h[8:9] == b"1"
+        and h[12:17].isdigit()
+    ):
+        # ISO8211 DDR leader; S-57 base cells use the .000+ extension
+        if ext.isdigit():
+            return "S57"
+        return "ISO8211"
     if h.startswith(b"SIMPLE  ="):
         return "FITS"
     if h.startswith(b"GRIB"):

@@ -162,3 +162,10 @@ def test_identify_vicar():
 
     p = "/root/reference/autotest/gdrivers/data/vicar/vicar_byte.vic"
     assert identify_driver(open(p, "rb").read(64), p) == "VICAR"
+
+
+def test_identify_s57():
+    from gdal_spark.sources.identify import identify_driver
+
+    p = "/root/reference/autotest/ogr/data/s57/1B5X02NE.000"
+    assert identify_driver(open(p, "rb").read(64), p) == "S57"
