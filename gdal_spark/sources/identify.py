@@ -137,6 +137,12 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "FITS"
     if h.startswith(b"GRIB"):
         return "GRIB"
+    if h.startswith(b"DSAA"):
+        return "GSAG"
+    if h.startswith(b"DSBB"):
+        return "GSBG"
+    if h.startswith(b"DSRB"):
+        return "GS7BG"
     if h.startswith(b"SIGDEM"):
         return "SIGDEM"
     if h.startswith(b"KRO\x01"):

@@ -169,3 +169,12 @@ def test_identify_s57():
 
     p = "/root/reference/autotest/ogr/data/s57/1B5X02NE.000"
     assert identify_driver(open(p, "rb").read(64), p) == "S57"
+
+
+def test_identify_gsg():
+    from gdal_spark.sources.identify import identify_driver
+
+    base = "/root/reference/autotest/gdrivers/data/gsg"
+    assert identify_driver(open(f"{base}/gsg_ascii.grd", "rb").read(16)) == "GSAG"
+    assert identify_driver(open(f"{base}/gsg_binary.grd", "rb").read(16)) == "GSBG"
+    assert identify_driver(open(f"{base}/gsg_7binary.grd", "rb").read(16)) == "GS7BG"
