@@ -1,0 +1,127 @@
+"""Geodetic shift-grid drivers: NTv2 (.gsb), NADCON LOSLAS (.los/.las)
+and NOAA NADCON5/VERTCON3 (.b).
+
+Format facts transcribed (frmts/raw/{ntv2dataset,loslasdataset,
+noaabdataset}.cpp — decode re-derived):
+  NTv2    11 overview records of 16 bytes ("NUM_OREC" int at +8 picks
+          the byte order), per-subgrid 11 header records (S_LAT..
+          LONG_INC doubles at +8, positive-west longitudes flipped) +
+          GS_COUNT nodes of 4 float32 (lat/lon shift + accuracies);
+          node order runs south->north and EAST->WEST, remapped to a
+          north-up west-east raster; gt in degrees (seconds / 3600,
+          half-cell shift)
+  LOSLAS  Fortran records of w*4+4 bytes; int32 w/h at offset 64,
+          float32 min_lon/delta_lon/min_lat/delta_lat at 76; rows
+          stored southernmost first
+  NOAA_B  52-byte header (4-byte Fortran marker + 4 doubles + 3 int32,
+          big- or little-endian chosen by sanity checks), KIND 0/1/2 ->
+          int32/float32/int16 rows with 4-byte record markers,
+          southernmost row first, >180 longitudes wrapped
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["ntv2_decode", "loslas_decode", "noaa_b_decode"]
+
+
+def ntv2_decode(data: bytes, grid: int = 0) -> tuple[np.ndarray, dict]:
+    if data[:8] != b"NUM_OREC":
+        raise ValueError("not an NTv2 grid shift file")
+    rec = 16
+    native = struct.unpack_from("<i", data, 8)[0]
+    bo = "<" if native == 11 else ">"
+
+    def f64(off):
+        return struct.unpack_from(bo + "d", data, off + 8)[0]
+
+    def i32(off):
+        return struct.unpack_from(bo + "i", data, off + 8)[0]
+
+    n_orec = i32(0)
+    n_file = i32(2 * rec)
+    pos = n_orec * rec
+    subgrids = []
+    for _ in range(max(n_file, 1)):
+        name = data[pos + 8:pos + 16].decode("latin-1").strip()
+        s_lat = f64(pos + 4 * rec)
+        n_lat = f64(pos + 5 * rec)
+        e_long = -f64(pos + 6 * rec)
+        w_long = -f64(pos + 7 * rec)
+        lat_inc = f64(pos + 8 * rec)
+        long_inc = f64(pos + 9 * rec)
+        gs_count = i32(pos + 10 * rec)
+        w = int((e_long - w_long) / long_inc + 1.5)
+        h = int((n_lat - s_lat) / lat_inc + 1.5)
+        subgrids.append({
+            "name": name, "offset": pos + 11 * rec, "w": w, "h": h,
+            "count": gs_count,
+            "gt": ((w_long - long_inc * 0.5) / 3600.0, long_inc / 3600.0,
+                   0.0, (n_lat + lat_inc * 0.5) / 3600.0, 0.0,
+                   -lat_inc / 3600.0),
+        })
+        pos += (11 + gs_count) * rec
+    sg = subgrids[grid]
+    w, h = sg["w"], sg["h"]
+    vals = np.frombuffer(data, bo + "f4", sg["count"] * 4,
+                         sg["offset"]).reshape(sg["count"], 4)
+    # file order: south->north rows, east->west columns
+    cube = vals[: w * h].reshape(h, w, 4)
+    arr = np.ascontiguousarray(cube[::-1, ::-1, :]).astype("=f4")
+    return arr, {"gt": sg["gt"], "subgrids": [s["name"] for s in subgrids],
+                 "bands": ["lat_shift", "lon_shift", "lat_accuracy",
+                           "lon_accuracy"]}
+
+
+def loslas_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    w, h = struct.unpack_from("<ii", data, 64)
+    min_lon, delta_lon, min_lat, delta_lat = \
+        struct.unpack_from("<4f", data, 76)
+    rec_len = w * 4 + 4
+    arr = np.empty((h, w), np.float32)
+    for i in range(h):  # record i is the i-th row from the SOUTH
+        off = (i + 1) * rec_len + 4
+        arr[h - 1 - i] = np.frombuffer(data, "<f4", w, off)
+    gt = (min_lon - delta_lon / 2, delta_lon, 0.0,
+          min_lat + (h - 0.5) * delta_lat, 0.0, -delta_lat)
+    return arr, {"gt": gt}
+
+
+def noaa_b_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    header = None
+    for bo in (">", "<"):
+        sw_lat, sw_lon, d_lat, d_lon = struct.unpack_from(bo + "4d", data, 4)
+        rows, cols, kind = struct.unpack_from(bo + "3i", data, 36)
+        if not (abs(sw_lat) <= 90 and abs(sw_lon) <= 360):
+            continue
+        if not (0 < d_lat <= 1 and 0 < d_lon <= 1):
+            continue
+        if not (rows > 0 and sw_lat + (rows - 1) * d_lat <= 90):
+            continue
+        if not (cols > 0 and (cols - 1) * d_lon <= 360):
+            continue
+        if not (-1 <= kind <= 2):
+            continue
+        header = (bo, sw_lat, sw_lon, d_lat, d_lon, rows, cols, kind)
+        break
+    if header is None:
+        raise ValueError("not a NOAA .b grid")
+    bo, sw_lat, sw_lon, d_lat, d_lon, rows, cols, kind = header
+    if kind == -1:
+        raise ValueError("KIND = -1 in NOAA .b dataset not supported")
+    dt = {0: "i4", 1: "f4", 2: "i2"}[kind]
+    dtsize = int(dt[1])
+    line = 4 + cols * dtsize + 4
+    arr = np.empty((rows, cols), np.dtype(bo + dt))
+    for i in range(rows):  # southernmost record first
+        off = 52 + i * line + 4
+        arr[rows - 1 - i] = np.frombuffer(data, bo + dt, cols, off)
+    if sw_lon > 180:
+        sw_lon -= 360
+    gt = (sw_lon - d_lon / 2, d_lon, 0.0,
+          sw_lat + (rows - 1) * d_lat + d_lat / 2, 0.0, -d_lat)
+    return np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("="))), \
+        {"gt": gt, "kind": kind}
