@@ -174,4 +174,11 @@ def adrg_thf_gens(thf: bytes) -> list[str]:
             t = m.group(0).decode()
             if t not in names:
                 names.append(t)
+    # SRP transmittals carry dataset names in FDR.NAM instead of file
+    # names: derive <NAM>01.GEN (s57filecollector-style)
+    if not names:
+        for rec in mod.records:
+            fdr = rec.get("FDR")
+            if isinstance(fdr, dict) and fdr.get("NAM"):
+                names.append(str(fdr["NAM"]).strip() + "01.GEN")
     return names

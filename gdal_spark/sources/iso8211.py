@@ -104,7 +104,10 @@ def _read_subfield(data: bytes, pos: int, kind: str, width):
             return raw, pos
         txt = raw.decode("latin-1").strip()
         if kind == "I":
-            return int(txt) if txt.strip("-").isdigit() else None, pos
+            try:
+                return int(txt), pos
+            except ValueError:
+                return None, pos
         if kind == "R":
             try:
                 return float(txt), pos
@@ -119,7 +122,10 @@ def _read_subfield(data: bytes, pos: int, kind: str, width):
     pos = end + 1 if end < len(data) else end
     txt = raw.decode("latin-1")
     if kind == "I":
-        return (int(txt) if txt.strip("-").isdigit() else None), pos
+        try:
+            return int(txt.strip()), pos
+        except ValueError:
+            return None, pos
     if kind == "R":
         try:
             return float(txt), pos
