@@ -137,6 +137,8 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "FITS"
     if h.startswith(b"GRIB"):
         return "GRIB"
+    if h.startswith(b"RUU CROSS SYSTEM MAP FORMAT"):
+        return "PCRaster"
     if h.startswith(b"NUM_OREC"):
         return "NTv2"
     if h.startswith(b"DSAA"):
