@@ -141,11 +141,58 @@ _TOPO_ORACLE = """
 """
 
 
+def surfer_pcraster_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same closed-form DEM pushed GSBG -> GS7BG -> GSAG ->
+    PCRaster CSF -> ISCE (float32-exact at every hop; the Surfer
+    ASCII hop prints %.10g which is exact for quarter steps), final
+    hop decoded distributedly. Reference semantics: frmts/gsg,
+    frmts/pcraster libcsf, frmts/raw/iscedataset.cpp."""
+    import numpy as np
+
+    from gdal_spark.raster.gsgrids import (
+        gs7bg_decode, gs7bg_encode, gsag_decode, gsag_encode,
+        gsbg_decode, gsbg_encode,
+    )
+    from gdal_spark.raster.isce_eir import isce_decode, isce_encode
+    from gdal_spark.raster.pcraster import csf_decode, csf_encode
+
+    r, c = np.meshgrid(np.arange(GRID_H), np.arange(GRID_W), indexing="ij")
+    dem = (((r * 37 + c * 101) % 97) * 0.25).astype(np.float32)
+    gt = (500.0, 2.0, 0.0, 800.0, 0.0, -2.0)
+
+    a1, m1 = gsbg_decode(gsbg_encode(dem, gt))
+    a2, m2 = gs7bg_decode(gs7bg_encode(a1.astype(np.float64), m1["gt"]))
+    a3, m3 = gsag_decode(gsag_encode(a2, m2["gt"]).encode())
+    a4, m4 = csf_decode(csf_encode(a3.astype(np.float32), m3["gt"]))
+    body, xml = isce_encode(a4, gt=m4["gt"])
+
+    sdf = spark.createDataFrame([(bytearray(body), xml)],
+                                "data binary, xml string")
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def row_sums(data: pd.Series, xml_s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d, x in zip(data, xml_s):
+            arr, _ = isce_decode(bytes(d), x)
+            out.append([float(v) for v in
+                        arr.astype(np.float64).sum(axis=1)])
+        return pd.Series(out)
+
+    return sdf.select(
+        F.posexplode(row_sums(F.col("data"), F.col("xml"))).alias(
+            "row_id", "row_sum")
+    )
+
+
 SPARK = {
     "asciigrid_fits_chain": asciigrid_fits_chain,
     "jsonvec_topo_mod": jsonvec_topo_mod,
+    "surfer_pcraster_chain": surfer_pcraster_chain,
 }
 ORACLE = {
     "asciigrid_fits_chain": _CHAIN_ORACLE,
     "jsonvec_topo_mod": _TOPO_ORACLE,
+    "surfer_pcraster_chain": _CHAIN_ORACLE,
 }
