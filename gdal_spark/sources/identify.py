@@ -139,6 +139,14 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "GRIB"
     if h.startswith(b"RUU CROSS SYSTEM MAP FORMAT"):
         return "PCRaster"
+    if (
+        len(h) >= 44
+        and struct.unpack("<h", h[0:2])[0] == 27
+        and struct.unpack("<h", h[12:14])[0] == 26
+        and 0 < struct.unpack("<H", h[24:26])[0] < 35
+        and 1900 <= struct.unpack("<h", h[38:40])[0] < 2100
+    ):
+        return "IRIS"
     if h.startswith(b"NUM_OREC"):
         return "NTv2"
     if h.startswith(b"DSAA"):
@@ -195,6 +203,12 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
             return "KML"
         if b"<gpx" in h:
             return "GPX"
+        if b"<mapml-" in h:
+            return "MapML"
+        if b"<CacheInfo" in h:
+            return "ESRIC"
+    if s.startswith(b"{") and b"ogc-json-fg" in h:
+        return "JSONFG"
     if s.startswith(b"{") and b'"type"' in h:
         return "GeoJSON"
     # extension-only formats (reference bCheckExtension identify paths)
@@ -234,6 +248,24 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "SRTMHGT"
     if ext == "xyz":
         return "XYZ"
+    if h.startswith(b"PK\x03\x04"):
+        # zip containers: distinguish by the first member's name
+        name_len = struct.unpack("<H", h[26:28])[0] if len(h) >= 30 else 0
+        first = h[30:30 + name_len]
+        if ext == "tpkx" or first == b"iteminfo.json":
+            return "ESRIC"
+        if first.startswith(b"mimetype") and \
+                b"opendocument.spreadsheet" in h[:128]:
+            return "ODS"
+        if ext == "xlsx" or first.startswith((b"[Content_Types]", b"xl/")):
+            return "XLSX"
+        if ext == "ods":
+            return "ODS"
+        if first.rstrip(b"/").endswith(b".txt") and first[:-4] in (
+            b"agency", b"stops", b"routes", b"trips", b"calendar",
+            b"calendar_dates", b"stop_times", b"shapes",
+        ):
+            return "GTFS"
     return None
 
 

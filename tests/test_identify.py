@@ -178,3 +178,21 @@ def test_identify_gsg():
     assert identify_driver(open(f"{base}/gsg_ascii.grd", "rb").read(16)) == "GSAG"
     assert identify_driver(open(f"{base}/gsg_binary.grd", "rb").read(16)) == "GSBG"
     assert identify_driver(open(f"{base}/gsg_7binary.grd", "rb").read(16)) == "GS7BG"
+
+
+def test_identify_wave5_formats():
+    from gdal_spark.sources.identify import identify_driver
+
+    base = "/root/reference/autotest"
+    cases = [
+        (f"{base}/gdrivers/data/iris/iristest.dat", "IRIS"),
+        (f"{base}/gdrivers/data/pcraster/ldd.map", "PCRaster"),
+        (f"{base}/ogr/data/xlsx/test.xlsx", "XLSX"),
+        (f"{base}/ogr/data/ods/test.ods", "ODS"),
+        (f"{base}/ogr/data/gtfs/gtfs_extract.zip", "GTFS"),
+        (f"{base}/ogr/data/mapml/poly.mapml", "MapML"),
+        (f"{base}/gdrivers/data/esric/Usa.tpkx", "ESRIC"),
+        (f"{base}/ogr/data/jsonfg/two_feature_types.json", "JSONFG"),
+    ]
+    for p, exp in cases:
+        assert identify_driver(open(p, "rb").read(1024), p) == exp, p
