@@ -319,6 +319,44 @@ def tiff_parse(data: bytes, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
     comp = one(T_COMPRESSION, 1)
     pred = one(T_PREDICTOR, 1)
     bits = tags.get(T_BITS, (3, [8]))[1]
+    if bits[0] == 1 and spp == 1:
+        # bi-level strips: uncompressed bit-packed rows or CCITT G4
+        rows_per = one(T_ROWS_PER_STRIP, h)
+        offs = tags.get(T_STRIP_OFFSETS, (4, []))[1]
+        cnts = tags.get(T_STRIP_COUNTS, (4, [len(data)]))[1]
+        out1 = np.zeros((h, w), np.uint8)
+        rowbytes = (w + 7) // 8
+        for si, off in enumerate(offs):
+            y0 = si * rows_per
+            rows = min(rows_per, h - y0)
+            chunk = data[off:off + (cnts[si] if si < len(cnts)
+                                    else len(data) - off)]
+            if comp == 1:
+                raw = np.frombuffer(chunk, np.uint8,
+                                    min(len(chunk), rows * rowbytes))
+                raw = np.frombuffer(
+                    raw.tobytes().ljust(rows * rowbytes, b"\x00"),
+                    np.uint8).reshape(rows, rowbytes)
+                bits_arr = np.unpackbits(raw, axis=1)[:, :w]
+                out1[y0:y0 + rows] = bits_arr
+            elif comp == 4:
+                from gdal_spark.functions.ccitt import g4_decode
+                out1[y0:y0 + rows] = g4_decode(chunk, w, rows)
+            elif comp == 32773:
+                raw = packbits_decode(chunk, rows * rowbytes)
+                bits_arr = np.unpackbits(
+                    np.frombuffer(raw, np.uint8).reshape(rows, rowbytes),
+                    axis=1)[:, :w]
+                out1[y0:y0 + rows] = bits_arr
+            else:
+                raise TiffError(f"unsupported 1-bit compression {comp}")
+        meta1: dict = {"nbits": 1,
+                       "photometric": one(T_PHOTOMETRIC, 1)}
+        if T_PIXEL_SCALE in tags and T_TIEPOINT in tags:
+            sx, sy = tags[T_PIXEL_SCALE][1][0], tags[T_PIXEL_SCALE][1][1]
+            i, j, _, x, y_, _ = tags[T_TIEPOINT][1][:6]
+            meta1["gt"] = (x - i * sx, sx, 0.0, y_ + j * sy, 0.0, -sy)
+        return out1, meta1
     if any(b != bits[0] for b in bits) or bits[0] not in (8, 16, 32, 64, 128):
         raise TiffError(f"unsupported BitsPerSample {bits}")
     # 1 uint, 2 int, 3 float, 5 complex int, 6 complex float (TIFF 6 + GDAL)
