@@ -42,6 +42,7 @@ from gdal_spark.queries import (
     retile_entries,
     xyz_entries,
     wave4_entries,
+    wave6_entries,
 )
 
 MODULES = [
@@ -53,7 +54,7 @@ MODULES = [
     closedform_raster, closedform_vector, closedform_morph, closedform_dem, closedform_misc,
     cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
     closedform_extra, calc_entries, retile_entries, xyz_entries,
-    multimodal_entries, wave4_entries,
+    multimodal_entries, wave4_entries, wave6_entries,
 ]
 
 

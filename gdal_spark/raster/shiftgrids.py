@@ -25,7 +25,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["ntv2_decode", "loslas_decode", "noaa_b_decode"]
+__all__ = ["ntv2_decode", "loslas_decode", "noaa_b_decode",
+           "ngsgeoid_decode"]
 
 
 def ntv2_decode(data: bytes, grid: int = 0) -> tuple[np.ndarray, dict]:
@@ -125,3 +126,38 @@ def noaa_b_decode(data: bytes) -> tuple[np.ndarray, dict]:
           sw_lat + (rows - 1) * d_lat + d_lat / 2, 0.0, -d_lat)
     return np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("="))), \
         {"gt": gt, "kind": kind}
+
+
+def ngsgeoid_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """NGS GEOID12/2009 binary geoid-height grid (.bin).
+
+    Format facts transcribed (frmts/ngsgeoid/ngsgeoiddataset.cpp,
+    GetHeaderInfo/IReadBlock — decode re-derived): 44-byte header of
+    SLAT/WLON/DLAT/DLON float64 + NLAT/NLON/IKIND int32, byte order
+    chosen by whichever makes IKIND == 1; float32 geoid heights,
+    southernmost row first; node-registered grid so the geotransform
+    gets the half-cell outward shift, and WLON stays on the 0..360
+    branch (grids cross +180).
+    """
+    if len(data) < 44:
+        raise ValueError("not an NGSGEOID grid (short header)")
+    bo = None
+    for cand in ("<", ">"):
+        if struct.unpack_from(cand + "i", data, 40)[0] == 1:
+            bo = cand
+            break
+    if bo is None:
+        raise ValueError("not an NGSGEOID grid (IKIND != 1)")
+    slat, wlon, dlat, dlon = struct.unpack_from(bo + "4d", data, 0)
+    nlat, nlon = struct.unpack_from(bo + "2i", data, 32)
+    if nlat <= 0 or nlon <= 0 or dlat <= 1e-15 or dlon <= 1e-15:
+        raise ValueError("not an NGSGEOID grid (bad extents)")
+    if not (slat >= -90.0 and slat + nlat * dlat <= 90.0
+            and wlon >= -180.0 and wlon + nlon * dlon <= 360.0):
+        raise ValueError("not an NGSGEOID grid (bounds)")
+    vals = np.frombuffer(data, bo + "f4", nlat * nlon, 44)
+    arr = vals.reshape(nlat, nlon)[::-1]  # south-first -> north-up
+    gt = (wlon - dlon / 2, dlon, 0.0,
+          slat + nlat * dlat - dlat / 2, 0.0, -dlat)
+    return np.ascontiguousarray(arr.astype("=f4")), \
+        {"gt": gt, "srs": "WGS84"}

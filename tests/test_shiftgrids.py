@@ -53,3 +53,24 @@ def test_noaa_b(name):
     arr, meta = noaa_b_decode(_read("noaa_b/" + name))
     assert checksum(arr) == 3
     _check_gt(meta["gt"], (1.75, 0.5, 0.0, 49.25, 0.0, -0.5))
+
+
+@pytest.mark.parametrize("name", ["g2009u01_le_truncated.bin",
+                                  "g2009u01_be_truncated.bin"])
+def test_ngsgeoid(name):
+    # autotest/gdrivers/ngsgeoid.py: checksum 65534, WGS84, node-registered gt
+    from gdal_spark.raster.shiftgrids import ngsgeoid_decode
+    arr, meta = ngsgeoid_decode(_read("ngsgeoid/" + name))
+    assert arr.shape == (1, 1)
+    assert checksum(arr) == 65534
+    assert meta["srs"] == "WGS84"
+    _check_gt(meta["gt"], (229.99166666666667, 0.016666666666670001, 0.0,
+                           40.00833333333334, 0.0, -0.016666666666670001))
+
+
+def test_ngsgeoid_rejects():
+    from gdal_spark.raster.shiftgrids import ngsgeoid_decode
+    with pytest.raises(ValueError):
+        ngsgeoid_decode(b"\x00" * 44)
+    with pytest.raises(ValueError):
+        ngsgeoid_decode(b"short")
