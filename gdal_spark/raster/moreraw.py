@@ -849,6 +849,75 @@ def nwt_grd_decode(data: bytes) -> tuple[np.ndarray, dict]:
     return out, meta
 
 
+def nwt_grc_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Northwood Classified Grid (.grc) — frmts/northwood/grcdataset.cpp +
+    northwood.cpp nwt_ParseHeader (GRC branch :150-238).
+
+    Header is the shared 1024-byte Northwood layout with 'HGPC' magic and
+    format char '8' (classified; '1' is the .grd surface handled by
+    nwt_grd_decode). Band 1 is the raw class-index plane (uint8/16/32 LE,
+    nBitsPerPixel = header[1023]*4, or 16 when header[1023]==0 —
+    northwood.cpp:144-148; 0 = nodata). The classification dictionary sits
+    AFTER the pixel block (u16 item count, then 9-byte records
+    {u16 pixval, res, r, g, b, res, u16 namelen} + name bytes). Returns
+    the index plane plus meta: a GDAL-style color table (entry 0
+    transparent white, grcdataset.cpp:104-122), category names ('No Data'
+    + per-value names, '' for undefined values :133-160), geotransform
+    (pixel-center bounds -> half-cell shift) and the MapInfo coordsys
+    string."""
+    if len(data) < 1024 or data[:4] != b"HGPC" or data[4:5] != b"8":
+        raise ValueError("not a Northwood GRC grid")
+    w = struct.unpack("<H", data[9:11])[0]
+    h = struct.unpack("<H", data[11:13])[0]
+    if w == 0:
+        w = struct.unpack("<I", data[128:132])[0]
+    if h == 0:
+        h = struct.unpack("<I", data[132:136])[0]
+    if w <= 1 or h < 1:
+        raise ValueError("bad GRC dimensions")
+    minx, maxx, miny, maxy = struct.unpack("<4d", data[13:45])
+    bpp = data[1023] * 4 if data[1023] else 16
+    if bpp not in (8, 16, 32):
+        raise ValueError(f"unsupported GRC depth {bpp}")
+    dt = {8: "<u1", 16: "<u2", 32: "<u4"}[bpp]
+    idx = np.frombuffer(data, dt, w * h, 1024).reshape(h, w)
+
+    # classification dictionary after the pixel block
+    p = 1024 + w * h * (bpp // 8)
+    nitems = struct.unpack("<H", data[p:p + 2])[0]
+    p += 2
+    items = []
+    for _ in range(nitems):
+        pixval = struct.unpack("<H", data[p:p + 2])[0]
+        r, g, b = data[p + 3], data[p + 4], data[p + 5]
+        nlen = struct.unpack("<H", data[p + 7:p + 9])[0]
+        p += 9
+        name = data[p:p + nlen].split(b"\0")[0].decode("latin-1")
+        p += nlen
+        items.append((pixval, r, g, b, name))
+
+    maxval = max((it[0] for it in items), default=0)
+    color_table = {0: (255, 255, 255, 0)}
+    for pixval, r, g, b, _ in items:
+        color_table[pixval] = (r, g, b, 255)
+    categories = ["No Data"]
+    byval = {it[0]: it[4] for it in items}
+    for val in range(1, maxval + 1):
+        categories.append(byval.get(val, ""))
+
+    step = (maxx - minx) / (w - 1)
+    gt = (minx - step / 2, step, 0.0, maxy + step / 2, 0.0, -step)
+    meta = {
+        "gt": gt,
+        "nodata": 0.0,
+        "color_table": color_table,
+        "categories": categories,
+        "mi_coordsys": data[256:512].split(b"\0")[0].decode("latin-1"),
+        "description": data[61:93].split(b"\0")[0].decode("latin-1"),
+    }
+    return idx, meta
+
+
 # ---------------------------------------------------------------------------
 # LCP (FARSITE v4 landscape) — frmts/raw/lcpdataset.cpp
 # ---------------------------------------------------------------------------

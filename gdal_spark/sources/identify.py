@@ -149,6 +149,10 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "IRIS"
     if h.startswith(b"NUM_OREC"):
         return "NTv2"
+    if h[:4] == b"HGPC" and h[4:5] == b"1":
+        return "NWT_GRD"
+    if h[:4] == b"HGPC" and h[4:5] == b"8":
+        return "NWT_GRC"
     if h.startswith(b"DSAA"):
         return "GSAG"
     if h.startswith(b"DSBB"):
@@ -211,6 +215,10 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "JSONFG"
     if s.startswith(b"{") and b'"type"' in h:
         return "GeoJSON"
+    from gdal_spark.raster.l1b import detect_l1b
+
+    if detect_l1b(h, filename.rsplit("/", 1)[-1]) is not None:
+        return "L1B"
     # extension-only formats (reference bCheckExtension identify paths)
     if bytes(data[-18:]) == b"TRUEVISION-XFILE.\x00" or ext == "tga":
         return "TGA"

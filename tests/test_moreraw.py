@@ -251,3 +251,27 @@ def test_lcp_alb83():
         assert _cs(arr[:, :, i]) == cs, f"band {i + 1}"
     assert meta["LATITUDE"] == "48"
     assert np.allclose(meta["gt"], (-1328145, 30, 0, 2961735, 0, -30))
+
+
+# -- NWT_GRC (Northwood classified) ----------------------------------------------
+
+def test_nwt_grc():
+    data = _read(f"{GD}/nwt_grc/nwt_grc.grc")
+    idx, meta = MR.nwt_grc_decode(data)
+    # autotest/gdrivers/nwt_grc.py test_nwt_grc_1: band 1 checksum 46760
+    assert idx.dtype == np.uint8
+    assert _cs(idx) == 46760
+    assert meta["categories"][:4] == ["No Data", "one", "two", "thre"]
+    assert meta["color_table"][0] == (255, 255, 255, 0)
+    assert meta["color_table"][1][3] == 255
+    assert meta["nodata"] == 0.0
+    assert meta["mi_coordsys"].startswith("CoordSys Earth Projection 1")
+
+
+def test_identify_nwt():
+    from gdal_spark.sources.identify import identify_driver
+
+    grc = _read(f"{GD}/nwt_grc/nwt_grc.grc")[:1024]
+    assert identify_driver(grc, "nwt_grc.grc") == "NWT_GRC"
+    grd = _read(f"{GD}/nwt_grd/nwt_grd.grd")[:1024]
+    assert identify_driver(grd, "nwt_grd.grd") == "NWT_GRD"
