@@ -149,6 +149,15 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "IRIS"
     if h.startswith(b"NUM_OREC"):
         return "NTv2"
+    if (
+        len(h) >= 12
+        and h[0] == 0
+        and h[4] in (0x3F, 0x32)
+        and h[5:8] == b"\xc0\x12\x12"
+    ):
+        return "SAR_CEOS"
+    if len(h) >= 100 and h[4:8] == b"\x3f\xc0\x12\x12":
+        return "CEOS"
     if h[:4] == b"HGPC" and h[4:5] == b"1":
         return "NWT_GRD"
     if h[:4] == b"HGPC" and h[4:5] == b"8":
