@@ -209,6 +209,8 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
     ):
         return "AAIGrid"
     s = h.lstrip()
+    if b"rcmGsProductSchema" in h and filename.endswith("product.xml"):
+        return "RCM"
     if s.startswith(b"<VRTDataset"):
         return "VRT"
     if s.startswith(b"<?xml") or s.startswith(b"<"):
