@@ -211,6 +211,10 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
     s = h.lstrip()
     if b"rcmGsProductSchema" in h and filename.endswith("product.xml"):
         return "RCM"
+    if b"phini" in h[:256] and (
+        ext == "prf" or filename.lower().endswith(".x-dem")
+    ):
+        return "PRF"
     if s.startswith(b"<VRTDataset"):
         return "VRT"
     if s.startswith(b"<?xml") or s.startswith(b"<"):
