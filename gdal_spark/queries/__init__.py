@@ -43,6 +43,7 @@ from gdal_spark.queries import (
     xyz_entries,
     wave4_entries,
     wave6_entries,
+    wave7_entries,
 )
 
 MODULES = [
@@ -55,6 +56,7 @@ MODULES = [
     cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
     closedform_extra, calc_entries, retile_entries, xyz_entries,
     multimodal_entries, wave4_entries, wave6_entries,
+    wave7_entries,
 ]
 
 
