@@ -215,6 +215,8 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         ext == "prf" or filename.lower().endswith(".x-dem")
     ):
         return "PRF"
+    if filename.endswith("I.rel") and s.startswith(b"[VERSIO]"):
+        return "MiraMonRaster"
     if s.startswith(b"<VRTDataset"):
         return "VRT"
     if s.startswith(b"<?xml") or s.startswith(b"<"):
