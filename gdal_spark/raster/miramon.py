@@ -48,6 +48,89 @@ _DTYPES = {
 }
 
 
+# first entries of the reference's predefined thematic palette
+# (miramon_palettes.h m_ThematicPalette); automatic categorical palettes
+# are truncated to band max + 1, so the head of the table suffices
+_THEMATIC_PALETTE = [
+    (0, 0, 255), (0, 255, 255), (0, 255, 0), (255, 255, 0), (255, 0, 0),
+    (255, 0, 255), (191, 191, 191), (0, 128, 255), (128, 0, 255),
+    (0, 255, 128), (128, 255, 0), (255, 128, 0), (255, 0, 128),
+    (128, 255, 255), (128, 128, 255), (128, 255, 128), (255, 128, 255),
+    (255, 128, 128), (255, 255, 128), (128, 128, 128), (0, 0, 128),
+    (0, 128, 128), (0, 128, 0), (128, 128, 0), (128, 0, 0), (128, 0, 128),
+    (64, 64, 64), (0, 0, 191), (128, 128, 191), (0, 191, 191), (0, 191, 0),
+    (191, 191, 0), (191, 0, 0), (191, 0, 191), (0, 128, 191),
+]
+
+
+def _palette_from_dbf(path: str):
+    """DBF palette: CLAUSIMBOL/R_COLOR/G_COLOR/B_COLOR numeric fields;
+    a blank CLAUSIMBOL marks the nodata row; (-1,-1,-1) rows render
+    transparent (AssignColorFromDBF)."""
+    data = open(path, "rb").read()
+    nrec = struct.unpack("<I", data[4:8])[0]
+    hdr_len, rec_len = struct.unpack("<HH", data[8:12])
+    fields = []
+    pos = 32
+    acc = 1  # deletion-flag byte
+    while pos < hdr_len - 1 and data[pos] != 0x0D:
+        name = data[pos : pos + 11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(data[pos + 11])
+        flen = data[pos + 16]
+        fields.append((name.upper(), ftype, acc, flen))
+        acc += flen
+        pos += 32
+    idx = {name: (off, flen, ftype)
+           for name, ftype, off, flen in fields}
+    for req in ("CLAUSIMBOL", "R_COLOR", "G_COLOR", "B_COLOR"):
+        if req not in idx or idx[req][2] != "N" or idx[req][1] == 0:
+            raise ValueError(f"Invalid color table: {path}")
+    if nrec < 0 or nrec > 65536:
+        raise ValueError(f"Invalid color table: {path}")
+    colors = []
+    nodata_index = None
+    for i in range(nrec):
+        rec = data[hdr_len + i * rec_len : hdr_len + (i + 1) * rec_len]
+        if len(rec) < rec_len:
+            raise ValueError(f"Invalid color table: {path}")
+
+        def fval(name):
+            off, flen, _ = idx[name]
+            return rec[off : off + flen].decode("ascii", "replace")
+
+        if fval("CLAUSIMBOL").replace(" ", "") == "":
+            nodata_index = i
+        r = float(fval("R_COLOR") or 0)
+        g = float(fval("G_COLOR") or 0)
+        b = float(fval("B_COLOR") or 0)
+        if (r, g, b) == (-1.0, -1.0, -1.0):
+            colors.append((0, 0, 0, 0))  # transparent nodata colour
+        else:
+            colors.append((int(r), int(g), int(b), 255))
+    return colors, nodata_index
+
+
+def _palette_from_pal(path: str, size: int):
+    """PAL/P25/P65 text palettes: `index R G B` lines, default-colour
+    padded to the format's fixed size."""
+    colors = []
+    with open(path, "rb") as f:
+        for line in f.read().decode("latin-1", "replace").splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            toks = line.split()
+            if len(toks) != 4:
+                raise ValueError(f"Invalid color table: {path}")
+            if len(colors) >= size:
+                raise ValueError(f"Invalid color table: {path}")
+            colors.append((int(float(toks[1])), int(float(toks[2])),
+                           int(float(toks[3])), 255))
+    while len(colors) < size:
+        colors.append((0, 0, 0, 127))
+    return colors
+
+
 class MMRel:
     """Case-insensitive INI view of an I.rel file (latin-1)."""
 
@@ -307,6 +390,173 @@ class MiraMonBand:
             pos = 0
             for r in range(self.height):
                 pos = self._decode_rle_row(data, pos, out[r])
+        return out
+
+    # -- colour tables (miramon_palettes.cpp / miramon_rasterband.cpp) --
+    def _visu_min_max(self):
+        """COLOR_TEXT Color_ValorColor_0 / _n_1, falling back to the
+        band min/max (MMRBand::UpdateMinMaxVisuValuesFromREL)."""
+        def ct(key):
+            v = self.rel.get(f"COLOR_TEXT:{self.name}", key)
+            if v is None:
+                v = self.rel.get("COLOR_TEXT", key)
+            return v
+
+        vmin, vmax = ct("Color_ValorColor_0"), ct("Color_ValorColor_n_1")
+        vmin = float(vmin) if vmin not in (None, "") else self.minimum
+        vmax = float(vmax) if vmax not in (None, "") else self.maximum
+        return vmin, vmax
+
+    def _ct_key(self, key):
+        v = self.rel.get(f"COLOR_TEXT:{self.name}", key)
+        if v is None:
+            v = self.rel.get("COLOR_TEXT", key)
+        return v
+
+    def color_table(self) -> dict[int, tuple] | None:
+        """GDAL color table as {index: (r, g, b, a)}, or None when the
+        reference would return no table."""
+        try:
+            return self._color_table_inner()
+        except (ValueError, OSError, KeyError, IndexError):
+            return None
+
+    def _color_table_inner(self):
+        is_byte = self.comp_type.replace("-RLE", "") in ("byte", "bit")
+        is_uint = self.comp_type.replace("-RLE", "") == "uinteger"
+        n_possible_int = 256 if is_byte else 65536 if is_uint else None
+
+        # constant colour (AssignUniformColorTable)
+        if self._ct_key("Color_Const") == "1":
+            smb = (self._ct_key("Color_Smb") or "").replace(" ", "")
+            if not (smb.startswith("(") and smb.endswith(")")):
+                return None
+            rgb = [int(v) for v in smb[1:-1].split(",")]
+            if len(rgb) != 3:
+                return None
+            vmin, vmax = self._visu_min_max()
+            max_index = 0.0
+            if self.nodata is not None and self.nodata >= 0:
+                max_index = self.nodata + 1
+            if vmax is not None and vmax >= 0:
+                max_index = max(max_index, vmax + 1)
+            if max_index:
+                n = int(max_index)
+            elif n_possible_int:
+                n = n_possible_int
+            else:
+                return None
+            out = {}
+            for i in range(n):
+                if self.nodata is not None and i == self.nodata:
+                    out[i] = (0, 0, 0, 0)
+                else:
+                    out[i] = (rgb[0], rgb[1], rgb[2], 255)
+            return out
+
+        paleta = self._ct_key("Color_Paleta") or ""
+        tract = self._ct_key("Color_TractamentVariable") or ""
+        if tract:
+            categorical = tract == "Categoric"
+        else:
+            categorical = self.tractament.lower().startswith("categoric")
+        scaling = {"AssigDirecta": "direct", "lineal": "linear",
+                   "DespOrigen": "displacement", "log_10": "log",
+                   "IntervalsUsuari": "intervals"}.get(
+            self._ct_key("Color_EscalatColor") or "",
+            "direct" if categorical else "linear")
+
+        automatic = paleta in ("", "<Automatic>")
+        palette_nodata_index = None
+        if automatic:
+            if self._ct_key("Color_N_SimbolsALaTaula"):
+                return None  # colors declared but no color source
+            if not categorical:
+                return None
+            colors = [c + (255,) if len(c) == 3 else c
+                      for c in _THEMATIC_PALETTE]
+        else:
+            ext = paleta.rsplit(".", 1)[-1].lower() if "." in paleta else ""
+            path = os.path.join(os.path.dirname(os.path.abspath(self.rel.path)),
+                                paleta)
+            if ext == "dbf":
+                colors, palette_nodata_index = _palette_from_dbf(path)
+            elif ext in ("pal", "p25", "p65"):
+                size = {"pal": 64, "p25": 256, "p65": 65536}[ext]
+                colors = _palette_from_pal(path, size)
+            else:
+                return None
+            if palette_nodata_index is not None and palette_nodata_index \
+                    == len(colors) - 1:
+                pass  # trailing nodata row: usable colors = len - 1
+
+        n_colors = len(colors)
+        if n_colors == 0:
+            return None
+
+        if categorical:
+            if scaling != "direct":
+                return None
+            if n_possible_int is None:
+                n_possible = n_colors
+            elif automatic and self.maximum is not None:
+                n_possible = int(self.maximum) + 1
+                if n_possible <= 0 or n_possible >= 65536:
+                    return None
+            else:
+                n_possible = n_possible_int
+            out = {}
+            for i in range(n_possible):
+                if i < n_colors:
+                    out[i] = colors[i]
+                else:
+                    out[i] = (0, 0, 0, 127)  # default colour
+            return out
+
+        # continuous mode (FromPaletteToColorTableContinuousMode)
+        if scaling not in ("linear", "direct"):
+            return None
+        if is_byte and scaling in ("linear", "direct"):
+            pass
+        elif is_uint and scaling == "direct":
+            pass
+        else:
+            return None
+        vmin, vmax = self._visu_min_max()
+        if vmin is None or vmax is None:
+            return None
+        n_possible = n_possible_int
+        # usable colours exclude a real nodata palette row; a palette
+        # without one gets a virtual nodata index == usable count
+        has_pal_nodata = palette_nodata_index is not None
+        usable = n_colors - 1 if has_pal_nodata else n_colors
+        if usable < 1:
+            return None
+        if not has_pal_nodata:
+            palette_nodata_index = usable
+        first_valid = 1 if has_pal_nodata and palette_nodata_index == 0 else 0
+        nodata_ct_index = 0
+        if not is_byte or scaling != "direct":
+            if self.nodata is not None and palette_nodata_index == usable:
+                nodata_ct_index = n_possible - 1
+        slope = (usable - 1) / (vmax - vmin) if vmax != vmin else 1.0
+        intercept = -slope * vmin
+        out = {}
+        for i in range(n_possible):
+            if self.nodata is not None and i == nodata_ct_index:
+                out[i] = (colors[palette_nodata_index] if has_pal_nodata
+                          else (255, 255, 255, 255))
+            elif i < int(vmin):
+                out[i] = colors[0]
+            elif i <= int(vmax):
+                if is_byte or scaling == "direct":
+                    out[i] = colors[min(first_valid, n_colors - 1)]
+                    first_valid += 1
+                else:
+                    idx = int(slope * i + intercept)
+                    out[i] = colors[min(idx, n_colors - 1)]
+            else:
+                out[i] = colors[usable - 1]
         return out
 
     # grouping key (miramon_dataset.cpp BandInTheSameDataset)

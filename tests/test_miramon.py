@@ -129,3 +129,71 @@ def test_miramon_identify():
 
     p = os.path.join(D, "normal", "byte_2x3_6_categsI.rel")
     assert identify_driver(open(p, "rb").read(1024), p) == "MiraMonRaster"
+
+
+CT_CASES = [
+    ("normal/byte_2x3_6_categsI.rel",
+     {0: (0, 0, 255, 255), 1: (0, 255, 255, 255), 2: (0, 255, 0, 255),
+      3: (255, 255, 0, 255), 4: (255, 0, 0, 255), 5: (255, 0, 255, 255)}),
+    ("palettes/Constant/byte_2x3_6_categsI.rel",
+     {0: (255, 0, 255, 255), 1: (255, 0, 255, 255), 2: (255, 0, 255, 255),
+      3: (255, 0, 255, 255), 4: (255, 0, 255, 255), 5: (0, 0, 0, 0)}),
+    ("palettes/Constant/real_2x3_6_categsI.rel",
+     {0: (255, 0, 255, 255), 5: (0, 0, 0, 0)}),
+    ("palettes/Categorical/Assigned/byte_2x3_6_categsI.rel",
+     {0: (0, 0, 125, 255), 1: (0, 134, 255, 255), 2: (0, 255, 0, 255),
+      3: (255, 255, 78, 255), 4: (255, 0, 0, 255), 5: (255, 0, 133, 255)}),
+    ("palettes/Continous/ColorTable/directassignement/byte_2x3_6_categsI.rel",
+     {0: (0, 0, 125, 255), 5: (255, 0, 133, 255)}),
+    ("palettes/Continous/ColorTable/directassignement/uinteger_with_nodataI.rel",
+     {0: (0, 0, 125, 255), 5: (255, 0, 133, 255)}),
+    ("palettes/Continous/ColorTable/lineal/byte_2x3_6_categsI.rel",
+     {0: (0, 0, 125, 255), 5: (255, 0, 133, 255)}),
+    ("palettes/Continous/ColorTable/lineal_rare/byte_2x3_6_categsI.rel",
+     {0: (0, 0, 125, 255), 1: (0, 134, 255, 255), 2: (0, 255, 0, 255),
+      3: (255, 255, 78, 255), 4: (255, 0, 0, 255), 5: (255, 0, 133, 255),
+      255: (255, 255, 255, 255)}),
+    ("palettes/Categorical/Assigned/real_2x3_6_categsI.rel",
+     {0: (0, 0, 125, 255), 5: (255, 0, 133, 255)}),
+    ("palettes/Categorical/Assignedp25/byte_2x3_6_categsI.rel",
+     {0: (0, 0, 0, 255), 1: (0, 97, 0, 255), 2: (0, 162, 0, 255),
+      3: (0, 255, 0, 255), 4: (255, 255, 0, 255), 5: (255, 210, 0, 255),
+      15: (255, 178, 255, 255)}),
+    ("palettes/Categorical/AssignedPAL/byte_2x3_6_categsI.rel",
+     {0: (0, 0, 0, 255), 1: (0, 24, 0, 255), 2: (0, 40, 0, 255),
+      3: (0, 63, 0, 255), 4: (63, 63, 0, 255), 5: (63, 52, 0, 255),
+      15: (63, 44, 63, 255)}),
+    ("palettes/Categorical/Assignedp65/byte_2x3_6_categsI.rel",
+     {0: (0, 0, 0, 255), 5: (63, 52, 0, 255), 15: (63, 44, 63, 255)}),
+    ("palettes/Categorical/ThematicNoDataBeg/MUCSC_2002_30_m_v_6_retI.rel",
+     {0: (0, 0, 0, 0), 1: (212, 247, 255, 255), 2: (153, 247, 245, 255),
+      8: (255, 255, 201, 255), 9: (184, 201, 189, 255),
+      14: (145, 108, 0, 255), 15: (83, 166, 0, 255), 16: (149, 206, 0, 255),
+      20: (65, 206, 0, 255), 21: (128, 0, 128, 255),
+      24: (201, 232, 163, 255)}),
+]
+
+
+@pytest.mark.parametrize("path,expected", CT_CASES,
+                         ids=[c[0].split("/")[-2] + "_" +
+                              c[0].split("/")[-1].split(".")[0]
+                              for c in CT_CASES])
+def test_miramon_color_tables(path, expected):
+    """test_miramon_epsg_and_color_table: thematic automatic palette,
+    constant colour, DBF / PAL / P25 / P65 palettes, categorical direct
+    assignment and continuous direct/linear scaling with nodata slots."""
+    ds = miramon_open(os.path.join(D, path))
+    ct = ds.bands[0].color_table()
+    assert ct is not None
+    for idx, color in expected.items():
+        assert ct.get(idx) == color, (idx, ct.get(idx), color)
+
+
+def test_miramon_wrong_palettes_no_crash():
+    """The WrongPalette/NonExistant/Empty fixtures must not raise when
+    asking for the colour table."""
+    for name in ("WrongPaletteI.rel", "WrongPalette2I.rel",
+                 "WrongPalette3I.rel", "NonExistantPaletteI.rel",
+                 "EmptyPaletteI.rel"):
+        ds = miramon_open(os.path.join(D, "several_errors", name))
+        ds.bands[0].color_table()  # may be None; must not raise
