@@ -217,6 +217,14 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "PRF"
     if filename.endswith("I.rel") and s.startswith(b"[VERSIO]"):
         return "MiraMonRaster"
+    if (
+        len(h) >= 48
+        and h[0:3] in (b"PNT", b"ARC", b"POL")
+        and h[3:4] == b" "
+        and h[5:6] == b"."
+        and ext in ("pnt", "arc", "pol")
+    ):
+        return "MiraMonVector"
     if s.startswith(b"<VRTDataset"):
         return "VRT"
     if s.startswith(b"<?xml") or s.startswith(b"<"):
