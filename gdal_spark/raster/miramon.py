@@ -559,6 +559,188 @@ class MiraMonBand:
                 out[i] = colors[usable - 1]
         return out
 
+    # -- raster attribute table (miramon_rasterband.cpp) ----------------
+    def _load_palette(self):
+        """Palette internals shared by the RAT builders: (colors,
+        has_nodata, nodata_index, scaling, categorical, constant_rgb)."""
+        constant_rgb = None
+        if self._ct_key("Color_Const") == "1":
+            smb = (self._ct_key("Color_Smb") or "").replace(" ", "")
+            if smb.startswith("(") and smb.endswith(")"):
+                rgb = [int(v) for v in smb[1:-1].split(",")]
+                if len(rgb) == 3:
+                    constant_rgb = tuple(rgb)
+        paleta = self._ct_key("Color_Paleta") or ""
+        tract = self._ct_key("Color_TractamentVariable") or ""
+        categorical = (tract == "Categoric" if tract
+                       else self.tractament.lower().startswith("categoric"))
+        scaling = {"AssigDirecta": "direct", "lineal": "linear",
+                   "DespOrigen": "displacement", "log_10": "log",
+                   "IntervalsUsuari": "intervals"}.get(
+            self._ct_key("Color_EscalatColor") or "",
+            "direct" if categorical else "linear")
+        colors, nodata_idx = [], None
+        if constant_rgb is None and paleta not in ("", "<Automatic>"):
+            ext = paleta.rsplit(".", 1)[-1].lower() if "." in paleta else ""
+            path = os.path.join(
+                os.path.dirname(os.path.abspath(self.rel.path)), paleta
+            )
+            if ext == "dbf":
+                colors, nodata_idx = _palette_from_dbf(path)
+            elif ext in ("pal", "p25", "p65"):
+                size = {"pal": 64, "p25": 256, "p65": 65536}[ext]
+                colors = _palette_from_pal(path, size)
+        return colors, nodata_idx, scaling, categorical, constant_rgb
+
+    def _rat_source(self):
+        """UpdateRATInfo + GetRATName: (dbf_path, key_field) or None."""
+        idx_join = self.rel.get(self._sec, "IndexsJoinTaula")
+        if not idx_join:
+            return None
+        tok = idx_join.split(",")[0].strip()
+        tbl = self.rel.get(self._sec, f"JoinTaula_{tok}")
+        if not tbl:
+            return None
+        short = self.rel.get(f"TAULA_{tbl}", "NomFitxer")
+        if not short:
+            return None
+        assoc = self.rel.get(f"TAULA_{tbl}", "AssociatRel")
+        rel_dir = os.path.dirname(os.path.abspath(self.rel.path))
+        ext = short.rsplit(".", 1)[-1].lower() if "." in short else ""
+        if ext == "rel":
+            rat_rel = MMRel(os.path.join(rel_dir, short))
+            dbf = rat_rel.get("TAULA_PRINCIPAL", "NomFitxer")
+            assoc = rat_rel.get("TAULA_PRINCIPAL", "AssociatRel")
+            if not dbf or not assoc:
+                return None
+            tract = rat_rel.get(f"TAULA_PRINCIPAL:{assoc}",
+                                "TractamentVariable")
+            if tract != "Categoric":
+                return None
+            return os.path.join(rel_dir, dbf), assoc
+        if ext == "dbf":
+            if not assoc:
+                return None
+            return os.path.join(rel_dir, short), assoc
+        return None
+
+    def default_rat(self):
+        """GDAL GetDefaultRAT: {"columns": [...], "rows": [[...], ...]}
+        or None when the reference returns no attribute table."""
+        try:
+            return self._default_rat_inner()
+        except (ValueError, OSError, KeyError, IndexError, ZeroDivisionError):
+            return None
+
+    def _default_rat_inner(self):
+        src = self._rat_source()
+        if src is None:
+            if self.color_table() is not None:
+                # colours already exposed through the colour table
+                pass
+            return self._rat_from_palette()
+        dbf_path, key_field = src
+        from gdal_spark.sources.miramon_vector import read_extended_dbf
+
+        fields, records = read_extended_dbf(dbf_path, raw_logical=True)
+        names = [f["name"] for f in fields]
+        if key_field not in names:
+            return None
+        key_idx = names.index(key_field)
+        columns = [key_field] + [n for i, n in enumerate(names)
+                                 if i != key_idx]
+        # rows are indexed by the integer category value itself
+        # (CreateRATFromDBF: SetRowCount(cat+1); SetValue(cat, ...))
+        by_cat = {}
+        for r in records:
+            try:
+                cat = int(r[key_field])
+            except (TypeError, ValueError):
+                return None
+            by_cat[cat] = [r[key_field]] + [
+                r[n] for i, n in enumerate(names) if i != key_idx
+            ]
+        if not by_cat:
+            return None
+        nrows = max(by_cat) + 1
+        rows = [by_cat.get(i, [None] * len(columns)) for i in range(nrows)]
+        return {"columns": columns, "rows": rows, "thematic": True}
+
+    def _rat_from_palette(self):
+        """FromPaletteToAttributeTable: constant / direct / linear."""
+        colors, nodata_idx, scaling, categorical, constant_rgb = \
+            self._load_palette()
+        if scaling not in ("linear", "direct"):
+            return None
+        vmin, vmax = self._visu_min_max()
+        if constant_rgb is not None:
+            if vmin is None or vmax is None:
+                return None
+            rows = []
+            if self.nodata is not None:
+                rows.append([self.nodata, self.nodata, 0, 0, 0])
+            rows.append([vmin, vmax, *constant_rgb])
+            return {"columns": ["MIN", "MAX", "Red", "Green", "Blue"],
+                    "rows": rows, "thematic": True}
+        n_incl = len(colors)
+        if n_incl == 0:
+            return None
+        has_nodata = nodata_idx is not None
+        n_colors = n_incl - 1 if has_nodata else n_incl
+        if n_colors <= 0:
+            return None
+        if nodata_idx is None:
+            nodata_idx = n_colors
+
+        def rgb(i):
+            c = colors[min(i, n_incl - 1)]
+            return [c[0], c[1], c[2]]
+
+        if scaling == "direct":
+            rows = []
+            if self.nodata is not None and has_nodata:
+                rows.append([self.nodata, *rgb(nodata_idx)])
+            for i in range(n_colors):
+                if i == nodata_idx:
+                    continue
+                rows.append([i, *rgb(i)])
+            return {"columns": ["MIN_MAX", "Red", "Green", "Blue"],
+                    "rows": rows, "thematic": True}
+
+        # linear
+        if vmin is None or vmax is None:
+            return None
+        is_int = self.dtype.kind in "iu"
+        import math
+
+        rows = []
+        if self.nodata is not None and has_nodata:
+            rows.append([self.nodata, self.nodata, *rgb(nodata_idx)])
+        interval = (vmax - vmin) / (n_colors + 1)
+        nodata_skip = (n_incl if self.nodata is not None
+                       and nodata_idx == n_colors else 0)
+        first = True
+        i = 0
+        for i in range(n_colors - 1):
+            if self.nodata is not None and has_nodata and i == nodata_skip:
+                continue
+            mn = vmin + interval * i
+            if not first and is_int:
+                mn = math.ceil(mn)
+            first = False
+            mx = vmin + interval * (i + 1)
+            if is_int:
+                mx = math.ceil(mx)
+            rows.append([mn, mx, *rgb(i)])
+        i = n_colors - 1
+        mn = vmin + interval * (n_colors - 1)
+        if is_int:
+            mn = math.ceil(mn)
+        rows.append([mn, vmax, *rgb(i - 1)])
+        rows.append([vmax, vmax, *rgb(i - 1)])
+        return {"columns": ["MIN", "MAX", "Red", "Green", "Blue"],
+                "rows": rows, "thematic": False}
+
     # grouping key (miramon_dataset.cpp BandInTheSameDataset)
     def group_key(self):
         is_categorical = self.tractament.lower().startswith("categoric")

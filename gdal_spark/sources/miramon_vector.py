@@ -64,7 +64,8 @@ class _Rel:
         return self.sections.get(section.lower(), {}).get(key.lower())
 
 
-def read_extended_dbf(path: str) -> tuple[list[dict], list[dict]]:
+def read_extended_dbf(path: str, raw_logical: bool = False
+                      ) -> tuple[list[dict], list[dict]]:
     """MM_ReadExtendedDBFHeaderFromFile + record scan.
 
     Returns (fields, records); field dicts carry name/type/len/decimals,
@@ -125,7 +126,9 @@ def read_extended_dbf(path: str) -> tuple[list[dict], list[dict]]:
             raw = rec[f["offset"] : f["offset"] + f["len"]]
             s = raw.decode("latin-1", "replace").strip()
             if f["type"] == "L":
-                row[f["name"]] = 1 if s in ("T", "t", "Y", "y") else 0
+                row[f["name"]] = (s if raw_logical
+                                  else 1 if s in ("T", "t", "Y", "y")
+                                  else 0)
             elif f["type"] == "N":
                 if s == "":
                     row[f["name"]] = None

@@ -197,3 +197,79 @@ def test_miramon_wrong_palettes_no_crash():
                  "EmptyPaletteI.rel"):
         ds = miramon_open(os.path.join(D, "several_errors", name))
         ds.bands[0].color_table()  # may be None; must not raise
+
+
+RAT_CASES = [
+    ("palettes/Continous/DBF_nodata_end/double_with_nodataI.rel",
+     {(0, "MIN"): 1.7e308, (0, "Red"): 204, (0, "Green"): 217,
+      (2, "MIN"): -2130706431.0078125, (2, "MAX"): -2113929215.015625,
+      (2, "Red"): 144, (52, "MIN"): -1291845631.398438,
+      (52, "Red"): 192, (255, "MIN"): 2113929215.015625,
+      (255, "MAX"): 2147483647, (255, "Red"): 164,
+      (256, "MIN"): 2147483647, (256, "MAX"): 2147483647}),
+    ("palettes/Continous/ColorTable/uinteger_with_nodataI.rel",
+     {(0, "MIN"): 65535, (0, "Red"): 204, (1, "MIN"): 0, (1, "MAX"): 256,
+      (1, "Red"): 149, (52, "MIN"): 13056, (52, "MAX"): 13312,
+      (255, "MIN"): 65023, (255, "MAX"): 65534, (256, "MIN"): 65534}),
+    ("palettes/Constant/integer_2x3_6_categsI.rel",
+     {(0, "MIN"): -32768, (0, "Red"): 0, (0, "Green"): 0, (0, "Blue"): 0,
+      (1, "MIN"): 0, (1, "MAX"): 5, (1, "Red"): 255, (1, "Green"): 0,
+      (1, "Blue"): 255}),
+    ("palettes/Continous/LinearLogSimbo/LinearSimboWith0I.rel",
+     {(0, "MIN"): 0, (0, "MAX"): 1000000, (0, "Red"): 81,
+      (1, "MIN"): 1000000, (1, "MAX"): 2000000, (7, "MIN"): 7000000,
+      (7, "MAX"): 8000000, (7, "Red"): 255, (9, "MIN"): 10000000,
+      (9, "MAX"): 10000000, (9, "Red"): 255}),
+    ("palettes/Categorical/Assigned/double_2x3_6I.rel",
+     {(0, "MIN_MAX"): 0, (0, "Red"): 0, (0, "Blue"): 125,
+      (1, "MIN_MAX"): 1, (1, "Green"): 134, (5, "MIN_MAX"): 5,
+      (5, "Red"): 255, (5, "Blue"): 133}),
+]
+
+
+@pytest.mark.parametrize("path,expected", RAT_CASES,
+                         ids=[c[0].split("/")[-2] + "_" +
+                              c[0].split("/")[-1].split(".")[0]
+                              for c in RAT_CASES])
+def test_miramon_rat_from_palette(path, expected):
+    """test_miramon_default_rat: the palette-derived attribute tables
+    (constant / direct-assignation / linear interval scaling)."""
+    rat = miramon_open(os.path.join(D, path)).bands[0].default_rat()
+    assert rat is not None
+    cols, rows = rat["columns"], rat["rows"]
+    for (r, c), want in expected.items():
+        got = rows[r][cols.index(c)]
+        assert got == pytest.approx(want, rel=1e-9), (r, c, got, want)
+
+
+@pytest.mark.parametrize("sub", [
+    "ThematicNoDataBeg", "ThematicNoDataEnd", "ThematicNoREL",
+    "ThematicNoDataMiddle", "ThematicLessColors",
+])
+def test_miramon_rat_from_dbf(sub):
+    """DBF attribute tables: rows are indexed by the category value,
+    logical fields stay raw T/F strings."""
+    rat = miramon_open(os.path.join(
+        D, "palettes", "Categorical", sub, "MUCSC_2002_30_m_v_6_retI.rel"
+    )).bands[0].default_rat()
+    assert rat is not None and rat["thematic"]
+    cols, rows = rat["columns"], rat["rows"]
+
+    def v(r, c):
+        return rows[r][cols.index(c)]
+
+    assert v(1, "CODI_USCOB") == 1
+    assert v(1, "DESC_USCOB") == "Aigües marines"
+    assert v(1, "CAMPEXTRA1") == "extra1"
+    assert v(1, "CAMPEXTRA2") == 2
+    assert v(1, "CAMPEXTRA3") == "20250110"
+    assert v(1, "CAMPEXTRA4") == "T"
+    assert v(2, "CODI_USCOB") == 2
+    assert v(2, "DESC_USCOB") == "Aigües continentals"
+    assert v(2, "CAMPEXTRA4") == "F"
+
+
+def test_miramon_rat_none_for_all_nodata():
+    assert miramon_open(
+        os.path.join(D, "all_nodata", "nodataI.rel")
+    ).bands[0].default_rat() is None
