@@ -163,11 +163,84 @@ _RCM_ORACLE = f"""
 """
 
 
+MM_W, MM_H = 16, 6
+
+
+def _synth_miramon(tmpdir: str, k: int) -> str:
+    """Write a minimal byte-RLE MiraMon raster (img + I.rel).
+
+    Row r = 8 repeated pixels of (k + r) % 200 (an RLE run) followed by
+    8 literal pixels (k*3 + r*5 + j) % 251 (a counter-0 literal block).
+    """
+    import os
+
+    img = bytearray()
+    for r in range(MM_H):
+        img += bytes([8, (k + r) % 200, 0, 8])
+        img += bytes([(k * 3 + r * 5 + j) % 251 for j in range(8)])
+    name = f"mm_{k}"
+    with open(os.path.join(tmpdir, name + ".img"), "wb") as f:
+        f.write(bytes(img))
+    rel = (
+        "[VERSIO]\nVersMetaDades=5\nSubVersMetaDades=0\nVers=4\nSubVers=3\n\n"
+        f"[OVERVIEW:ASPECTES_TECNICS]\ncolumns={MM_W}\nrows={MM_H}\n\n"
+        "[EXTENT]\nMinX=0\nMaxX=16\nMinY=0\nMaxY=6\n\n"
+        "[ATTRIBUTE_DATA]\nTipusCompressio=byte-RLE\n"
+        "TractamentVariable=Categoric\nIndexsNomsCamps=1\nNomCamp_1=G1\n"
+    )
+    with open(os.path.join(tmpdir, name + "I.rel"), "w",
+              encoding="latin-1") as f:
+        f.write(rel)
+    return os.path.join(tmpdir, name + "I.rel")
+
+
+def miramon_rle_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def decode_rows(keys: pd.Series) -> pd.Series:
+        import tempfile
+
+        from gdal_spark.raster.miramon import miramon_open
+
+        out = []
+        with tempfile.TemporaryDirectory() as td:
+            for k in keys:
+                rel = _synth_miramon(td, int(k))
+                ds = miramon_open(rel)
+                band = ds.bands[0]
+                assert (band.width, band.height) == (MM_W, MM_H)
+                a = band.read().astype("float64")
+                out.append([float(v) for v in a.sum(axis=1)])
+        return pd.Series(out)
+
+    return n.select(
+        F.col("k"),
+        F.posexplode(decode_rows(F.col("k"))).alias("row_id", "row_sum"),
+    )
+
+
+_MIRAMON_ORACLE = f"""
+    SELECT n.n_nationkey AS k, r.range AS row_id,
+           8 * CAST((n.n_nationkey + r.range) % 200 AS DOUBLE)
+           + (SELECT sum(CAST((n.n_nationkey * 3 + r.range * 5 + j.range)
+                              % 251 AS DOUBLE))
+              FROM range(8) j) AS row_sum
+    FROM nation n CROSS JOIN range({MM_H}) r
+"""
+
+
 SPARK = {
     "sar_ceos_mod": sar_ceos_mod,
     "rcm_calib_mod": rcm_calib_mod,
+    "miramon_rle_mod": miramon_rle_mod,
 }
 ORACLE = {
     "sar_ceos_mod": _SAR_CEOS_ORACLE,
     "rcm_calib_mod": _RCM_ORACLE,
+    "miramon_rle_mod": _MIRAMON_ORACLE,
 }
