@@ -149,6 +149,8 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "IRIS"
     if h.startswith(b"NUM_OREC"):
         return "NTv2"
+    if h.startswith(b"\x89HDF\r\n\x1a\n"):
+        return "BAG" if ext == "bag" else "HDF5"
     if (
         len(h) >= 12
         and h[0] == 0
