@@ -191,6 +191,167 @@ class S102Dataset:
         self.unit = "metre"
 
 
+# S-104 water level trend enumeration (s104dataset.cpp table)
+S104_TREND_RAT = {
+    "columns": ["code", "label", "definition"],
+    "rows": [
+        [0, "Nodata", "No data"],
+        [1, "Decreasing", "Becoming smaller in magnitude"],
+        [2, "Increasing", "Becoming larger in magnitude"],
+        [3, "Steady", "Constant"],
+    ],
+}
+
+# S-111 v1.2 tables 9.1/9.2 (speed ranges + colour schema)
+S111_SPEED_RAT = {
+    "columns": ["speed_band", "min_speed", "width_band", "color",
+                "red", "green", "blue"],
+    "rows": [
+        [1, 0.0, 0.5, "purple", 118, 82, 226],
+        [2, 0.5, 0.5, "dark blue", 72, 152, 211],
+        [3, 1.0, 1.0, "light blue", 97, 203, 229],
+        [4, 2.0, 1.0, "dark green", 109, 188, 69],
+        [5, 3.0, 2.0, "light green", 180, 220, 0],
+        [6, 5.0, 2.0, "yellow green", 205, 193, 0],
+        [7, 7.0, 3.0, "orange", 248, 167, 24],
+        [8, 10.0, 3.0, "pink", 247, 162, 157],
+        [9, 13.0, 86.0, "red", 255, 30, 30],
+    ],
+}
+
+
+def _fmt_num(v) -> str:
+    """CPLSPrintf %g-style rendering for metadata values."""
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return str(v)
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return repr(f)
+
+
+class _S1xxDataset:
+    """Shared S-104/S-111 machinery: feature-instance grid attributes,
+    timestamps, the pixel-is-point geotransform and the south-up flip."""
+
+    _FEATURE = ""          # e.g. "WaterLevel"
+    _VALUE_FIELDS = ()     # [(name, dtype, nodata, unit, rat)]
+
+    def __init__(self, data: bytes, group: str = "Group_001",
+                 north_up: bool = True):
+        from gdal_spark.functions.hdf5lib import hdf5_open
+
+        self._f = hdf5_open(data)
+        feat = self._FEATURE
+        inst_path = f"/{feat}/{feat}.01"
+        inst = self._f.get(inst_path)
+        if group not in inst.links:
+            raise ValueError(f"Cannot find {inst_path}/{group} group")
+        vals = self._f.get(f"{inst_path}/{group}/values").read()
+        dt = np.dtype([(n, d) for n, d, _, _, _ in self._VALUE_FIELDS])
+        a = np.frombuffer(vals.tobytes(), dt).reshape(vals.shape)
+        if north_up:
+            a = a[::-1]
+        self.bands = {}
+        for n, _, nodata, unit, rat in self._VALUE_FIELDS:
+            self.bands[n] = {
+                "data": a[n], "nodata": nodata, "unit": unit, "rat": rat,
+            }
+        self.band_order = [n for n, *_ in self._VALUE_FIELDS]
+        self.height, self.width = a.shape
+
+        at = inst.attrs
+        ox, oy = float(at["gridOriginLongitude"]), \
+            float(at["gridOriginLatitude"])
+        sx, sy = float(at["gridSpacingLongitudinal"]), \
+            float(at["gridSpacingLatitudinal"])
+        if north_up:
+            self.geotransform = (ox - sx / 2, sx, 0.0,
+                                 oy + sy * (self.height - 1) + sy / 2,
+                                 0.0, -sy)
+        else:
+            self.geotransform = (ox - sx / 2, sx, 0.0,
+                                 oy - sy / 2, 0.0, sy)
+        rat_ = self._f.root.attrs
+        self.epsg = rat_.get("horizontalCRS")
+        if self.epsg is None and \
+                rat_.get("horizontalDatumReference") == "EPSG":
+            self.epsg = rat_.get("horizontalDatumValue")
+        self.metadata = {"AREA_OR_POINT": "Point"}
+        for k in ("issueDate", "geographicIdentifier", "producer"):
+            if k in rat_:
+                self.metadata[k] = rat_[k]
+        vcs = rat_.get("verticalCS")
+        if vcs is not None:
+            self.metadata["verticalCS"] = _fmt_num(vcs)
+            if int(vcs) == 6498:
+                self.metadata["VERTICAL_CS_DEFINITION"] = \
+                    "depth, meters, orientation down"
+            elif int(vcs) == 6499:
+                self.metadata["VERTICAL_CS_DEFINITION"] = \
+                    "height, meters, orientation up"
+        vd = rat_.get("verticalDatum")
+        if vd in _VERTICAL_DATUM:
+            name, abbrev = _VERTICAL_DATUM[vd]
+            self.metadata["VERTICAL_DATUM_NAME"] = name
+            self.metadata["VERTICAL_DATUM_ABBREV"] = abbrev
+            if vd in _VERTICAL_DATUM_DEF:
+                self.metadata["VERTICAL_DATUM_DEFINITION"] = \
+                    _VERTICAL_DATUM_DEF[vd]
+        froot = self._f.get(f"/{feat}")
+        for k, v in froot.attrs.items():
+            if k not in ("dataCodingFormat",):
+                self.metadata[k] = _fmt_num(v)
+        for k in ("numberOfTimes", "timeRecordInterval",
+                  "dateTimeOfFirstRecord", "dateTimeOfLastRecord"):
+            if k in at:
+                self.metadata[k] = _fmt_num(at[k])
+        # subdatasets: one per Group_NNN with its timestamp
+        self.subdatasets = []
+        for gname in inst.links:
+            if gname.startswith("Group_"):
+                g = self._f.get(f"{inst_path}/{gname}")
+                ts = g.attrs.get("timePoint", "")
+                self.subdatasets.append(
+                    (gname, f"Values at timestamp {ts}")
+                )
+
+    def read_band(self, band: int) -> np.ndarray:
+        return self.bands[self.band_order[band - 1]]["data"]
+
+    def band_info(self, band: int) -> dict:
+        info = dict(self.bands[self.band_order[band - 1]])
+        info["description"] = self.band_order[band - 1]
+        return info
+
+
+class S104Dataset(_S1xxDataset):
+    _FEATURE = "WaterLevel"
+    _VALUE_FIELDS = (
+        ("waterLevelHeight", "<f4", -123.0, "metre", None),
+        ("waterLevelTrend", "u1", 0, "", S104_TREND_RAT),
+    )
+
+
+class S111Dataset(_S1xxDataset):
+    _FEATURE = "SurfaceCurrent"
+    _VALUE_FIELDS = (
+        ("surfaceCurrentSpeed", "<f4", -123.0, "knots", S111_SPEED_RAT),
+        ("surfaceCurrentDirection", "<f4", -123.0, "degree", None),
+    )
+
+
+def s104_open(data: bytes, group: str = "Group_001",
+              north_up: bool = True) -> S104Dataset:
+    return S104Dataset(data, group, north_up)
+
+
+def s111_open(data: bytes, group: str = "Group_001",
+              north_up: bool = True) -> S111Dataset:
+    return S111Dataset(data, group, north_up)
+
+
 def bag_open(data: bytes) -> BAGDataset:
     return BAGDataset(data)
 
