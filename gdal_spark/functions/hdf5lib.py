@@ -867,3 +867,137 @@ class HDF5File:
 
 def hdf5_open(data: bytes) -> HDF5File:
     return HDF5File(data)
+
+
+def hdf5_subdatasets(data: bytes, filename: str) -> dict:
+    """HDF5 raster subdataset listing (frmts/hdf5/hdf5dataset.cpp):
+    every >= 2-D dataset becomes HDF5:"file":/{path} with a
+    [HxW] (type) description."""
+    f = HDF5File(data)
+    md = {}
+    i = 0
+    for path, obj in f.visit().items():
+        if not isinstance(obj, Dataset) or len(obj.shape) < 2:
+            continue
+        i += 1
+        md[f"SUBDATASET_{i}_NAME"] = f'HDF5:"{filename}":/{path}'
+        dims = "x".join(str(s) for s in obj.shape)
+        md[f"SUBDATASET_{i}_DESC"] = f"[{dims}] /{path}"
+    return md
+
+
+def hdf5_write_simple(arrays: dict[str, np.ndarray]) -> bytes:
+    """Minimal classic HDF5 writer: one old-style root group holding
+    2-D contiguous little-endian datasets — enough for the reader's
+    own format to round-trip in contract queries."""
+    import io
+
+    names = sorted(arrays)
+    buf = io.BytesIO()
+
+    def pad8(n):
+        return (n + 7) // 8 * 8
+
+    # layout plan: superblock(96) | object headers | heap | btree/snod | data
+    pos = 96
+    obj_addrs = {}
+    obj_bodies = {}
+    data_addrs = {}
+    # build dataset object headers
+    pending = []
+    for name in names:
+        a = np.ascontiguousarray(arrays[name])
+        if a.ndim != 2:
+            raise ValueError("only 2-D arrays supported")
+        kind = a.dtype.kind
+        if kind == "f":
+            dt_body = struct.pack("<BBBBI", 0x11, 0x20, 0x3F, 0x00,
+                                  a.dtype.itemsize)
+            if a.dtype.itemsize == 4:
+                props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+            else:
+                props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        elif kind in "iu":
+            flags = 0x08 if kind == "i" else 0x00
+            dt_body = struct.pack("<BBBBI", 0x10, flags, 0, 0,
+                                  a.dtype.itemsize)
+            props = struct.pack("<HH", 0, a.dtype.itemsize * 8)
+        else:
+            raise ValueError(f"unsupported dtype {a.dtype}")
+        le = a.astype(a.dtype.newbyteorder("<"), copy=False)
+        dt_msg = dt_body + props
+        ds_msg = struct.pack("<BBBB4x", 1, 2, 0, 0) + struct.pack(
+            "<QQ", a.shape[0], a.shape[1]
+        )
+        # layout v3 contiguous: addr+size patched later
+        pending.append((name, le, dt_msg, ds_msg))
+
+    def msg(mtype, body):
+        body = body + b"\x00" * (pad8(len(body)) - len(body))
+        return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+    hdr_blobs = []
+    for name, le, dt_msg, ds_msg in pending:
+        layout_placeholder = struct.pack("<BBQQ", 3, 1, 0, 0)
+        msgs = msg(0x01, ds_msg) + msg(0x03, dt_msg) + \
+            msg(0x08, layout_placeholder)
+        hdr = struct.pack("<BBHII", 1, 0, 3, 1, len(msgs)) + b"\x00" * 4 + msgs
+        hdr_blobs.append(hdr)
+
+    addr = 96
+    for (name, le, _, _), hdr in zip(pending, hdr_blobs):
+        obj_addrs[name] = addr
+        addr += len(hdr)
+    heap_addr = addr
+    # local heap: header(32) + data
+    heap_data = b"\x00" * 8
+    name_offsets = {}
+    for name in names:
+        name_offsets[name] = len(heap_data)
+        nb = name.encode() + b"\x00"
+        heap_data += nb + b"\x00" * (pad8(len(nb)) - len(nb))
+    heap_size = pad8(len(heap_data)) + 64
+    heap_data += b"\x00" * (heap_size - 32 - len(heap_data))
+    snod_addr = heap_addr + 32 + len(heap_data)
+    snod = struct.pack("<4sBBH", b"SNOD", 1, 0, len(names))
+    for name in names:
+        snod += struct.pack("<QQI4x16x", name_offsets[name],
+                            obj_addrs[name], 0)
+    snod += b"\x00" * 8
+    btree_addr = snod_addr + len(snod)
+    btree = struct.pack("<4sBBHQQ", b"TREE", 0, 0, 1, _UNDEF, _UNDEF)
+    btree += struct.pack("<Q", 0) + struct.pack("<Q", snod_addr) + \
+        struct.pack("<Q", len(heap_data))
+    root_hdr_addr = btree_addr + len(btree)
+    stab = struct.pack("<QQ", btree_addr, heap_addr)
+    root_msgs = msg(0x11, stab)
+    root_hdr = struct.pack("<BBHII", 1, 0, 1, 1, len(root_msgs)) + \
+        b"\x00" * 4 + root_msgs
+    data_start = root_hdr_addr + len(root_hdr)
+    addr = data_start
+    for name, le, _, _ in pending:
+        data_addrs[name] = addr
+        addr += le.nbytes
+
+    # superblock v0
+    sb = _SIG + bytes([0, 0, 0, 0, 0, 8, 8, 0])
+    sb += struct.pack("<HHI", 4, 16, 0)
+    sb += struct.pack("<QQQQ", 0, _UNDEF, addr, _UNDEF)
+    sb += struct.pack("<QQI4x", 0, root_hdr_addr, 1) + b"\x00" * 16
+    sb += b"\x00" * (96 - len(sb))
+    buf.write(sb)
+    for (name, le, dt_msg, ds_msg), hdr in zip(pending, hdr_blobs):
+        layout = struct.pack("<BBQQ", 3, 1, data_addrs[name], le.nbytes)
+        patched = hdr.replace(
+            struct.pack("<BBQQ", 3, 1, 0, 0), layout
+        )
+        buf.write(patched)
+    heap_hdr = struct.pack("<4sB3xQQQ", b"HEAP", 0, len(heap_data),
+                           _UNDEF, heap_addr + 32)
+    buf.write(heap_hdr + heap_data)
+    buf.write(snod)
+    buf.write(btree)
+    buf.write(root_hdr)
+    for name, le, _, _ in pending:
+        buf.write(le.tobytes())
+    return buf.getvalue()

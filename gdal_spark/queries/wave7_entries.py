@@ -234,13 +234,62 @@ _MIRAMON_ORACLE = f"""
 """
 
 
+H5_W, H5_H = 12, 5
+
+
+def hdf5_grid_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip a closed-form int32 grid through the engine's own
+    HDF5 writer + reader (superblock, symbol-table group, object
+    headers, contiguous layout) per nation key."""
+    from gdal_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def roundtrip(keys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from gdal_spark.functions.hdf5lib import hdf5_open, hdf5_write_simple
+
+        out = []
+        for k in keys:
+            k = int(k)
+            r, c = np.meshgrid(np.arange(H5_H), np.arange(H5_W),
+                               indexing="ij")
+            grid = ((k * 13 + r * 7 + c * 11) % 103).astype(np.int32)
+            f = hdf5_open(hdf5_write_simple({"g": grid}))
+            a = f.get("/g").read()
+            assert a.shape == (H5_H, H5_W)
+            out.append([float(v) for v in
+                        a.astype("float64").sum(axis=1)])
+        return pd.Series(out)
+
+    return n.select(
+        F.col("k"),
+        F.posexplode(roundtrip(F.col("k"))).alias("row_id", "row_sum"),
+    )
+
+
+_HDF5_ORACLE = f"""
+    SELECT n.n_nationkey AS k, r.range AS row_id,
+           sum(CAST((n.n_nationkey * 13 + r.range * 7 + c.range * 11) % 103
+               AS DOUBLE)) AS row_sum
+    FROM nation n CROSS JOIN range({H5_H}) r CROSS JOIN range({H5_W}) c
+    GROUP BY n.n_nationkey, r.range
+"""
+
+
 SPARK = {
     "sar_ceos_mod": sar_ceos_mod,
     "rcm_calib_mod": rcm_calib_mod,
     "miramon_rle_mod": miramon_rle_mod,
+    "hdf5_grid_mod": hdf5_grid_mod,
 }
 ORACLE = {
     "sar_ceos_mod": _SAR_CEOS_ORACLE,
     "rcm_calib_mod": _RCM_ORACLE,
     "miramon_rle_mod": _MIRAMON_ORACLE,
+    "hdf5_grid_mod": _HDF5_ORACLE,
 }

@@ -125,3 +125,34 @@ def test_all_fixtures_read():
         for k, v in f.visit().items():
             if hasattr(v, "read"):
                 v.read()
+
+
+def test_writer_roundtrip():
+    """The minimal writer's output parses with the full reader."""
+    from gdal_spark.functions.hdf5lib import (
+        hdf5_subdatasets,
+        hdf5_write_simple,
+    )
+
+    a = (np.arange(12).reshape(3, 4) * 3 % 17).astype(np.int32)
+    b = np.linspace(0, 1, 6).reshape(2, 3).astype(np.float32)
+    c = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    data = hdf5_write_simple({"ints": a, "floats": b, "bytes": c})
+    f = hdf5_open(data)
+    assert np.array_equal(f.get("/ints").read(), a)
+    assert np.allclose(f.get("/floats").read(), b)
+    assert np.array_equal(f.get("/bytes").read(), c)
+    md = hdf5_subdatasets(data, "x.h5")
+    assert md["SUBDATASET_1_NAME"] == 'HDF5:"x.h5"://bytes'
+    assert len(md) == 6
+
+
+def test_subdatasets_groups():
+    """test_hdf5_2 subdataset naming over nested groups."""
+    from gdal_spark.functions.hdf5lib import hdf5_subdatasets
+
+    data = open(os.path.join(D, "groups.h5"), "rb").read()
+    md = hdf5_subdatasets(data, "data/hdf5/groups.h5")
+    names = [v for k, v in md.items() if k.endswith("_NAME")]
+    assert 'HDF5:"data/hdf5/groups.h5"://MyGroup/Group_A/dset2' in names
+    assert 'HDF5:"data/hdf5/groups.h5"://MyGroup/dset1' in names
