@@ -846,9 +846,12 @@ class HDF5File:
         return cur
 
     def visit(self):
-        """-> {full_path: Dataset|Group} walking hard links once."""
+        """-> {full_path: Dataset|Group} walking hard links once.
+        Also fills self.addresses (path -> object header address) for
+        resolving object references (e.g. netCDF-4 DIMENSION_LIST)."""
         out = {}
         seen = set()
+        self.addresses = {}
 
         def walk(g: Group, prefix):
             for name, addr in g.links.items():
@@ -858,6 +861,7 @@ class HDF5File:
                 seen.add(addr)
                 obj = self._load_object(addr, name)
                 out[path] = obj
+                self.addresses[path] = addr
                 if isinstance(obj, Group):
                     walk(obj, path)
 

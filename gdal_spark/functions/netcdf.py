@@ -126,10 +126,98 @@ class _Reader:
         return atts
 
 
+_NP_TO_NC = {"i1": NC_BYTE, "S1": NC_CHAR, "i2": NC_SHORT, "i4": NC_INT,
+             "f4": NC_FLOAT, "f8": NC_DOUBLE, "u1": NC_UBYTE,
+             "u2": NC_USHORT, "u4": NC_UINT, "i8": NC_INT64, "u8": NC_UINT64}
+
+
+def _nc4_parse(data: bytes) -> dict:
+    """netCDF-4 (HDF5-backed): translate the HDF5 object tree into the
+    classic-parse info dict. Dimensions come from DIMENSION_SCALE
+    datasets (ordered by _Netcdf4Dimid), variable dimension ids from the
+    DIMENSION_LIST object references."""
+    from gdal_spark.functions.hdf5lib import hdf5_open
+
+    f = hdf5_open(data)
+    objs = f.visit()
+    datasets = {k: v for k, v in objs.items() if hasattr(v, "read")}
+
+    # dimensions
+    dim_entries = []  # (dimid_hint, name, size, addr)
+    for path, ds in datasets.items():
+        attrs = ds.attrs
+        if attrs.get("CLASS") == "DIMENSION_SCALE":
+            name = attrs.get("NAME", path.lstrip("/"))
+            if isinstance(name, str) and name.startswith(
+                "This is a netCDF dimension"
+            ):
+                name = path.lstrip("/")
+            hint = attrs.get("_Netcdf4Dimid")
+            size = ds.shape[0] if ds.shape else 1
+            dim_entries.append((
+                int(hint) if hint is not None else len(dim_entries),
+                name, size, f.addresses[path],
+            ))
+    dim_entries.sort(key=lambda t: t[0])
+    dims = [(name, size) for _, name, size, _ in dim_entries]
+    addr_to_dimid = {addr: i for i, (_, _, _, addr)
+                     in enumerate(dim_entries)}
+    name_to_dimid = {name: i for i, (_, name, _, _)
+                     in enumerate(dim_entries)}
+
+    variables: dict[str, dict] = {}
+    readers: dict[str, object] = {}
+    for path, ds in datasets.items():
+        name = path.lstrip("/")
+        attrs = dict(ds.attrs)
+        dimids = []
+        dl = attrs.get("DIMENSION_LIST")
+        if dl is not None:
+            refs = dl if isinstance(dl, list) else [dl]
+            for r in refs:
+                vals = np.asarray(r).ravel()
+                if len(vals) and int(vals[0]) in addr_to_dimid:
+                    dimids.append(addr_to_dimid[int(vals[0])])
+        elif attrs.get("CLASS") == "DIMENSION_SCALE":
+            base = name.split("/")[-1]
+            if base in name_to_dimid:
+                dimids = [name_to_dimid[base]]
+        elif ds.shape:
+            # fall back to matching by size in declared order
+            for s in ds.shape:
+                for i, (_, _, size, _) in enumerate(dim_entries):
+                    if size == s and i not in dimids:
+                        dimids.append(i)
+                        break
+        for k in ("CLASS", "NAME", "REFERENCE_LIST", "DIMENSION_LIST",
+                  "_Netcdf4Dimid", "_Netcdf4Coordinates"):
+            attrs.pop(k, None)
+        try:
+            np_dt = ds.dtype.numpy_dtype()
+            nc_type = _NP_TO_NC.get(np_dt.str[1:], NC_DOUBLE)
+            if np_dt.kind == "S":
+                nc_type = NC_CHAR
+        except Exception:
+            nc_type = NC_CHAR
+        variables[name] = {
+            "dims": dimids, "atts": attrs, "type": nc_type,
+            "vsize": 0, "begin": 0, "shape": list(ds.shape),
+            "record": False,
+        }
+        readers[name] = ds
+    gatts = dict(f.root.attrs)
+    return {"version": 4, "numrecs": 0, "dims": dims, "gatts": gatts,
+            "vars": variables, "order": list(variables),
+            "_h5_readers": readers}
+
+
 def nc_parse(data: bytes) -> dict:
     """Parse a classic netCDF header -> {version, numrecs, dims, gatts,
     vars}. ``dims`` is [(name, size)] (size 0 = record dim); each var is
-    {dims: [dimid], atts: {}, type, vsize, begin, shape, record: bool}."""
+    {dims: [dimid], atts: {}, type, vsize, begin, shape, record: bool}.
+    HDF5-backed netCDF-4 files dispatch to the HDF5 reader."""
+    if data[:8] == b"\x89HDF\r\n\x1a\n":
+        return _nc4_parse(data)
     r = _Reader(data)
     numrecs = r.i64() if r.version == 5 else r.u32()
     if numrecs == 0xFFFFFFFF:
@@ -184,6 +272,8 @@ def nc_parse(data: bytes) -> dict:
 
 def nc_read_var(data: bytes, info: dict, name: str) -> np.ndarray:
     """Full read of one variable (record vars gathered across records)."""
+    if "_h5_readers" in info:
+        return info["_h5_readers"][name].read()
     v = info["vars"][name]
     dt = _DTYPES[v["type"]]
     shape = tuple(v["shape"])

@@ -198,3 +198,49 @@ def test_classic_fixture_sweep():
             n_raster += 1
     assert n_parsed >= 70  # 81 classic fixtures ship with the reference
     assert n_raster >= 50
+
+
+def test_netcdf4_hdf5_backed():
+    """netCDF-4 (HDF5) files dispatch through the HDF5 reader and
+    produce the same raster bridge output: byte_chunked_multiple.nc is
+    byte.tif (checksum 4672) with the canonical geotransform."""
+    import numpy as np
+
+    from gdal_spark.functions.checksum import checksum
+    from gdal_spark.functions.netcdf import nc_parse, nc_to_raster
+
+    p = ("/root/reference/autotest/gdrivers/data/netcdf/"
+         "byte_chunked_multiple.nc")
+    if not os.path.exists(p):
+        pytest.skip("fixture missing")
+    data = open(p, "rb").read()
+    arr, gt, nodata, meta = nc_to_raster(data)
+    assert arr.shape == (1, 20, 20)
+    assert checksum(arr[0]) == 4672
+    assert gt == pytest.approx((440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0))
+    info = nc_parse(data)
+    assert [d[0] for d in info["dims"]] == ["x", "y"]
+    assert info["vars"]["Band1"]["dims"] == [1, 0]  # (y, x)
+
+
+def test_netcdf4_sweep():
+    """Every HDF5-backed .nc fixture either rasters or is legitimately
+    non-raster (no 2-D variable)."""
+    import glob
+
+    from gdal_spark.functions.netcdf import NcError, nc_to_raster
+
+    d = "/root/reference/autotest/gdrivers/data/netcdf"
+    n_ok = 0
+    for p in sorted(glob.glob(os.path.join(d, "*.nc"))):
+        raw = open(p, "rb").read()
+        if not raw.startswith(b"\x89HDF"):
+            continue
+        if "truncated" in p:
+            continue
+        try:
+            nc_to_raster(raw)
+            n_ok += 1
+        except NcError as e:
+            assert "no 2-D raster variable" in str(e), p
+    assert n_ok >= 20
