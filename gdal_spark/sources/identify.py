@@ -238,6 +238,9 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
             return "MapML"
         if b"<CacheInfo" in h:
             return "ESRIC"
+        if (b"Level-1C_User_Product" in h or b"Level-2A_User_Product" in h
+                or b"Level-1B_User_Product" in h):
+            return "SENTINEL2"
     if s.startswith(b"{") and b"ogc-json-fg" in h:
         return "JSONFG"
     if s.startswith(b"{") and b'"type"' in h:
