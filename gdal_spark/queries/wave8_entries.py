@@ -232,12 +232,94 @@ _PDS4_ORACLE = f"""
 """
 
 
+ST_TILE = 20       # STACIT synth tile pixels at 60 m
+
+
+def _synth_stacit(tmpdir: str, k: int) -> str:
+    """Two-item STAC FeatureCollection with a key-dependent offset."""
+    import json
+
+    dx = 20 + (k % 5) * 3          # pixels east
+    dy = 10 + (k % 3) * 4          # pixels south
+    ulx0, uly0 = 440720, 3751320
+    feats = []
+    for i, (ulx, uly) in enumerate(
+            [(ulx0, uly0), (ulx0 + dx * 60, uly0 - dy * 60)]):
+        feats.append({
+            "type": "Feature",
+            "id": f"it{i}",
+            "properties": {"datetime": f"2021-07-1{i}T00:00:00Z",
+                           "proj:epsg": 26711},
+            "collection": "c",
+            "assets": {"B01": {
+                "href": f"t{i}.tif", "roles": ["data"],
+                "proj:bbox": [ulx, uly - ST_TILE * 60,
+                              ulx + ST_TILE * 60, uly],
+                "proj:transform": [60, 0, ulx, 0, -60, uly],
+            }},
+        })
+    path = os.path.join(tmpdir, "items.json")
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    return path
+
+
+def stacit_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+
+    @pandas_udf(T.ArrayType(T.ArrayType(T.LongType())))
+    def placements(keys: pd.Series) -> pd.Series:
+        from gdal_spark.sources.stacit import stacit_open
+
+        out = []
+        for k in keys:
+            tmpdir = tempfile.mkdtemp(prefix="stacit_")
+            try:
+                ds = stacit_open(_synth_stacit(tmpdir, int(k)))
+                rows = []
+                for i, (_href, _src, dst) in enumerate(ds.sources):
+                    rows.append([i, dst[0], dst[1],
+                                 ds.width, ds.height])
+                out.append(rows)
+            finally:
+                shutil.rmtree(tmpdir, ignore_errors=True)
+        return pd.Series(out)
+
+    row = F.explode(placements(F.col("k"))).alias("r")
+    return n.select(F.col("k"), row).select(
+        "k",
+        F.col("r")[0].alias("item_id"),
+        F.col("r")[1].alias("xoff"),
+        F.col("r")[2].alias("yoff"),
+        F.col("r")[3].alias("mosaic_w"),
+        F.col("r")[4].alias("mosaic_h"),
+    )
+
+
+_STACIT_ORACLE = f"""
+    SELECT n.n_nationkey AS k, i.range AS item_id,
+           CASE WHEN i.range = 0 THEN 0
+                ELSE 20 + (n.n_nationkey % 5) * 3 END AS xoff,
+           CASE WHEN i.range = 0 THEN 0
+                ELSE 10 + (n.n_nationkey % 3) * 4 END AS yoff,
+           20 + (n.n_nationkey % 5) * 3 + {ST_TILE} AS mosaic_w,
+           10 + (n.n_nationkey % 3) * 4 + {ST_TILE} AS mosaic_h
+    FROM nation n CROSS JOIN range(2) i
+"""
+
+
 SPARK = {
     "sentinel2_mod": sentinel2_mod,
     "pds4_grid_mod": pds4_grid_mod,
+    "stacit_mod": stacit_mod,
 }
 
 ORACLE = {
     "sentinel2_mod": _S2_ORACLE,
     "pds4_grid_mod": _PDS4_ORACLE,
+    "stacit_mod": _STACIT_ORACLE,
 }

@@ -243,6 +243,10 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
             return "SENTINEL2"
     if s.startswith(b"{") and b"ogc-json-fg" in h:
         return "JSONFG"
+    if s.startswith(b"{") and b'"stac_version"' in h and (
+        b'"FeatureCollection"' in h or b'"Feature"' in h
+    ):
+        return "STACIT"
     if s.startswith(b"{") and b'"type"' in h:
         return "GeoJSON"
     from gdal_spark.raster.l1b import detect_l1b
