@@ -43,7 +43,7 @@ def test_sirc_decode_formula(tmp_path):
         [2, 10, 30, -40, 5, 6, 7, 8, 9, 10],
         [-1, 50, -60, 70, 1, 2, 3, 4, 5, 6],
     ]
-    raw = b"".join(bytes(struct.pack("b", v) for v in p) for p in px)
+    raw = b"".join(b"".join(struct.pack("b", v) for v in p) for p in px)
     (tmp_path / "fakeSIRC.img").write_bytes(raw)
     ds = cpg_open(str(hdr))
     for band in range(1, 5):
@@ -58,7 +58,7 @@ def test_polgasp_type1(tmp_path):
     """Four-file hh/hv/vv/vh CFloat32 fileset + UTM georeferencing."""
     w, h = 3, 2
     for i, pol in enumerate(("hh", "hv", "vv", "vh")):
-        vals = np.arange(w * h * 2, dtype=">f4") + i * 100
+        vals = (np.arange(w * h * 2) + i * 100).astype(">f4")
         (tmp_path / f"x_sso_{pol}.img").write_bytes(vals.tobytes())
         (tmp_path / f"x_sso_{pol}.hdr").write_text(
             f"number_lines {h}\n"
