@@ -20,6 +20,7 @@ the same container.
 
 from __future__ import annotations
 
+import re
 import struct
 
 __all__ = ["DDFModule", "parse_ddf"]
@@ -86,7 +87,10 @@ def _parse_formats(fmt: str) -> list[tuple]:
 
 
 _BIN = {"b11": ("<B", 1), "b12": ("<H", 2), "b14": ("<I", 4),
-        "b21": ("<b", 1), "b22": ("<h", 2), "b24": ("<i", 4)}
+        "b18": ("<Q", 8), "b21": ("<b", 1), "b22": ("<h", 2),
+        "b24": ("<i", 4), "b28": ("<q", 8),
+        # S-100 Part 10a floating-point extensions
+        "b44": ("<f", 4), "b48": ("<d", 8)}
 
 
 def _read_subfield(data: bytes, pos: int, kind: str, width):
@@ -143,26 +147,55 @@ class FieldDefn:
         self.type_code = type_code
         self.repeating = labels_raw.startswith("*")
         body = labels_raw.lstrip("*")
-        self.labels = body.split("!") if body else []
+        # S-100 style mixed descriptor: scalar head, then '\*'-marked
+        # repeating tail group (e.g. DSID 'RCNM!..!DSED\*DSTC',
+        # INAS '..IUIN\*NATC!ATIX!PAIX!ATIN!ATVL')
+        self.tail_labels: list[str] = []
+        m = re.search(r"\\*\*", body)  # optional backslashes then '*'
+        if m and not self.repeating:
+            head, tail = body[:m.start()], body[m.end():]
+            self.labels = head.split("!") if head else []
+            self.tail_labels = tail.split("!") if tail else []
+        else:
+            self.labels = body.split("!") if body else []
         self.formats = _parse_formats(fmt) if fmt else []
 
+    def _fmt(self, idx: int):
+        if not self.formats:
+            return ("A", None)
+        return self.formats[idx % len(self.formats)]
+
     def decode(self, data: bytes):
-        """-> list of {label: value} rows (one for non-repeating)."""
+        """-> list of {label: value} rows (one for non-repeating).
+
+        Mixed S-100 descriptors (scalar head + '\\*' repeating tail)
+        decode to a single dict whose tail labels hold parallel lists."""
         if data.endswith(bytes([FT])):
             data = data[:-1]
-        if not self.labels:  # elementary field
+        if not self.labels and not self.tail_labels:  # elementary field
             if not self.formats:
                 return data.decode("latin-1")
             v, _ = _read_subfield(data, 0, *self.formats[0])
             return v
-        rows = []
         pos = 0
+        if self.tail_labels:
+            row = {}
+            for i, label in enumerate(self.labels):
+                v, pos = _read_subfield(data, pos, *self._fmt(i))
+                row[label] = v
+            for label in self.tail_labels:
+                row[label] = []
+            nh = len(self.labels)
+            while pos < len(data):
+                for j, label in enumerate(self.tail_labels):
+                    v, pos = _read_subfield(data, pos, *self._fmt(nh + j))
+                    row[label].append(v)
+            return row
+        rows = []
         while True:
             row = {}
             for i, label in enumerate(self.labels):
-                kind, width = self.formats[i % len(self.formats)] \
-                    if self.formats else ("A", None)
-                v, pos = _read_subfield(data, pos, kind, width)
+                v, pos = _read_subfield(data, pos, *self._fmt(i))
                 row[label] = v
             rows.append(row)
             if not self.repeating or pos >= len(data):
@@ -240,6 +273,7 @@ class DDFModule:
             prev_dir = (entries, base)
         rec: dict = {}
         raw_map: dict = {}
+        multi: set = set()
         for tag, ln, off in entries:
             raw = data[pos + base_off + off:pos + base_off + off + ln]
             if tag in raw_map:
@@ -254,12 +288,11 @@ class DDFModule:
                 continue
             val = defn.decode(raw)
             if tag in rec:  # repeated field tag in one record
-                if not isinstance(rec[tag], list) or \
-                        isinstance(rec[tag], list) and \
-                        isinstance(val, dict):
-                    rec[tag] = [rec[tag], val]
-                else:
+                if tag in multi:
                     rec[tag].append(val)
+                else:
+                    rec[tag] = [rec[tag], val]
+                    multi.add(tag)
             else:
                 rec[tag] = val
         rec["__raw__"] = raw_map
