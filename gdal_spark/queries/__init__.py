@@ -45,6 +45,7 @@ from gdal_spark.queries import (
     wave6_entries,
     wave7_entries,
     wave8_entries,
+    wave9_entries,
 )
 
 MODULES = [
@@ -57,7 +58,7 @@ MODULES = [
     cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
     closedform_extra, calc_entries, retile_entries, xyz_entries,
     multimodal_entries, wave4_entries, wave6_entries,
-    wave7_entries, wave8_entries,
+    wave7_entries, wave8_entries, wave9_entries,
 ]
 
 
