@@ -102,6 +102,73 @@ def _parse_ifo(lines: list[str], i: int) -> tuple[dict, int]:
     return tables, i
 
 
+def assemble_layers(arcs, labs, pals, cnts, tables) -> dict:
+    """Shared E00/AVCBin feature assembly (both coverages carry the
+    same ARC/LAB/PAL/CNT model; the binary twin in sources/avcbin.py
+    reuses this)."""
+    arc_by_id = {a["id"]: a for a in arcs}
+
+    def table_for(suffix: str):
+        for name, t in tables.items():
+            if name.upper().endswith(suffix):
+                return t
+        return None
+
+    layers: dict = {}
+    if arcs:
+        aat = table_for(".AAT")
+        feats = []
+        for idx, a in enumerate(arcs):
+            f = {"UserID": str(a["UserID"]),
+                 "FNODE": a["FNODE"], "TNODE": a["TNODE"],
+                 "LPOLY": a["LPOLY"], "RPOLY": a["RPOLY"],
+                 "wkt": "LINESTRING (%s)" % ",".join(
+                     "%.10g %.10g" % p for p in a["pts"])}
+            if aat and idx < len(aat["records"]):
+                f.update(aat["records"][idx])
+            feats.append(f)
+        layers["ARC"] = feats
+    if labs:
+        pat = table_for(".PAT") if not pals else None
+        feats = []
+        for idx, lab in enumerate(labs):
+            f = {"ValueId": lab["ValueId"], "PolyId": lab["PolyId"],
+                 "wkt": "POINT (%.10g %.10g)" % (lab["x"], lab["y"])}
+            if pat and idx < len(pat["records"]):
+                f.update(pat["records"][idx])
+            feats.append(f)
+        layers["LAB"] = feats
+    if pals:
+        pat = table_for(".PAT")
+        feats = []
+        for idx, pal in enumerate(pals):
+            if idx == 0:
+                continue  # universe polygon
+            pts: list[tuple] = []
+            for arcid, _, _ in pal["arcs"]:
+                arc = arc_by_id.get(abs(arcid))
+                if arc is None:
+                    continue
+                seg = arc["pts"] if arcid > 0 else arc["pts"][::-1]
+                pts.extend(seg[1:] if pts and pts[-1] == seg[0] else seg)
+            f = {"ArcIds": [a for a, _, _ in pal["arcs"]]}
+            if pts:
+                if pts[0] != pts[-1]:
+                    pts.append(pts[0])
+                f["wkt"] = "POLYGON ((%s))" % ",".join(
+                    "%.10g %.10g" % p for p in pts)
+            # PAT record idx+1 skips the universe polygon's row 1
+            if pat and idx + 1 <= len(pat["records"]):
+                f.update(pat["records"][idx])
+            feats.append(f)
+        layers["PAL"] = feats
+    if cnts:
+        layers["CNT"] = [
+            dict(c, wkt="POINT (%.10g %.10g)" % (c["x"], c["y"]))
+            for c in cnts]
+    return layers
+
+
 def e00_read(data: bytes | str) -> dict:
     text = data.decode("latin-1") if isinstance(data, bytes) else data
     lines = text.splitlines()
@@ -193,66 +260,7 @@ def e00_read(data: bytes | str) -> dict:
         else:
             i += 1
 
-    arc_by_id = {a["id"]: a for a in arcs}
-
-    def table_for(suffix: str):
-        for name, t in tables.items():
-            if name.upper().endswith(suffix):
-                return t
-        return None
-
-    layers: dict = {}
-    if arcs:
-        aat = table_for(".AAT")
-        feats = []
-        for idx, a in enumerate(arcs):
-            f = {"UserID": str(a["UserID"]),
-                 "FNODE": a["FNODE"], "TNODE": a["TNODE"],
-                 "LPOLY": a["LPOLY"], "RPOLY": a["RPOLY"],
-                 "wkt": "LINESTRING (%s)" % ",".join(
-                     "%.10g %.10g" % p for p in a["pts"])}
-            if aat and idx < len(aat["records"]):
-                f.update(aat["records"][idx])
-            feats.append(f)
-        layers["ARC"] = feats
-    if labs:
-        pat = table_for(".PAT") if not pals else None
-        feats = []
-        for idx, lab in enumerate(labs):
-            f = {"ValueId": lab["ValueId"], "PolyId": lab["PolyId"],
-                 "wkt": "POINT (%.10g %.10g)" % (lab["x"], lab["y"])}
-            if pat and idx < len(pat["records"]):
-                f.update(pat["records"][idx])
-            feats.append(f)
-        layers["LAB"] = feats
-    if pals:
-        pat = table_for(".PAT")
-        feats = []
-        for idx, pal in enumerate(pals):
-            if idx == 0:
-                continue  # universe polygon
-            pts: list[tuple] = []
-            for arcid, _, _ in pal["arcs"]:
-                arc = arc_by_id.get(abs(arcid))
-                if arc is None:
-                    continue
-                seg = arc["pts"] if arcid > 0 else arc["pts"][::-1]
-                pts.extend(seg[1:] if pts and pts[-1] == seg[0] else seg)
-            f = {"ArcIds": [a for a, _, _ in pal["arcs"]]}
-            if pts:
-                if pts[0] != pts[-1]:
-                    pts.append(pts[0])
-                f["wkt"] = "POLYGON ((%s))" % ",".join(
-                    "%.10g %.10g" % p for p in pts)
-            # PAT record idx+1 skips the universe polygon's row 1
-            if pat and idx + 1 <= len(pat["records"]):
-                f.update(pat["records"][idx])
-            feats.append(f)
-        layers["PAL"] = feats
-    if cnts:
-        layers["CNT"] = [
-            dict(c, wkt="POINT (%.10g %.10g)" % (c["x"], c["y"]))
-            for c in cnts]
+    layers = assemble_layers(arcs, labs, pals, cnts, tables)
     return {"layers": layers, "prj": "\n".join(prj), "tables": tables}
 
 
