@@ -48,6 +48,7 @@ from gdal_spark.queries import (
     wave9_entries,
     wave10_entries,
     wave11_entries,
+    wave12_entries,
 )
 
 MODULES = [
@@ -60,7 +61,7 @@ MODULES = [
     cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
     closedform_extra, calc_entries, retile_entries, xyz_entries,
     multimodal_entries, wave4_entries, wave6_entries,
-    wave7_entries, wave8_entries, wave9_entries, wave10_entries, wave11_entries,
+    wave7_entries, wave8_entries, wave9_entries, wave10_entries, wave11_entries, wave12_entries,
 ]
 
 
