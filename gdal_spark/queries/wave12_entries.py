@@ -86,8 +86,6 @@ def wave12_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
             nv = 3 + k % 3
             pts = [(float(k + i), float(2 * k + 3 * i))
                    for i in range(nv)]
-            body = struct.pack(">7i", 1, (28 + 8 * nv) // 2, 1, 1, 2,
-                               0, 0)[:8]
             body = struct.pack(">ii", 1, (24 + 8 * nv) // 2)
             body += struct.pack(">6i", k, 1, 2, 0, 0, nv)
             for x, y in pts:

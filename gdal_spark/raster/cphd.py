@@ -97,11 +97,14 @@ class CphdFile:
             if k not in known:
                 self.attributes[k.lower()] = v
 
-        self.pvp_dtype = self._pvp_dtype(root.find("PVP"))
+        dnode = root.find("Data")
+        nbytes_pvp = int(dnode.findtext("NumBytesPVP", "0") or 0) \
+            if dnode is not None else 0
+        self.pvp_dtype = self._pvp_dtype(root.find("PVP"), nbytes_pvp)
         self._read_channels(data, root)
 
     # -- PVP compound ------------------------------------------------------
-    def _pvp_dtype(self, pvp) -> np.dtype | None:
+    def _pvp_dtype(self, pvp, nbytes_pvp: int = 0) -> np.dtype | None:
         if pvp is None:
             return None
         names, formats, offsets = [], [], []
@@ -126,7 +129,9 @@ class CphdFile:
                         add(f"{node.tag}.{sub.tag}", sub)
         if not names:
             return None
-        size = int(self.header.get("PVP_BLOCK_SIZE", "0")) or (
+        # per-vector stride is Data/NumBytesPVP, NOT the total block
+        # size (they coincide only for single-vector files)
+        size = nbytes_pvp or (
             max(o + f.itemsize for o, f in zip(offsets, formats)))
         return np.dtype({"names": names, "formats": formats,
                          "offsets": offsets, "itemsize": size})

@@ -404,18 +404,23 @@ def kmlso_write(arr: np.ndarray, gt: tuple, name: str = "",
         return jpeg_encode(tile[..., :3] if tile.ndim == 3 else tile)
 
     def tile_box(zoom, ix, iy):
-        nxt = 1 << zoom
-        nyt = 1 << zoom
-        tw = (east - west) / nxt
-        thh = (north - south) / nyt
-        # iy counts from the SOUTH (the reference's y loop)
-        return (west + ix * tw, south + iy * thh,
-                west + (ix + 1) * tw, south + (iy + 1) * thh)
+        # boxes derive from the tile's actual PIXEL window (the grid is
+        # ceil(w/(tile*step)) wide, not 2^zoom), so non-power-of-two
+        # rasters stay correctly georeferenced
+        step = 1 << (maxzoom - zoom)
+        px0 = ix * tilex * step
+        px1 = min(w, px0 + tilex * step)
+        py1 = h - iy * tiley * step
+        py0 = max(0, py1 - tiley * step)
+        return (west + px0 * gt[1], north + py1 * gt[5],
+                west + px1 * gt[1], north + py0 * gt[5])
 
     for zoom in range(maxzoom + 1):
         step = 1 << (maxzoom - zoom)
-        n_ix = max(1, (w + tilex * step - 1) // (tilex * step))
-        n_iy = max(1, (h + tiley * step - 1) // (tiley * step))
+        # the reference loops FLOOR(size / (tile*step)) times (min 1),
+        # dropping any trailing partial row/column
+        n_ix = max(1, w // (tilex * step))
+        n_iy = max(1, h // (tiley * step))
         for ix in range(n_ix):
             for iy in range(n_iy):
                 # pixel window in source (iy from bottom)
@@ -428,7 +433,7 @@ def kmlso_write(arr: np.ndarray, gt: tuple, name: str = "",
                 out[f"{zoom}/{ix}/{iy}.{ext}"] = encode(tile)
                 wbox = tile_box(zoom, ix, iy)
                 kml = _child_kml(zoom, ix, iy, wbox, ext, maxzoom,
-                                 n_ix, n_iy)
+                                 n_ix, n_iy, tile_box)
                 out[f"{zoom}/{ix}/{iy}.kml"] = kml.encode()
 
     root = (
@@ -453,16 +458,16 @@ def kmlso_write(arr: np.ndarray, gt: tuple, name: str = "",
     return out
 
 
-def _child_kml(zoom, ix, iy, box, ext, maxzoom, n_ix, n_iy) -> str:
+def _child_kml(zoom, ix, iy, box, ext, maxzoom, n_ix, n_iy,
+               tile_box) -> str:
     w_, s_, e_, n_ = box
     links = []
     if zoom < maxzoom:
         for cx in (2 * ix, 2 * ix + 1):
             for cy in (2 * iy, 2 * iy + 1):
-                cw = w_ + (e_ - w_) * (cx - 2 * ix) / 2
-                ce = cw + (e_ - w_) / 2
-                cs = s_ + (n_ - s_) * (cy - 2 * iy) / 2
-                cn = cs + (n_ - s_) / 2
+                cw, cs, ce, cn = tile_box(zoom + 1, cx, cy)
+                if ce <= cw or cn <= cs:
+                    continue  # child outside the raster
                 links.append(
                     "<NetworkLink><Region><LatLonAltBox>"
                     f"<north>{cn:.14f}</north><south>{cs:.14f}</south>"

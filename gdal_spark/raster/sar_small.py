@@ -309,8 +309,14 @@ def _palsar_band(img: bytes) -> tuple[np.ndarray, dict]:
     rows = []
     for y in range(h):
         # verbatim reference arithmetic incl. the (y-1) quirk
-        # (jaxapalsardataset.cpp:333-336)
+        # (jaxapalsardataset.cpp:333-336); the reference's unsigned
+        # file offset underflows for row 0 on wide images and the read
+        # silently fails — degrade to a zero row instead of crashing
         off = 720 + (y - 1) * rec + prefix
+        if off < 0 or off + w * (8 if level == "1.1" else 2) > len(img):
+            rows.append(np.zeros(w, np.complex64 if level == "1.1"
+                                 else np.uint16))
+            continue
         if level == "1.1":
             iq = np.frombuffer(img, ">f4", 2 * w, off).astype(np.float32)
             rows.append((iq[0::2] + 1j * iq[1::2]).astype(np.complex64))

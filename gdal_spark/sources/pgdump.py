@@ -274,6 +274,9 @@ class PGDumpLayer:
                     f"{_lit(self.table)},{_lit(gf.name)},{gf.srid},"
                     f"'{gf.gtype}',{gf.dim});")
                 if not gf.nullable:
+                    # the reference emits the UNQUALIFIED table name
+                    # here (only here), relying on search_path — kept
+                    # for byte parity with the autotest expectations
                     out.append(
                         f"ALTER TABLE {_ident(self.table)} ALTER COLUMN "
                         f"{_ident(gf.name)} SET NOT NULL;")

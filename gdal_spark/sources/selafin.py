@@ -174,10 +174,12 @@ def layer_names(h: SelafinHeader) -> list[str]:
             if h.start_date is None:
                 stamp = str(i)
             else:
+                import datetime as _dt
                 y, mo, d, hh, mi, ss = h.start_date
-                total = ss + time
-                stamp = (f"{y:04d}_{mo:02d}_{d:02d}_{hh:02d}_{mi:02d}_"
-                         f"{int(total):02d}")
+                epoch = _dt.datetime(max(y, 1), max(mo, 1), max(d, 1),
+                                     hh, mi, 0)
+                when = epoch + _dt.timedelta(seconds=ss + time)
+                stamp = when.strftime("%Y_%m_%d_%H_%M_%S")
             names.append(f"{base}_{kind}{stamp}")
     return names
 

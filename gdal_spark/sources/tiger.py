@@ -117,8 +117,11 @@ class TigerModule:
             if not rec or rec[0] != "7":
                 continue
             row = _typed(rec, RT7_FIELDS)
-            lon, lat = row.pop("LALONG"), row.pop("LALAT")
-            if lon and lat:
+            lon = row.pop("LALONG") or 0
+            lat = row.pop("LALAT") or 0
+            # the reference skips geometry only when BOTH are zero
+            # (tigerpoint.cpp:94: dfX != 0 || dfY != 0)
+            if lon or lat:
                 row["geometry"] = (lon / _SCALE, lat / _SCALE)
             else:
                 row["geometry"] = None

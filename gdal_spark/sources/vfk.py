@@ -105,7 +105,7 @@ class VFKFile:
         if name in self._geom:
             return self._geom[name]
         if name in _GEOM_POINT:
-            out = [(-r.get("SOURADNICE_Y", 0.0) or 0.0,
+            out = [(-(r.get("SOURADNICE_Y", 0.0) or 0.0),
                     -(r.get("SOURADNICE_X", 0.0) or 0.0))
                    for r in self.rows.get(name, [])]
             out = [(float(x), float(y)) for x, y in out]

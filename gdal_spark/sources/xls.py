@@ -130,7 +130,6 @@ def _rk_value(rk: int) -> float:
     div100 = rk & 1
     is_int = rk & 2
     if is_int:
-        v = float(rk >> 2 if rk >= 0 else -((-rk) >> 2))
         v = float(np.int32(rk) >> 2)
     else:
         v = struct.unpack("<d", struct.pack(

@@ -126,3 +126,23 @@ def test_write_east_west_ordering():
         wests = [float(v) for v in re.findall(r"<west>([^<]+)</west>", text)]
         for e, w in zip(easts, wests):
             assert e >= w, name
+
+
+def test_write_read_non_power_of_two():
+    """501x501: the reference's floor tile grid drops the trailing
+    partial row/column (bottom-anchored), and the remaining 500x500
+    mosaic round-trips pixel-exactly."""
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (501, 501, 3)).astype(np.uint8)
+    gt = (0.0, 0.01, 0, 5.01, 0, -0.01)
+    out = kmlso_write(arr, gt, fmt="PNG")
+    ds = kmlso_open("doc.kml", out)
+    assert (ds.width, ds.height) == (500, 500)
+    img = ds.read()
+    np.testing.assert_array_equal(img[:, :, :3], arr[1:501, :500])
+    # every advertised box stays inside the source extent
+    import re
+    for name, payload in out.items():
+        if name.endswith(".kml"):
+            for e in re.findall(r"<east>([^<]+)</east>", payload.decode()):
+                assert float(e) <= 5.0100001
