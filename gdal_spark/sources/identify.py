@@ -135,6 +135,32 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "ISO8211"
     if h.startswith(b"SIMPLE  ="):
         return "FITS"
+    if h[:7].upper() == b"GSATIMG":
+        return "GFF"
+    if h.lstrip().startswith(b"time_first_datarec"):
+        return "COASP"
+    if (h.startswith(b"RECORD LENGTH IN BYTES")
+            and b"COMPRESSED" in h and b"JPL AIRCRAFT" in h):
+        return "AirSAR"
+    if len(h) >= 36 and h[28:32] == b"CSAR":
+        return "COSAR"
+    if h.startswith(b"DDS "):
+        return "DDS"
+    if h.startswith(b"CPHD/"):
+        return "CPHD"
+    if h.startswith(b"\x0e\x03\x13\x01"):
+        return "HDF4"
+    if h.startswith(b"FormatName                  : NATIVE"):
+        return "MSGN"
+    if h.startswith(b"PRODUCT=\""):
+        return "ESAT"
+    if h.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1") \
+            and ext == "xls":
+        return "XLS"
+    if h.lstrip().startswith(b"SCNT"):
+        return "Interlis 1"
+    if h.startswith(b"&H") and (ext == "vfk" or b"&HVERZE" in h[:200]):
+        return "VFK"
     if h.startswith(b"GRIB"):
         return "GRIB"
     if h.startswith(b"RUU CROSS SYSTEM MAP FORMAT"):

@@ -196,3 +196,45 @@ def test_identify_wave5_formats():
     ]
     for p, exp in cases:
         assert identify_driver(open(p, "rb").read(1024), p) == exp, p
+
+
+def test_identify_round2_wave_formats():
+    """Magic-byte identify for the round-2 wave drivers, against real
+    reference fixtures where available."""
+    from gdal_spark.sources.identify import identify_driver
+
+    fixtures = [
+        ("/root/reference/autotest/gdrivers/data/hdf4/hdifftst2.hdf",
+         "", "HDF4"),
+        ("/root/reference/autotest/gdrivers/data/cphd/test.cphd",
+         "", "CPHD"),
+        ("/root/reference/autotest/gdrivers/data/dds/"
+         "stefan_full_rgba_no_compression.dds", "", "DDS"),
+        ("/root/reference/autotest/ogr/data/xls/test972000xp.xls",
+         "t.xls", "XLS"),
+        ("/root/reference/autotest/ogr/data/vfk/bylany.vfk",
+         "t.vfk", "VFK"),
+        ("/root/reference/autotest/ogr/data/ili/Beispiel.itf",
+         "", "Interlis 1"),
+    ]
+    import os
+    for path, name, want in fixtures:
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as fh:
+            assert identify_driver(fh.read(1024), name) == want, path
+
+    # synthetic magics
+    assert identify_driver(b"GSATIMG" + b"\x00" * 300) == "GFF"
+    assert identify_driver(
+        b"time_first_datarec 1\nnumber_lines 2\n" + b" " * 300) == "COASP"
+    assert identify_driver(
+        b"RECORD LENGTH IN BYTES =  100".ljust(400)
+        + b"COMPRESSED JPL AIRCRAFT".ljust(400)) == "AirSAR"
+    cosar = bytearray(64)
+    cosar[28:32] = b"CSAR"
+    assert identify_driver(bytes(cosar)) == "COSAR"
+    assert identify_driver(b"CPHD/1.1.0\nX := 1\n\f\n") == "CPHD"
+    assert identify_driver(
+        b"FormatName                  : NATIVE".ljust(400)) == "MSGN"
+    assert identify_driver(b'PRODUCT="MER_RR__1P"'.ljust(1247)) == "ESAT"
