@@ -20,7 +20,10 @@ WKB_LINESTRING = 2
 WKB_POINT_Z = 1001
 WKB_LINESTRING_Z = 1002
 WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
+WKB_GEOMETRYCOLLECTION = 7
 
 
 def write_polygon(rings: list[np.ndarray]) -> bytes:
@@ -44,6 +47,27 @@ def write_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
 
 def write_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def write_multipoint(pts) -> bytes:
+    pts = np.asarray(pts, dtype=np.float64)
+    out = [struct.pack("<BII", 1, WKB_MULTIPOINT, len(pts))]
+    for x, y in pts:
+        out.append(write_point(x, y))
+    return b"".join(out)
+
+
+def write_multilinestring(lines) -> bytes:
+    out = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(lines))]
+    for ln in lines:
+        out.append(write_linestring(ln))
+    return b"".join(out)
+
+
+def write_collection(children: list[bytes]) -> bytes:
+    """children: already-encoded WKB buffers."""
+    return (struct.pack("<BII", 1, WKB_GEOMETRYCOLLECTION, len(children))
+            + b"".join(children))
 
 
 def write_point_z(x: float, y: float, z: float) -> bytes:
@@ -118,6 +142,65 @@ def parse(buf: bytes) -> tuple[int, object]:
             rings, pos = _read_polygon_body(buf, pos)
             polys.append(rings)
         return gtype, polys
+    if gtype == WKB_MULTIPOINT:
+        (npts,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        pts = np.empty((npts, 2), np.float64)
+        for i in range(npts):
+            pos += 5  # inner byte-order + type
+            pts[i] = struct.unpack_from("<dd", buf, pos)
+            pos += 16
+        return gtype, pts
+    if gtype == WKB_MULTILINESTRING:
+        (nlines,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        lines = []
+        for _ in range(nlines):
+            pos += 5
+            (npts,) = struct.unpack_from("<I", buf, pos)
+            pos += 4
+            arr = np.frombuffer(buf, dtype="<f8", count=npts * 2,
+                                offset=pos).reshape(npts, 2)
+            lines.append(np.asarray(arr))
+            pos += npts * 16
+        return gtype, lines
+    if gtype == WKB_GEOMETRYCOLLECTION:
+        (ngeoms,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        geoms = []
+        for _ in range(ngeoms):
+            child_len = _geom_length(buf, pos)
+            geoms.append(parse(buf[pos:pos + child_len]))
+            pos += child_len
+        return gtype, geoms
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def _geom_length(buf: bytes, pos: int) -> int:
+    """Byte length of the LE WKB geometry starting at pos."""
+    start = pos
+    (gtype,) = struct.unpack_from("<I", buf, pos + 1)
+    gtype &= 0xFF
+    pos += 5
+    if gtype == WKB_POINT:
+        return pos + 16 - start
+    if gtype == WKB_LINESTRING:
+        (npts,) = struct.unpack_from("<I", buf, pos)
+        return pos + 4 + npts * 16 - start
+    if gtype == WKB_POLYGON:
+        (nrings,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from("<I", buf, pos)
+            pos += 4 + npts * 16
+        return pos - start
+    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
+                 WKB_GEOMETRYCOLLECTION):
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        for _ in range(n):
+            pos += _geom_length(buf, pos)
+        return pos - start
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
 

@@ -115,17 +115,61 @@ def ewkb_hex(wkb_buf: bytes, srid: int = 0, dim: int = 2) -> str:
             r = np.atleast_2d(r)
             out.append(struct.pack("<I", len(r)))
             out.append(pts(r))
-    elif base == 6:
-        polys = payload
-        out.append(struct.pack("<I", len(polys)))
+    elif base in (4, 5, 6, 7):
+        # multi/collection: nested child WKB with the Z flag but no
+        # SRID on children (OGRGeometry::exportToWkb EWKB semantics in
+        # ogr/ogrsf_frmts/pgdump/ogrpgdumplayer.cpp GeometryToHex)
         inner_flags = 0x80000000 if is_z else 0
-        for rings in polys:
-            out.append(b"\x01" + struct.pack("<I", 3 | inner_flags))
-            out.append(struct.pack("<I", len(rings)))
-            for r in rings:
-                r = np.atleast_2d(r)
-                out.append(struct.pack("<I", len(r)))
-                out.append(pts(r))
+
+        def child(ctype: int, cpayload) -> bytes:
+            buf = [b"\x01", struct.pack("<I", ctype | inner_flags)]
+            if ctype == 1:
+                buf.append(pts(np.array([cpayload], np.float64)))
+            elif ctype == 2:
+                arr = np.atleast_2d(cpayload)
+                buf.append(struct.pack("<I", len(arr)))
+                buf.append(pts(arr))
+            elif ctype == 3:
+                buf.append(struct.pack("<I", len(cpayload)))
+                for r in cpayload:
+                    r = np.atleast_2d(r)
+                    buf.append(struct.pack("<I", len(r)))
+                    buf.append(pts(r))
+            else:
+                raise ValueError(
+                    f"ewkb_hex: unsupported child geometry type {ctype}")
+            return b"".join(buf)
+
+        if base == 4:
+            arr = np.atleast_2d(payload)
+            out.append(struct.pack("<I", len(arr)))
+            out.extend(child(1, tuple(p)) for p in arr)
+        elif base == 5:
+            out.append(struct.pack("<I", len(payload)))
+            out.extend(child(2, ln) for ln in payload)
+        elif base == 6:
+            out.append(struct.pack("<I", len(payload)))
+            out.extend(child(3, rings) for rings in payload)
+        else:  # GEOMETRYCOLLECTION: payload = [(gtype, payload), ...]
+            out.append(struct.pack("<I", len(payload)))
+            for ctype, cpayload in payload:
+                cbase = ctype % 1000 if ctype >= 1000 else ctype & 0xFF
+                if cbase in (4, 5, 6):
+                    # nested multi inside a collection
+                    sub = [b"\x01", struct.pack("<I", cbase | inner_flags)]
+                    if cbase == 4:
+                        arr = np.atleast_2d(cpayload)
+                        sub.append(struct.pack("<I", len(arr)))
+                        sub.extend(child(1, tuple(p)) for p in arr)
+                    elif cbase == 5:
+                        sub.append(struct.pack("<I", len(cpayload)))
+                        sub.extend(child(2, ln) for ln in cpayload)
+                    else:
+                        sub.append(struct.pack("<I", len(cpayload)))
+                        sub.extend(child(3, rg) for rg in cpayload)
+                    out.append(b"".join(sub))
+                else:
+                    out.append(child(cbase, cpayload))
     else:
         raise ValueError(f"ewkb_hex: unsupported geometry type {base}")
     return b"".join(out).hex().upper()

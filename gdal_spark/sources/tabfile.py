@@ -232,10 +232,13 @@ class TabFile:
         r = _Reader(self.map_data, offset)
         otype = r.u1()
         r.i4()  # object id
+        # _C (compressed) codes from the TABGeomType enum
+        # (mitab_priv.h:88-132): every even/odd pair is (name_C, name);
+        # V450 adds 0x2e/0x31, V800 adds 0x3a/0x3d/0x40/0x43/0x46.
         compressed = bool(otype in
                           (0x01, 0x04, 0x07, 0x0a, 0x0d, 0x10, 0x13, 0x16,
-                           0x19, 0x25, 0x28, 0x2b, 0x31, 0x34, 0x37,
-                           0x3b, 0x3e, 0x41, 0x44, 0x47))
+                           0x19, 0x25, 0x28, 0x2b, 0x2e, 0x31, 0x34, 0x37,
+                           0x3a, 0x3d, 0x40, 0x43, 0x46))
         cx0, cy0 = self._block_center(offset)
 
         def rc():  # record-level int coord (relative to block center)
@@ -265,7 +268,8 @@ class TabFile:
             x2, y2 = rc()
             return f"LINESTRING ({pt_txt(x1, y1)},{pt_txt(x2, y2)})"
         if otype in (0x07, 0x08, 0x0d, 0x0e, 0x25, 0x26,
-                     0x30, 0x31, 0x2e, 0x2f):
+                     0x2e, 0x2f, 0x31, 0x32,
+                     0x3d, 0x3e, 0x40, 0x41):
             return self._pline_wkt(r, otype, compressed)
         if otype in (0x0a, 0x0b):            # ARC
             a0 = r.i2() / 10.0
@@ -352,10 +356,15 @@ class TabFile:
             else:
                 px, py = dx0, dy1 - height * dc
             return f"POINT ({_fmt(px)} {_fmt(py)})"
-        if otype in (0x34, 0x35):            # MULTIPOINT
-            return self._multipoint_wkt(r, compressed)
+        if otype in (0x34, 0x35, 0x43, 0x44):  # MULTIPOINT (+V800)
+            return self._multipoint_wkt(r, compressed,
+                                        v800=otype in (0x43, 0x44))
         if otype in (0x37, 0x38):            # COLLECTION
             return self._collection_wkt(r, compressed)
+        if otype in (0x46, 0x47):            # V800 COLLECTION
+            raise ValueError(
+                "TAB V800 COLLECTION object type 0x%02x not supported"
+                % otype)
         return None
 
     # -- pline/region ------------------------------------------------------
@@ -363,9 +372,18 @@ class TabFile:
         hd = self.header
         coord_ptr = r.i4()
         coord_size = r.i4() & 0x7FFFFFFF
-        v450 = otype in (0x2e, 0x2f, 0x30, 0x31)
+        # V450_REGION_C/V450_REGION/V450_MULTIPLINE_C/V450_MULTIPLINE
+        # (mitab_priv.h:113-116) and the V800 twins (0x3d-0x41); both
+        # use int32 section vertex counts.
+        v800 = otype in (0x3d, 0x3e, 0x40, 0x41)
+        v450 = v800 or otype in (0x2e, 0x2f, 0x31, 0x32)
         if otype in (0x07, 0x08):
             nsections = 1
+        elif v800:
+            # int32 numSections + 33 unknown bytes
+            # (TABMAPObjPLine::ReadObj, mitab_mapobjectblock.cpp:998-1015)
+            nsections = r.i4()
+            r.pos += 33
         else:
             nsections = r.i2()
         if compressed:
@@ -384,24 +402,28 @@ class TabFile:
             xs, ys = hd.int2coord(pts[:, 0], pts[:, 1])
             return ("LINESTRING ("
                     + _coords_txt(np.column_stack([xs, ys])) + ")")
-        secs = _read_sec_hdrs(cr, compressed, nsections, v450)
+        secs = _read_sec_hdrs(cr, compressed, nsections, v450, v800)
         parts = []
         for nv, _off in secs:
             pts = cr.coords(compressed, nv)
             xs, ys = hd.int2coord(pts[:, 0], pts[:, 1])
             parts.append(np.column_stack([xs, ys]))
-        if otype in (0x0d, 0x0e, 0x30, 0x31):  # REGION
+        if otype in (0x0d, 0x0e, 0x2e, 0x2f, 0x3d, 0x3e):  # REGION
             return _region_wkt(parts)
         if len(parts) == 1:
             return "LINESTRING (" + _coords_txt(parts[0]) + ")"
         return ("MULTILINESTRING ("
                 + ",".join("(" + _coords_txt(p) + ")" for p in parts) + ")")
 
-    def _multipoint_wkt(self, r: _Reader, compressed: bool):
+    def _multipoint_wkt(self, r: _Reader, compressed: bool,
+                        v800: bool = False):
         hd = self.header
         coord_ptr = r.i4()
         npts = r.i4()
         r.pos += 15  # 3 int32 + 3 bytes unknown
+        if v800:
+            r.pos += 33  # V800: 8 int32 + 1 byte, all zeros
+                         # (mitab_mapobjectblock.cpp:1653-1665)
         r.u1()       # symbol id
         r.u1()       # unknown
         if compressed:
@@ -484,13 +506,19 @@ def _skip_label_mbr(cr: _CoordReader, compressed: bool) -> None:
 
 
 def _read_sec_hdrs(cr: _CoordReader, compressed: bool, n: int,
-                   v450: bool) -> list[tuple[int, int]]:
+                   v450: bool, v800: bool = False) -> list[tuple[int, int]]:
+    # Stream layout per TABMAPCoordBlock::ReadCoordSecHdrs
+    # (mitab_mapcoordblock.cpp:388-455): numVertices(i4 for V450+, else
+    # i2) + numHoles(i2; i4 for V800) + MBR + dataOffset(i4).  There are
+    # NO padding bytes in the stream — the 28-byte nSectionSize figure
+    # only feeds the logical nDataOffset/nVertexOffset calculation.
     out = []
     for _ in range(n):
         nv = cr.i4() if v450 else cr.i2()
-        cr.i2()  # numHoles (i2 below V800)
-        if v450 and not compressed:
-            cr.i2()  # alignment (uncompressed V450 sections only)
+        if v800:
+            cr.i4()  # numHoles (i4 at V800)
+        else:
+            cr.i2()  # numHoles (i2 below V800)
         cr.coord(compressed)  # MBR min
         cr.coord(compressed)  # MBR max
         off = cr.i4()

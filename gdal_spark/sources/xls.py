@@ -137,29 +137,92 @@ def _rk_value(rk: int) -> float:
     return v / 100.0 if div100 else v
 
 
-def _sst_strings(payload: bytes) -> list[str]:
-    """Parse an SST record body (continuation-free fixtures)."""
-    total, unique = struct.unpack_from("<II", payload, 0)
-    pos = 8
+class _SSTReader:
+    """Cursor over the SST body plus its CONTINUE record bodies.
+
+    BIFF8 XLUnicodeRichExtendedString continuation rules ([MS-XLS]
+    2.5.293, mirrored by the reference's freexl-based driver): records
+    split only at whole-string or character boundaries (or inside
+    rgRun/ExtRst byte data); when the split lands inside the character
+    array, the continuation's first byte is a fresh fHighByte flag that
+    may differ from the string's original flags.
+    """
+
+    def __init__(self, segments: list[bytes]):
+        self.segs = [s for s in segments if s]
+        self.i = 0
+        self.pos = 0
+
+    def _avail(self) -> int:
+        if self.i >= len(self.segs):
+            return 0
+        return len(self.segs[self.i]) - self.pos
+
+    def _advance(self) -> None:
+        self.i += 1
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        """Raw bytes spanning segment boundaries (headers, rgRun,
+        ExtRst — no flag byte at the boundary)."""
+        out = bytearray()
+        while n > 0:
+            avail = self._avail()
+            if avail == 0:
+                if self.i >= len(self.segs):
+                    raise ValueError("xls: SST truncated")
+                self._advance()
+                continue
+            take = min(n, avail)
+            seg = self.segs[self.i]
+            out += seg[self.pos:self.pos + take]
+            self.pos += take
+            n -= take
+        return bytes(out)
+
+    def read_chars(self, ln: int, high: bool) -> str:
+        """ln characters; at each mid-string segment boundary the next
+        segment opens with a new fHighByte flag byte."""
+        out = []
+        while ln > 0:
+            avail = self._avail()
+            if avail == 0:
+                if self.i + 1 >= len(self.segs):
+                    raise ValueError("xls: SST string truncated")
+                self._advance()
+                high = bool(self.segs[self.i][0] & 1)
+                self.pos = 1
+                avail = self._avail()
+            width = 2 if high else 1
+            nch = min(ln, avail // width)
+            if nch == 0:
+                # odd byte left before the boundary (can't happen for
+                # valid files: splits are at character boundaries)
+                raise ValueError("xls: SST split inside a character")
+            seg = self.segs[self.i]
+            chunk = seg[self.pos:self.pos + nch * width]
+            out.append(chunk.decode("utf-16-le" if high else "latin-1"))
+            self.pos += nch * width
+            ln -= nch
+        return "".join(out)
+
+
+def _sst_strings(payload: bytes,
+                 continues: list[bytes] | None = None) -> list[str]:
+    """Parse an SST record body plus any CONTINUE (0x003C) bodies."""
+    rd = _SSTReader([payload] + list(continues or []))
+    total, unique = struct.unpack("<II", rd.read(8))
     out = []
     for _ in range(unique):
-        ln, flags = struct.unpack_from("<HB", payload, pos)
-        pos += 3
+        ln, flags = struct.unpack("<HB", rd.read(3))
         rich = 0
         ext = 0
         if flags & 8:
-            rich = struct.unpack_from("<H", payload, pos)[0]
-            pos += 2
+            rich = struct.unpack("<H", rd.read(2))[0]
         if flags & 4:
-            ext = struct.unpack_from("<I", payload, pos)[0]
-            pos += 4
-        if flags & 1:
-            out.append(payload[pos:pos + 2 * ln].decode("utf-16-le"))
-            pos += 2 * ln
-        else:
-            out.append(payload[pos:pos + ln].decode("latin-1"))
-            pos += ln
-        pos += 4 * rich + ext
+            ext = struct.unpack("<I", rd.read(4))[0]
+        out.append(rd.read_chars(ln, bool(flags & 1)))
+        rd.read(4 * rich + ext)
     return out
 
 
@@ -188,8 +251,15 @@ def xls_read(data: bytes, headers: bool = True) -> dict:
             else:
                 name = body[8:8 + nlen].decode("latin-1")
             sheets.append((off, name))
-        elif op == 0x00FC:  # SST
-            sst = _sst_strings(body)
+        elif op == 0x00FC:  # SST (+ immediately following CONTINUEs)
+            cont = []
+            while pos + 4 <= len(wb):
+                op2, ln2 = struct.unpack_from("<HH", wb, pos)
+                if op2 != 0x003C:
+                    break
+                cont.append(wb[pos + 4:pos + 4 + ln2])
+                pos += 4 + ln2
+            sst = _sst_strings(body, cont)
         elif op == 0x041E:  # FORMAT
             idx = struct.unpack_from("<H", body, 0)[0]
             nlen = struct.unpack_from("<H", body, 2)[0]

@@ -216,3 +216,56 @@ def test_no_feature_layer():
     sql = lyr.render()
     assert 'ADD COLUMN "x" BIGINT;' in sql
     assert "INSERT" not in sql and "COPY" not in sql
+
+
+def test_ewkb_hex_multi_and_collection():
+    """MULTIPOINT/MULTILINESTRING/GEOMETRYCOLLECTION EWKB vs PostGIS
+    golden hex (ST_AsEWKB output for the same geometries)."""
+    from gdal_spark.functions.wkb import (
+        write_collection,
+        write_linestring,
+        write_multilinestring,
+        write_multipoint,
+        write_point,
+    )
+
+    mp = write_multipoint([(0.0, 0.0), (1.0, 2.0)])
+    assert ewkb_hex(mp, srid=0, dim=2) == (
+        "010400000002000000"
+        "010100000000000000000000000000000000000000"
+        "0101000000000000000000F03F0000000000000040")
+
+    ml = write_multilinestring([[(0.0, 0.0), (1.0, 1.0)],
+                                [(2.0, 2.0), (3.0, 3.0)]])
+    assert ewkb_hex(ml, srid=0, dim=2) == (
+        "010500000002000000"
+        "010200000002000000"
+        "00000000000000000000000000000000"
+        "000000000000F03F000000000000F03F"
+        "010200000002000000"
+        "00000000000000400000000000000040"
+        "00000000000008400000000000000840")
+
+    gc = write_collection([
+        write_point(2.0, 3.0),
+        write_linestring([(2.0, 3.0), (3.0, 4.0)]),
+    ])
+    assert ewkb_hex(gc, srid=0, dim=2) == (
+        "010700000002000000"
+        "010100000000000000000000400000000000000840"
+        "010200000002000000"
+        "00000000000000400000000000000840"
+        "00000000000008400000000000001040")
+
+    # SRID flag on the outer header only; Z flag propagates to children
+    h = ewkb_hex(mp, srid=4326, dim=2)
+    assert h.startswith("0104000020E6100000") and "20E610" not in h[18:]
+    hz = ewkb_hex(mp, srid=0, dim=3)
+    assert hz.startswith("0104000080") and hz[18:].startswith("0101000080")
+
+    # nested multi inside a collection
+    gc2 = write_collection([write_multipoint([(5.0, 6.0)])])
+    assert ewkb_hex(gc2, srid=0, dim=2) == (
+        "010700000001000000"
+        "010400000001000000"
+        "010100000000000000000014400000000000001840")

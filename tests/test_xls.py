@@ -68,3 +68,58 @@ def test_headers_disabled(data):
 def test_rejects_non_ole():
     with pytest.raises(ValueError):
         xls_read(b"PK\x03\x04 not ole")
+
+
+# -- SST continuation ([MS-XLS] 2.5.293) ---------------------------------
+
+def _sst_seg_tests():
+    from gdal_spark.sources.xls import _sst_strings
+    return _sst_strings
+
+
+def test_sst_continue_whole_string_boundary():
+    """A new string starting exactly at a CONTINUE boundary has its own
+    header there — no extra flag byte."""
+    import struct
+    from gdal_spark.sources.xls import _sst_strings
+
+    s1, s2 = "alpha", "bravo"
+    body = struct.pack("<II", 2, 2)
+    body += struct.pack("<HB", len(s1), 0) + s1.encode("latin-1")
+    cont = struct.pack("<HB", len(s2), 0) + s2.encode("latin-1")
+    assert _sst_strings(body, [cont]) == [s1, s2]
+
+
+def test_sst_continue_mid_string_flag_change():
+    """Character data split mid-string; the continuation re-declares
+    fHighByte and may switch from compressed to utf-16."""
+    import struct
+    from gdal_spark.sources.xls import _sst_strings
+
+    text = "hello WORLD"
+    head, tail = text[:5], text[5:]
+    body = struct.pack("<II", 1, 1)
+    body += struct.pack("<HB", len(text), 0) + head.encode("latin-1")
+    # continuation: flag byte 1 (high bytes) + utf-16 tail
+    cont = b"\x01" + tail.encode("utf-16-le")
+    assert _sst_strings(body, [cont]) == [text]
+
+
+def test_sst_continue_multi_segment_and_richext():
+    """Rich-run and ExtRst byte data span boundaries without flag
+    bytes; character data split twice re-reads the flag each time."""
+    import struct
+    from gdal_spark.sources.xls import _sst_strings
+
+    text = "abcdefgh"
+    body = struct.pack("<II", 2, 2)
+    # string 1: rich (2 runs) + ext (3 bytes), chars split at 3 and 6
+    body += struct.pack("<HB", len(text), 0b1100)
+    body += struct.pack("<H", 2) + struct.pack("<I", 3)
+    body += text[:3].encode("latin-1")
+    c1 = b"\x00" + text[3:6].encode("latin-1")
+    # second split, then runs (8 bytes) split across c2/c3, ext, string 2
+    c2 = b"\x00" + text[6:].encode("latin-1") + b"\x00" * 5
+    c3 = b"\x00" * 3 + b"\x00" * 3 + struct.pack("<HB", 2, 1) + \
+        "é!".encode("utf-16-le")
+    assert _sst_strings(body, [c1, c2, c3]) == [text, "é!"]
