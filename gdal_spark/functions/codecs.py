@@ -217,13 +217,21 @@ def qdct_decode(data: bytes) -> np.ndarray:
 # Registry (the "driver manager")
 # --------------------------------------------------------------------------
 
-from gdal_spark.functions.jpeg import jpeg_decode, jpeg_encode  # noqa: E402
+from gdal_spark.functions.jpeg import (  # noqa: E402
+    jpeg_decode,
+    jpeg_encode,
+    jpeg_encode_progressive,
+)
 
 JPEG_QUALITY = 90
 
 
 def _jpeg_encode_default(arr: np.ndarray) -> bytes:
     return jpeg_encode(arr, JPEG_QUALITY)
+
+
+def _jpeg_prog_encode_default(arr: np.ndarray) -> bytes:
+    return jpeg_encode_progressive(arr, JPEG_QUALITY)
 
 
 from gdal_spark.functions.morefmts import (  # noqa: E402
@@ -280,6 +288,7 @@ def _cog_encode(arr: np.ndarray) -> bytes:
 
 DECODERS = {
     "png": png_decode, "jpeg": jpeg_decode, "qdct": qdct_decode,
+    "jpeg_prog": jpeg_decode,  # SOF2: same decoder entry point
     "tiff": tiff_decode, "bmp": bmp_decode, "pnm": pnm_decode,
     "gif": gif_decode, "tga": tga_decode,
     "cog": tiff_decode,  # a COG is a TIFF; IFD 0 is full resolution
@@ -289,6 +298,7 @@ DECODERS = {
 }
 ENCODERS = {
     "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,
+    "jpeg_prog": _jpeg_prog_encode_default,
     "tiff": tiff_encode, "bmp": bmp_encode, "pnm": pnm_encode,
     "gif": gif_encode, "tga": tga_encode,
     "cog": _cog_encode,

@@ -4,15 +4,20 @@ The engine's real `fmt="jpeg"` driver (reference: the libjpeg-backed
 driver under frmts/jpeg/ — JPEGDataset in frmts/jpeg/jpgdataset.cpp).
 Implements the interchange format of ITU-T T.81:
 
-  * decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-    arbitrary subsampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
-    restart markers (DRI/RSTn), multi-table DQT/DHT segments, 16-bit
-    quant tables. Quant + Huffman tables are read from the stream, so any
-    baseline JPEG from any encoder decodes (progressive SOF2 is rejected
-    with a clear error).
+  * decoder: baseline sequential DCT (SOF0) and progressive DCT (SOF2,
+    spectral selection + successive approximation per T.81 G.2 /
+    libjpeg jdcoefct.c+jdhuff.c semantics: DC first/refine, AC first
+    with EOB runs, AC refinement with correction bits), 8-bit, 1 or 3
+    components, arbitrary subsampling factors up to 2x2 (4:4:4 / 4:2:2 /
+    4:2:0), restart markers (DRI/RSTn), multi-table DQT/DHT segments,
+    16-bit quant tables. Quant + Huffman tables are read from the
+    stream, so any baseline or progressive JPEG from any encoder
+    decodes.
   * encoder: baseline SOF0, 4:4:4, quality-scaled Annex-K-style quant
     tables, canonical Huffman tables embedded in DHT (the decoder reads
-    tables from the stream, so validity never depends on table choice).
+    tables from the stream, so validity never depends on table choice);
+    plus a progressive SOF2 encoder (jpeg_encode_progressive) emitting
+    the libjpeg default scan script, used by the transcode matrix.
 
 Heavy math (DCT/IDCT, dequant, color transform, upsampling) is batched
 numpy over all blocks at once; only the entropy (Huffman) stage is a
@@ -302,16 +307,284 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85, gray: bool = False) -> bytes
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — jcphuff.c semantics: DC/AC first +
+# refinement scans, EOB runs, buffered correction bits.  Tables are
+# flat canonical codes (12 DC categories at length 4; all 176
+# progressive AC symbols — EOBn 0x00..0xE0, ZRL 0xF0, (run,size) — at
+# length 8): validity never depends on optimality since tables travel
+# in DHT.
+# ---------------------------------------------------------------------------
+
+_PDC_BITS = [0, 0, 0, 12] + [0] * 12
+_PDC_VALS = list(range(12))
+
+
+def _pac_vals() -> list[int]:
+    vals = [r << 4 for r in range(15)]  # EOB1..EOB_32767 categories
+    vals.append(0xF0)                   # ZRL
+    for size in range(1, 11):
+        for run in range(16):
+            vals.append((run << 4) | size)
+    return vals
+
+
+_PAC_VALS = _pac_vals()
+_PAC_BITS = [0] * 7 + [len(_PAC_VALS)] + [0] * 8
+assert len(_PAC_VALS) == 176
+
+
+def _default_scan_script(nc: int) -> list[tuple[list[int], int, int, int, int]]:
+    """libjpeg jcparam.c default progression: (comps, Ss, Se, Ah, Al)."""
+    if nc == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def _emit_rst(bw, rst_i: int) -> int:
+    """Flush to a byte boundary and append the next RSTn marker."""
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + (rst_i % 8)])
+    return rst_i + 1
+
+
+def _emit_dc_first(bw, comps, comp_ids, al, dc_codes, restart=0) -> None:
+    preds = [0] * len(comp_ids)
+    nby, nbx = comps[comp_ids[0]].shape[:2]
+    rst_i = 0
+    for m in range(nby * nbx):
+        if restart and m and m % restart == 0:
+            rst_i = _emit_rst(bw, rst_i)
+            preds = [0] * len(comp_ids)
+        by, bx = divmod(m, nbx)
+        for pi, ci in enumerate(comp_ids):
+            dc = int(comps[ci][by, bx, 0]) >> al  # arithmetic shift
+            diff = dc - preds[pi]
+            preds[pi] = dc
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(diff if diff >= 0 else diff + (1 << size) - 1,
+                       size)
+
+
+def _emit_dc_refine(bw, comps, comp_ids, al, restart=0) -> None:
+    nby, nbx = comps[comp_ids[0]].shape[:2]
+    rst_i = 0
+    for m in range(nby * nbx):
+        if restart and m and m % restart == 0:
+            rst_i = _emit_rst(bw, rst_i)
+        by, bx = divmod(m, nbx)
+        for ci in comp_ids:
+            bw.put((int(comps[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(bw, blocks, ss, se, al, ac_codes, restart=0) -> None:
+    """jcphuff.c encode_mcu_AC_first: point transform is division
+    toward zero (abs then shift)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            bw.put(code, ln)
+            if nbits:
+                bw.put(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    zrl = ac_codes[0xF0]
+    rst_i = 0
+    for m, blk in enumerate(blocks):
+        if restart and m and m % restart == 0:
+            flush_eob()
+            rst_i = _emit_rst(bw, rst_i)
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(blk[k])
+            ta = (abs(t) >> al)
+            if ta == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                bw.put(zrl[0], zrl[1])
+                r -= 16
+            size = ta.bit_length()
+            code, ln = ac_codes[(r << 4) | size]
+            bw.put(code, ln)
+            bw.put(ta if t >= 0 else (~ta) & ((1 << size) - 1), size)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(bw, blocks, ss, se, al, ac_codes, restart=0) -> None:
+    """jcphuff.c encode_mcu_AC_refine: newly-nonzero coefs as (run,1)
+    symbols with a sign bit; history-nonzero coefs contribute buffered
+    correction bits flushed with the next symbol or EOB run."""
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            bw.put(code, ln)
+            if nbits:
+                bw.put(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+            for b in be_bits:
+                bw.put(b, 1)
+            be_bits.clear()
+
+    zrl = ac_codes[0xF0]
+    rst_i = 0
+    for m, blk in enumerate(blocks):
+        if restart and m and m % restart == 0:
+            flush_eob()
+            rst_i = _emit_rst(bw, rst_i)
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = 0
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = ss + i
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                bw.put(zrl[0], zrl[1])
+                r -= 16
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if int(blk[k]) >= 0 else 0, 1)
+            for b in br:
+                bw.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def jpeg_encode_progressive(arr: np.ndarray, quality: int = 85,
+                            gray: bool = False,
+                            restart: int = 0) -> bytes:
+    """Progressive (SOF2) encode, 4:4:4, libjpeg default scan script.
+    Same quantized coefficients as jpeg_encode at the same quality, so
+    both streams decode to bit-identical pixels."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, _ = arr.shape
+    ql, qc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(arr)
+    if gray:
+        comps = [_component_blocks(ycc[..., 0], ql)]
+    else:
+        comps = [
+            _component_blocks(ycc[..., 0], ql),
+            _component_blocks(ycc[..., 1], qc),
+            _component_blocks(ycc[..., 2], qc),
+        ]
+    nc = len(comps)
+    dc_codes = _canonical_codes(_PDC_BITS, _PDC_VALS)
+    ac_codes = _canonical_codes(_PAC_BITS, _PAC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes(ql[_ZZ].astype(np.uint8)))
+    if nc == 3:
+        out += _seg(0xDB, b"\x01" + bytes(qc[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    if nc == 3:
+        sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:
+        sof += bytes([1, 0x11, 0])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, b"\x00" + bytes(_PDC_BITS) + bytes(_PDC_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_PAC_BITS) + bytes(_PAC_VALS))
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+
+    for comp_ids, ss, se, ah, al in _default_scan_script(nc):
+        ns = len(comp_ids)
+        sos = bytes([ns])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        bw = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                _emit_dc_first(bw, comps, comp_ids, al, dc_codes, restart)
+            else:
+                _emit_dc_refine(bw, comps, comp_ids, al, restart)
+        else:
+            ci = comp_ids[0]
+            nby, nbx = comps[ci].shape[:2]
+            blocks = comps[ci].reshape(nby * nbx, 64)
+            if ah == 0:
+                _emit_ac_first(bw, blocks, ss, se, al, ac_codes, restart)
+            else:
+                _emit_ac_refine(bw, blocks, ss, se, al, ac_codes, restart)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "coeffs", "nbx", "nby")
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "coeffs", "nbx", "nby",
+                 "czz")
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JFIF/JPEG byte stream to HxWx3 uint8."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG stream to
+    HxWx3 uint8."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
@@ -319,6 +592,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comps: list[_Component] = []
     h = w = 0
     restart = 0
+    progressive = False
     pos = 2
     n = len(data)
     while pos < n:
@@ -355,7 +629,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + nv])
                 huffs[(tc, th)] = _HuffLUT(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            progressive = marker == 0xC2
             _, h, w, nc = struct.unpack(">BHHB", payload[:6])
             comps = []
             for c in range(nc):
@@ -365,8 +640,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comp.v = payload[7 + 3 * c] & 0x0F
                 comp.tq = payload[8 + 3 * c]
                 comps.append(comp)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG (SOF marker 0x{marker:02x}; baseline only)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG (SOF marker 0x{marker:02x}; "
+                "baseline and progressive DCT only)")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded scan follows
@@ -379,9 +656,22 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 order.append(comp)
             scan_start = pos
             scan_end, segments = _split_scan(data, scan_start)
-            _decode_scan(order, segments, huffs, restart, h, w)
+            if progressive:
+                ss_ = payload[1 + 2 * ns]
+                se_ = payload[2 + 2 * ns]
+                ahal = payload[3 + 2 * ns]
+                _decode_scan_prog(order, comps, segments, huffs, restart,
+                                  h, w, ss_, se_, ahal >> 4, ahal & 0x0F)
+            else:
+                _decode_scan(order, segments, huffs, restart, h, w)
             pos = scan_end
         # APPn/COM and anything else: skipped
+
+    if progressive:
+        # zigzag accumulator -> natural-order coefficient blocks
+        for c in comps:
+            if getattr(c, "czz", None) is not None:
+                c.coeffs = c.czz[:, :, _UNZZ].reshape(c.nby, c.nbx, 8, 8)
 
     if not comps or any(getattr(c, "coeffs", None) is None for c in comps):
         raise ValueError("no decodable scan found")
@@ -551,6 +841,181 @@ def _decode_scan(order, segments, huffs, restart, h, w) -> None:
             mcuy, mcux, c.v, c.h, 8, 8
         )
         c.coeffs = arr.transpose(0, 2, 1, 3, 4, 5).reshape(c.nby, c.nbx, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scan decode — T.81 G.2 semantics as implemented by
+# libjpeg's jdhuff.c decode_mcu_DC_first/DC_refine/AC_first/AC_refine and
+# accumulated across scans like jdcoefct.c's whole-image coefficient
+# buffer (the reference consumes this path via frmts/jpeg/jpgdataset.cpp
+# -> jpeg_read_scanlines on progressive files).
+# ---------------------------------------------------------------------------
+
+
+class _PBits:
+    """Bit reader over one unstuffed entropy segment (MSB-first).  Pads
+    with 0xFF like libjpeg's fill so truncated streams read 1-bits."""
+
+    __slots__ = ("data", "pos", "acc", "nb")
+
+    def __init__(self, seg: bytes):
+        self.data = seg + b"\xff\xff\xff\xff"
+        self.pos = 0
+        self.acc = 0
+        self.nb = 0
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nb < n:
+            self.acc = ((self.acc & ((1 << self.nb) - 1)) << 8) \
+                | self.data[self.pos]
+            self.pos += 1
+            self.nb += 8
+        v = (self.acc >> (self.nb - n)) & ((1 << n) - 1)
+        self.nb -= n
+        return v
+
+    def huff(self, lut) -> int:
+        while self.nb < 16:
+            self.acc = ((self.acc & ((1 << self.nb) - 1)) << 8) \
+                | self.data[self.pos]
+            self.pos += 1
+            self.nb += 8
+        e = lut[(self.acc >> (self.nb - 16)) & 0xFFFF]
+        ln = e >> 8
+        if ln == 0:
+            raise ValueError("bad Huffman code")
+        self.nb -= ln
+        return e & 0xFF
+
+    def receive_extend(self, s: int) -> int:
+        v = self.bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _prog_dims(c, h: int, w: int, hmax: int, vmax: int):
+    """Non-interleaved block dims: ceil over the component's sample
+    dims (T.81 A.2.2), always <= the MCU-padded czz dims."""
+    cw = (w * c.h + hmax - 1) // hmax
+    ch = (h * c.v + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_scan_prog(order, comps, segments, huffs, restart, h, w,
+                      ss, se, ah, al) -> None:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        if getattr(c, "czz", None) is None:
+            c.nbx = mcux * c.h
+            c.nby = mcuy * c.v
+            c.czz = np.zeros((c.nby, c.nbx, 64), dtype=np.int32)
+
+    interleaved = len(order) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        bh_, bw_ = _prog_dims(order[0], h, w, hmax, vmax)
+        units = bh_ * bw_
+
+    p1 = 1 << al
+    m1 = -1 << al
+    seg_i = 0
+    br = _PBits(segments[0])
+    preds = [0] * len(order)
+    eobrun = 0
+    dcluts = [huffs[(0, c.td)].lut if ss == 0 else None for c in order]
+    acl = huffs[(1, order[0].ta)].lut if ss > 0 else None
+
+    for m in range(units):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            br = _PBits(segments[seg_i])
+            preds = [0] * len(order)
+            eobrun = 0
+        if ss == 0:  # ---- DC scan --------------------------------------
+            for ci, c in enumerate(order):
+                if interleaved:
+                    my, mx = divmod(m, mcux)
+                    blocks = [(my * c.v + by, mx * c.h + bx)
+                              for by in range(c.v) for bx in range(c.h)]
+                else:
+                    blocks = [divmod(m, bw_)]
+                for by, bx in blocks:
+                    if ah == 0:  # DC first: diff coded, scaled by Al
+                        s = br.huff(dcluts[ci])
+                        diff = br.receive_extend(s) if s else 0
+                        preds[ci] += diff
+                        c.czz[by, bx, 0] = preds[ci] << al
+                    else:        # DC refine: one correction bit
+                        if br.bits(1):
+                            c.czz[by, bx, 0] |= p1
+        else:        # ---- AC scan (always single-component) -----------
+            c = order[0]
+            by, bx = divmod(m, bw_)
+            blk = c.czz[by, bx]
+            if ah == 0:  # AC first (decode_mcu_AC_first)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = br.huff(acl)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        blk[k] = br.receive_extend(s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16
+            else:        # AC refine (decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = br.huff(acl)
+                        r, s = sym >> 4, sym & 0x0F
+                        sval = 0
+                        if s:
+                            # magnitude of a newly-nonzero coef is 1
+                            sval = p1 if br.bits(1) else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # advance over coefficients: correction bits on
+                        # nonzero-history coefs; r counts zero-history
+                        while k <= se:
+                            v = int(blk[k])
+                            if v != 0:
+                                if br.bits(1) and not (v & p1):
+                                    blk[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if sval and k <= se:
+                            blk[k] = sval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if br.bits(1) and not (v & p1):
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
 
 
 # ---------------------------------------------------------------------------

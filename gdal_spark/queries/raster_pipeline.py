@@ -437,15 +437,25 @@ def image_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = codecs.decode_image(bytes(r.bytes), r.fmt)
                 pal = Q.median_cut_pct(arr, 256)
                 palettized = Q.apply_pct(Q.nearest_index(arr, pal), pal)
-                for fmt in ("png", "tiff", "bmp", "pnm", "gif", "tga", "nitf"):
+                for fmt in ("png", "tiff", "bmp", "pnm", "gif", "tga",
+                            "nitf", "jpeg_prog"):
                     src = palettized if fmt == "gif" else arr
                     buf = codecs.encode_image(src, fmt)
                     back = codecs.decode_image(buf, fmt)
+                    if fmt == "jpeg_prog":
+                        # progressive (SOF2) is lossy, but it encodes the
+                        # SAME quantized coefficients as the baseline
+                        # encoder, so its decode must be bit-identical to
+                        # the baseline JPEG round-trip of the same pixels
+                        want = codecs.decode_image(
+                            codecs.encode_image(src, "jpeg"), "jpeg")
+                    else:
+                        want = src
                     rows.append(
                         (
                             r.image_id, fmt, len(buf),
                             int(CK.checksum_image(back)[0]),
-                            bool(np.array_equal(back, src)),
+                            bool(np.array_equal(back, want)),
                         )
                     )
             yield pd.DataFrame(
