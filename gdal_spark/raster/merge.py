@@ -174,8 +174,8 @@ def merge_tiles(
     order (later overwrites earlier, the reference's file-order rule).
 
     Plan: one metadata-only aggregate fixes the output grid (bounds +
-    first input's pixel size/dtype come from a driver-sized collect of
-    six doubles per image — never pixels); the output is decomposed
+    the seq-first input's pixel size in a SINGLE aggregated row on the
+    driver — never per-image rows, never pixels); the output is decomposed
     into ``tile``-px tiles; each input row is mapped to the tiles its
     bounds intersect (pure-Column math over the broadcast grid), then a
     groupBy(tile) applyInPandas paints intersecting inputs in seq
@@ -185,14 +185,19 @@ def merge_tiles(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    meta = df.select("image_id", "seq", "w", "h", "gt").collect()
-    meta = sorted(meta, key=lambda r: r.seq)
-    bs = [_bounds(r.gt, r.w, r.h) for r in meta]
-    ulx = min(b[0] for b in bs)
-    uly = max(b[1] for b in bs)
-    lrx = max(b[2] for b in bs)
-    lry = min(b[3] for b in bs)
-    psx, psy = psize if psize else (meta[0].gt[1], meta[0].gt[5])
+    # output grid from ONE scalar aggregate (retile.py pattern): bounds
+    # via min/max over per-row corner expressions, pixel size from the
+    # first input by seq — never a per-image collect (input may be 10^12
+    # rows; the old collect was round 2's last driver-memory bottleneck)
+    ext = df.select(
+        F.min(F.col("gt")[0]).alias("ulx"),
+        F.max(F.col("gt")[3]).alias("uly"),
+        F.max(F.col("gt")[0] + F.col("w") * F.col("gt")[1]).alias("lrx"),
+        F.min(F.col("gt")[3] + F.col("h") * F.col("gt")[5]).alias("lry"),
+        F.min_by(F.col("gt"), F.col("seq")).alias("gt0"),
+    ).collect()[0]
+    ulx, uly, lrx, lry = ext.ulx, ext.uly, ext.lrx, ext.lry
+    psx, psy = psize if psize else (ext.gt0[1], ext.gt0[5])
     gt = (ulx, psx, 0.0, uly, 0.0, psy)
     xsize = int((lrx - ulx) / psx + 0.5)
     ysize = int((lry - uly) / psy + 0.5)

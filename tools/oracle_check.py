@@ -5,6 +5,12 @@ compares against ``oracle_sql()`` via DuckDB: row count + sorted-by-name
 column schema + order-insensitive value comparison (rounded).
 
 Usage: python tools/oracle_check.py [sf_dir] [name_filter ...]
+       python tools/oracle_check.py [sf_dir] --json OUT.json [name ...]
+
+--json writes a driver-format artifact (one object per entry with
+rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err; rows-only entries carry err="no_oracle") so a FULL gate run over
+all entries can be committed, not just the driver's 50-name sample.
 """
 
 from __future__ import annotations
@@ -44,8 +50,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    filters = argv[1:]
     import __spark_entry__ as E
     from gdal_spark.session import get_session
 
@@ -53,6 +65,16 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
     failed, passed, rows_only = [], [], []
+    report: dict[str, dict] = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
@@ -60,33 +82,47 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             failed.append((name, f"spark error: {exc}"))
+            record(name, err=f"spark error: {str(exc)[:300]}")
             print(f"FAIL {name}: spark error: {str(exc)[:500]}")
             continue
         if name not in oracles:
             rows_only.append((name, len(sdf)))
+            record(name, spark_rows=len(sdf), err="no_oracle")
             print(f"rows-only {name}: {len(sdf)} rows")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failed.append((name, f"duckdb error: {exc}"))
+            record(name, spark_rows=len(sdf),
+                   err=f"duckdb error: {str(exc)[:300]}")
             print(f"FAIL {name}: duckdb error: {str(exc)[:500]}")
             continue
         if len(sdf) != len(odf):
             failed.append((name, f"row count {len(sdf)} vs {len(odf)}"))
+            record(name, rows_match=False, spark_rows=len(sdf),
+                   oracle_rows=len(odf), err="row count mismatch")
             print(f"FAIL {name}: row count {len(sdf)} vs {len(odf)}")
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failed.append((name, f"schema {sorted(sdf.columns)} vs {sorted(odf.columns)}"))
+            record(name, rows_match=True, schema_match=False,
+                   spark_rows=len(sdf), oracle_rows=len(odf),
+                   err="schema mismatch")
             print(f"FAIL {name}: schema {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             continue
         a, b = normalize(sdf), normalize(odf)
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, atol=2e-4)
             passed.append(name)
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(sdf), oracle_rows=len(odf))
             print(f"PASS {name}: {len(sdf)} rows")
         except AssertionError as exc:
             failed.append((name, "value mismatch"))
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(sdf), oracle_rows=len(odf),
+                   err="value mismatch")
             print(f"FAIL {name}: value mismatch\n{str(exc)[:800]}")
             mism = a.compare(b) if a.shape == b.shape else None
             if mism is not None and not mism.empty:
@@ -94,6 +130,11 @@ def main() -> int:
     print(
         f"\n== {len(passed)} passed, {len(rows_only)} rows-only, {len(failed)} failed =="
     )
+    if json_out:
+        import json
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {json_out} ({len(report)} entries)")
     spark.stop()
     return 1 if failed else 0
 
