@@ -129,6 +129,9 @@ def headline_suite() -> None:
         "ogr_join_first_match",
         "dedup_exact",
         "minhash_signatures",
+        "minhash128_lsh_pairs",  # the production path (128 perms, 16x8
+                                 # bands); toy 4-perm entry kept above
+                                 # for round-over-round continuity
         "simhash16",
         "ann_cosine_topk",
         "ann_lsh_buckets",

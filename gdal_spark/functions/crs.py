@@ -538,6 +538,10 @@ class ProjCRS:
         self.f = 1.0 / rf if rf else 0.0
         tw = kv.get("towgs84")
         self.towgs84 = [float(v) for v in tw.split(",")] if tw else None
+        # +nadgrids=<name>: a grid registered with
+        # functions/datumshift.register_grid; takes precedence over
+        # towgs84 (PROJ grid-operation ranking)
+        self.nadgrids = kv.get("nadgrids")
         proj = kv.get("proj", "longlat")
         if proj == "utm":
             zone = int(kv["zone"])
@@ -573,6 +577,12 @@ class ProjCRS:
 
     def to_wgs84(self, x, y):
         lon, lat = self._to_geodetic(x, y)
+        if self.nadgrids:
+            # grid shift (e.g. NAD27->NAD83~=WGS84): the grid IS the
+            # datum link, no geocentric leg
+            from gdal_spark.functions.datumshift import grid_shift
+
+            return grid_shift(lon, lat, self.nadgrids)
         if self._same_datum():
             return lon, lat
         gx, gy, gz = geodetic_to_geocentric(lon, lat, self.a, self.f)
@@ -581,7 +591,11 @@ class ProjCRS:
         return geocentric_to_geodetic(gx, gy, gz, _A, _F)
 
     def from_wgs84(self, lon, lat):
-        if not self._same_datum():
+        if self.nadgrids:
+            from gdal_spark.functions.datumshift import grid_shift
+
+            lon, lat = grid_shift(lon, lat, self.nadgrids, inverse=True)
+        elif not self._same_datum():
             gx, gy, gz = geodetic_to_geocentric(lon, lat, _A, _F)
             if self.towgs84:
                 gx, gy, gz = helmert_inverse(gx, gy, gz, self.towgs84)

@@ -383,15 +383,111 @@ FROM xy GROUP BY h, v HAVING count(*) >= 3
 """
 
 
+# --------------------------------------------------------------------------
+# Horizontal datum shift: NAD27 -> WGS84 through an NTv2-style grid
+# (PROJ hgridshift step, ogr/ogrct.cpp:1788 picks the NADCON/NTv2 grid
+# operation; grid I/O parity in raster/shiftgrids.py).  The shift field
+# is LINEAR in lon/lat, so bilinear node interpolation reproduces it
+# exactly and DuckDB states the closed form; the inv_* columns assert
+# the iterative inverse returns to the source to < 1e-6 arc-seconds.
+# --------------------------------------------------------------------------
+
+_DS_SCHEMA = T.StructType([
+    T.StructField("k", T.IntegerType()),
+    T.StructField("lon27", T.DoubleType()),
+    T.StructField("lat27", T.DoubleType()),
+    T.StructField("dlon_sec", T.DoubleType()),
+    T.StructField("dlat_sec", T.DoubleType()),
+    T.StructField("inv_err_sec", T.DoubleType()),
+])
+
+_DS_GRID = "nad27_synth_linear"
+
+
+def _ds_register():
+    """Deterministic float64 linear grid, lon [-110,-90] lat [25,45]."""
+    import numpy as np
+
+    from gdal_spark.functions import datumshift as DS
+
+    if _DS_GRID in DS._REGISTRY:
+        return
+    h, w = 21, 21
+    gt = (-110.5, 1.0, 0.0, 45.5, 0.0, -1.0)
+    lon_c = gt[0] + (np.arange(w) + 0.5) * gt[1]
+    lat_c = gt[3] + (np.arange(h) + 0.5) * gt[5]
+    LON, LAT = np.meshgrid(lon_c, lat_c)
+    dlat = 0.5 + 0.01 * LON + 0.02 * LAT
+    dlon = -1.2 + 0.03 * LON - 0.015 * LAT
+    arr = np.stack([dlat, dlon, np.zeros_like(dlat), np.zeros_like(dlat)],
+                   axis=-1)
+    DS.register_grid(_DS_GRID, arr, gt)
+
+
+def datum_shift_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAD27 -> WGS84 grid shift over deterministic CONUS points from
+    nation keys, via the full ProjCRS(+nadgrids) pipeline; emits the
+    applied shift in arc-seconds plus the inverse round-trip error."""
+    from collections.abc import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from gdal_spark.functions.crs import ProjCRS
+
+        _ds_register()
+        crs27 = ProjCRS(f"+proj=longlat +datum=NAD27 +nadgrids={_DS_GRID}")
+        for pdf in batches:
+            k = pdf["n_nationkey"].to_numpy(np.int64)
+            lon27 = -110.0 + (k * 0.37) % 20.0
+            lat27 = 25.5 + (k * 0.53) % 19.0
+            lon84, lat84 = crs27.to_wgs84(lon27, lat27)
+            rlon, rlat = crs27.from_wgs84(lon84, lat84)
+            inv = np.maximum(np.abs(rlon - lon27), np.abs(rlat - lat27))
+            yield pd.DataFrame({
+                "k": k.astype(np.int32),
+                "lon27": np.round(lon27, 6),
+                "lat27": np.round(lat27, 6),
+                "dlon_sec": np.round((lon27 - lon84) * 3600.0, 6),
+                "dlat_sec": np.round((lat84 - lat27) * 3600.0, 6),
+                "inv_err_sec": np.round(inv * 3600.0, 6),
+            })
+
+    return (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey")
+        .mapInPandas(run, _DS_SCHEMA)
+    )
+
+
+_DS_ORACLE = """
+WITH pts AS (
+  SELECT CAST(n_nationkey AS INT) AS k,
+         -110.0 + fmod(n_nationkey * 0.37, 20.0) AS lon,
+         25.5 + fmod(n_nationkey * 0.53, 19.0) AS lat
+  FROM nation
+)
+SELECT k,
+       round(lon, 6) AS lon27,
+       round(lat, 6) AS lat27,
+       round(-1.2 + 0.03 * lon - 0.015 * lat, 6) AS dlon_sec,
+       round(0.5 + 0.01 * lon + 0.02 * lat, 6) AS dlat_sec,
+       0.0 AS inv_err_sec
+FROM pts
+"""
+
+
 SPARK = {
     "utm_transform": utm_transform,
     "raster_warp_utm": raster_warp_utm,
     "raster_warp_gcp": raster_warp_gcp,
     "lcc_transform": lcc_transform,
     "sinusoidal_modis_tile": sinusoidal_modis_tile,
+    "datum_shift_transform": datum_shift_transform,
 }
 ORACLE = {
     "utm_transform": _utm_oracle(),
     "lcc_transform": _lcc_oracle(),
     "sinusoidal_modis_tile": _SIN_ORACLE,
+    "datum_shift_transform": _DS_ORACLE,
 }

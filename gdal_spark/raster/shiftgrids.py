@@ -25,8 +25,63 @@ import struct
 
 import numpy as np
 
-__all__ = ["ntv2_decode", "loslas_decode", "noaa_b_decode",
+__all__ = ["ntv2_decode", "ntv2_encode", "loslas_decode", "noaa_b_decode",
            "ngsgeoid_decode"]
+
+
+def ntv2_encode(arr: np.ndarray, gt, name: str = "SYNTH",
+                system_f: str = "NAD27", system_t: str = "NAD83") -> bytes:
+    """Single-subgrid little-endian NTv2 writer (inverse of ntv2_decode:
+    same record layout, node order south->north / east->west, positive-
+    west longitudes).  arr: (h, w, 4) north-up west-east raster of
+    [lat_shift, lon_shift, lat_acc, lon_acc] in arc-seconds; gt in
+    degrees with the half-cell shift exactly as ntv2_decode returns."""
+    a = np.asarray(arr, np.float32)
+    h, w, nb = a.shape
+    assert nb == 4
+    long_inc = gt[1] * 3600.0
+    lat_inc = -gt[5] * 3600.0
+    w_long_e = gt[0] * 3600.0 + long_inc * 0.5   # east-positive node edge
+    n_lat = gt[3] * 3600.0 - lat_inc * 0.5
+    s_lat = n_lat - (h - 1) * lat_inc
+    e_long_e = w_long_e + (w - 1) * long_inc
+
+    def rec_i(tag: str, v: int) -> bytes:
+        return tag.encode().ljust(8) + struct.pack("<i4x", v)
+
+    def rec_f(tag: str, v: float) -> bytes:
+        return tag.encode().ljust(8) + struct.pack("<d", v)
+
+    def rec_s(tag: str, v: str) -> bytes:
+        return tag.encode().ljust(8) + v.encode().ljust(8)[:8]
+
+    out = bytearray()
+    out += rec_i("NUM_OREC", 11)
+    out += rec_i("NUM_SREC", 11)
+    out += rec_i("NUM_FILE", 1)
+    out += rec_s("GS_TYPE", "SECONDS")
+    out += rec_s("VERSION", "NTv2.0")
+    out += rec_s("SYSTEM_F", system_f)
+    out += rec_s("SYSTEM_T", system_t)
+    out += rec_f("MAJOR_F", 6378206.4)
+    out += rec_f("MINOR_F", 6356583.8)
+    out += rec_f("MAJOR_T", 6378137.0)
+    out += rec_f("MINOR_T", 6356752.314)
+    out += rec_s("SUB_NAME", name)
+    out += rec_s("PARENT", "NONE")
+    out += rec_s("CREATED", "00000000")
+    out += rec_s("UPDATED", "00000000")
+    out += rec_f("S_LAT", s_lat)
+    out += rec_f("N_LAT", n_lat)
+    out += rec_f("E_LONG", -e_long_e)  # positive west
+    out += rec_f("W_LONG", -w_long_e)
+    out += rec_f("LAT_INC", lat_inc)
+    out += rec_f("LONG_INC", long_inc)
+    out += rec_i("GS_COUNT", h * w)
+    nodes = np.ascontiguousarray(a[::-1, ::-1, :]).astype("<f4")
+    out += nodes.tobytes()
+    out += "END".encode().ljust(8) + b"\x00" * 8
+    return bytes(out)
 
 
 def ntv2_decode(data: bytes, grid: int = 0) -> tuple[np.ndarray, dict]:
