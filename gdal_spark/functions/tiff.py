@@ -13,7 +13,8 @@ GDAL's own test fixtures exercise:
   (34735) passed through for the CRS code.
 
 Writer emits little-endian, strip-organized files with compression
-none/packbits/lzw, and optional geotransform tags — every written file
+none/packbits/lzw/deflate (optional horizontal predictor 2 for
+lzw/deflate), and optional geotransform tags — every written file
 round-trips bit-exactly through the reader (LOSSLESS set in codecs).
 """
 
@@ -514,23 +515,44 @@ def tiff_encode(
     compression: str = "none",
     rows_per_strip: int = 64,
     geotransform: tuple | None = None,
+    predictor: int = 1,
+    zlevel: int = 6,
 ) -> bytes:
-    """uint8 gray (h, w) or RGB (h, w, 3) -> TIFF bytes."""
+    """uint8 gray (h, w) or RGB (h, w, 3) -> TIFF bytes.
+
+    compression: none | lzw | packbits | deflate (COMPRESS=DEFLATE,
+    the most common GeoTIFF compression — frmts/gtiff COMPRESSION_
+    ADOBE_DEFLATE); predictor=2 applies horizontal differencing per
+    sample before lzw/deflate (frmts/gtiff PREDICTOR=2)."""
     a = np.asarray(arr)
     if a.dtype != np.uint8:
         raise TiffError("writer supports uint8 only")
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, spp = a.shape
-    comp = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp = {"none": 1, "lzw": 5, "packbits": 32773, "deflate": 8}[compression]
+    if predictor not in (1, 2):
+        raise TiffError("writer supports predictor 1 or 2")
+    if predictor == 2 and comp not in (5, 8):
+        raise TiffError("predictor requires lzw or deflate")
+
+    import zlib
 
     strips = []
     for y in range(0, h, rows_per_strip):
-        raw = a[y : y + rows_per_strip].tobytes()
+        block = a[y : y + rows_per_strip]
+        if predictor == 2:
+            # horizontal differencing per interleaved sample (uint8
+            # wraparound); the reader's _undo_predictor cumsums it back
+            block = block.copy()
+            block[:, 1:, :] = block[:, 1:, :] - block[:, :-1, :]
+        raw = block.tobytes()
         if comp == 5:
             raw = lzw_encode(raw)
         elif comp == 32773:
             raw = packbits_encode(raw)
+        elif comp == 8:
+            raw = zlib.compress(raw, zlevel)
         strips.append(raw)
 
     # layout: header | strip data | overflow values | IFD
@@ -555,6 +577,8 @@ def tiff_encode(
         (T_STRIP_COUNTS, 4, len(strips), strip_counts),
         (T_PLANAR, 3, 1, [1]),
     ]
+    if predictor == 2:
+        entries.append((T_PREDICTOR, 3, 1, [2]))
     if geotransform is not None:
         gt = geotransform
         if gt[2] or gt[4]:

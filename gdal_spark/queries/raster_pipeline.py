@@ -139,10 +139,10 @@ def raster_hillshade_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tiff_transcode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_translate -of GTiff: transcode every image through the
-    baseline TIFF codec (functions/tiff.py, frmts/gtiff parity) in all
-    three compressions and verify losslessness in-row.  Reports the
-    checksum, compressed sizes, and a self-check boolean the bench
-    asserts on."""
+    baseline TIFF codec (functions/tiff.py, frmts/gtiff parity) in
+    none/packbits/lzw/deflate/deflate+predictor-2 and verify
+    losslessness in-row.  Reports the checksum, compressed sizes, and
+    a self-check boolean the bench asserts on."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -154,6 +154,8 @@ def tiff_transcode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("bytes_none", T.IntegerType()),
             T.StructField("bytes_packbits", T.IntegerType()),
             T.StructField("bytes_lzw", T.IntegerType()),
+            T.StructField("bytes_deflate", T.IntegerType()),
+            T.StructField("bytes_deflate_p2", T.IntegerType()),
             T.StructField("lossless_ok", T.BooleanType()),
         ]
     )
@@ -168,23 +170,30 @@ def tiff_transcode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = codecs.decode_image(bytes(r.bytes), r.fmt)
                 sizes = {}
                 ok = True
-                for comp in ("none", "packbits", "lzw"):
-                    buf = tiff.tiff_encode(arr, compression=comp)
-                    sizes[comp] = len(buf)
+                for key, comp, pred in (
+                    ("none", "none", 1), ("packbits", "packbits", 1),
+                    ("lzw", "lzw", 1), ("deflate", "deflate", 1),
+                    ("deflate_p2", "deflate", 2),
+                ):
+                    buf = tiff.tiff_encode(arr, compression=comp,
+                                           predictor=pred)
+                    sizes[key] = len(buf)
                     back, _ = tiff.tiff_parse(buf)
                     ok = ok and bool((back == arr).all())
                 rows.append(
                     (
                         r.image_id,
                         int(CK.checksum_image(arr)[0]),
-                        sizes["none"], sizes["packbits"], sizes["lzw"], ok,
+                        sizes["none"], sizes["packbits"], sizes["lzw"],
+                        sizes["deflate"], sizes["deflate_p2"], ok,
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "image_id", "cks", "bytes_none", "bytes_packbits",
-                    "bytes_lzw", "lossless_ok",
+                    "bytes_lzw", "bytes_deflate", "bytes_deflate_p2",
+                    "lossless_ok",
                 ],
             )
 

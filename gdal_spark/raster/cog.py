@@ -42,6 +42,7 @@ from gdal_spark.functions.tiff import (
     T_BITS,
     T_COMPRESSION,
     T_LENGTH,
+    T_PREDICTOR,
     T_PHOTOMETRIC,
     T_PIXEL_SCALE,
     T_PLANAR,
@@ -64,7 +65,7 @@ from gdal_spark.functions.tiff import (
 
 T_SUBFILETYPE = 254  # NewSubfileType: 1 = reduced-resolution (overview)
 
-_COMP = {"none": 1, "lzw": 5, "packbits": 32773}
+_COMP = {"none": 1, "lzw": 5, "packbits": 32773, "deflate": 8}
 
 _GHOST_ITEMS = (
     "LAYOUT=IFDS_BEFORE_DATA\n"
@@ -149,6 +150,8 @@ def write_cog(
     resampling: str = "average",
     compress: str = "lzw",
     bigtiff: bool | str = "auto",
+    predictor: int = 1,
+    zlevel: int = 6,
 ) -> bytes:
     """uint8 gray (h, w) or RGB (h, w, 3) -> COG bytes.
 
@@ -171,6 +174,10 @@ def write_cog(
         raise TiffError("COG block size must be a multiple of 16")
     spp = 1 if a.ndim == 2 else a.shape[2]
     comp = _COMP[compress]
+    if predictor not in (1, 2):
+        raise TiffError("COG writer supports predictor 1 or 2")
+    if predictor == 2 and comp not in (5, 8):
+        raise TiffError("predictor requires lzw or deflate")
 
     # level 0 = full res; levels[i>0] halved i times
     levels = [a]
@@ -178,10 +185,21 @@ def write_cog(
         levels.append(block_reduce(levels[-1], 2, 2, resampling))
 
     def _compress(raw: bytes) -> bytes:
+        if predictor == 2:
+            # horizontal differencing per interleaved sample on the
+            # fixed blocksize x blocksize tile (frmts/gtiff PREDICTOR=2)
+            t = np.frombuffer(raw, np.uint8).reshape(
+                blocksize, blocksize, spp).copy()
+            t[:, 1:, :] -= t[:, :-1, :]
+            raw = t.tobytes()
         if comp == 5:
             return lzw_encode(raw)
         if comp == 32773:
             return packbits_encode(raw)
+        if comp == 8:
+            import zlib
+
+            return zlib.compress(raw, zlevel)
         return raw
 
     tiles_per_level = [
@@ -218,6 +236,8 @@ def write_cog(
             (T_TILE_OFFSETS, off_typ, ntiles, [0] * ntiles),
             (T_TILE_COUNTS, 4, ntiles, [len(t) for t in tiles_per_level[li]]),
         ]
+        if predictor == 2:
+            e.append((T_PREDICTOR, 3, 1, [2]))
         if li > 0:
             e.append((T_SUBFILETYPE, 4, 1, [1]))
         elif geotransform is not None:
@@ -315,6 +335,7 @@ def cog_info(data: bytes) -> dict:
                 "tile_h": one(T_TILE_L),
                 "samples": one(T_SAMPLES, 1),
                 "compression": one(T_COMPRESSION, 1),
+                "predictor": one(T_PREDICTOR, 1),
                 "subfile_type": one(T_SUBFILETYPE, 0),
                 "tile_offsets": tags.get(T_TILE_OFFSETS, (4, []))[1],
                 "tile_counts": tags.get(T_TILE_COUNTS, (4, []))[1],
@@ -352,12 +373,20 @@ def decode_cog_tile(
         raw = lzw_decode(chunk, need)
     elif comp == 32773:
         raw = packbits_decode(chunk, need)
+    elif comp in (8, 32946):  # Deflate / Adobe Deflate
+        import zlib
+
+        raw = zlib.decompress(chunk)[:need]
     elif comp == 1:
         raw = chunk[:need]
     else:
         raise TiffError(f"unsupported COG compression {comp}")
     if len(raw) < need:
         raw = raw + b"\0" * (need - len(raw))
+    if lv.get("predictor", 1) == 2:
+        t = np.frombuffer(raw, np.uint8).reshape(tl, tw, spp)
+        t = np.cumsum(t.astype(np.int64), axis=1).astype(np.uint8)
+        raw = t.tobytes()
     return np.frombuffer(raw, np.uint8, need).reshape(tl, tw, spp)
 
 
