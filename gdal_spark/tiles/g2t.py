@@ -216,15 +216,72 @@ def suggested_warp_output(src_gt, w: int, h: int, fwd=webmerc_fwd):
     return dst_gt, n_pixels, n_lines
 
 
-def warp_output_for_bounds(src_gt, w: int, h: int, bounds):
-    """gdalwarp -te sizing (apps/gdalwarp_lib.cpp:4220): pixel size from
-    the suggested output, size = round(extent/res), res recomputed."""
-    sug_gt, _, _ = suggested_warp_output(src_gt, w, h)
-    x_res = sug_gt[1]
-    y_res = abs(sug_gt[5])
+def res_for_known_extent(src_gt, w: int, h: int, bounds,
+                         inverse=webmerc_inv) -> float:
+    """gdalwarp -te without -tr/-ts: bKnownTargetExtentButNotResolution
+    resolution estimation (apps/gdalwarp_lib.cpp:3752-3980).
+
+    A 10x10 grid of points spans the target extent; each point and its
+    (x+eps, y) / (x, y+eps) neighbours (eps = min(width, height)/1000,
+    negated on the far edges) are inverse-transformed to source-CRS
+    pixel space anchored at the transformed extent corner; the local
+    resolution is eps / pixel-distance.  Median-based 10x outlier
+    filtering on res1, then res2, then their average picks the MINIMUM
+    surviving resolution — NOT the diagonal heuristic of
+    GDALSuggestedWarpOutput (this distinction is what makes the
+    reference's small_world 4326->3857 warp 388x388 with
+    psx 103286.12547829507, test_gdalwarp_lib_full_world_4326_to_3857,
+    rather than the suggested-output 348)."""
     min_x, min_y, max_x, max_y = bounds
-    n_pixels = int(max(1.0, round((max_x - min_x) / x_res)))
-    n_lines = int(max(1.0, round(abs(max_y - min_y) / y_res)))
+    eps = min(max_x - min_x, abs(max_y - min_y)) / 1000.0
+    xs, ys = [], []
+    for iy in range(10):
+        for ix in range(10):
+            x = min_x + ix * (max_x - min_x) / 9.0
+            y = min_y + iy * (max_y - min_y) / 9.0
+            xs += [x, x - eps if ix == 9 else x + eps, x]
+            ys += [y, y, y - eps if iy == 9 else y + eps]
+    lon, lat = inverse(np.asarray(xs), np.asarray(ys))
+    # pixel frame anchored at the transformed extent min corner
+    # (transformedToSrcCRS branch, gdalwarp_lib.cpp:3797-3883)
+    lon0, lat0 = inverse(np.asarray([min_x]), np.asarray([min_y]))
+    px = (lon - lon0[0]) / src_gt[1]
+    py = np.abs((lat - lat0[0]) / src_gt[5])
+    ok = np.isfinite(px) & np.isfinite(py)
+    pairs = []
+    for i in range(0, len(xs), 3):
+        if ok[i] and ok[i + 1] and ok[i + 2] and px[i] >= 0 and py[i] >= 0:
+            d1 = math.hypot(px[i + 1] - px[i], py[i + 1] - py[i])
+            d2 = math.hypot(px[i + 2] - px[i], py[i + 2] - py[i])
+            if d1 > 0 and d2 > 0:
+                r1 = abs(eps) / d1
+                r2 = abs(eps) / d2
+                if math.isfinite(r1) and math.isfinite(r2):
+                    pairs.append((r1, r2))
+    if not pairs:
+        sug_gt, _, _ = suggested_warp_output(src_gt, w, h)
+        return sug_gt[1]
+    pairs.sort(key=lambda p: p[0])
+    med1 = pairs[len(pairs) // 2][0]
+    pairs = [p for p in pairs if p[0] > med1 / 10]
+    pairs.sort(key=lambda p: p[1])
+    med2 = pairs[len(pairs) // 2][1]
+    res = sorted((p[0] + p[1]) / 2 for p in pairs if p[1] > med2 / 10)
+    med = res[len(res) // 2]
+    for r in res:
+        if r > med / 10:
+            return r
+    return med
+
+
+def warp_output_for_bounds(src_gt, w: int, h: int, bounds):
+    """gdalwarp -te sizing: resolution from res_for_known_extent, size =
+    round(extent/res), res recomputed to tile the extent exactly
+    (apps/gdalwarp_lib.cpp:4560-4586 te-only branch)."""
+    res = res_for_known_extent(src_gt, w, h, bounds)
+    min_x, min_y, max_x, max_y = bounds
+    n_pixels = int(max(1.0, round((max_x - min_x) / res)))
+    n_lines = int(max(1.0, round(abs(max_y - min_y) / res)))
     x_res = (max_x - min_x) / n_pixels
     y_res = (max_y - min_y) / n_lines
     return (min_x, x_res, 0.0, max_y, 0.0, -y_res), n_pixels, n_lines

@@ -64,18 +64,18 @@ def test_profile_geodetic_parity(world):
     assert checksum_image(tiles[(0, 0, 0)]) == [8560, 8031, 7209, 17849]
 
 
-def test_mercator_pipeline_structure(world):
-    """Mercator profile: zoom selection, full-square coverage (alpha 255
-    everywhere -> the reference's own alpha checksum 17849), and overview
-    consistency. Pixel-level parity for the warped intermediate is pinned
-    by the suggested-output / approx-transformer unit tests below."""
+def test_mercator_pipeline_exact(world):
+    """Mercator profile, BIT-EXACT vs the reference's own expected
+    checksums: test_gdal2tiles_py_simple legacy z0 [31420, 32522, 16314,
+    17849] and test_gdal2tiles_py_zoom_option legacy 1/0/0 [24063,
+    23632, 14707, 17849]."""
     arr, gt = world
     tiles = g2t.gdal2tiles_mercator(arr, gt)
     assert set(tiles) == {(0, 0, 0)}  # tminz == tmaxz == 0 for small_world
-    cs = checksum_image(tiles[(0, 0, 0)])
-    assert cs[3] == 17849  # full-opacity alpha plane matches the reference
+    assert checksum_image(tiles[(0, 0, 0)]) == [31420, 32522, 16314, 17849]
     t2 = g2t.gdal2tiles_mercator(arr, gt, tminz=0, tmaxz=1)
     assert set(t2) == {(0, 0, 0), (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)}
+    assert checksum_image(t2[(1, 0, 0)]) == [24063, 23632, 14707, 17849]
     for k in t2:
         assert checksum_image(t2[k])[3] == 17849
 
@@ -83,16 +83,31 @@ def test_mercator_pipeline_structure(world):
 def test_suggested_warp_output_small_world(world):
     """GDALSuggestedWarpOutput transcription: grid sampling falls back when
     the poles fail, bounds stop at the 81-degree sample row, diagonal
-    pixel size, and the gdalwarp -te size override -> the 348x348 square."""
+    pixel size. The -te path does NOT use this (see below)."""
     _, gt = world
     sug_gt, w, h = g2t.suggested_warp_output(gt, 400, 200)
     assert (w, h) == (348, 281)
     assert sug_gt[1] == pytest.approx(115272.64078232402)
     assert sug_gt[3] == pytest.approx(16213801.067583967)  # webmerc(81 deg)
+
+
+def test_warp_output_for_bounds_known_extent_res(world):
+    """bKnownTargetExtentButNotResolution sizing, pinned against two of
+    the reference's own expectations: small_world 4326->3857 = 388x388
+    with psx 103286.12547829507 (test_gdalwarp_lib_full_world_4326_to_
+    3857) and the 10x10 36.01-degree case = 13x13 with psx
+    3082693.591198345 (gdal2tiles/test_reproject_dataset.py)."""
+    _, gt = world
     M = g2t.MSHIFT
     te_gt, tw, th = g2t.warp_output_for_bounds(gt, 400, 200, (-M, -M, M, M))
-    assert (tw, th) == (348, 348)
-    assert te_gt[1] == pytest.approx(2 * M / 348)
+    assert (tw, th) == (388, 388)
+    assert te_gt[1] == pytest.approx(103286.12547829507, abs=1e-6)
+
+    gt10 = (-180, 36.01, 0, 90, 0, -18)
+    te_gt2, tw2, th2 = g2t.warp_output_for_bounds(
+        gt10, 10, 10, (-M, -M, M, M))
+    assert (tw2, th2) == (13, 13)
+    assert te_gt2[1] == pytest.approx(3082693.591198345, abs=1e-6)
 
 
 def test_approx_transformer_subdivides():
