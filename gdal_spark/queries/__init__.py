@@ -25,6 +25,7 @@ from gdal_spark.queries import (
     layer_algebra_entries,
     mdim_entries,
     morph_entries,
+    ogrsql_entries,
     rat_entries,
     raster_entries,
     raster_extra,
@@ -55,7 +56,7 @@ MODULES = [
     relational, spatial_sql, textops, similarity,
     raster_entries, raster_pipeline, layer_algebra_entries,
     morph_entries, gridding, raster_extra, sql_extra, crs_entries,
-    rat_entries, vision_entries, gti_entries, mdim_entries,
+    rat_entries, ogrsql_entries, vision_entries, gti_entries, mdim_entries,
     vector_fmt_entries, streaming_entries, simplify_entries,
     closedform_raster, closedform_vector, closedform_morph, closedform_dem, closedform_misc,
     cog_entries, vsi_entries, geoparquet_entries, images_join_cf,
