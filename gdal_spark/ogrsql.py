@@ -579,11 +579,6 @@ class _Frame:
         self.df = None
         self.colmap = {}   # (tbl|None, col_lower) -> (out_name, dtype)
 
-    def qualified(self, ti: int, col: str) -> str:
-        if ti == 0:
-            return col
-        return f"{self.entries[ti][1]}.{col}"
-
     def build(self):
         prim = self.entries[0][2]
         self.df = prim
@@ -828,8 +823,8 @@ def _execute(spark, sel: _Select, layers: dict) -> DataFrame:
             c, dt = _Lowerer(frame).lower(ast)
             return c, dt
 
-        lc, ldt = _side(lhs_ast)
-        rc, rdt = _side(rhs_ast)
+        lc, _ = _side(lhs_ast)
+        rc, _ = _side(rhs_ast)
         # first match: dedupe the secondary on its join key by fid order
         join_col_names = [n for n in renamed.columns]
         key_name = None
@@ -856,9 +851,6 @@ def _execute(spark, sel: _Select, layers: dict) -> DataFrame:
 
     # -- classify fields -------------------------------------------------
     has_agg = any(f[0][0] == "agg" for f in sel.fields)
-    out_cols = []
-    out_names = []
-    n_out = 0
 
     def default_name(expr, idx):
         if expr[0] == "col":
@@ -916,7 +908,7 @@ def _execute(spark, sel: _Select, layers: dict) -> DataFrame:
                         proj.append((F.col(f"`{qn}`"), qn, False))
                 continue
             c, _ = low.lower(expr)
-            proj.append((c, alias or default_name(expr, n_out + idx), hidden))
+            proj.append((c, alias or default_name(expr, idx), hidden))
         if sel.where is not None:
             cond, _ = low.lower(sel.where)
             df = df.filter(F.coalesce(cond, F.lit(False)))

@@ -40,7 +40,10 @@ def run_one(cores: str, n: int, salt: int, kernel: str, aqe: str) -> None:
     spark = get_session(app_name="skew", master=f"local[{cores}]")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
                    "true" if aqe == "on" else "false")
-    keep_wkb = kernel == "arrow"
+    if kernel == "arrow":
+        # force the Arrow-batched fallback (the path complex polygons
+        # take): make every polygon exceed the unroll threshold
+        SJ._UNROLL_MAX_EDGES = 0
 
     def run(nn):
         imgs = datagen.with_footprint(
@@ -48,16 +51,11 @@ def run_one(cores: str, n: int, salt: int, kernel: str, aqe: str) -> None:
         polys = datagen.polygons_df(spark, 2000)
         return SJ.spatial_join(
             imgs, polys, res=6, predicate="center_within",
-            broadcast_polygons=False, salt=salt, carry=[],
-            keep_wkb=keep_wkb)
+            broadcast_polygons=False, salt=salt, carry=[])
 
-    out = run(2000)
-    out = out.drop("wkb") if keep_wkb else out
-    out.count()  # warmup
+    run(2000).count()  # warmup
     t0 = time.time()
-    df = run(n)
-    df = df.drop("wkb") if keep_wkb else df
-    cnt = df.count()
+    cnt = run(n).count()
     print(f"RESULT kernel={kernel} salt={salt} aqe={aqe} cores={cores} "
           f"n={n} sec={time.time() - t0:.2f} rows={cnt}", flush=True)
     spark.stop()
