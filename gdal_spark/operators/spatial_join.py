@@ -257,8 +257,23 @@ def spatial_join(
         polygons = polygons.withColumn("edges", edges_array_udf(F.col("wkb")))
         row = polygons.select(F.max(F.size("edges")).alias("m")).collect()
         shuffle_cap = int(row[0]["m"] or 0)
-        if 0 < shuffle_cap <= 2 * _UNROLL_MAX_EDGES and not keep_wkb:
-            polygons = polygons.drop("wkb")
+        if 0 < shuffle_cap <= 2 * _UNROLL_MAX_EDGES:
+            # Flatten the prepared edges to SCALAR double columns on the
+            # polygon side (O(polygons) rows) BEFORE the pair explosion.
+            # Catalyst pushes the parity filter into the cell-join
+            # condition, and a condition over flat doubles is the same
+            # proven-fast shape as the broadcast path; leaving `edges`
+            # as array<array<double>> instead re-extracts ~5*cap nested
+            # elements per CANDIDATE PAIR inside the join condition,
+            # measured 4x slower end-to-end (BENCH/SKEW.md fixture).
+            flat = [
+                F.get(F.col("edges"), i).getItem(j).alias(f"_e{i}_{f}")
+                for i in range(shuffle_cap)
+                for j, f in enumerate(("ylo", "yhi", "x1", "y1", "sl"))
+            ]
+            keep = [c for c in polygons.columns
+                    if c != "edges" and (keep_wkb or c != "wkb")]
+            polygons = polygons.select(*keep, *flat)
 
     lx0, ly0, lx1, ly1 = (F.col(c) for c in left_bbox)
     if predicate == "center_within":
@@ -342,10 +357,22 @@ def spatial_join(
                     "edges"
                 )
         elif 0 < shuffle_cap <= 2 * _UNROLL_MAX_EDGES:
-            # fully-codegen unrolled parity, single pass, one join
-            cand = cand.filter(
-                pip_unrolled_from_array(cx, cy, F.col("edges"), shuffle_cap)
-            ).drop("edges")
+            # fully-codegen unrolled parity over the flat edge columns;
+            # a NULL edge slot (shorter polygon) makes `hit` NULL and
+            # the WHEN falls to 0 — no padding rows needed
+            parity = None
+            names = []
+            for i in range(shuffle_cap):
+                ylo, yhi = F.col(f"_e{i}_ylo"), F.col(f"_e{i}_yhi")
+                x1, y1, sl = (
+                    F.col(f"_e{i}_x1"), F.col(f"_e{i}_y1"), F.col(f"_e{i}_sl")
+                )
+                names += [f"_e{i}_{f}"
+                          for f in ("ylo", "yhi", "x1", "y1", "sl")]
+                hit = (ylo <= cy) & (cy < yhi) & (cx < x1 + (cy - y1) * sl)
+                bit = F.when(hit, F.lit(1)).otherwise(F.lit(0))
+                parity = bit if parity is None else parity + bit
+            cand = cand.filter(parity % 2 == 1).drop(*names)
         else:
             # arbitrarily complex polygons: Arrow-batched kernel fallback
             cand = cand.filter(pip_udf(cx, cy, F.col("wkb"))).drop("edges")

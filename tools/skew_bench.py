@@ -92,13 +92,17 @@ def matrix(cores: str, n: int) -> None:
                   f"{r['sec']} | {r['rows']} |")
     md += [
         "",
-        "Reading: with the production JVM codegen kernel the per-pair",
-        "cost is a few ns, so the hot partition is rarely the critical",
-        "path at this scale; with an expensive per-pair kernel (arrow",
-        "rows — the stand-in for heavy geometry / Python predicates)",
-        "salting the hot cell and/or AQE skew-join splitting recovers",
-        "the lost parallelism. Both knobs ship in spatial_join(salt=S)",
-        "and session AQE defaults.",
+        "Reading: with the production JVM codegen kernel (flat-column",
+        "parity in the join condition — the round-3 fix that removed the",
+        "per-pair nested-array extraction, 45.9s -> 3.9s on this",
+        "fixture) the per-pair cost is a few ns and the hot partition is",
+        "not the critical path at this scale.  With an expensive",
+        "per-pair kernel (arrow rows — the stand-in for heavy geometry /",
+        "Python predicates) salting the hot cell recovers 10-20% here",
+        "and more as per-pair cost grows; AQE skew-join splitting is the",
+        "runtime backstop for partitions past",
+        "skewedPartitionThresholdInBytes.  Both knobs ship in",
+        "spatial_join(salt=S) and session AQE defaults.",
     ]
     path = os.path.join(REPO, "BENCH", "SKEW.md")
     with open(path, "w") as fh:
