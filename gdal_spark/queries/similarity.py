@@ -881,17 +881,27 @@ def _mh_band_key(b: int) -> F.Column:
 
 def minhash128_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs at production LSH parameters (128 perms,
-    16 bands x 8 rows -> S-curve threshold ~0.77 Jaccard). One band-key
-    explode + one equi-join shuffle; AQE skew-join backstops hot buckets."""
+    16 bands x 8 rows -> S-curve threshold ~0.77 Jaccard).
+
+    Signatures are computed ONCE: a posting self-join recomputes the
+    whole 128-min aggregation lineage on both sides (measured ~2x the
+    query), so buckets are grouped instead — one shuffle on (band,
+    bkey), then in-bucket pairs via a narrow double explode.  An LSH
+    bucket at 8 rows/band is tiny by construction, so collect_list
+    stays bounded (a pathological all-identical corpus degenerates the
+    same way a self-join would)."""
     sigs = minhash128_signatures(spark, sf_dir)
     keys = F.array(*[_mh_band_key(b) for b in range(MH_BANDS)])
     postings = sigs.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
-    a = postings.alias("a")
-    b = postings.alias("b")
+    buckets = (
+        postings.groupBy("band", "bkey")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
