@@ -853,13 +853,15 @@ def _decode_scan(order, segments, huffs, restart, h, w) -> None:
 
 
 class _PBits:
-    """Bit reader over one unstuffed entropy segment (MSB-first).  Pads
-    with 0xFF like libjpeg's fill so truncated streams read 1-bits."""
+    """Bit reader over one unstuffed entropy segment (MSB-first).  Past
+    the end it reads 1-bits indefinitely, like libjpeg's fill for
+    truncated streams (never IndexError on a cut-off file)."""
 
-    __slots__ = ("data", "pos", "acc", "nb")
+    __slots__ = ("data", "n_data", "pos", "acc", "nb")
 
     def __init__(self, seg: bytes):
-        self.data = seg + b"\xff\xff\xff\xff"
+        self.data = seg
+        self.n_data = len(seg)
         self.pos = 0
         self.acc = 0
         self.nb = 0
@@ -868,8 +870,8 @@ class _PBits:
         if n == 0:
             return 0
         while self.nb < n:
-            self.acc = ((self.acc & ((1 << self.nb) - 1)) << 8) \
-                | self.data[self.pos]
+            byte = self.data[self.pos] if self.pos < self.n_data else 0xFF
+            self.acc = ((self.acc & ((1 << self.nb) - 1)) << 8) | byte
             self.pos += 1
             self.nb += 8
         v = (self.acc >> (self.nb - n)) & ((1 << n) - 1)
@@ -878,8 +880,8 @@ class _PBits:
 
     def huff(self, lut) -> int:
         while self.nb < 16:
-            self.acc = ((self.acc & ((1 << self.nb) - 1)) << 8) \
-                | self.data[self.pos]
+            byte = self.data[self.pos] if self.pos < self.n_data else 0xFF
+            self.acc = ((self.acc & ((1 << self.nb) - 1)) << 8) | byte
             self.pos += 1
             self.nb += 8
         e = lut[(self.acc >> (self.nb - 16)) & 0xFFFF]

@@ -177,25 +177,31 @@ def parse(buf: bytes) -> tuple[int, object]:
 
 
 def _geom_length(buf: bytes, pos: int) -> int:
-    """Byte length of the LE WKB geometry starting at pos."""
+    """Byte length of the LE WKB geometry starting at pos (2-D and
+    ISO-WKB Z variants)."""
     start = pos
     (gtype,) = struct.unpack_from("<I", buf, pos + 1)
-    gtype &= 0xFF
+    if gtype >= 1000:
+        base = gtype % 1000
+        psize = 24  # Z: three doubles per point
+    else:
+        base = gtype & 0xFF
+        psize = 16
     pos += 5
-    if gtype == WKB_POINT:
-        return pos + 16 - start
-    if gtype == WKB_LINESTRING:
+    if base == WKB_POINT:
+        return pos + psize - start
+    if base == WKB_LINESTRING:
         (npts,) = struct.unpack_from("<I", buf, pos)
-        return pos + 4 + npts * 16 - start
-    if gtype == WKB_POLYGON:
+        return pos + 4 + npts * psize - start
+    if base == WKB_POLYGON:
         (nrings,) = struct.unpack_from("<I", buf, pos)
         pos += 4
         for _ in range(nrings):
             (npts,) = struct.unpack_from("<I", buf, pos)
-            pos += 4 + npts * 16
+            pos += 4 + npts * psize
         return pos - start
-    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
-                 WKB_GEOMETRYCOLLECTION):
+    if base in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
+                WKB_GEOMETRYCOLLECTION):
         (n,) = struct.unpack_from("<I", buf, pos)
         pos += 4
         for _ in range(n):

@@ -707,6 +707,10 @@ class _Lowerer:
             return F.when(a.isNull(), F.lit(None).cast("string")).otherwise(
                 F.concat(a.cast("string"),
                          F.coalesce(b.cast("string"), F.lit("")))), "string"
+        if op == "/" and "double" not in (adt, bdt):
+            # SWQ_DIVIDE integer branch (swq_op_general.cpp): C++
+            # integer division, truncation toward zero
+            return (a / b).cast("long"), "bigint"
         num = {"+": a + b, "-": a - b, "*": a * b,
                "/": a / b, "%": a % b}[op]
         dt = "double" if "double" in (adt, bdt) or op == "/" else "bigint"
@@ -823,8 +827,11 @@ def _execute(spark, sel: _Select, layers: dict) -> DataFrame:
             c, dt = _Lowerer(frame).lower(ast)
             return c, dt
 
-        lc, _ = _side(lhs_ast)
-        rc, _ = _side(rhs_ast)
+        lc, ldt = _side(lhs_ast)
+        rc, rdt = _side(rhs_ast)
+        if _is_str(ldt) and _is_str(rdt):
+            # the dialect's '=' is strcasecmp everywhere, joins included
+            lc, rc = F.lower(lc), F.lower(rc)
         # first match: dedupe the secondary on its join key by fid order
         join_col_names = [n for n in renamed.columns]
         key_name = None

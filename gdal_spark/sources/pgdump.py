@@ -151,23 +151,34 @@ def ewkb_hex(wkb_buf: bytes, srid: int = 0, dim: int = 2) -> str:
             out.append(struct.pack("<I", len(payload)))
             out.extend(child(3, rings) for rings in payload)
         else:  # GEOMETRYCOLLECTION: payload = [(gtype, payload), ...]
+
+            def compound(ctype: int, cpayload) -> bytes:
+                """Nested multi/collection child WKB (recursive, like
+                the reference's GeometryToHex)."""
+                sub = [b"\x01", struct.pack("<I", ctype | inner_flags)]
+                if ctype == 4:
+                    arr = np.atleast_2d(cpayload)
+                    sub.append(struct.pack("<I", len(arr)))
+                    sub.extend(child(1, tuple(p)) for p in arr)
+                elif ctype == 5:
+                    sub.append(struct.pack("<I", len(cpayload)))
+                    sub.extend(child(2, ln) for ln in cpayload)
+                elif ctype == 6:
+                    sub.append(struct.pack("<I", len(cpayload)))
+                    sub.extend(child(3, rg) for rg in cpayload)
+                else:  # nested collection
+                    sub.append(struct.pack("<I", len(cpayload)))
+                    for gtype2, p2 in cpayload:
+                        b2 = gtype2 % 1000 if gtype2 >= 1000 else gtype2 & 0xFF
+                        sub.append(compound(b2, p2) if b2 in (4, 5, 6, 7)
+                                   else child(b2, p2))
+                return b"".join(sub)
+
             out.append(struct.pack("<I", len(payload)))
             for ctype, cpayload in payload:
                 cbase = ctype % 1000 if ctype >= 1000 else ctype & 0xFF
-                if cbase in (4, 5, 6):
-                    # nested multi inside a collection
-                    sub = [b"\x01", struct.pack("<I", cbase | inner_flags)]
-                    if cbase == 4:
-                        arr = np.atleast_2d(cpayload)
-                        sub.append(struct.pack("<I", len(arr)))
-                        sub.extend(child(1, tuple(p)) for p in arr)
-                    elif cbase == 5:
-                        sub.append(struct.pack("<I", len(cpayload)))
-                        sub.extend(child(2, ln) for ln in cpayload)
-                    else:
-                        sub.append(struct.pack("<I", len(cpayload)))
-                        sub.extend(child(3, rg) for rg in cpayload)
-                    out.append(b"".join(sub))
+                if cbase in (4, 5, 6, 7):
+                    out.append(compound(cbase, cpayload))
                 else:
                     out.append(child(cbase, cpayload))
     else:

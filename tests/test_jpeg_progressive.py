@@ -261,3 +261,17 @@ def test_arcgis_progressive_fixtures():
     b = jpeg_decode(d2)
     assert b.shape == (62, 58, 3)
     assert int(b.min()) == int(b.max()) == 0
+
+
+def test_truncated_progressive_no_crash():
+    """A progressive stream cut off mid-entropy must fail softly
+    (ValueError or a decoded array from 1-bit fill), never IndexError."""
+    arr = _textured((32, 32, 3))
+    full = jpeg_encode_progressive(arr, 85)
+    for cut in (len(full) // 3, len(full) // 2, len(full) - 20):
+        data = full[:cut] + b"\xff\xd9"
+        try:
+            out = jpeg_decode(data)
+            assert out.shape == (32, 32, 3)
+        except ValueError:
+            pass

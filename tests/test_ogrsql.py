@@ -233,3 +233,26 @@ def test_hstore_get_value(run):
     assert run("select count(*) n from poly where "
                "hstore_get_value('a=>b', 'missing') is null"
                ).collect()[0][0] == 10
+
+
+def test_integer_division_truncates(run):
+    """SWQ_DIVIDE integer branch: C++ truncating division."""
+    rows = run("select eas_id / 2 v, eas_id / 2.0 w from poly "
+               "order by eas_id limit 1").collect()
+    assert rows[0]["v"] == 79          # 158 / 2
+    rows2 = run("select (0 - eas_id) / 7 v from poly "
+                "order by eas_id limit 1").collect()
+    assert rows2[0]["v"] == -22        # trunc(-158/7) = -22, not floor -23
+    assert rows[0]["w"] == pytest.approx(79.0)
+
+
+def test_join_on_string_equality_case_insensitive(spark):
+    """The dialect's '=' is strcasecmp in JOIN ON too."""
+    from gdal_spark.ogrsql import execute_sql
+
+    a = spark.createDataFrame([(1, "Paris"), (2, "Rome")], "id int, name string")
+    b = spark.createDataFrame([(10, "PARIS")], "fid int, name string")
+    out = execute_sql(
+        spark, "SELECT id, b.fid FROM a JOIN b ON a.name = b.name "
+               "ORDER BY id", {"a": a, "b": b}).collect()
+    assert [(r["id"], r["b.fid"]) for r in out] == [(1, 10), (2, None)]

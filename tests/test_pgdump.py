@@ -269,3 +269,25 @@ def test_ewkb_hex_multi_and_collection():
         "010700000001000000"
         "010400000001000000"
         "010100000000000000000014400000000000001840")
+
+
+def test_ewkb_hex_nested_collection_and_z_children():
+    """Review findings: nested GEOMETRYCOLLECTION recursion, and
+    _geom_length on Z-typed children inside a collection."""
+    from gdal_spark.functions import wkb as W
+
+    nested = W.write_collection([
+        W.write_collection([W.write_point(1.0, 2.0)]),
+        W.write_multipoint([(3.0, 4.0)]),
+    ])
+    h = ewkb_hex(nested, srid=0, dim=2)
+    assert h == (
+        "010700000002000000"
+        "010700000001000000"
+        "0101000000000000000000F03F0000000000000040"
+        "010400000001000000"
+        "010100000000000000000008400000000000001040")
+
+    zc = W.write_collection([W.write_point_z(1.0, 2.0, 3.0)])
+    gtype, payload = W.parse(zc)
+    assert gtype == 7 and payload[0][0] == 1001
