@@ -535,6 +535,24 @@ def _wkb_to_wkt(b):
     return to_wkt(bytes(b))
 
 
+_GEOM_NAMES = {1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+               5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+               7: "GEOMETRYCOLLECTION"}
+
+
+@F.udf(T.StringType())
+def _wkb_geom_name(b):
+    """OGR_GEOMETRY special field: the geometry type name
+    (OGRGeometry::getGeometryName)."""
+    if b is None:
+        return None
+    import struct
+
+    (gtype,) = struct.unpack_from("<I", bytes(b), 1)
+    base = gtype % 1000 if gtype >= 1000 else gtype & 0xFF
+    return _GEOM_NAMES.get(base)
+
+
 @F.udf(T.DoubleType())
 def _wkb_area(b):
     """OGR_GEOM_AREA: OGRSurface::get_Area — exterior minus holes,
@@ -608,6 +626,9 @@ class _Frame:
         if low == "ogr_geom_wkt" and (None, "wkb") in self.colmap:
             out, _ = self.colmap[(None, "wkb")]
             return _wkb_to_wkt(F.col(f"`{out}`")), "string"
+        if low == "ogr_geometry" and (None, "wkb") in self.colmap:
+            out, _ = self.colmap[(None, "wkb")]
+            return _wkb_geom_name(F.col(f"`{out}`")), "string"
         if low == "ogr_geom_area" and (None, "wkb") in self.colmap:
             out, _ = self.colmap[(None, "wkb")]
             return _wkb_area(F.col(f"`{out}`")), "double"

@@ -256,3 +256,81 @@ def test_join_on_string_equality_case_insensitive(spark):
         spark, "SELECT id, b.fid FROM a JOIN b ON a.name = b.name "
                "ORDER BY id", {"a": a, "b": b}).collect()
     assert [(r["id"], r["b.fid"]) for r in out] == [(1, 10), (2, None)]
+
+
+# -- second batch: more ogr_sql_test.py statements over other drivers ----
+
+@pytest.fixture(scope="module")
+def pm_layer(spark):
+    df = (spark.read.option("header", True)
+          .csv(os.path.join(OGR_DATA, "prime_meridian.csv")))
+    return {"prime_meridian": df}
+
+
+def test_ilike_like_csv(spark, pm_layer):
+    """test_ogr_sql_ilike / test_ogr_sql_like on prime_meridian.csv —
+    same statements, same counts."""
+    from gdal_spark.ogrsql import execute_sql
+
+    def n(sql):
+        return execute_sql(spark, sql, pm_layer).count()
+
+    assert n("select * from prime_meridian "
+             "where PRIME_MERIDIAN_NAME ilike 'GREEN%'") == 1
+    assert n("select * from prime_meridian "
+             "where PRIME_MERIDIAN_NAME ilike '%WICH'") == 1
+    assert n("select * from prime_meridian "
+             "where PRIME_MERIDIAN_NAME ilike 'FOO%'") == 0
+    assert n("select * from prime_meridian "
+             "where PRIME_MERIDIAN_NAME like 'Green%'") == 1
+    assert n("select * from prime_meridian "
+             "where PRIME_MERIDIAN_NAME like '%wich'") == 1
+    assert n("select * from prime_meridian "
+             "where PRIME_MERIDIAN_NAME like 'GREEN%'") == 0
+
+
+def test_max_and_distinct_on_empty(spark):
+    """test_ogr_sql_11/12: MAX on an empty layer yields one NULL row;
+    DISTINCT yields no rows."""
+    from gdal_spark.ogrsql import execute_sql
+    from gdal_spark.sources.vector_formats import read_shapefile
+
+    empty = read_shapefile(spark,
+                           os.path.join(OGR_DATA, "shp", "empty.shp"))
+    L = {"empty": empty}
+    rows = execute_sql(spark, "select max(eas_id) from empty", L).collect()
+    assert len(rows) == 1 and rows[0][0] is None
+    assert execute_sql(spark, "select distinct eas_id from empty",
+                       L).count() == 0
+
+
+def test_ogr_geometry_special_field(run):
+    df = run("select ogr_geometry g from poly where eas_id = 170")
+    assert df.collect()[0]["g"] in ("POLYGON", "MULTIPOLYGON")
+    assert run("select count(*) n from poly "
+               "where ogr_geometry = 'Polygon'").collect()[0][0] in (0, 10)
+
+
+def test_mif_small_string_ordering_and_cast(spark):
+    """test_ogr_sql_16/17: case-insensitive string '<', RFC 21 CAST."""
+    from gdal_spark.ogrsql import execute_sql
+    from gdal_spark.sources.mif import parse_mif
+
+    mif = open(os.path.join(OGR_DATA, "mitab", "small.mif")).read()
+    mid = open(os.path.join(OGR_DATA, "mitab", "small.mid")).read()
+    feats = parse_mif(mif, mid)
+    rows = []
+    for i, f in enumerate(feats):
+        flds = {k.lower(): v for k, v in f.items() if k != "wkt"}
+        rows.append((i + 1, str(flds.get("owner")),
+                     float(flds.get("data") or 0)))
+    small = spark.createDataFrame(rows, "fid int, owner string, data double")
+    L = {"small": small}
+    got = [r[0] for r in execute_sql(
+        spark, "select fid from small where owner < 'H'", L).collect()]
+    assert got == [2]
+    rows17 = execute_sql(
+        spark, "select CAST(fid as CHARACTER(10)) a, "
+               "CAST(data as numeric(7,3)) b from small", L).collect()
+    assert [r["a"] for r in rows17] == ["1", "2"]
+    assert rows17[0]["b"] == pytest.approx(4.0)
