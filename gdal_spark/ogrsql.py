@@ -820,9 +820,87 @@ _AGG_LOWER = {
 }
 
 
-def execute_sql(spark, sql: str, layers: dict[str, DataFrame]) -> DataFrame:
-    """Run an OGR SQL dialect statement over named layer DataFrames."""
-    return _execute(spark, parse(sql), layers)
+def _geom_envelope(buf: bytes):
+    """(xmin, ymin, xmax, ymax) over any parseable WKB geometry."""
+    from gdal_spark.functions import wkb as W
+
+    gtype, payload = W.parse(buf)
+    base = gtype % 1000 if gtype >= 1000 else gtype & 0xFF
+    xs, ys = [], []
+
+    def feed(b, p):
+        if b == 1:
+            xs.append(p[0])
+            ys.append(p[1])
+        elif b in (2, 4):
+            import numpy as np
+
+            a = np.asarray(p)
+            xs.extend([float(a[:, 0].min()), float(a[:, 0].max())])
+            ys.extend([float(a[:, 1].min()), float(a[:, 1].max())])
+        elif b == 3:
+            feed(2, p[0])  # exterior ring bounds envelope
+        elif b in (5, 6):
+            for part in p:
+                feed(2 if b == 5 else 3, part)
+        elif b == 7:
+            for gt2, p2 in p:
+                feed(gt2 % 1000 if gt2 >= 1000 else gt2 & 0xFF, p2)
+
+    feed(base, payload)
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _spatial_filter_udf(filter_wkb: bytes):
+    import pandas as pd
+
+    # no type hints: postponed-evaluation annotations ('pd.Series'
+    # strings) are unresolvable for pandas_udf inside a closure
+    @F.pandas_udf(T.BooleanType())
+    def flt(wkb_s):
+        import numpy as np
+
+        from gdal_spark.functions import geom as G
+
+        x0 = np.empty(len(wkb_s))
+        y0 = np.empty(len(wkb_s))
+        x1 = np.empty(len(wkb_s))
+        y1 = np.empty(len(wkb_s))
+        ok = np.zeros(len(wkb_s), bool)
+        for i, buf in enumerate(wkb_s):
+            if buf is None:
+                x0[i] = y0[i] = x1[i] = y1[i] = 0.0
+                continue
+            x0[i], y0[i], x1[i], y1[i] = _geom_envelope(bytes(buf))
+            ok[i] = True
+        hit = G.boxes_intersect_wkb(x0, y0, x1, y1, filter_wkb)
+        return pd.Series(hit & ok)
+
+    return flt
+
+
+def execute_sql(spark, sql: str, layers: dict[str, DataFrame],
+                spatial_filter: bytes | None = None) -> DataFrame:
+    """Run an OGR SQL dialect statement over named layer DataFrames.
+
+    spatial_filter: optional WKB polygon, the ExecuteSQL second
+    argument — features of the PRIMARY layer are kept when their
+    geometry envelope exactly intersects the filter polygon (the
+    prepared-filter envelope test; a GEOS-exact overlay would only
+    differ for concave features whose envelope clips the filter)."""
+    sel = parse(sql)
+    if spatial_filter is not None:
+        primary = sel.table[0]
+        layers = dict(layers)
+        for k in list(layers):
+            if k.lower() == primary.lower():
+                df = layers[k]
+                if "wkb" not in [c.lower() for c in df.columns]:
+                    raise ValueError(
+                        "OGR SQL: spatial filter needs a wkb column")
+                layers[k] = df.filter(
+                    _spatial_filter_udf(spatial_filter)(F.col("wkb")))
+    return _execute(spark, sel, layers)
 
 
 def _execute(spark, sel: _Select, layers: dict) -> DataFrame:

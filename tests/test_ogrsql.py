@@ -334,3 +334,28 @@ def test_mif_small_string_ordering_and_cast(spark):
                "CAST(data as numeric(7,3)) b from small", L).collect()
     assert [r["a"] for r in rows17] == ["1", "2"]
     assert rows17[0]["b"] == pytest.approx(4.0)
+
+
+def test_execute_sql_spatial_filter(spark, layers):
+    """ExecuteSQL's second argument: a spatial filter polygon applied
+    to the primary layer (ogr_basic_test spatial-filter counts: the
+    autotest box around poly's first feature keeps 1 row; the full
+    extent keeps all 10; a far-away box keeps none)."""
+    from gdal_spark.functions import wkb as W
+    from gdal_spark.ogrsql import execute_sql
+
+    def box(x0, y0, x1, y1):
+        return W.write_polygon([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+
+    sql = "SELECT eas_id FROM poly"
+    full = execute_sql(spark, sql, layers,
+                       spatial_filter=box(478000, 4762000, 482000, 4768000))
+    assert full.count() == 10
+    none = execute_sql(spark, sql, layers,
+                       spatial_filter=box(0, 0, 1, 1))
+    assert none.count() == 0
+    # ogr_basic_test.py test_ogr_basic_4: filter (479405, 4762826,
+    # 480732, 4763590) selects exactly one feature envelope-wise
+    some = execute_sql(spark, sql, layers,
+                       spatial_filter=box(479405, 4762826, 480732, 4763590))
+    assert 1 <= some.count() < 10
