@@ -582,9 +582,14 @@ class _Component:
                  "czz")
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
+def jpeg_decode(data: bytes, force_color: str | None = None) -> np.ndarray:
     """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG stream to
-    HxWx3 uint8."""
+    HxWx3 uint8.
+
+    force_color='rgb': treat a 3-component stream's planes as R,G,B
+    directly, skipping the YCbCr transform — the JPEG-in-TIFF
+    photometric-RGB case, where libtiff sets the jpeg color space from
+    the TIFF photometric instead of stream markers (tif_jpeg.c)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
@@ -700,6 +705,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         planes.append(img[:h, :w])
     if len(planes) == 1:
         return np.repeat(planes[0][:, :, None], 3, axis=2)
+    if len(planes) == 3 and force_color == "rgb":
+        return np.stack(planes, axis=-1).astype(np.uint8)
     if len(planes) == 4:
         # Adobe 4-component CMYK (APP14 transform 0): the reference's JPEG
         # driver converts to RGB with R=C*K/255 etc.

@@ -29,11 +29,14 @@ T_WIDTH, T_LENGTH, T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 256, 257, 258, 259, 26
 T_STRIP_OFFSETS, T_SAMPLES, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
 T_PLANAR, T_PREDICTOR, T_SAMPLEFORMAT = 284, 317, 339
 T_TILE_W, T_TILE_L, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
+T_JPEGTABLES = 347
 T_PIXEL_SCALE, T_TIEPOINT, T_GEOKEYS = 33550, 33922, 34735
 T_GDAL_NODATA = 42113  # ASCII nodata value (GDAL extension tag)
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 11: 4, 12: 8,
+              16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 7: "B", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 
 class TiffError(ValueError):
@@ -384,6 +387,36 @@ def tiff_parse(data: bytes, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
     if planar not in (1, 2):
         raise TiffError(f"unsupported planar config {planar}")
 
+    photometric = one(T_PHOTOMETRIC, 1)
+    jpeg_tables = None
+    if T_JPEGTABLES in tags:
+        jpeg_tables = bytes(tags[T_JPEGTABLES][1])
+
+    def jpeg_chunk(chunk: bytes, nsmp: int) -> bytes:
+        """COMPRESSION_JPEG (7): each strip/tile is a JPEG bitstream;
+        abbreviated streams get the DQT/DHT from the JPEGTables tag
+        spliced after their SOI (libtiff tif_jpeg.c semantics).
+        Photometric RGB means the components are stored without the
+        YCbCr transform (libtiff forces the jpeg color space from the
+        photometric, not from stream markers)."""
+        from gdal_spark.functions.jpeg import jpeg_decode
+
+        if bits[0] != 8:
+            raise TiffError("JPEG-in-TIFF supported for 8-bit only")
+        stream = chunk
+        if jpeg_tables and len(jpeg_tables) > 4:
+            body = jpeg_tables[2:]
+            if body[-2:] == b"\xff\xd9":
+                body = body[:-2]
+            stream = b"\xff\xd8" + body + chunk[2:]
+        arr = jpeg_decode(stream,
+                          force_color="rgb" if photometric == 2 else None)
+        if nsmp == 1:
+            return arr[:, :, 0].tobytes()
+        if nsmp == 3:
+            return arr.tobytes()
+        raise TiffError(f"JPEG-in-TIFF with {nsmp} samples not supported")
+
     def decompress(chunk: bytes, nbytes: int) -> bytes:
         if comp == 1:
             return chunk[:nbytes]
@@ -395,6 +428,13 @@ def tiff_parse(data: bytes, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
             import zlib
 
             return zlib.decompress(chunk)[:nbytes]
+        if comp == 7:  # new-style JPEG
+            nsmp = 1 if planar == 2 else spp
+            return jpeg_chunk(chunk, nsmp)[:nbytes]
+        if comp == 34925:  # LZMA2 (libtiff tif_lzma.c, xz stream)
+            import lzma
+
+            return lzma.decompress(chunk)[:nbytes]
         raise TiffError(f"unsupported compression {comp}")
 
     def chunk_to_samples(raw: bytes, rows: int, width: int, nsmp: int):

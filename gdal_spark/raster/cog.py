@@ -41,6 +41,7 @@ import numpy as np
 from gdal_spark.functions.tiff import (
     T_BITS,
     T_COMPRESSION,
+    T_JPEGTABLES,
     T_LENGTH,
     T_PREDICTOR,
     T_PHOTOMETRIC,
@@ -336,6 +337,9 @@ def cog_info(data: bytes) -> dict:
                 "samples": one(T_SAMPLES, 1),
                 "compression": one(T_COMPRESSION, 1),
                 "predictor": one(T_PREDICTOR, 1),
+                "photometric": one(T_PHOTOMETRIC, 1),
+                "jpeg_tables": bytes(tags[T_JPEGTABLES][1])
+                if T_JPEGTABLES in tags else None,
                 "subfile_type": one(T_SUBFILETYPE, 0),
                 "tile_offsets": tags.get(T_TILE_OFFSETS, (4, []))[1],
                 "tile_counts": tags.get(T_TILE_COUNTS, (4, []))[1],
@@ -377,6 +381,24 @@ def decode_cog_tile(
         import zlib
 
         raw = zlib.decompress(chunk)[:need]
+    elif comp == 7:  # JPEG tile (tables spliced from the JPEGTables tag)
+        from gdal_spark.functions.jpeg import jpeg_decode
+
+        stream = chunk
+        jt = lv.get("jpeg_tables")
+        if jt and len(jt) > 4:
+            body = jt[2:]
+            if body[-2:] == b"\xff\xd9":
+                body = body[:-2]
+            stream = b"\xff\xd8" + body + chunk[2:]
+        arr = jpeg_decode(
+            stream,
+            force_color="rgb" if lv.get("photometric") == 2 else None)
+        raw = (arr[:, :, 0] if spp == 1 else arr).tobytes()
+    elif comp == 34925:  # LZMA
+        import lzma
+
+        raw = lzma.decompress(chunk)[:need]
     elif comp == 1:
         raw = chunk[:need]
     else:
