@@ -123,15 +123,17 @@ def png_decode(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
-            assert depth == 8, "unsupported PNG bit depth"
+            assert depth in (8, 16), "unsupported PNG bit depth"
             assert ctype in (0, 2, 3, 4, 6), f"unsupported PNG color type {ctype}"
+            assert not (depth == 16 and ctype == 3), "16-bit palette PNG"
         elif tag == b"PLTE":
             plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    nsamp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = nsamp * (depth // 8)  # filter offset is in BYTES per pixel
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 0:
         out = _png_unfilter(raw, h, w * bpp, bpp)
@@ -148,12 +150,18 @@ def png_decode(data: bytes) -> np.ndarray:
             sub = _png_unfilter(raw[off : off + n], ph, pw * bpp, bpp)
             off += n
             img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if depth == 16:  # network byte order samples
+        out16 = np.ascontiguousarray(out).reshape(h, -1).view(">u2")
+        out16 = out16.astype(np.uint16)
+        if nsamp == 1:
+            return out16.reshape(h, w)
+        return out16.reshape(h, w, nsamp)
     if ctype == 3:
         assert plte is not None, "palette PNG without PLTE"
         return plte[out.reshape(h, w)]
-    if bpp == 1:
+    if nsamp == 1:
         return out.reshape(h, w)
-    return out.reshape(h, w, bpp)
+    return out.reshape(h, w, nsamp)
 
 
 # --------------------------------------------------------------------------

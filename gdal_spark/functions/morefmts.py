@@ -54,10 +54,70 @@ def bmp_decode(data: bytes) -> np.ndarray:
     if hdr_size < 40:
         raise ValueError("BMP core-header (OS/2) variant not supported")
     w, h, _planes, bpp, comp = struct.unpack_from("<iiHHI", data, 18)
-    if comp != 0:
-        raise ValueError(f"BMP compression {comp} not supported (BI_RGB only)")
+    if comp not in (0, 1, 2):
+        raise ValueError(f"BMP compression {comp} not supported")
     top_down = h < 0
     h = abs(h)
+    if comp in (1, 2):
+        # BI_RLE8 / BI_RLE4 (frmts/bmp/bmpdataset.cpp RLE decode)
+        ncol = struct.unpack_from("<I", data, 46)[0] or (1 << bpp)
+        pal = np.frombuffer(data, np.uint8, ncol * 4, 14 + hdr_size)
+        pal = pal.reshape(ncol, 4)[:, 2::-1]
+        idx = np.zeros((h, w), np.uint8)
+        x = y = 0
+        i = off
+        n = len(data)
+        while i + 1 < n:
+            cnt, val = data[i], data[i + 1]
+            i += 2
+            if cnt:
+                m = max(0, min(cnt, w - x))
+                if comp == 1:
+                    idx[y, x:x + m] = val
+                else:
+                    pair = np.array([val >> 4, val & 0x0F], np.uint8)
+                    run = np.tile(pair, (cnt + 1) // 2)
+                    idx[y, x:x + m] = run[:m]
+                x += cnt
+            elif val == 0:      # end of line
+                x, y = 0, y + 1
+                if y >= h:
+                    break
+            elif val == 1:      # end of bitmap
+                break
+            elif val == 2:      # delta
+                x += data[i]
+                y += data[i + 1]
+                i += 2
+            else:               # absolute mode
+                cnt = val
+                m = max(0, min(cnt, w - x))
+                if comp == 1:
+                    idx[y, x:x + m] = np.frombuffer(data, np.uint8, cnt, i)[:m]
+                    i += (cnt + 1) & ~1
+                else:
+                    nb = (cnt + 1) // 2
+                    raw = np.frombuffer(data, np.uint8, nb, i)
+                    nib = np.column_stack([raw >> 4, raw & 0x0F]).ravel()
+                    idx[y, x:x + m] = nib[:m]
+                    i += (nb + 1) & ~1
+                x += cnt
+        arr = pal[np.minimum(idx, ncol - 1)]
+        return np.ascontiguousarray(arr if top_down else arr[::-1])
+    if bpp in (1, 4):
+        ncol = struct.unpack_from("<I", data, 46)[0] or (1 << bpp)
+        pal = np.frombuffer(data, np.uint8, ncol * 4, 14 + hdr_size)
+        pal = pal.reshape(ncol, 4)[:, 2::-1]
+        rowbits = w * bpp
+        stride = ((rowbits + 31) // 32) * 4
+        raw = np.frombuffer(data, np.uint8, h * stride, off).reshape(h, stride)
+        if bpp == 1:
+            idx = np.unpackbits(raw, axis=1)[:, :w]
+        else:
+            nib = np.stack([raw >> 4, raw & 0x0F], axis=2).reshape(h, -1)
+            idx = nib[:, :w]
+        arr = pal[np.minimum(idx, ncol - 1)]
+        return np.ascontiguousarray(arr if top_down else arr[::-1])
     if bpp == 24:
         stride = (w * 3 + 3) & ~3
         rows = np.frombuffer(data, np.uint8, h * stride, off).reshape(h, stride)
@@ -366,36 +426,74 @@ def tga_decode(data: bytes) -> np.ndarray:
     if cmap_type:
         pos += cm_len * ((cm_bits + 7) // 8)
         cmap_raw = data[18 + id_len : pos]
+    def rle_bytes(nch: int) -> bytes:
+        nonlocal pos
+        buf = bytearray()
+        need = h * w * nch
+        while len(buf) < need:
+            ctrl = data[pos]
+            pos += 1
+            n = (ctrl & 0x7F) + 1
+            if ctrl & 0x80:
+                buf += data[pos : pos + nch] * n
+                pos += nch
+            else:
+                buf += data[pos : pos + n * nch]
+                pos += n * nch
+        return bytes(buf)
+
+    def expand16(px: np.ndarray) -> np.ndarray:
+        """ARRR RRGG GGGB BBBB little-endian -> RGB; 5-bit channels
+        scale by << 3 exactly like tgadataset.cpp:374 (no bit
+        replication)."""
+        v = px.reshape(-1, 2)
+        val = v[:, 0].astype(np.uint16) | (v[:, 1].astype(np.uint16) << 8)
+        r = (((val >> 10) & 0x1F) << 3).astype(np.uint8)
+        g = (((val >> 5) & 0x1F) << 3).astype(np.uint8)
+        b = ((val & 0x1F) << 3).astype(np.uint8)
+        return np.stack([r, g, b], axis=-1).reshape(h, w, 3)
+
     if img_type in (2, 10):  # truecolor
-        if bpp not in (24, 32):
+        if bpp not in (16, 24, 32):
             raise ValueError(f"unsupported TGA bpp {bpp}")
         nch = bpp // 8
         if img_type == 2:
             px = np.frombuffer(data, np.uint8, h * w * nch, pos)
         else:
-            buf = bytearray()
-            need = h * w * nch
-            while len(buf) < need:
-                ctrl = data[pos]
-                pos += 1
-                n = (ctrl & 0x7F) + 1
-                if ctrl & 0x80:
-                    buf += data[pos : pos + nch] * n
-                    pos += nch
-                else:
-                    buf += data[pos : pos + n * nch]
-                    pos += n * nch
-            px = np.frombuffer(bytes(buf), np.uint8)
-        img = px.reshape(h, w, nch)
-        if nch == 4:  # BGRA -> RGBA (alpha kept — frmts/tga exposes band 4)
-            img = img[:, :, [2, 1, 0, 3]]
-        else:  # BGR -> RGB
-            img = img[:, :, ::-1]
-    elif img_type == 1:  # colormapped, 8-bit indices
+            px = np.frombuffer(rle_bytes(nch), np.uint8)
+        if bpp == 16:
+            img = expand16(px)
+        else:
+            img = px.reshape(h, w, nch)
+            if nch == 4:  # BGRA -> RGBA (alpha kept — band 4 in frmts/tga)
+                img = img[:, :, [2, 1, 0, 3]]
+            else:  # BGR -> RGB
+                img = img[:, :, ::-1]
+    elif img_type in (3, 11):  # grayscale (11 = RLE)
+        if bpp != 8:
+            raise ValueError(f"unsupported TGA gray bpp {bpp}")
+        if img_type == 3:
+            px = np.frombuffer(data, np.uint8, h * w, pos)
+        else:
+            px = np.frombuffer(rle_bytes(1), np.uint8)
+        img = np.repeat(px.reshape(h, w, 1), 3, axis=2)
+    elif img_type in (1, 9):  # colormapped, 8-bit indices (9 = RLE)
         step = (cm_bits + 7) // 8
-        ct = np.frombuffer(cmap_raw, np.uint8).reshape(cm_len, step)
-        idx = np.frombuffer(data, np.uint8, h * w, pos).reshape(h, w)
-        img = ct[idx - cm_first][:, :, :3][:, :, ::-1]
+        raw_ct = np.frombuffer(cmap_raw, np.uint8).reshape(cm_len, step)
+        if step == 2:  # 15/16-bit entries: 5-5-5, << 3 scale
+            # (tgadataset.cpp:261-270)
+            val = raw_ct[:, 0].astype(np.uint16) | (
+                raw_ct[:, 1].astype(np.uint16) << 8)
+            ct = np.stack([(((val >> 10) & 0x1F) << 3),
+                           (((val >> 5) & 0x1F) << 3),
+                           ((val & 0x1F) << 3)], axis=-1).astype(np.uint8)
+        else:  # BGR(A) byte entries
+            ct = raw_ct[:, :3][:, ::-1]
+        if img_type == 1:
+            idx = np.frombuffer(data, np.uint8, h * w, pos).reshape(h, w)
+        else:
+            idx = np.frombuffer(rle_bytes(1), np.uint8).reshape(h, w)
+        img = ct[idx - cm_first]
     else:
         raise ValueError(f"unsupported TGA image type {img_type}")
     if not (desc & 0x20):  # bottom-up unless top-down bit set

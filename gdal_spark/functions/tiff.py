@@ -470,6 +470,10 @@ def tiff_parse(data: bytes, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
         if isinstance(_spec, list)
         else np.dtype(_spec),
     )
+    for req in ((T_TILE_COUNTS,) if T_TILE_OFFSETS in tags
+                else (T_STRIP_OFFSETS, T_STRIP_COUNTS)):
+        if req not in tags:
+            raise TiffError(f"missing required tag {req}")
     if T_TILE_OFFSETS in tags:
         tw, tl = one(T_TILE_W), one(T_TILE_L)
         offs = tags[T_TILE_OFFSETS][1]
