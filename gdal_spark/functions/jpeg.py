@@ -598,6 +598,8 @@ def jpeg_decode(data: bytes, force_color: str | None = None) -> np.ndarray:
     h = w = 0
     restart = 0
     progressive = False
+    lossless = False
+    precision = 8
     pos = 2
     n = len(data)
     while pos < n:
@@ -645,10 +647,26 @@ def jpeg_decode(data: bytes, force_color: str | None = None) -> np.ndarray:
                 comp.v = payload[7 + 3 * c] & 0x0F
                 comp.tq = payload[8 + 3 * c]
                 comps.append(comp)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # lossless sequential (T.81 Annex H)
+            lossless = True
+            precision, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if precision > 8:
+                # parity with the reference: its libjpeg rejects >12-bit
+                # lossless (test_jpeg_read_lossless_16bit expects failure)
+                raise ValueError(
+                    f"unsupported lossless JPEG precision {precision}")
+            comps = []
+            for c in range(nc):
+                comp = _Component()
+                comp.cid = payload[6 + 3 * c]
+                comp.h = payload[7 + 3 * c] >> 4
+                comp.v = payload[7 + 3 * c] & 0x0F
+                comp.tq = payload[8 + 3 * c]
+                comps.append(comp)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG (SOF marker 0x{marker:02x}; "
-                "baseline and progressive DCT only)")
+                "baseline, progressive and lossless only)")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded scan follows
@@ -661,6 +679,15 @@ def jpeg_decode(data: bytes, force_color: str | None = None) -> np.ndarray:
                 order.append(comp)
             scan_start = pos
             scan_end, segments = _split_scan(data, scan_start)
+            if lossless:
+                pred_sel = payload[1 + 2 * ns]
+                pt = payload[3 + 2 * ns] & 0x0F
+                planes_ll = _decode_scan_lossless(
+                    order, segments, huffs, restart, h, w, pred_sel, pt,
+                    precision)
+                if len(planes_ll) == 1:
+                    return np.repeat(planes_ll[0][:, :, None], 3, axis=2)
+                return np.stack(planes_ll, axis=-1)
             if progressive:
                 ss_ = payload[1 + 2 * ns]
                 se_ = payload[2 + 2 * ns]
@@ -848,6 +875,124 @@ def _decode_scan(order, segments, huffs, restart, h, w) -> None:
             mcuy, mcux, c.v, c.h, 8, 8
         )
         c.coeffs = arr.transpose(0, 2, 1, 3, 4, 5).reshape(c.nby, c.nbx, 8, 8)
+
+
+def jpeg_encode_lossless(arr: np.ndarray, predictor: int = 1,
+                         pt: int = 0) -> bytes:
+    """Lossless sequential (SOF3) encode of an (h, w) uint8 plane —
+    T.81 Annex H: Huffman-coded modulo-2^16 prediction differences.
+    Exists for round-trip validation of the decoder across all seven
+    predictors and point transforms."""
+    a = np.asarray(arr, np.int32)
+    if a.ndim != 2:
+        raise ValueError("lossless encoder takes a single 8-bit plane")
+    h, w = a.shape
+    src = a >> pt
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    bw = _BitWriter()
+    default = 1 << (8 - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                px = default
+            elif y == 0:
+                px = int(src[0, x - 1])
+            elif x == 0:
+                px = int(src[y - 1, 0])
+            else:
+                ra, rb, rc = (int(src[y, x - 1]), int(src[y - 1, x]),
+                              int(src[y - 1, x - 1]))
+                px = {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                      5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+                      7: (ra + rb) >> 1}[predictor]
+            diff = (int(src[y, x]) - px) & 0xFFFF
+            if diff >= 32768:
+                diff -= 65536  # signed difference
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xC3, sof)
+    out += _seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xDA, bytes([1, 1, 0x00, predictor, 0, pt]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_scan_lossless(order, segments, huffs, restart, h, w,
+                          pred_sel: int, pt: int, precision: int):
+    """Lossless sequential scan (T.81 Annex H): Huffman-coded
+    prediction differences, predictors 1-7 selected by Ss, modulo-2^16
+    reconstruction, point transform Pt, restart-marker prediction
+    reset.  Returns one uint8 plane per scan component (1x1 sampling,
+    the only layout the reference's encoder family emits)."""
+    if any(c.h != 1 or c.v != 1 for c in order):
+        raise ValueError("subsampled lossless JPEG not supported")
+    nc = len(order)
+    luts = [huffs[(0, c.td)].lut for c in order]
+    planes = [np.zeros((h, w), np.int32) for _ in order]
+    default = 1 << (precision - pt - 1)
+    seg_i = 0
+    br = _PBits(segments[0])
+    samples_done = 0
+    reset_pending = False
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                lut = luts[ci]
+                s = br.huff(lut)
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = br.receive_extend(s)
+                else:
+                    diff = 0
+                p = planes[ci]
+                if (y == 0 and x == 0) or reset_pending:
+                    px = default
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    ra = int(p[y, x - 1])
+                    rb = int(p[y - 1, x])
+                    rc = int(p[y - 1, x - 1])
+                    if pred_sel == 1:
+                        px = ra
+                    elif pred_sel == 2:
+                        px = rb
+                    elif pred_sel == 3:
+                        px = rc
+                    elif pred_sel == 4:
+                        px = ra + rb - rc
+                    elif pred_sel == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif pred_sel == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    elif pred_sel == 7:
+                        px = (ra + rb) >> 1
+                    else:
+                        raise ValueError(
+                            f"bad lossless predictor {pred_sel}")
+                p[y, x] = (px + diff) & 0xFFFF
+            reset_pending = False
+            samples_done += 1
+            if restart and samples_done % restart == 0 \
+                    and samples_done < h * w:
+                seg_i += 1
+                br = _PBits(segments[seg_i])
+                reset_pending = True  # prediction restarts at default
+    out = []
+    for p in planes:
+        v = (p << pt) & ((1 << 16) - 1)
+        out.append(np.clip(v, 0, (1 << precision) - 1).astype(np.uint8))
+    return out
 
 
 # ---------------------------------------------------------------------------

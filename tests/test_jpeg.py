@@ -72,16 +72,16 @@ def test_interop_decodes_libjpeg_420_file():
     assert _psnr(img, rt) >= 30.0
 
 
-def test_progressive_now_supported_lossless_sof_rejected():
-    # SOF2 is supported since round 3 (tests/test_jpeg_progressive.py);
-    # a truncated SOF2 stream with no scan fails for lack of data, and
-    # lossless JPEG (SOF3) is still rejected with a clear error
+def test_truncated_sof_variants_rejected_cleanly():
+    # SOF2 and SOF3 are supported since round 3; headers with no scan
+    # fail for lack of data, and the hierarchical family (SOF5..) is
+    # rejected with a clear error
     trunc = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
     with pytest.raises(ValueError, match="no decodable scan"):
         jpeg.jpeg_decode(trunc + b"\xff\xd9")
-    sof3 = b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
-    with pytest.raises(ValueError, match="SOF marker 0xc3"):
-        jpeg.jpeg_decode(sof3 + b"\xff\xd9")
+    sof5 = b"\xff\xd8\xff\xc5\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(ValueError, match="SOF marker 0xc5"):
+        jpeg.jpeg_decode(sof5 + b"\xff\xd9")
 
 
 def test_registry_uses_real_jpeg():

@@ -275,3 +275,43 @@ def test_truncated_progressive_no_crash():
             assert out.shape == (32, 32, 3)
         except ValueError:
             pass
+
+
+# -- lossless (SOF3) ------------------------------------------------------
+
+def test_lossless_fixture_bit_exact():
+    """byte_lossless.jpg == byte.tif exactly (test_jpeg_read_lossless
+    expects checksum 4672); 16-bit lossless rejected like the
+    reference (test_jpeg_read_lossless_16bit expects failure)."""
+    from gdal_spark.functions.checksum import checksum_image
+    from gdal_spark.functions.tiff import tiff_parse
+
+    D = "/root/reference/autotest/gdrivers/data/jpeg/"
+    if not os.path.isdir(D):
+        pytest.skip("autotest data missing")
+    a = jpeg_decode(open(D + "byte_lossless.jpg", "rb").read())
+    assert checksum_image(a)[0] == 4672
+    byte, _ = tiff_parse(
+        open("/root/reference/autotest/gcore/data/byte.tif", "rb").read())
+    np.testing.assert_array_equal(a[:, :, 0], np.squeeze(byte))
+    with pytest.raises(ValueError, match="lossless JPEG precision"):
+        jpeg_decode(open(D + "uint16_lossless.jpg", "rb").read())
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_roundtrip_all_predictors(predictor):
+    from gdal_spark.functions.jpeg import jpeg_encode_lossless
+
+    arr = _textured((23, 37, 3))[:, :, 0]
+    buf = jpeg_encode_lossless(arr, predictor)
+    out = jpeg_decode(buf)
+    np.testing.assert_array_equal(out[:, :, 0], arr)
+
+
+def test_lossless_point_transform():
+    from gdal_spark.functions.jpeg import jpeg_encode_lossless
+
+    arr = _textured((16, 16, 3))[:, :, 0]
+    buf = jpeg_encode_lossless(arr, 4, pt=2)
+    out = jpeg_decode(buf)
+    np.testing.assert_array_equal(out[:, :, 0], (arr >> 2) << 2)
