@@ -12,7 +12,8 @@ Implements the interchange format of ITU-T T.81:
     4:2:0), restart markers (DRI/RSTn), multi-table DQT/DHT segments,
     16-bit quant tables. Quant + Huffman tables are read from the
     stream, so any baseline or progressive JPEG from any encoder
-    decodes.
+    decodes. Lossless sequential (SOF3, T.81 Annex H) decodes too:
+    predictors 1-7, point transform, modulo-2^16 reconstruction.
   * encoder: baseline SOF0, 4:4:4, quality-scaled Annex-K-style quant
     tables, canonical Huffman tables embedded in DHT (the decoder reads
     tables from the stream, so validity never depends on table choice);
