@@ -319,7 +319,17 @@ LOSSLESS = {"png", "tiff", "bmp", "pnm", "tga", "cog", "nitf"}
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    return DECODERS[fmt](bytes(data))
+    """Registry decode.  Corrupt/hostile inputs surface as ValueError
+    regardless of which low-level error the codec hit (GDAL's driver
+    layer likewise normalizes to CE_Failure), so callers can catch one
+    type."""
+    try:
+        return DECODERS[fmt](bytes(data))
+    except ValueError:
+        raise
+    except (IndexError, KeyError, AssertionError, struct.error,
+            MemoryError, OverflowError) as exc:
+        raise ValueError(f"{fmt} decode failed: {exc!r:.120}") from exc
 
 
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:

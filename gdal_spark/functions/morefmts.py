@@ -171,10 +171,15 @@ def pnm_decode(data: bytes) -> np.ndarray:
         raise ValueError("only binary PPM (P6) / PGM (P5) supported")
     gray = data[:2] == b"P5"
     (w, h, maxval), pos = _pnm_tokens(data, 3, 2)
-    if maxval > 255:
-        raise ValueError("16-bit PNM not supported")
+    if maxval > 65535:
+        raise ValueError(f"PNM maxval {maxval} out of range")
     pos += 1  # exactly one whitespace byte after maxval per spec
     nch = 1 if gray else 3
+    if maxval > 255:  # 16-bit samples, big-endian per the netpbm spec
+        pix = np.frombuffer(data, ">u2", h * w * nch, pos).astype(np.uint16)
+        if gray:
+            return pix.reshape(h, w)
+        return pix.reshape(h, w, 3).copy()
     pix = np.frombuffer(data, np.uint8, h * w * nch, pos)
     if gray:
         return np.repeat(pix.reshape(h, w, 1), 3, axis=2)

@@ -75,3 +75,20 @@ def test_bmp_palette_and_rle():
     np.testing.assert_array_equal(rle4, pal4)
     one = bmp_decode(_read(G + "1bit.bmp"))
     assert one.shape[2] == 3
+
+
+def test_pnm_16bit_and_hostile_error_normalization():
+    """uint16.pnm is byte.tif at 16 bits (lossless, canonical 4672);
+    hostile inputs raise ValueError from decode_image regardless of
+    the codec's internal failure mode."""
+    from gdal_spark.functions import codecs
+
+    a = codecs.decode_image(_read("gcore/data/uint16.pnm"), "pnm")
+    assert a.dtype == np.uint16
+    assert checksum_image(np.squeeze(a))[0] == 4672
+
+    for rel, fmt in [("gdrivers/data/gif/fakebig.gif", "gif"),
+                     ("gdrivers/data/jpeg/byte_corrupted2.jpg", "jpeg"),
+                     ("gdrivers/data/jpeg/vophead.jpg", "jpeg")]:
+        with pytest.raises(ValueError):
+            codecs.decode_image(_read(rel), fmt)
