@@ -103,75 +103,140 @@ def _decode_invariant(spark) -> dict:
     }
 
 
-def headline_suite() -> None:
+# Headline entry set. ann_lsh_topk (the LSH multiprobe scale path)
+# replaced ann_cosine_topk (brute-force oracle anchor, demoted to the
+# correctness gate only) per the r3 verdict.
+HEADLINE_QUERIES = [
+    "cell_pip_join",
+    "tile_assignment",
+    "knn_topk",
+    "zonal_stats",
+    "sqlite_group_by_having",
+    "ogr_join_first_match",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash128_lsh_pairs",  # the production path (128 perms, 16x8 bands)
+    "simhash16",
+    "ann_lsh_topk",
+    "ann_lsh_buckets",
+    "text_quality_score",
+]
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def query_once(name: str, reps: int) -> None:
+    """Time ONE headline query in THIS (fresh) JVM: one un-timed warmup
+    run (JIT/codegen/Python-worker fork — costs a long-lived cluster
+    amortizes), then `reps` timed runs; prints median + samples.
+    Isolation per query is the r3 verdict's fix for cross-query
+    contamination (GC debt/executor churn from a 21s query inflating the
+    next query's in-suite time 3-4x with zero code change)."""
     import __spark_entry__ as E
     from gdal_spark.session import get_session
 
-    spark = get_session(app_name="gdal_spark_bench", master=f"local[{CPUS}]")
-    # Same warmup rule as the flagship below: first touch pays one-time
-    # JVM codegen + Python-worker fork costs a long-lived cluster
-    # amortizes; run a tiny decode slice first so the timed pass
-    # measures decoding, not session startup.
+    spark = get_session(app_name=f"bench_{name}", master=f"local[{CPUS}]")
     spark.range(8).selectExpr("sum(id)").collect()
-    _noop_run(
-        E.queries()["images_decode_checksum"](spark, SF_DIR).limit(32)
-    )
+    q = E.queries()[name]
+    _noop_run(q(spark, SF_DIR))
+    samples = []
+    for _ in range(reps):
+        t0 = time.time()
+        _noop_run(q(spark, SF_DIR))
+        samples.append(round(time.time() - t0, 3))
+    spark.stop()
+    print(json.dumps({"name": name, "samples": samples,
+                      "median": round(_median(samples), 3)}))
+
+
+def decode_once() -> None:
+    """Decode-invariant pass in a fresh JVM (timed once after a tiny
+    warmup slice; it is a pass-rate gate first, a timing second)."""
+    import __spark_entry__ as E
+    from gdal_spark.session import get_session
+
+    spark = get_session(app_name="bench_decode", master=f"local[{CPUS}]")
+    spark.range(8).selectExpr("sum(id)").collect()
+    _noop_run(E.queries()["images_decode_checksum"](spark, SF_DIR).limit(32))
     t0 = time.time()
     invariants = _decode_invariant(spark)
-    decode_sec = round(time.time() - t0, 3)
-    qs = E.queries()
-    names = [
-        "cell_pip_join",
-        "tile_assignment",
-        "knn_topk",
-        "zonal_stats",
-        "sqlite_group_by_having",
-        "ogr_join_first_match",
-        "dedup_exact",
-        "minhash_signatures",
-        "minhash128_lsh_pairs",  # the production path (128 perms, 16x8
-                                 # bands); toy 4-perm entry kept above
-                                 # for round-over-round continuity
-        "simhash16",
-        "ann_cosine_topk",
-        "ann_lsh_buckets",
-        "text_quality_score",
-    ]
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        _noop_run(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+    sec = round(time.time() - t0, 3)
+    spark.stop()
+    print(json.dumps({"name": "decode_invariant", "sec": sec, **invariants}))
 
-    # flagship images pipeline (in-session so suite stays one JSON line).
-    # Same warmup rule as run_flagship: a tiny slice first, so the timed
-    # run measures the workload and not the one-time JIT/codegen costs a
-    # long-lived cluster amortizes (first-in-session 2M run measured 26-57s
-    # vs 6s steady-state for the identical plan).
+
+def flagship_median(reps: int) -> None:
+    """Flagship images pipeline in a fresh JVM: warmup slice, then
+    `reps` timed runs; prints median + samples."""
+    from gdal_spark.session import get_session
+
+    spark = get_session(app_name="bench_flagship", master=f"local[{CPUS}]")
     wc, wt = flagship_pipeline(spark, 2000, N_POLYGONS_BENCH)
     _noop_run(wc)
     _noop_run(wt)
-    # best-of-2: the host is a shared KVM guest (identical runs measured
-    # up to 1.7x apart); a single sample can time a noisy neighbor
     samples = []
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         counts, tiles = flagship_pipeline(spark, N_IMAGES_BENCH, N_POLYGONS_BENCH)
         _noop_run(counts)
         _noop_run(tiles)
-        samples.append(time.time() - t0)
-    flagship_sec = min(samples)
-    timings["images_join_tile"] = round(flagship_sec, 3)
-    timings["decode_invariant"] = decode_sec
+        samples.append(round(time.time() - t0, 3))
     spark.stop()
+    print(json.dumps({"name": "images_join_tile", "samples": samples,
+                      "median": round(_median(samples), 3)}))
 
+
+def _sub(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, __file__, *args],
+        capture_output=True, text=True, check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def headline_suite() -> None:
+    """r4 harness: every query timed in its OWN fresh JVM subprocess
+    (median of BENCH_REPS runs after warmup), queries launched in
+    randomized order so no entry's number depends on what ran before
+    it. Suite total = sum of isolated medians. Discipline modeled on
+    the reference's own benchmark environment guards
+    (autotest/benchmark/conftest.py:20-41)."""
+    import random
+
+    order = list(HEADLINE_QUERIES)
+    random.shuffle(order)
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    for name in order:
+        r = _sub(["--one", name, str(BENCH_REPS)])
+        timings[name] = r["median"]
+        samples[name] = r["samples"]
+
+    dec = _sub(["--decode-once"])
+    timings["decode_invariant"] = dec["sec"]
+    invariants = {k: v for k, v in dec.items() if k.endswith("_rate")}
+
+    fl = _sub(["--flagship-median", str(BENCH_REPS)])
+    flagship_sec = fl["median"]
+    timings["images_join_tile"] = flagship_sec
+    samples["images_join_tile"] = fl["samples"]
+
+    # report in canonical order regardless of run order
+    timings = {k: timings[k] for k in
+               [*HEADLINE_QUERIES, "images_join_tile", "decode_invariant"]}
     total = round(sum(timings.values()), 3)
-    # round-over-round comparability: minhash128_lsh_pairs joined the
-    # suite in r3 (the production path the r2 verdict asked to guard);
-    # this sums exactly the r2 entry set so BENCH_rN deltas compare
-    # like for like
+    # round-over-round comparability: exact r2 entry set = current set
+    # minus minhash128_lsh_pairs (added r3) and ann_lsh_topk (replaced
+    # ann_cosine_topk this round, so the old ann entry is absent)
     r2_comparable = round(
-        sum(v for k, v in timings.items() if k != "minhash128_lsh_pairs"), 3)
+        sum(v for k, v in timings.items()
+            if k not in ("minhash128_lsh_pairs", "ann_lsh_topk")), 3)
     print(
         json.dumps(
             {
@@ -180,9 +245,17 @@ def headline_suite() -> None:
                 "unit": "sec",
                 "suite_r2_comparable_sec": r2_comparable,
                 "queries": timings,
+                "query_samples": samples,
+                "harness": {
+                    "mode": "fresh_jvm_per_query",
+                    "aggregation": f"median_of_{BENCH_REPS}",
+                    "order": order,
+                    "note": "r3 in-suite numbers were contaminated by "
+                            "cross-query JVM state; isolated medians are "
+                            "the trustworthy regression signal from r4 on",
+                },
                 "sf": SF_DIR,
                 "images_per_sec": round(N_IMAGES_BENCH / flagship_sec, 1),
-                "flagship_samples_sec": [round(s, 3) for s in samples],
                 "n_images": N_IMAGES_BENCH,
                 "cpus": int(CPUS),
                 **invariants,
@@ -320,5 +393,11 @@ if __name__ == "__main__":
         cores = sys.argv[2]
         n = int(sys.argv[3]) if len(sys.argv) > 3 else N_IMAGES_BENCH
         print(json.dumps(run_flagship(f"local[{cores}]", n)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--one":
+        query_once(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else BENCH_REPS)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--decode-once":
+        decode_once()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--flagship-median":
+        flagship_median(int(sys.argv[2]) if len(sys.argv) > 2 else BENCH_REPS)
     else:
         headline_suite()

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -468,13 +469,10 @@ def _like_regex(pattern: str, escape: str | None, insensitive: bool) -> str:
     return flags + "^" + "".join(out) + "$"
 
 
-_HSTORE_SCHEMA = T.StringType()
-
-
-@F.udf(_HSTORE_SCHEMA)
-def _hstore_get(value, key):
-    """OGRHStoreGetValue (port of cpl_string semantics): 'k=>v' pairs,
-    comma separated, optionally double-quoted with backslash escapes."""
+def _hstore_get_one(value, key):
+    """OGRHStoreGetValue (re-derivation of cpl_string semantics): 'k=>v'
+    pairs, comma separated, optionally double-quoted with backslash
+    escapes."""
     if value is None or key is None:
         return None
     s = value
@@ -526,13 +524,27 @@ def _hstore_get(value, key):
     return None
 
 
-@F.udf(T.StringType())
-def _wkb_to_wkt(b):
-    if b is None:
-        return None
+@F.pandas_udf(T.StringType())
+def _hstore_get(value: pd.Series, key: pd.Series) -> pd.Series:
+    """Arrow-batched HSTORE_GET_VALUE (no per-row Python boundary)."""
+    import pandas as pd
+
+    return pd.Series(
+        [_hstore_get_one(v, k) for v, k in zip(value, key)], dtype=object
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _wkb_to_wkt(b: pd.Series) -> pd.Series:
+    """OGR_GEOM_WKT special field: Arrow-batched over the numpy WKT
+    writer (functions/wkt.py)."""
+    import pandas as pd
+
     from gdal_spark.functions.wkt import to_wkt
 
-    return to_wkt(bytes(b))
+    return pd.Series(
+        [None if v is None else to_wkt(bytes(v)) for v in b], dtype=object
+    )
 
 
 _GEOM_NAMES = {1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
@@ -540,30 +552,33 @@ _GEOM_NAMES = {1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
                7: "GEOMETRYCOLLECTION"}
 
 
-@F.udf(T.StringType())
-def _wkb_geom_name(b):
+def _wkb_geom_name(b: Column) -> Column:
     """OGR_GEOMETRY special field: the geometry type name
-    (OGRGeometry::getGeometryName)."""
-    if b is None:
-        return None
-    import struct
+    (OGRGeometry::getGeometryName) as a pure-Column expression — a
+    4-byte little-endian uint32 read at WKB offset 1 (the engine emits
+    LE WKB only), stays inside whole-stage codegen."""
+    gtype = F.conv(
+        F.concat(*[F.hex(F.substring(b, pos, 1)) for pos in (5, 4, 3, 2)]),
+        16, 10,
+    ).cast("long")
+    base = F.when(gtype >= 1000, gtype % 1000).otherwise(
+        gtype.bitwiseAND(F.lit(0xFF))
+    )
+    expr = F.lit(None).cast("string")
+    for code, name in _GEOM_NAMES.items():
+        expr = F.when(base == code, F.lit(name)).otherwise(expr)
+    return F.when(b.isNull(), F.lit(None).cast("string")).otherwise(expr)
 
-    (gtype,) = struct.unpack_from("<I", bytes(b), 1)
-    base = gtype % 1000 if gtype >= 1000 else gtype & 0xFF
-    return _GEOM_NAMES.get(base)
 
-
-@F.udf(T.DoubleType())
-def _wkb_area(b):
+@F.pandas_udf(T.DoubleType())
+def _wkb_area(b: pd.Series) -> pd.Series:
     """OGR_GEOM_AREA: OGRSurface::get_Area — exterior minus holes,
-    summed over multipolygon parts; 0 for non-areal geometry."""
-    if b is None:
-        return None
+    summed over multipolygon parts; 0 for non-areal geometry.
+    Arrow-batched over the numpy shoelace kernel (functions/geom.py)."""
+    import pandas as pd
+
     from gdal_spark.functions import wkb as W
     from gdal_spark.functions.geom import ring_area
-
-    gtype, payload = W.parse(bytes(b))
-    base = gtype % 1000 if gtype >= 1000 else gtype & 0xFF
 
     def poly_area(rings):
         if not rings:
@@ -573,11 +588,18 @@ def _wkb_area(b):
             a -= abs(ring_area(hole))
         return a
 
-    if base == 3:
-        return float(poly_area(payload))
-    if base == 6:
-        return float(sum(poly_area(r) for r in payload))
-    return 0.0
+    def one(v):
+        if v is None:
+            return None
+        gtype, payload = W.parse(bytes(v))
+        base = gtype % 1000 if gtype >= 1000 else gtype & 0xFF
+        if base == 3:
+            return float(poly_area(payload))
+        if base == 6:
+            return float(sum(poly_area(r) for r in payload))
+        return 0.0
+
+    return pd.Series([one(v) for v in b], dtype="float64")
 
 
 class _Frame:
