@@ -334,3 +334,93 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     return ENCODERS[fmt](arr)
+
+
+# --------------------------------------------------------------------------
+# quarantine classification: a 100 TB corpus run must DEGRADE measurably on
+# codecs this environment cannot decode (webp/avif/heif/jxl/jp2 need
+# external libraries the reference links: frmts/webp/webpdataset.cpp over
+# libwebp, frmts/heif, frmts/jpegxl, frmts/openjpeg), not error out or
+# lump them with corrupt bytes.
+# --------------------------------------------------------------------------
+
+#: formats the registry knows OF (magic-identifiable) but cannot decode
+#: without external codec libraries; bytes claiming these formats whose
+#: magic checks out are routed to quarantine, not failure
+UNSUPPORTED_CODECS = {"webp", "avif", "heif", "jxl", "jp2"}
+
+_UNSUPPORTED_MAGIC = {
+    "webp": lambda h: h[:4] == b"RIFF" and h[8:12] == b"WEBP",
+    "avif": lambda h: h[4:8] == b"ftyp" and h[8:12] in (b"avif", b"avis"),
+    "heif": lambda h: h[4:8] == b"ftyp"
+    and h[8:12] in (b"heic", b"heix", b"hevc", b"hevx", b"mif1", b"msf1"),
+    "jxl": lambda h: h[:2] == b"\xff\x0a"
+    or h[:12] == b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a",
+    "jp2": lambda h: h[:12] == b"\x00\x00\x00\x0cjP  \x0d\x0a\x87\x0a"
+    or h[:4] == b"\xff\x4f\xff\x51",
+}
+
+#: decode_status values (stable contract for the quarantine column)
+STATUS_OK = "ok"
+STATUS_UNSUPPORTED = "unsupported_codec"
+STATUS_CORRUPT = "corrupt"
+
+
+def classify_image(data: bytes, fmt: str) -> str:
+    """Classify one (bytes, fmt) pair as ok / unsupported_codec /
+    corrupt without raising.
+
+    * fmt in the decode registry: decode it — ok on success, corrupt
+      on any failure.
+    * fmt in UNSUPPORTED_CODECS: check the magic — a well-formed header
+      is quarantined as unsupported_codec (the bytes are fine, the
+      environment lacks the codec); a magic mismatch is corrupt.
+    * unknown fmt string: sniff the header against the
+      known-unsupported magics (a corpus row mislabeled but
+      recognizable is still quarantinable); otherwise corrupt.
+    """
+    h = bytes(data[:16])
+    if fmt in DECODERS:
+        try:
+            decode_image(data, fmt)
+            return STATUS_OK
+        except Exception:
+            # classification never raises: any decode failure — including
+            # codec-internal errors decode_image does not normalize
+            # (e.g. zlib.error on a truncated stream) — is 'corrupt'
+            return STATUS_CORRUPT
+    if fmt in UNSUPPORTED_CODECS:
+        return (
+            STATUS_UNSUPPORTED if _UNSUPPORTED_MAGIC[fmt](h) else STATUS_CORRUPT
+        )
+    for sniff in _UNSUPPORTED_MAGIC.values():
+        if sniff(h):
+            return STATUS_UNSUPPORTED
+    return STATUS_CORRUPT
+
+
+def classify_table(df, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                   out_col: str = "decode_status"):
+    """Add a decode_status column (ok|unsupported_codec|corrupt) via an
+    Arrow-batched pandas UDF — the quarantine gate a training-data
+    pipeline filters on before the expensive decode stage."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _classify(b, f):
+        return pd.Series(
+            [
+                STATUS_CORRUPT if v is None else classify_image(bytes(v), fm)
+                for v, fm in zip(b, f)
+            ],
+            dtype=object,
+        )
+
+    # real annotation objects (not strings): local scopes can't resolve
+    # postponed string hints through pyspark's get_type_hints
+    _classify.__annotations__ = {
+        "b": pd.Series, "f": pd.Series, "return": pd.Series
+    }
+    udf = F.pandas_udf(_classify, T.StringType())
+    return df.withColumn(out_col, udf(F.col(bytes_col), F.col(fmt_col)))

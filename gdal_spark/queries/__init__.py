@@ -50,6 +50,8 @@ from gdal_spark.queries import (
     wave10_entries,
     wave11_entries,
     wave12_entries,
+    sozip_entries,
+    quarantine_entries,
 )
 
 MODULES = [
@@ -63,6 +65,7 @@ MODULES = [
     closedform_extra, calc_entries, retile_entries, xyz_entries,
     multimodal_entries, wave4_entries, wave6_entries,
     wave7_entries, wave8_entries, wave9_entries, wave10_entries, wave11_entries, wave12_entries,
+    sozip_entries, quarantine_entries,
 ]
 
 

@@ -74,6 +74,25 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         return "BMP"
     if h.startswith(b"GIF87a") or h.startswith(b"GIF89a"):
         return "GIF"
+    if h[:4] == b"RIFF" and h[8:12] == b"WEBP":
+        # frmts/webp/webpdataset.cpp Identify: RIFF....WEBP
+        return "WEBP"
+    if h[4:8] == b"ftyp" and h[8:12] in (
+        b"avif", b"avis", b"heic", b"heix", b"hevc", b"hevx", b"mif1",
+        b"msf1",
+    ):
+        # ISO BMFF ftyp brands (frmts/heif/heifdataset.cpp)
+        return "AVIF" if h[8:12] in (b"avif", b"avis") else "HEIF"
+    if h.startswith(b"\xff\x0a") or h.startswith(
+        b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a"
+    ):
+        # JPEG XL raw codestream / ISO BMFF container (frmts/jpegxl)
+        return "JPEGXL"
+    if h.startswith(b"\x00\x00\x00\x0cjP  \x0d\x0a\x87\x0a") or h.startswith(
+        b"\xff\x4f\xff\x51"
+    ):
+        # JP2 signature box / raw J2K codestream (frmts/openjpeg)
+        return "JP2OpenJPEG"
     if _is_pnm(h):
         return "PNM"
     if h.startswith(b"CDF\x01") or h.startswith(b"CDF\x02") or h.startswith(
