@@ -56,6 +56,18 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # --sample N --seed R: check a deterministic random N-name subset —
+    # rotate the seed each round so every entry eventually gets a
+    # driver-attested row rather than the same 50-name sample forever
+    sample_n = sample_seed = None
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        sample_seed = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     filters = argv[1:]
     import __spark_entry__ as E
@@ -64,6 +76,15 @@ def main() -> int:
     spark = get_session(master=os.environ.get("SPARK_GRAFT_MASTER", "local[8]"))
     con = duck_con(sf_dir)
     qs, oracles = E.queries(), E.oracle_sql()
+    if sample_n is not None:
+        import random
+
+        names = sorted(qs)
+        rng = random.Random(0 if sample_seed is None else sample_seed)
+        keep = set(rng.sample(names, min(sample_n, len(names))))
+        qs = {k: v for k, v in qs.items() if k in keep}
+        print(f"sampled {len(qs)}/{len(names)} entries "
+              f"(seed={sample_seed if sample_seed is not None else 0})")
     failed, passed, rows_only = [], [], []
     report: dict[str, dict] = {}
 
