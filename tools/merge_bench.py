@@ -277,7 +277,7 @@ driver sees only scalar aggregates.
 ## Polygonize cross-tile merge (raster/polygonize_ops.py)
 
 {pg['input_px']:,} px ({PG_SIZE}x{PG_SIZE} uint8, {pg['n_tiles']} tiles of
-{PG_TILE}) — ~2,600 concentric-ring regions, each crossing hundreds of
+{PG_TILE}) — ~480 constant-width concentric-ring regions, each crossing hundreds of
 tile borders (the adversarial shape for the equivalence-graph reduce).
 
 | metric | value |
