@@ -287,6 +287,18 @@ def _nitf_encode(arr: np.ndarray) -> bytes:
     return nitf_encode(arr)
 
 
+def _webp_decode(data: bytes) -> np.ndarray:
+    from gdal_spark.functions.webp import webp_decode
+
+    return webp_decode(data)
+
+
+def _webp_encode(arr: np.ndarray) -> bytes:
+    from gdal_spark.functions.webp import webp_encode
+
+    return webp_encode(arr)
+
+
 def _cog_encode(arr: np.ndarray) -> bytes:
     # lazy import: raster.cog pulls in the overview-reduction kernels
     from gdal_spark.raster.cog import write_cog
@@ -303,6 +315,7 @@ DECODERS = {
     "nitf": _nitf_decode,
     "dted": _dted_decode,
     "usgsdem": _usgsdem_decode,
+    "webp": _webp_decode,  # VP8L lossless; VP8 lossy -> quarantine
 }
 ENCODERS = {
     "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,
@@ -312,10 +325,11 @@ ENCODERS = {
     "cog": _cog_encode,
     "nitf": _nitf_encode,
     "dted": _dted_encode,
+    "webp": _webp_encode,
 }
 # gif is lossless only for <=256-color inputs; it is excluded here and its
 # contract entry asserts exactness on palette-sized fixtures instead
-LOSSLESS = {"png", "tiff", "bmp", "pnm", "tga", "cog", "nitf"}
+LOSSLESS = {"png", "tiff", "bmp", "pnm", "tga", "cog", "nitf", "webp"}
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -347,7 +361,7 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 #: formats the registry knows OF (magic-identifiable) but cannot decode
 #: without external codec libraries; bytes claiming these formats whose
 #: magic checks out are routed to quarantine, not failure
-UNSUPPORTED_CODECS = {"webp", "avif", "heif", "jxl", "jp2"}
+UNSUPPORTED_CODECS = {"avif", "heif", "jxl", "jp2"}
 
 _UNSUPPORTED_MAGIC = {
     "webp": lambda h: h[:4] == b"RIFF" and h[8:12] == b"WEBP",
@@ -384,6 +398,16 @@ def classify_image(data: bytes, fmt: str) -> str:
         try:
             decode_image(data, fmt)
             return STATUS_OK
+        except ValueError as exc:
+            from gdal_spark.functions.webp import UnsupportedWebPError
+
+            if isinstance(exc, UnsupportedWebPError) or isinstance(
+                exc.__cause__, UnsupportedWebPError
+            ):
+                # well-formed container, codec needs an external library
+                # (VP8 lossy / ALPH): quarantine, not corruption
+                return STATUS_UNSUPPORTED
+            return STATUS_CORRUPT
         except Exception:
             # classification never raises: any decode failure — including
             # codec-internal errors decode_image does not normalize

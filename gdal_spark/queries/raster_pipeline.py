@@ -412,7 +412,7 @@ def raster_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def image_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gdal_translate -of {BMP,PNM,GIF,GTiff,PNG,NITF}: transcode every fixture
+    """gdal_translate -of {BMP,PNM,GIF,GTiff,PNG,NITF,WEBP}: transcode every fixture
     image through the full driver registry (functions/codecs.py DECODERS —
     the engine's analog of frmts/gdalallregister.cpp) and verify in-row:
     lossless formats round-trip bit-exact; gif round-trips bit-exact on a
@@ -447,7 +447,7 @@ def image_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pal = Q.median_cut_pct(arr, 256)
                 palettized = Q.apply_pct(Q.nearest_index(arr, pal), pal)
                 for fmt in ("png", "tiff", "bmp", "pnm", "gif", "tga",
-                            "nitf", "jpeg_prog"):
+                            "nitf", "jpeg_prog", "webp"):
                     src = palettized if fmt == "gif" else arr
                     buf = codecs.encode_image(src, fmt)
                     back = codecs.decode_image(buf, fmt)
