@@ -287,6 +287,18 @@ def _nitf_encode(arr: np.ndarray) -> bytes:
     return nitf_encode(arr)
 
 
+def _lerc_decode(data: bytes) -> np.ndarray:
+    """Standalone Lerc2 blob -> array; float invalid pixels become NaN
+    (the MRF-LERC driver's NDV rule)."""
+    from gdal_spark.raster.lerc import lerc2_decode
+
+    arr, mask, _info = lerc2_decode(data)
+    if arr.dtype.kind == "f" and not mask.all():
+        arr = arr.copy()
+        arr[~mask] = np.nan
+    return arr
+
+
 def _webp_decode(data: bytes) -> np.ndarray:
     from gdal_spark.functions.webp import webp_decode
 
@@ -316,6 +328,7 @@ DECODERS = {
     "dted": _dted_decode,
     "usgsdem": _usgsdem_decode,
     "webp": _webp_decode,  # VP8L lossless; VP8 lossy -> quarantine
+    "lerc": _lerc_decode,  # standalone Lerc2 blob (read-only, like MRF-LERC)
 }
 ENCODERS = {
     "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,

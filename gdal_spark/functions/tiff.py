@@ -435,6 +435,11 @@ def tiff_parse(data: bytes, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
             import lzma
 
             return lzma.decompress(chunk)[:nbytes]
+        if comp == 34887:  # ESRI LERC (tif_lerc.c; raw or zlib-wrapped)
+            from gdal_spark.raster.lerc import lerc_strip_decode
+
+            arr, _mask, _info = lerc_strip_decode(chunk)
+            return np.ascontiguousarray(arr).tobytes()[:nbytes]
         raise TiffError(f"unsupported compression {comp}")
 
     def chunk_to_samples(raw: bytes, rows: int, width: int, nsmp: int):

@@ -52,6 +52,8 @@ from gdal_spark.queries import (
     wave12_entries,
     sozip_entries,
     quarantine_entries,
+    webp_entries,
+    lerc_entries,
 )
 
 MODULES = [
@@ -65,7 +67,7 @@ MODULES = [
     closedform_extra, calc_entries, retile_entries, xyz_entries,
     multimodal_entries, wave4_entries, wave6_entries,
     wave7_entries, wave8_entries, wave9_entries, wave10_entries, wave11_entries, wave12_entries,
-    sozip_entries, quarantine_entries,
+    sozip_entries, quarantine_entries, webp_entries, lerc_entries,
 ]
 
 

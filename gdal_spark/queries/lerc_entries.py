@@ -1,0 +1,92 @@
+"""LERC decode contract query.
+
+Every executor task decodes the reference's own committed LERC
+fixtures (gcore/data/byte_lerc.tif and the standalone Lerc2 blobs
+embedded in gcore/data/gtiff/lerc_*.tif) through the engine's numpy
+Lerc2 decoder (raster/lerc.py) and emits the GDALChecksumImage
+checksums the reference's autotest pins (gcore/tiff_read.py
+test_tiff_read_lerc = 4672; gdrivers/lerc.py = 4776/4672/4672 and
+float-with-mask 2755 band + 4420 mask). DuckDB recomputes the
+expected constants, so the driver's hash compare fails if any stage
+of the decoder (header, Fletcher32, RLE mask, bit-stuffing, Huffman,
+microblock tiles) drifts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from gdal_spark.sources.tables import load
+
+_GCORE = "/root/reference/autotest/gcore/data/"
+
+_CASES = [
+    # (name, path, offset, length or None for whole-tif)
+    ("byte_tif", _GCORE + "byte_lerc.tif", None, None),
+    ("int8", _GCORE + "gtiff/lerc_int8.tif", 504, 237),
+    ("uint16", _GCORE + "gtiff/lerc_uint16.tif", 504, 465),
+    ("int16", _GCORE + "gtiff/lerc_int16.tif", 504, 465),
+    ("uint32", _GCORE + "gtiff/lerc_uint32.tif", 504, 469),
+    ("int32", _GCORE + "gtiff/lerc_int32.tif", 504, 469),
+    ("float32_mask", _GCORE + "gtiff/lerc_float32_with_mask.tif", 304, 1741),
+]
+
+_EXPECT = {
+    "byte_tif": 4672, "int8": 4776, "uint16": 4672, "int16": 4672,
+    "uint32": 4672, "int32": 4672, "float32_mask": 2755,
+}
+
+
+def lerc_decode_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("cks", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions.checksum import checksum_image
+        from gdal_spark.functions.tiff import tiff_decode
+        from gdal_spark.raster.lerc import lerc2_decode
+
+        rows = []
+        for pdf in batches:
+            for k in pdf["n_nationkey"]:
+                for name, path, off, ln in _CASES:
+                    raw = open(path, "rb").read()
+                    if off is None:
+                        arr = tiff_decode(raw)
+                        arr = arr[0] if isinstance(arr, tuple) else arr
+                        a = np.squeeze(arr)
+                    else:
+                        a, mask, _ = lerc2_decode(raw[off : off + ln])
+                        if a.dtype.kind == "f":
+                            a = a.astype(np.float64).copy()
+                            a[~mask] = np.nan  # MRF-LERC NDV rule
+                    rows.append((int(k), name, int(checksum_image(a)[0])))
+        yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return (
+        load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(run, sch)
+    )
+
+
+_NAMES_SQL = ", ".join(
+    f"('{n}', {c})" for n, c in _EXPECT.items()
+)
+
+_LERC_ORACLE = f"""
+    SELECT n.n_nationkey AS k, v.name, CAST(v.cks AS INT) AS cks
+    FROM nation n CROSS JOIN (VALUES {_NAMES_SQL}) v(name, cks)
+"""
+
+
+SPARK = {"lerc_decode_mod": lerc_decode_mod}
+ORACLE = {"lerc_decode_mod": _LERC_ORACLE}

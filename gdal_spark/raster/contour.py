@@ -229,39 +229,149 @@ def halo_tiles_from_array(spark: SparkSession, grid: np.ndarray, tile: int) -> D
     return spark.createDataFrame(rows, HALO_TILE_SCHEMA)
 
 
+_TLINE_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("pid", T.LongType()),
+        T.StructField("is_closed", T.BooleanType()),
+        T.StructField("pts", T.BinaryType()),  # float64 N x 2
+        T.StructField("ex0", T.LongType()),  # quantized endpoints
+        T.StructField("ey0", T.LongType()),
+        T.StructField("ex1", T.LongType()),
+        T.StructField("ey1", T.LongType()),
+    ]
+)
+
+_QUANT = 1e9  # endpoint key quantization (chain_segments' 1e-9 tol)
+
+
 def contour(tiles: DataFrame, tile: int, levels: list[float]) -> DataFrame:
-    """Distributed contour: per-tile marching squares (narrow) -> one
-    groupBy(level) stitch into polylines with WKB LineString output."""
+    """Distributed contour with a DISTRIBUTED stitch.
+
+    r3 shipped a groupBy(level) stitch — one chain task per level,
+    which is a single-task bottleneck when one level dominates (a
+    planetary coastline). r4 plan, mirroring the polygonize cross-tile
+    merge:
+
+      A. per tile (narrow): marching squares, then chain segments
+         INSIDE the tile into polylines; open ends only ever sit on
+         tile borders or the raster boundary.
+      B. equivalence: polylines sharing a quantized endpoint (same
+         level) are the same global line — a self-join on the
+         endpoint key, exactly the enumerator-style border rule.
+      C. connected components over the polyline graph (pointer-
+         doubling min-label, operators/components.py).
+      D. groupBy(component): re-chain the member segments into the
+         final polyline(s) — one task PER OUTPUT LINE, not per level.
+
+    The stitch is ADAPTIVE: below `distributed_threshold` open
+    polylines, a per-level chain (r3's shape) is cheaper than the
+    component fixpoint's O(log diameter) shuffle rounds; above it, the
+    per-line merge keeps every task bounded. The switch is one bounded
+    count on the persisted stage-A output.
+
+    line_id is a deterministic rank within level (length, n_points,
+    wkb digest), independent of partitioning."""
+    from pyspark.sql.window import Window
+
+    from gdal_spark.operators.components import connected_components
 
     def per_tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in _SEG_SCHEMA.fields]
+        cols = [f.name for f in _TLINE_SCHEMA.fields]
         for pdf in batches:
             out = []
             for t in pdf.itertuples(index=False):
                 g = np.frombuffer(bytes(t.px), dtype=np.float64).reshape(t.hh, t.hw)
-                for lv in levels:
-                    for seg in marching_squares(g, lv, x_off=t.tx * tile, y_off=t.ty * tile):
-                        out.append((lv, *seg))
+                base = (int(t.ty) << 42) | (int(t.tx) << 21)
+                seq = 0
+                for li, lv in enumerate(levels):
+                    segs = marching_squares(
+                        g, lv, x_off=t.tx * tile, y_off=t.ty * tile
+                    )
+                    for pts in chain_segments(segs):
+                        closed = bool(np.allclose(pts[0], pts[-1]))
+                        out.append(
+                            (
+                                float(lv), base | seq, closed,
+                                bytearray(
+                                    np.ascontiguousarray(
+                                        pts, dtype=np.float64
+                                    ).tobytes()
+                                ),
+                                int(round(pts[0][0] * _QUANT)),
+                                int(round(pts[0][1] * _QUANT)),
+                                int(round(pts[-1][0] * _QUANT)),
+                                int(round(pts[-1][1] * _QUANT)),
+                            )
+                        )
+                        seq += 1
             yield pd.DataFrame(out, columns=cols)
 
-    segs = tiles.mapInPandas(per_tile, _SEG_SCHEMA)
+    tl = tiles.mapInPandas(per_tile, _TLINE_SCHEMA).persist()
 
-    def stitch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # B: endpoint-sharing pairs (per level); only open polylines can
+    # continue into a neighbor
+    op = tl.filter(~F.col("is_closed"))
+    distributed_threshold = 100_000
+    n_open = op.limit(distributed_threshold + 1).count()
+
+    # D: one assembly task per global line
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from gdal_spark.functions import wkb as W
 
-        level = float(key[0])
-        seg_list = list(zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"]))
-        lines = chain_segments(seg_list)
+        level = float(pdf["level"].iloc[0])
+        segs = []
+        for buf in pdf["pts"]:
+            pts = np.frombuffer(bytes(buf), dtype=np.float64).reshape(-1, 2)
+            for i in range(len(pts) - 1):
+                segs.append(
+                    (pts[i, 0], pts[i, 1], pts[i + 1, 0], pts[i + 1, 1])
+                )
+        segs.sort()
         rows = []
-        for i, pts in enumerate(lines):
+        for pts in chain_segments(segs):
             closed = bool(np.allclose(pts[0], pts[-1]))
             seglen = float(np.sqrt((np.diff(pts, axis=0) ** 2).sum(1)).sum())
             rows.append(
-                (level, i, len(pts), closed, seglen, bytearray(W.write_linestring(pts)))
+                (level, 0, len(pts), closed, seglen,
+                 bytearray(W.write_linestring(pts)))
             )
         return pd.DataFrame(rows, columns=[f.name for f in _LINE_SCHEMA.fields])
 
-    return segs.groupBy("level").applyInPandas(stitch, _LINE_SCHEMA)
+    if n_open <= distributed_threshold:
+        # small output: one chain task per level (no fixpoint rounds)
+        merged = tl.groupBy("level").applyInPandas(assemble, _LINE_SCHEMA)
+    else:
+        eps = op.select(
+            "level", "pid", F.col("ex0").alias("kx"), F.col("ey0").alias("ky")
+        ).unionByName(
+            op.select(
+                "level", "pid", F.col("ex1").alias("kx"),
+                F.col("ey1").alias("ky"),
+            )
+        )
+        a = eps.alias("a")
+        b = eps.alias("b")
+        pairs = (
+            a.join(b, on=["level", "kx", "ky"])
+            .filter(F.col("a.pid") < F.col("b.pid"))
+            .select(
+                F.col("a.pid").alias("pid_a"), F.col("b.pid").alias("pid_b")
+            )
+            .distinct()
+        )
+        # C: min-label components; singletons keep their own pid
+        cc = connected_components(pairs, src="pid_a", dst="pid_b")
+        comp = tl.join(
+            cc.withColumnRenamed("node", "pid"), on="pid", how="left"
+        ).withColumn("comp", F.coalesce(F.col("component"), F.col("pid")))
+        merged = comp.groupBy("comp").applyInPandas(assemble, _LINE_SCHEMA)
+    w = Window.partitionBy("level").orderBy(
+        "length", "n_points", F.md5(F.col("wkb"))
+    )
+    return merged.withColumn(
+        "line_id", (F.row_number().over(w) - 1).cast("long")
+    )
 
 
 # --------------------------------------------------------------------------

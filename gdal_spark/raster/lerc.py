@@ -1,30 +1,37 @@
-"""LERC raster codec — pure-numpy decoders for Lerc1 (CntZImage) and
-Lerc2 blobs, the two payloads MRF's COMPRESS=LERC produces.
+"""LERC2 (Limited Error Raster Compression) decoder — pure numpy.
 
-Format facts transcribed (decode re-derived, no code copied):
-  Lerc1  frmts/mrf/LERCV1/Lerc1Image.cpp: "CntZImage " + version 11 /
-         type 8 + height/width int32 + maxZError double; a cnt part
-         (const flag or RLE bitmask) then a z part of tiles
-         (height/numTilesV x width/numTilesH), each tile a comprFlag
-         byte — 2: zeros, 0: stored float32 per valid pixel, 3: const
-         minval, 1: minval + 2*maxZError * bit-stuffed uints
-         (blockread: count-width from flag bits 6-7 via {4,2,1},
-         values MSB-first inside little-endian 32-bit words, short
-         tail loaded at the word's high end), clipped to maxValInImg.
-  Lerc2  third_party/LercLib/Lerc2.{h,cpp}: "Lerc2 " + version +
-         (v>=3 fletcher32) + [nRows nCols (v>=4 nDim) numValidPixel
-         microBlockSize blobSize dt] + [maxZError zMin zMax] +
-         int-prefixed RLE mask + one-sweep flag; then Huffman
-         (plain/delta, 8-bit types at maxZError 0.5) or microblock
-         tiles: comprFlag (bits 2-5 must echo (j0>>3)&15), offset in
-         the reduced type from GetDataTypeUsed, BitStuffer2 payload
-         (bit5 = LUT mode; v<3 MSB-first stuffing, v>=3 LSB-first).
-  RLE    both use int16-LE counts: >0 literal run, <0 repeat of next
-         byte, -32768 end-of-stream; mask bit k = byte[k>>3] &
-         (0x80 >> (k&7)).
+Re-derivation (no code copied) of the Lerc2 blob format the reference
+vendors in third_party/LercLib and exposes through GTiff
+COMPRESSION=LERC (frmts/gtiff/libtiff/tif_lerc.c):
 
-Parity: autotest/gdrivers/data/mrf/lerc_v1 and /lerc fixtures decode
-to the canonical byte.tif checksum 4672 (tests/test_mrf.py).
+  * header  — "Lerc2 " key, int32 version (<=4), uint32 Fletcher32
+    checksum (v>=3, over everything after the checksum field),
+    int32 nRows/nCols/[nDim v4]/numValidPixel/microBlockSize/blobSize/
+    dataType, double maxZError/zMin/zMax  (Lerc2.cpp:201-283)
+  * mask    — int32 byte count, then byte-RLE over the bit mask:
+    little-endian int16 counts, >0 = literal run, <=0 = repeat next
+    byte -count times, -32768 terminates  (RLE.cpp:298-331)
+  * v4 per-band min/max vectors, const-band short cut
+    (Lerc2.h:2041-2090)
+  * one-sweep raw dump, or per-8x8-microblock tiles: comprFlag byte
+    (bits 0-1: 0 raw / 1 bit-stuffed / 2 const-0 / 3 const-offset;
+    bits 2-5: (j0>>3)&15 integrity code; bits 6-7: offset's storage
+    type), variable-width offset, then BitStuffer2 payload
+    (Lerc2.h:1211-1375)
+  * BitStuffer2 — header byte (bits 0-4 numBits, bit 5 LUT mode,
+    bits 6-7 size of the element count), LSB-first packing inside
+    little-endian uint32 words, tail bytes not stored
+    (BitStuffer2.cpp:159-290)
+  * Huffman mode for 8-bit types (maxZError == 0.5): explicit
+    per-symbol (length, code) table (lengths bit-stuffed, codes
+    MSB-first inside little-endian uint32 words with wrap-around
+    symbol range), then plain or row-delta coded values
+    (Huffman.cpp:170-330, Lerc2.h:1871-2000)
+
+Decode-only, like several reference read-only drivers: the engine
+reads LERC-compressed TIFF/COG strips (optionally wrapped in zlib by
+LERC_DEFLATE); LERC_ZSTD needs a zstd library this environment lacks
+and stays on the quarantine path.
 """
 
 from __future__ import annotations
@@ -33,14 +40,43 @@ import struct
 
 import numpy as np
 
-__all__ = ["lerc_decode", "lerc1_decode", "lerc2_decode"]
+__all__ = ["lerc2_decode", "lerc_strip_decode"]
 
-_DT = ["i1", "u1", "i2", "u2", "i4", "u4", "f4", "f8"]  # Lerc2 DataType
-_DT_SIZE = [1, 1, 2, 2, 4, 4, 4, 8]
+_DTYPES = {
+    0: np.int8, 1: np.uint8, 2: np.int16, 3: np.uint16,
+    4: np.int32, 5: np.uint32, 6: np.float32, 7: np.float64,
+}
+_DTSIZE = {0: 1, 1: 1, 2: 2, 3: 2, 4: 4, 5: 4, 6: 4, 7: 8}
+_OFFSET_FMT = {0: "<b", 1: "<B", 2: "<h", 3: "<H", 4: "<i", 5: "<I",
+               6: "<f", 7: "<d"}
 
 
-def _rle_decode(buf: bytes, pos: int, out_size: int) -> tuple[bytes, int]:
-    """Shared Lerc RLE: int16-LE counts, -32768 terminator."""
+def _fletcher32(data: bytes) -> int:
+    sum1, sum2 = 0xFFFF, 0xFFFF
+    n = len(data)
+    words = n // 2
+    pos = 0
+    while words:
+        tlen = min(words, 359)
+        words -= tlen
+        for _ in range(tlen):
+            sum1 += data[pos] << 8
+            sum1 += data[pos + 1]
+            sum2 += sum1
+            pos += 2
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if n & 1:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return ((sum2 << 16) | sum1) & 0xFFFFFFFF
+
+
+def _rle_decompress(buf: bytes, pos: int, out_size: int) -> tuple[bytes, int]:
     out = bytearray()
     while True:
         (cnt,) = struct.unpack_from("<h", buf, pos)
@@ -48,398 +84,356 @@ def _rle_decode(buf: bytes, pos: int, out_size: int) -> tuple[bytes, int]:
         if cnt == -32768:
             break
         if cnt > 0:
-            out += buf[pos:pos + cnt]
+            out += buf[pos : pos + cnt]
             pos += cnt
         else:
-            out += buf[pos:pos + 1] * (-cnt)
+            out += buf[pos : pos + 1] * (-cnt)
             pos += 1
         if len(out) > out_size:
-            raise ValueError("LERC RLE overrun")
+            raise ValueError("LERC: RLE mask overrun")
     return bytes(out), pos
 
 
-def _mask_from_bytes(raw: bytes, h: int, w: int) -> np.ndarray:
-    bits = np.unpackbits(np.frombuffer(raw, np.uint8), count=h * w)
-    return bits.reshape(h, w).astype(bool)
+class _WordBitReader:
+    """MSB-first bits inside little-endian uint32 words (the Huffman
+    code/value stream layout)."""
+
+    __slots__ = ("words", "gpos")
+
+    def __init__(self, buf: bytes, pos: int):
+        n = (len(buf) - pos) // 4
+        self.words = np.frombuffer(buf, dtype="<u4", count=n, offset=pos)
+        self.gpos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            w = self.gpos >> 5
+            bit = 31 - (self.gpos & 31)
+            v = (v << 1) | ((int(self.words[w]) >> bit) & 1)
+            self.gpos += 1
+        return v
+
+    def bytes_consumed(self) -> int:
+        return 4 * ((self.gpos + 31) // 32)
 
 
-class _MsbWordBits:
-    """Bit reader over little-endian uint32 words consumed MSB-first
-    (Lerc1 blockread / Lerc2-before-v3 stuffing / Huffman streams).
-    A short tail of n bytes acts as a word with those bytes at its
-    high end, i.e. the n bytes reversed then zero-padded."""
-
-    def __init__(self, buf: bytes):
-        n = len(buf)
-        groups = [buf[i:i + 4] for i in range(0, n, 4)]
-        rev = b"".join(g[::-1] + b"\x00" * (4 - len(g)) for g in groups)
-        self.bits = np.unpackbits(np.frombuffer(rev, np.uint8))
-        self.pos = 0
-
-    def take(self, nbits: int, count: int = 1) -> np.ndarray:
-        end = self.pos + nbits * count
-        chunk = self.bits[self.pos:end].reshape(count, nbits)
-        self.pos = end
-        weights = (1 << np.arange(nbits - 1, -1, -1, dtype=np.uint64))
-        return (chunk.astype(np.uint64) * weights).sum(axis=1)
-
-    def take1(self) -> int:
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
-
-    def align_word(self) -> None:
-        self.pos = (self.pos + 31) // 32 * 32
-
-
-def _blockread_v1(buf: bytes, pos: int, max_count: int):
-    """Lerc1Image.cpp blockread: header byte = count-width code (bits
-    6-7 -> {4,2,1} bytes) | numBits (bits 0-5), then the count, then
-    ceil(count*numBits/8) stuffed bytes."""
-    first = buf[pos]
+def _bitstuff_decode(buf: bytes, pos: int, max_count: int,
+                     version: int) -> tuple[np.ndarray, int]:
+    """BitStuffer2.Decode re-derivation (v>=3 word layout only —
+    version <= 2 blobs predate the checksum era)."""
+    hdr = buf[pos]
     pos += 1
-    n = (4, 2, 1, 0)[first >> 6]
-    num_bits = first & 63
-    if num_bits >= 32 or n == 0:
-        raise ValueError("LERC1 blockread header")
-    num_elements = int.from_bytes(buf[pos:pos + n], "little")
-    pos += n
-    if num_elements > max_count:
-        raise ValueError("LERC1 blockread count")
-    if num_bits == 0:
-        return np.zeros(num_elements, np.uint64), pos
-    nbytes = (num_elements * num_bits + 7) // 8
-    vals = _MsbWordBits(buf[pos:pos + nbytes]).take(num_bits, num_elements)
-    return vals, pos + nbytes
-
-
-def lerc1_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray, dict]:
-    """CntZImage blob -> (float32 (h, w), valid mask, meta)."""
-    if buf[:10] != b"CntZImage ":
-        raise ValueError("not a Lerc1 blob")
-    version, ztype, h, w = struct.unpack_from("<4i", buf, 10)
-    (max_z_err,) = struct.unpack_from("<d", buf, 26)
-    if version != 11 or ztype != 8:
-        raise ValueError("unsupported CntZImage version/type")
-    pos = 34
-    mask = np.ones((h, w), bool)
-    z = np.zeros((h, w), np.float32)
-    for zpart in (False, True):
-        ntv, nth, nbytes = struct.unpack_from("<3i", buf, pos)
-        (maxval,) = struct.unpack_from("<f", buf, pos + 12)
-        pos += 16
-        end = pos + nbytes
-        if not zpart:
-            if ntv != 0 and nth != 0:
-                raise ValueError("LERC1 cnt part must be untiled")
-            if nbytes == 0:
-                mask[:] = maxval != 0
-            else:
-                raw, _ = _rle_decode(buf, pos, (h * w + 7) // 8)
-                mask = _mask_from_bytes(raw, h, w)
-        else:
-            tile_h, tile_w = h // ntv, w // nth
-            p = pos
-            for r0 in range(0, h, tile_h):
-                r1 = min(h, r0 + tile_h)
-                for c0 in range(0, w, tile_w):
-                    c1 = min(w, c0 + tile_w)
-                    flag = buf[p]
-                    p += 1
-                    n = (4, 2, 1, 0)[flag >> 6]
-                    flag &= 63
-                    if flag == 2:  # whole tile zero, mask ignored
-                        z[r0:r1, c0:c1] = 0.0
-                        continue
-                    m = mask[r0:r1, c0:c1]
-                    if flag == 0:  # stored floats for valid pixels
-                        cnt = int(m.sum())
-                        vals = np.frombuffer(buf, "<f4", cnt, p)
-                        p += 4 * cnt
-                        z[r0:r1, c0:c1][m] = vals
-                        continue
-                    if n == 4:
-                        (minval,) = struct.unpack_from("<f", buf, p)
-                    elif n == 2:
-                        (iv,) = struct.unpack_from("<h", buf, p)
-                        minval = float(iv)
-                    else:
-                        (iv,) = struct.unpack_from("<b", buf, p)
-                        minval = float(iv)
-                    p += n
-                    if flag == 3:  # const tile, mask ignored
-                        z[r0:r1, c0:c1] = minval
-                        continue
-                    vals, p = _blockread_v1(buf, p,
-                                            (r1 - r0) * (c1 - c0))
-                    q = 2.0 * max_z_err
-                    zv = np.minimum(
-                        np.float32(maxval),
-                        (minval + q * vals.astype(np.float64))
-                        .astype(np.float32))
-                    z[r0:r1, c0:c1][m] = zv[:int(m.sum())]
-        pos = end
-    return z, mask, {"max_z_error": max_z_err, "w": w, "h": h}
-
-
-class _LsbWordBits:
-    """Lerc2 v>=3 stuffing: LSB-first within the byte stream."""
-
-    def __init__(self, buf: bytes):
-        self.bits = np.unpackbits(np.frombuffer(buf, np.uint8),
-                                  bitorder="little")
-        self.pos = 0
-
-    def take(self, nbits: int, count: int) -> np.ndarray:
-        end = self.pos + nbits * count
-        chunk = self.bits[self.pos:end].reshape(count, nbits)
-        self.pos = end
-        weights = (1 << np.arange(nbits, dtype=np.uint64))
-        return (chunk.astype(np.uint64) * weights).sum(axis=1)
-
-
-def _bitstuff2_decode(buf: bytes, pos: int, max_count: int, version: int):
-    """BitStuffer2::Decode — returns (values, new_pos, count)."""
-    first = buf[pos]
-    pos += 1
-    nb = 4 if (first >> 6) == 0 else 3 - (first >> 6)
-    do_lut = bool(first & 32)
-    num_bits = first & 31
-    count = int.from_bytes(buf[pos:pos + nb], "little")
+    bits67 = hdr >> 6
+    nb = 4 if bits67 == 0 else 3 - bits67
+    do_lut = bool(hdr & 0x20)
+    num_bits = hdr & 31
+    if nb == 1:
+        num_elements = buf[pos]
+    elif nb == 2:
+        (num_elements,) = struct.unpack_from("<H", buf, pos)
+    else:
+        (num_elements,) = struct.unpack_from("<I", buf, pos)
     pos += nb
-    if count > max_count:
-        raise ValueError("BitStuffer2 count")
+    if num_elements > max_count:
+        raise ValueError("LERC: element count overrun")
+    if version < 3:
+        raise ValueError("LERC: version <= 2 bit layout not supported")
 
-    def unstuff(n_elem: int, n_bits: int):
-        nonlocal pos
-        if version >= 3:
-            used = (n_elem * n_bits + 7) // 8
-            vals = _LsbWordBits(buf[pos:pos + used]).take(n_bits, n_elem)
-        else:
-            used = (n_elem * n_bits + 7) // 8
-            vals = _MsbWordBits(buf[pos:pos + used]).take(n_bits, n_elem)
-        pos += used
-        return vals
+    def unstuff(count: int, nbits: int, pos: int) -> tuple[np.ndarray, int]:
+        if count == 0 or nbits == 0:
+            return np.zeros(count, dtype=np.uint32), pos
+        num_uints = (count * nbits + 31) // 32
+        tail_bits = (count * nbits) & 31
+        tail_bytes = (4 - ((tail_bits + 7) >> 3)) if tail_bits else 0
+        used = num_uints * 4 - tail_bytes
+        raw = buf[pos : pos + used] + b"\x00" * tail_bytes
+        words = np.frombuffer(raw, dtype="<u4").astype(np.uint64)
+        idx = np.arange(count, dtype=np.uint64) * np.uint64(nbits)
+        w = (idx >> np.uint64(5)).astype(np.int64)
+        off = (idx & np.uint64(31)).astype(np.uint64)
+        lo = words[w] >> off
+        need2 = (off + np.uint64(nbits)) > np.uint64(32)
+        hi = np.zeros_like(lo)
+        w2 = np.minimum(w + 1, len(words) - 1)
+        hi[need2] = words[w2[need2]] << (np.uint64(32) - off[need2])
+        vals = (lo | hi) & np.uint64((1 << nbits) - 1)
+        return vals.astype(np.uint32), pos + used
 
     if not do_lut:
-        if num_bits == 0:
-            return np.zeros(count, np.uint64), pos, count
-        return unstuff(count, num_bits), pos, count
+        vals, pos = unstuff(num_elements, num_bits, pos)
+        return vals, pos
     n_lut = buf[pos] - 1
     pos += 1
-    lut = unstuff(n_lut, num_bits)
+    if num_bits == 0:
+        raise ValueError("LERC: LUT with zero bit width")
+    lut, pos = unstuff(n_lut, num_bits, pos)
     n_bits_lut = max(1, int(n_lut).bit_length())
-    idx = unstuff(count, n_bits_lut)
-    full = np.concatenate([[0], lut]).astype(np.uint64)
-    return full[idx.astype(np.int64)], pos, count
+    idxs, pos = unstuff(num_elements, n_bits_lut, pos)
+    full = np.concatenate([[np.uint32(0)], lut])
+    if idxs.size and int(idxs.max()) >= len(full):
+        raise ValueError("LERC: LUT index overrun")
+    return full[idxs], pos
 
 
-def _huffman_decode(buf: bytes, pos: int, version: int, n_values: int,
-                    h: int, w: int, mask: np.ndarray, delta: bool,
-                    offset: int, out_dtype) -> np.ndarray:
-    """Huffman.cpp ReadCodeTable/BitUnStuffCodes + DecodeHuffman."""
-    hver, size, i0, i1 = struct.unpack_from("<4i", buf, pos)
+def _read_huffman_table(buf: bytes, pos: int,
+                        version: int) -> tuple[dict, int]:
+    hver, size, i0, i1 = struct.unpack_from("<iiii", buf, pos)
     pos += 16
-    if hver < 2:
-        raise ValueError("Huffman table version")
-    lens, pos, _ = _bitstuff2_decode(buf, pos, i1 - i0, version)
-    code_len = {}
+    if hver < 2 or size <= 0 or i0 >= i1:
+        raise ValueError("LERC: bad Huffman table header")
+    lengths, pos = _bitstuff_decode(buf, pos, i1 - i0, version)
+    if len(lengths) != i1 - i0:
+        raise ValueError("LERC: Huffman length count mismatch")
+    # codes: MSB-first in LE uint32 words, only for symbols with len>0
+    br = _WordBitReader(buf, pos)
+    table: dict[tuple[int, int], int] = {}
     for i in range(i0, i1):
-        k = i % size
-        code_len[k] = int(lens[i - i0])
-    # codes: MSB-first over LE words, then align to a word boundary
-    bitlen = sum(v for v in code_len.values() if v > 0)
-    nwords = (bitlen + 31) // 32
-    rd = _MsbWordBits(buf[pos:pos + 4 * (nwords + 1)])
-    table = {}
-    for i in range(i0, i1):
-        k = i % size
-        ln = code_len[k]
+        k = i - size if i >= size else i
+        ln = int(lengths[i - i0])
         if ln > 0:
-            table[(ln, int(rd.take(ln)[0]))] = k
-    pos += 4 * nwords
-    # value stream: MSB-first over LE words
-    rd = _MsbWordBits(buf[pos:])
-    out = np.zeros(h * w, np.int64)
-    valid_idx = np.flatnonzero(mask.ravel()) if mask is not None \
-        else np.arange(h * w)
-    vals = np.empty(len(valid_idx), np.int64)
-    for t in range(len(valid_idx)):
+            code = br.read(ln)
+            table[(ln, code)] = k
+    pos += br.bytes_consumed()
+    return table, pos
+
+
+def _huffman_decode_values(table: dict, buf: bytes, pos: int,
+                           count: int) -> np.ndarray:
+    br = _WordBitReader(buf, pos)
+    out = np.empty(count, dtype=np.int64)
+    maxlen = max(ln for ln, _ in table) if table else 0
+    for i in range(count):
         code = 0
         ln = 0
         while True:
-            code = (code << 1) | rd.take1()
+            code = (code << 1) | br.read(1)
             ln += 1
-            v = table.get((ln, code))
-            if v is not None:
-                vals[t] = v
+            sym = table.get((ln, code))
+            if sym is not None:
+                out[i] = sym
                 break
-            if ln > 32:
-                raise ValueError("Huffman code overrun")
-    if not delta:
-        out[valid_idx] = vals - offset
-    else:
-        # delta chain per DecodeHuffman: previous valid in row, else
-        # the pixel above, else running previous value
-        info = np.iinfo(out_dtype)
-        span = info.max - info.min + 1
-        prev = 0
-        flat = out
-        mk = mask.ravel() if mask is not None else np.ones(h * w, bool)
-        vi = 0
-        for k in range(h * w):
-            if not mk[k]:
-                continue
-            d = int(vals[vi]) - offset
-            vi += 1
-            i, j = divmod(k, w)
-            if j > 0 and mk[k - 1]:
-                d += prev
-            elif i > 0 and mk[k - w]:
-                d += int(flat[k - w])
-            else:
-                d += prev
-            d = (d - info.min) % span + info.min  # wrap like the C cast
-            flat[k] = d
-            prev = d
-    return out.reshape(h, w)
+            if ln > maxlen:
+                raise ValueError("LERC: bad Huffman stream")
+    return out
 
 
-def lerc2_decode(buf: bytes) -> tuple[np.ndarray, np.ndarray, dict]:
-    """Lerc2 blob (versions 2-5, nDim 1) -> (arr, valid mask, meta)."""
+def lerc2_decode(buf: bytes):
+    """-> (array (nRows, nCols) or (nRows, nCols, nDim), valid_mask
+    bool (nRows, nCols), info dict)."""
+    buf = bytes(buf)
     if buf[:6] != b"Lerc2 ":
         raise ValueError("not a Lerc2 blob")
-    (version,) = struct.unpack_from("<i", buf, 6)
-    pos = 10
-    if version >= 3:
-        pos += 4  # fletcher32 checksum — not verified here
-    if version >= 4:
-        nrows, ncols, ndim, nvalid, mbsize, blobsize, dt = \
-            struct.unpack_from("<7i", buf, pos)
-        pos += 28
-    else:
-        nrows, ncols, nvalid, mbsize, blobsize, dt = \
-            struct.unpack_from("<6i", buf, pos)
-        ndim = 1
-        pos += 24
-    max_z_err, zmin, zmax = struct.unpack_from("<3d", buf, pos)
-    pos += 24
-    if ndim != 1:
-        raise ValueError("LERC nDim > 1 not supported")
-    dtype = np.dtype(_DT[dt])
-    meta = {"version": version, "max_z_error": max_z_err, "zmin": zmin,
-            "zmax": zmax, "dtype": dtype, "w": ncols, "h": nrows}
-    (num_bytes_mask,) = struct.unpack_from("<i", buf, pos)
+    pos = 6
+    (version,) = struct.unpack_from("<i", buf, pos)
     pos += 4
-    if nvalid == 0:
-        return (np.zeros((nrows, ncols), dtype),
-                np.zeros((nrows, ncols), bool), meta)
-    if nvalid == nrows * ncols:
-        mask = np.ones((nrows, ncols), bool)
+    if version > 4 or version < 1:
+        raise ValueError(f"LERC: unsupported version {version}")
+    checksum = None
+    if version >= 3:
+        (checksum,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+    n_ints = 7 if version >= 4 else 6
+    ints = struct.unpack_from(f"<{n_ints}i", buf, pos)
+    pos += 4 * n_ints
+    max_z_error, z_min, z_max = struct.unpack_from("<3d", buf, pos)
+    pos += 24
+    i = 0
+    n_rows = ints[i]; i += 1
+    n_cols = ints[i]; i += 1
+    n_dim = ints[i] if version >= 4 else 1
+    if version >= 4:
+        i += 1
+    num_valid = ints[i]; i += 1
+    micro = ints[i]; i += 1
+    blob_size = ints[i]; i += 1
+    dt = ints[i]
+    if dt not in _DTYPES or micro <= 0 or micro > 32:
+        raise ValueError("LERC: bad header")
+    if version >= 3:
+        hdr_len = 6 + 4 + 4
+        if _fletcher32(buf[hdr_len:blob_size]) != checksum:
+            raise ValueError("LERC: checksum mismatch")
+    dtype = _DTYPES[dt]
+    info = {"version": version, "dt": dt, "n_rows": n_rows,
+            "n_cols": n_cols, "n_dim": n_dim, "max_z_error": max_z_error,
+            "z_min": z_min, "z_max": z_max, "blob_size": blob_size}
+
+    # mask
+    (n_mask_bytes,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    npix = n_rows * n_cols
+    if num_valid == 0:
+        mask = np.zeros(npix, dtype=bool)
+    elif num_valid == npix:
+        mask = np.ones(npix, dtype=bool)
     else:
-        raw, _ = _rle_decode(buf, pos, (nrows * ncols + 7) // 8)
-        mask = _mask_from_bytes(raw, nrows, ncols)
-    pos += num_bytes_mask
-    arr = np.zeros((nrows, ncols), dtype)
-    if zmin == zmax:  # const image
-        arr[mask] = dtype.type(zmin)
-        return arr, mask, meta
+        mask_bytes, pos2 = _rle_decompress(buf, pos, (npix + 7) // 8)
+        if pos2 - pos != n_mask_bytes:
+            pos2 = pos + n_mask_bytes
+        pos = pos2
+        bits = np.unpackbits(
+            np.frombuffer(mask_bytes, dtype=np.uint8), count=npix
+        )
+        mask = bits.astype(bool)
+
+    data = np.zeros(npix * n_dim, dtype=dtype)
+    out_shape = (n_rows, n_cols) if n_dim == 1 else (n_rows, n_cols, n_dim)
+
+    def done():
+        return (data.reshape(out_shape), mask.reshape(n_rows, n_cols), info)
+
+    if num_valid == 0:
+        return done()
+    if z_min == z_max:  # const image
+        data[np.repeat(mask, n_dim)] = dtype(z_min) if dt < 6 else z_min
+        return done()
+
+    z_min_vec = [z_min] * n_dim
+    z_max_vec = [z_max] * n_dim
+    if version >= 4:
+        vec = np.frombuffer(buf, dtype=dtype, count=2 * n_dim, offset=pos)
+        pos += 2 * n_dim * dtype().itemsize
+        z_min_vec = [float(v) for v in vec[:n_dim]]
+        z_max_vec = [float(v) for v in vec[n_dim:]]
+        if np.array_equal(vec[:n_dim], vec[n_dim:]):
+            rep = np.repeat(mask, n_dim)
+            full = np.tile(np.asarray(vec[:n_dim], dtype=dtype), npix)
+            data[rep] = full[rep]
+            return done()
+
     one_sweep = buf[pos]
     pos += 1
     if one_sweep:
-        vals = np.frombuffer(buf, dtype.str, nvalid, pos)
-        arr[mask] = vals
-        return arr, mask, meta
-    try_huffman = (version > 1 and dt in (0, 1) and max_z_err == 0.5)
+        vals = np.frombuffer(buf, dtype=dtype, count=num_valid * n_dim,
+                             offset=pos)
+        sel = np.repeat(mask, n_dim)
+        data[sel] = vals
+        return done()
+
+    try_huffman = version > 1 and dt in (0, 1) and max_z_error == 0.5
     if try_huffman:
-        flag = buf[pos]
+        mode = buf[pos]
         pos += 1
-        if flag in (1, 2):  # 1 = delta huffman, 2 = plain huffman
+        if mode > 2 or (version < 4 and mode > 1):
+            raise ValueError("LERC: bad image encode mode")
+        if mode in (1, 2):  # DeltaHuffman / Huffman
+            table, pos = _read_huffman_table(buf, pos, version)
+            vals = _huffman_decode_values(
+                table, buf, pos, num_valid * n_dim
+            )
             offset = 128 if dt == 0 else 0
-            dec = _huffman_decode(buf, pos, version, nvalid, nrows,
-                                  ncols,
-                                  None if nvalid == nrows * ncols
-                                  else mask,
-                                  flag == 1, offset, dtype)
-            arr = dec.astype(dtype)
-            arr[~mask] = 0
-            return arr, mask, meta
-    # microblock tiles
-    ntv = (nrows + mbsize - 1) // mbsize
-    nth = (ncols + mbsize - 1) // mbsize
-    inv_scale = 2.0 * max_z_err
-    for it in range(ntv):
-        i0 = it * mbsize
-        i1 = min(nrows, i0 + mbsize)
-        for jt in range(nth):
-            j0 = jt * mbsize
-            j1 = min(ncols, j0 + mbsize)
-            flag = buf[pos]
-            pos += 1
-            bits67 = flag >> 6
-            if ((flag >> 2) & 15) != ((j0 >> 3) & 15):
-                raise ValueError("LERC2 tile integrity check")
-            cf = flag & 3
-            m = mask[i0:i1, j0:j1]
-            if cf == 2:
-                arr[i0:i1, j0:j1][m] = 0
-                continue
-            if cf == 0:
-                cnt = int(m.sum())
-                vals = np.frombuffer(buf, dtype.str, cnt, pos)
-                pos += cnt * dtype.itemsize
-                arr[i0:i1, j0:j1][m] = vals
-                continue
-            dt_used = _dt_used(dt, bits67)
-            sz = _DT_SIZE[dt_used]
-            offset = _read_var(buf, pos, dt_used)
-            pos += sz
-            if cf == 3:
-                arr[i0:i1, j0:j1][m] = dtype.type(offset)
-                continue
-            max_count = (i1 - i0) * (j1 - j0)
-            vals, pos, count = _bitstuff2_decode(buf, pos, max_count,
-                                                 version)
-            z = offset + vals.astype(np.float64) * inv_scale
-            z = np.minimum(z, zmax)
-            if count == max_count:
-                arr[i0:i1, j0:j1] = z.reshape(i1 - i0, j1 - j0)\
-                    .astype(dtype)
-            else:
-                arr[i0:i1, j0:j1][m] = z[:int(m.sum())].astype(dtype)
-    arr[~mask] = 0
-    return arr, mask, meta
+            v = (vals - offset).astype(np.int64)
+            m2 = mask.reshape(n_rows, n_cols)
+            d2 = data.reshape(npix, n_dim)
+            if mode == 2:  # plain Huffman, pixel-interleaved dims
+                sel = np.repeat(mask, n_dim)
+                d2.reshape(-1)[sel] = v.astype(dtype)
+                return done()
+            # DeltaHuffman: per dim, row-major delta with mask rules
+            vi = 0
+            for idim in range(n_dim):
+                prev = 0
+                for r in range(n_rows):
+                    for c in range(n_cols):
+                        k = r * n_cols + c
+                        if not mask[k]:
+                            continue
+                        delta = int(v[vi]); vi += 1
+                        if c > 0 and mask[k - 1]:
+                            delta += prev
+                        elif r > 0 and mask[k - n_cols]:
+                            delta += int(d2[k - n_cols, idim])
+                        else:
+                            delta += prev
+                        val = np.array(delta).astype(dtype).item()
+                        d2[k, idim] = val
+                        prev = val
+            return done()
+
+    # tiled microblocks
+    d2 = data.reshape(n_rows, n_cols, n_dim)
+    m2 = mask.reshape(n_rows, n_cols)
+    tiles_v = (n_rows + micro - 1) // micro
+    tiles_h = (n_cols + micro - 1) // micro
+    for it in range(tiles_v):
+        i0 = it * micro
+        i1 = min(n_rows, i0 + micro)
+        for jt in range(tiles_h):
+            j0 = jt * micro
+            j1 = min(n_cols, j0 + micro)
+            for idim in range(n_dim):
+                pos = _read_tile(
+                    buf, pos, d2, m2, i0, i1, j0, j1, idim, dt, dtype,
+                    max_z_error, z_max_vec[idim] if (version >= 4 and n_dim > 1)
+                    else z_max, version,
+                )
+    return done()
 
 
-def _dt_used(dt: int, tc: int) -> int:
-    """Lerc2::GetDataTypeUsed — offset stored in a reduced type."""
-    if dt in (2, 4):       # short, int
-        return dt - tc
-    if dt in (3, 5):       # ushort, uint
-        return dt - 2 * tc
-    if dt == 6:            # float
-        return 6 if tc == 0 else (2 if tc == 1 else 1)
-    if dt == 7:            # double
-        return 7 if tc == 0 else dt - 2 * tc + 1
+def _dt_used(dt: int, bits67: int) -> int:
+    if dt in (2, 4):      # Short, Int
+        return dt - bits67
+    if dt in (3, 5):      # UShort, UInt
+        return dt - 2 * bits67
+    if dt == 6:           # Float
+        return 6 if bits67 == 0 else (2 if bits67 == 1 else 1)
+    if dt == 7:           # Double
+        return 7 if bits67 == 0 else dt - 2 * bits67 + 1
     return dt
 
 
-def _read_var(buf: bytes, pos: int, dt_used: int) -> float:
-    fmt = ["<b", "<B", "<h", "<H", "<i", "<I", "<f", "<d"][dt_used]
-    return float(struct.unpack_from(fmt, buf, pos)[0])
+def _read_tile(buf, pos, d2, m2, i0, i1, j0, j1, idim, dt, dtype,
+               max_z_error, z_max, version):
+    flag = buf[pos]
+    pos += 1
+    if ((flag >> 2) & 15) != ((j0 >> 3) & 15):
+        raise ValueError("LERC: tile integrity code mismatch")
+    bits67 = flag >> 6
+    cf = flag & 3
+    sub_mask = m2[i0:i1, j0:j1]
+    if cf == 2:  # const 0
+        d2[i0:i1, j0:j1, idim][sub_mask] = 0
+        return pos
+    if cf == 0:  # raw values for valid pixels
+        cnt = int(sub_mask.sum())
+        vals = np.frombuffer(buf, dtype=dtype, count=cnt, offset=pos)
+        d2[i0:i1, j0:j1, idim][sub_mask] = vals
+        return pos + cnt * dtype().itemsize
+    dtu = _dt_used(dt, bits67)
+    fmt = _OFFSET_FMT[dtu]
+    (offset,) = struct.unpack_from(fmt, buf, pos)
+    pos += _DTSIZE[dtu]
+    if cf == 3:  # const offset
+        d2[i0:i1, j0:j1, idim][sub_mask] = dtype(offset) if dt < 6 else offset
+        return pos
+    max_count = (i1 - i0) * (j1 - j0)
+    vals, pos = _bitstuff_decode(buf, pos, max_count, version)
+    inv_scale = 2.0 * max_z_error
+    if vals.size == max_count:
+        z = offset + vals.astype(np.float64) * inv_scale
+        z = np.minimum(z, z_max)
+        d2[i0:i1, j0:j1, idim] = z.reshape(i1 - i0, j1 - j0).astype(dtype)
+    else:
+        if vals.size == 0 and sub_mask.sum() > 0:
+            vals = np.zeros(int(sub_mask.sum()), dtype=np.uint32)
+        z = offset + vals.astype(np.float64) * inv_scale
+        z = np.minimum(z, z_max)
+        d2[i0:i1, j0:j1, idim][sub_mask] = z.astype(dtype)
+    return pos
 
 
-def lerc_decode(blob: bytes, nodata=None) -> tuple[np.ndarray, dict]:
-    """MRF LERC page -> (h, w, 1) array; invalid pixels become
-    ``nodata`` (else 0), matching LERC_band.cpp Lerc1ImgUFill/UnMask."""
-    if blob[:10] == b"CntZImage ":
-        z, mask, meta = lerc1_decode(blob)
-        out = z.astype(np.float32)
-        fill = 0 if nodata is None else nodata
-        out[~mask] = fill
-        return out[:, :, None], meta
-    z, mask, meta = lerc2_decode(blob)
-    fill = 0 if nodata is None else nodata
-    z = z.copy()
-    z[~mask] = fill
-    return z[:, :, None], meta
+def lerc_strip_decode(raw: bytes):
+    """A GTiff COMPRESSION=LERC strip/tile payload: raw Lerc2, or a
+    zlib-wrapped one (LERC_DEFLATE). LERC_ZSTD (magic 28 b5 2f fd) has
+    no decoder in this environment."""
+    raw = bytes(raw)
+    if raw[:6] == b"Lerc2 ":
+        return lerc2_decode(raw)
+    if raw[:4] == b"\x28\xb5\x2f\xfd":
+        raise ValueError("LERC_ZSTD strip: no zstd library available")
+    if raw[:1] in (b"\x78", b"\x58", b"\x18"):
+        import zlib
+
+        return lerc2_decode(zlib.decompress(raw))
+    raise ValueError("not a LERC strip")

@@ -68,6 +68,9 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
         or (h[:2] == b"MM" and h[2:4] == b"\x00+")
     ):
         return "GTiff"
+    if h.startswith(b"Lerc2 ") or h.startswith(b"CntZImage "):
+        # standalone LERC blob (frmts/mrf LERC driver Identify)
+        return "LERC"
     if h.startswith(b"QDCT"):
         return "QDCT"
     if h.startswith(b"BM"):

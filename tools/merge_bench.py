@@ -294,6 +294,13 @@ Pixel conservation asserted: sum(npix) == {pg['input_px']:,}.
 {ct['input_nodes']:,} nodes ({CT_SIZE}x{CT_SIZE} float64,
 {ct['n_tiles']} halo tiles, {ct['levels']} levels; radial field, so each
 level is a quarter-circle arc crossing ~{CT_SIZE // CT_TILE} tiles).
+r4 stitch is ADAPTIVE: per-tile chaining always runs narrow; below
+100k open polylines the cross-tile merge is one chain task per level,
+above it an endpoint-equivalence component merge (pointer-doubling
+fixpoint) gives one task per OUTPUT LINE — bounded tasks regardless of
+how much of the raster one level crosses. This input sits on the small
+path (8 long lines); forcing the component path measured 3-4x slower
+here (fixpoint round overhead), which is exactly why the switch exists.
 
 | metric | value |
 |---|---|
