@@ -290,9 +290,9 @@ def _nitf_encode(arr: np.ndarray) -> bytes:
 def _lerc_decode(data: bytes) -> np.ndarray:
     """Standalone Lerc2 blob -> array; float invalid pixels become NaN
     (the MRF-LERC driver's NDV rule)."""
-    from gdal_spark.raster.lerc import lerc2_decode
+    from gdal_spark.raster.lerc import lerc_strip_decode
 
-    arr, mask, _info = lerc2_decode(data)
+    arr, mask, _info = lerc_strip_decode(data)
     if arr.dtype.kind == "f" and not mask.all():
         arr = arr.copy()
         arr[~mask] = np.nan

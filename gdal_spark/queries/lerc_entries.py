@@ -34,11 +34,16 @@ _CASES = [
     ("uint32", _GCORE + "gtiff/lerc_uint32.tif", 504, 469),
     ("int32", _GCORE + "gtiff/lerc_int32.tif", 504, 469),
     ("float32_mask", _GCORE + "gtiff/lerc_float32_with_mask.tif", 304, 1741),
+    ("v2_blob",
+     "/root/reference/autotest/gdrivers/data/mrf/lerc/byte.lrc", 0, -1),
+    ("v1_cntz",
+     "/root/reference/autotest/gdrivers/data/mrf/lerc_v1/byte.lrc", 0, -1),
 ]
 
 _EXPECT = {
     "byte_tif": 4672, "int8": 4776, "uint16": 4672, "int16": 4672,
     "uint32": 4672, "int32": 4672, "float32_mask": 2755,
+    "v2_blob": 4819, "v1_cntz": 26813,
 }
 
 
@@ -66,7 +71,10 @@ def lerc_decode_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
                         arr = arr[0] if isinstance(arr, tuple) else arr
                         a = np.squeeze(arr)
                     else:
-                        a, mask, _ = lerc2_decode(raw[off : off + ln])
+                        from gdal_spark.raster.lerc import lerc_strip_decode
+
+                        blob = raw if ln < 0 else raw[off : off + ln]
+                        a, mask, _ = lerc_strip_decode(blob)
                         if a.dtype.kind == "f":
                             a = a.astype(np.float64).copy()
                             a[~mask] = np.nan  # MRF-LERC NDV rule

@@ -137,10 +137,42 @@ def _bitstuff_decode(buf: bytes, pos: int, max_count: int,
     pos += nb
     if num_elements > max_count:
         raise ValueError("LERC: element count overrun")
-    if version < 3:
-        raise ValueError("LERC: version <= 2 bit layout not supported")
+
+    def unstuff_pre_v3(count: int, nbits: int,
+                       pos: int) -> tuple[np.ndarray, int]:
+        """Version <= 2 layout: MSB-first inside LE uint32 words; the
+        tail bytes of the last word are not stored and the stored low
+        bytes are shifted up (BitStuffer2.cpp BitUnStuff_Before_
+        Lerc2v3)."""
+        if count == 0 or nbits == 0:
+            return np.zeros(count, dtype=np.uint32), pos
+        num_uints = (count * nbits + 31) // 32
+        tail_bits = (count * nbits) & 31
+        tail_bytes = (4 - ((tail_bits + 7) >> 3)) if tail_bits else 0
+        used = (count * nbits + 7) // 8
+        raw = buf[pos : pos + used] + b"\x00" * (num_uints * 4 - used)
+        words = np.frombuffer(raw, dtype="<u4").astype(np.uint64).copy()
+        if tail_bytes:
+            words[-1] = (words[-1] << np.uint64(8 * tail_bytes)) & np.uint64(
+                0xFFFFFFFF
+            )
+        out = np.empty(count, dtype=np.uint32)
+        gpos = 0
+        for i in range(count):
+            w = gpos >> 5
+            off = gpos & 31
+            if off + nbits <= 32:
+                v = (int(words[w]) << off & 0xFFFFFFFF) >> (32 - nbits)
+            else:
+                hi = (int(words[w]) << off & 0xFFFFFFFF) >> (32 - nbits)
+                v = hi | (int(words[w + 1]) >> (64 - nbits - off))
+            out[i] = v
+            gpos += nbits
+        return out, pos + used
 
     def unstuff(count: int, nbits: int, pos: int) -> tuple[np.ndarray, int]:
+        if version < 3:
+            return unstuff_pre_v3(count, nbits, pos)
         if count == 0 or nbits == 0:
             return np.zeros(count, dtype=np.uint32), pos
         num_uints = (count * nbits + 31) // 32
@@ -423,6 +455,165 @@ def _read_tile(buf, pos, d2, m2, i0, i1, j0, j1, idim, dt, dtype,
     return pos
 
 
+# --------------------------------------------------------------------------
+# LERC v1 (CntZImage) — frmts/mrf/LERCV1/Lerc1Image.cpp re-derivation
+# --------------------------------------------------------------------------
+
+_STIB67 = (4, 2, 1, 0)
+
+
+def _lerc1_blockread(buf: bytes, pos: int,
+                     max_count: int) -> tuple[np.ndarray, int]:
+    """Lerc1 bit-stuffed block (Lerc1Image.cpp:221-287): header byte =
+    bits 0-5 value width + bits 6-7 element-count size; values packed
+    MSB-first inside little-endian uint32 words, the final partial
+    word's stored bytes sitting at its HIGH end."""
+    hdr = buf[pos]
+    n = _STIB67[hdr >> 6]
+    num_bits = hdr & 63
+    if num_bits >= 32 or n == 0:
+        raise ValueError("LERC1: bad block header")
+    pos += 1
+    num_elements = int.from_bytes(buf[pos : pos + n], "little")
+    pos += n
+    if num_elements > max_count:
+        raise ValueError("LERC1: block element overrun")
+    if num_bits == 0:
+        return np.zeros(num_elements, dtype=np.uint32), pos
+    num_bytes = (num_elements * num_bits + 7) // 8
+    raw = buf[pos : pos + num_bytes]
+    full_words = num_bytes // 4
+    words = list(np.frombuffer(raw, dtype="<u4", count=full_words))
+    rest = num_bytes - full_words * 4
+    if rest:
+        tail = int.from_bytes(raw[full_words * 4 :], "little")
+        words.append(tail << (8 * (4 - rest)))
+    words = np.array(words, dtype=np.uint64)
+    out = np.empty(num_elements, dtype=np.uint32)
+    gpos = 0
+    for i in range(num_elements):
+        w = gpos >> 5
+        off = gpos & 31
+        if off + num_bits <= 32:
+            v = (int(words[w]) << off & 0xFFFFFFFF) >> (32 - num_bits)
+        else:
+            v = (int(words[w]) << off & 0xFFFFFFFF) >> (32 - num_bits)
+            v |= int(words[w + 1]) >> (64 - num_bits - off)
+        out[i] = v
+        gpos += num_bits
+    return out, pos + num_bytes
+
+
+def _lerc1_rle_mask(buf: bytes, pos: int, nbytes: int,
+                    mask_size: int) -> bytes:
+    out = bytearray()
+    end = pos + nbytes
+    sz = mask_size
+    while sz > 0:
+        cnt = int.from_bytes(buf[pos : pos + 2], "little", signed=True)
+        pos += 2
+        if cnt < 0:  # repeat next byte -cnt times
+            out += buf[pos : pos + 1] * (-cnt)
+            pos += 1
+            sz += cnt
+        else:
+            out += buf[pos : pos + cnt]
+            pos += cnt
+            sz -= cnt
+    cnt = int.from_bytes(buf[pos : pos + 2], "little", signed=True)
+    if cnt != -32768:
+        raise ValueError("LERC1: mask RLE missing EOT")
+    if pos + 2 > end:
+        raise ValueError("LERC1: mask RLE overrun")
+    return bytes(out)
+
+
+def lerc1_decode(buf: bytes):
+    """CntZImage (LERC v1) -> (float32 (h, w), valid mask, info)."""
+    buf = bytes(buf)
+    if buf[:10] != b"CntZImage ":
+        raise ValueError("not a CntZImage (LERC1) blob")
+    version, typ, h, w = struct.unpack_from("<4i", buf, 10)
+    (max_z_error,) = struct.unpack_from("<d", buf, 26)
+    pos = 34
+    if version != 11 or typ != 8:
+        raise ValueError("LERC1: bad version/type")
+    info = {"version": 1, "n_rows": h, "n_cols": w,
+            "max_z_error": max_z_error}
+    npix = h * w
+    arr = np.zeros((h, w), dtype=np.float32)
+    mask = np.ones(npix, dtype=bool)
+    for z_part in (False, True):
+        ntv, nth, nbytes = struct.unpack_from("<3i", buf, pos)
+        (max_val,) = struct.unpack_from("<f", buf, pos + 12)
+        pos += 16
+        if not z_part:
+            if ntv != 0 or nth != 0:
+                raise ValueError("LERC1: tiled cnt part")
+            if nbytes == 0:
+                mask[:] = max_val != 0
+            else:
+                mb = _lerc1_rle_mask(buf, pos, nbytes, (npix + 7) // 8)
+                mask = np.unpackbits(
+                    np.frombuffer(mb, dtype=np.uint8), count=npix
+                ).astype(bool)
+        else:
+            m2 = mask.reshape(h, w)
+            tp = pos
+            tile_h = h // ntv
+            tile_w = w // nth
+            if tile_h <= 0 or tile_w <= 0:
+                raise ValueError("LERC1: bad tiling")
+            for r0 in range(0, h, tile_h):
+                r1 = min(h, r0 + tile_h)
+                for c0 in range(0, w, tile_w):
+                    c1 = min(w, c0 + tile_w)
+                    tp = _lerc1_read_ztile(
+                        buf, tp, arr, m2, r0, r1, c0, c1, max_z_error,
+                        max_val,
+                    )
+        pos += nbytes
+    return arr, mask.reshape(h, w), info
+
+
+def _lerc1_read_ztile(buf, pos, arr, m2, r0, r1, c0, c1, max_z_error,
+                      max_val):
+    flag = buf[pos]
+    pos += 1
+    n = _STIB67[flag >> 6]
+    flag &= 63
+    if flag > 3 or n == 0:
+        raise ValueError("LERC1: bad tile flag")
+    sub_mask = m2[r0:r1, c0:c1]
+    if flag == 2:  # whole tile (valid or not) = 0
+        arr[r0:r1, c0:c1] = 0.0
+        return pos
+    if flag == 0:  # stored floats for valid pixels
+        cnt = int(sub_mask.sum())
+        vals = np.frombuffer(buf, dtype="<f4", count=cnt, offset=pos)
+        arr[r0:r1, c0:c1][sub_mask] = vals
+        return pos + 4 * cnt
+    if n == 4:
+        (minval,) = struct.unpack_from("<f", buf, pos)
+    elif n == 2:
+        (minval,) = struct.unpack_from("<h", buf, pos)
+    else:
+        (minval,) = struct.unpack_from("<b", buf, pos)
+    pos += n
+    if flag == 3:  # whole tile (valid or not) = minval
+        arr[r0:r1, c0:c1] = np.float32(minval)
+        return pos
+    vals, pos = _lerc1_blockread(buf, pos, (r1 - r0) * (c1 - c0))
+    q = 2.0 * max_z_error
+    cnt = int(sub_mask.sum())
+    if len(vals) != cnt:
+        raise ValueError("LERC1: tile value count mismatch")
+    z = np.minimum(max_val, (minval + q * vals.astype(np.float64))
+                   ).astype(np.float32)
+    arr[r0:r1, c0:c1][sub_mask] = z
+    return pos
+
+
 def lerc_strip_decode(raw: bytes):
     """A GTiff COMPRESSION=LERC strip/tile payload: raw Lerc2, or a
     zlib-wrapped one (LERC_DEFLATE). LERC_ZSTD (magic 28 b5 2f fd) has
@@ -430,6 +621,8 @@ def lerc_strip_decode(raw: bytes):
     raw = bytes(raw)
     if raw[:6] == b"Lerc2 ":
         return lerc2_decode(raw)
+    if raw[:10] == b"CntZImage ":
+        return lerc1_decode(raw)
     if raw[:4] == b"\x28\xb5\x2f\xfd":
         raise ValueError("LERC_ZSTD strip: no zstd library available")
     if raw[:1] in (b"\x78", b"\x58", b"\x18"):

@@ -114,3 +114,34 @@ def test_strip_decode_zlib_wrapper():
     arr1, _, _ = lerc_strip_decode(raw)
     arr2, _, _ = lerc_strip_decode(zlib.compress(raw))
     assert np.array_equal(arr1, arr2)
+
+
+def test_lerc_version2_blob():
+    """gdrivers/lerc.py test_lerc_byte_v2: data/mrf/lerc/byte.lrc is a
+    VERSION 2 Lerc2 blob (pre-v3 MSB-first bit layout, no checksum):
+    512x512 byte, cs 4819."""
+    blob = open(
+        "/root/reference/autotest/gdrivers/data/mrf/lerc/byte.lrc", "rb"
+    ).read()
+    arr, mask, info = lerc2_decode(blob)
+    assert info["version"] == 2
+    assert arr.shape == (512, 512) and mask.all()
+    assert checksum_image(arr)[0] == 4819
+
+
+def test_lerc_v1_cntzimage():
+    """gdrivers/lerc.py test_lerc_float32_with_mask_v1: the LERC v1
+    (CntZImage) fixture is 512x512 float32 with a partial mask; with
+    the NDV-NaN rule the band checksum is 26813 and the mask spans
+    0..255."""
+    from gdal_spark.raster.lerc import lerc1_decode
+
+    blob = open(
+        "/root/reference/autotest/gdrivers/data/mrf/lerc_v1/byte.lrc", "rb"
+    ).read()
+    arr, mask, info = lerc1_decode(blob)
+    assert arr.dtype == np.float32 and arr.shape == (512, 512)
+    assert not mask.all() and mask.any()
+    a = arr.astype(np.float64).copy()
+    a[~mask] = np.nan
+    assert checksum_image(a)[0] == 26813
