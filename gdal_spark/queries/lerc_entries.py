@@ -96,5 +96,59 @@ _LERC_ORACLE = f"""
 """
 
 
-SPARK = {"lerc_decode_mod": lerc_decode_mod}
-ORACLE = {"lerc_decode_mod": _LERC_ORACLE}
+def mrf_codec_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRF reader contract: every task reads all seven committed MRF
+    fixture variants (frmts/mrf; data file per compression) and emits
+    the checksum for the lossless six (pinned 4672) plus a PSNR>=30
+    flag (as checksum -1/-2) for the lossy JPEG variant."""
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("cks", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from gdal_spark.functions.checksum import checksum_image
+        from gdal_spark.functions.tiff import tiff_decode
+        from gdal_spark.sources.mrf import mrf_read
+
+        base = "/root/reference/autotest/gdrivers/data/mrf/"
+        ref = tiff_decode(
+            open("/root/reference/autotest/gcore/data/byte.tif", "rb").read()
+        )
+        ref = np.squeeze(ref[0] if isinstance(ref, tuple) else ref)
+        rows = []
+        for pdf in batches:
+            for k in pdf["n_nationkey"]:
+                for kind in ("none", "tif", "png", "deflate", "lerc",
+                             "lerc_v1", "jpeg"):
+                    arr, _ = mrf_read(base + kind + "/byte.mrf")
+                    a = np.squeeze(arr).astype(np.float64)
+                    if kind == "jpeg":
+                        mse = float(((a - ref) ** 2).mean())
+                        psnr = 10 * math.log10(255 * 255 / max(mse, 1e-12))
+                        cks = -1 if psnr >= 30.0 else -2
+                    else:
+                        cks = int(checksum_image(a)[0])
+                    rows.append((int(k), kind, cks))
+        yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return (
+        load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(run, sch)
+    )
+
+
+_MRF_ORACLE = """
+    SELECT n.n_nationkey AS k, v.kind, CAST(v.cks AS INT) AS cks
+    FROM nation n CROSS JOIN (VALUES
+        ('none', 4672), ('tif', 4672), ('png', 4672), ('deflate', 4672),
+        ('lerc', 4672), ('lerc_v1', 4672), ('jpeg', -1)) v(kind, cks)
+"""
+
+
+SPARK = {"lerc_decode_mod": lerc_decode_mod, "mrf_codec_mod": mrf_codec_mod}
+ORACLE = {"lerc_decode_mod": _LERC_ORACLE, "mrf_codec_mod": _MRF_ORACLE}
