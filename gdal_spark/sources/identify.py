@@ -71,6 +71,9 @@ def identify_driver(data: bytes, filename: str = "") -> str | None:
     if h.startswith(b"Lerc2 ") or h.startswith(b"CntZImage "):
         # standalone LERC blob (frmts/mrf LERC driver Identify)
         return "LERC"
+    if h.lstrip().startswith(b"<MRF_META"):
+        # frmts/mrf marfa_dataset.cpp Identify: the XML metadata file
+        return "MRF"
     if h.startswith(b"QDCT"):
         return "QDCT"
     if h.startswith(b"BM"):

@@ -46,6 +46,12 @@ def test_jpeg_variant_psnr():
     assert psnr >= 30.0
 
 
+def test_identify_mrf():
+    from gdal_spark.sources.identify import identify_driver
+
+    assert identify_driver(open(BASE + "lerc/byte.mrf", "rb").read()) == "MRF"
+
+
 def test_meta_parse():
     meta = mrf_parse_meta(open(BASE + "lerc/byte.mrf", "rb").read())
     assert meta["compression"] == "LERC"
