@@ -435,6 +435,15 @@ def tiff_parse(data: bytes, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
             import lzma
 
             return lzma.decompress(chunk)[:nbytes]
+        if comp == 50000:  # ZSTD (tif_zstd.c)
+            from gdal_spark.functions.zstd import zstd_decompress
+
+            res = zstd_decompress(chunk)
+            if not res and nbytes:
+                # a well-formed frame decoding to nothing for a
+                # non-empty strip is corruption (byte_zstd_corrupted)
+                raise TiffError("ZSTD strip decoded to 0 bytes")
+            return res[:nbytes]
         if comp == 34887:  # ESRI LERC (tif_lerc.c; raw or zlib-wrapped)
             from gdal_spark.raster.lerc import lerc_strip_decode
 

@@ -150,5 +150,67 @@ _MRF_ORACLE = """
 """
 
 
-SPARK = {"lerc_decode_mod": lerc_decode_mod, "mrf_codec_mod": mrf_codec_mod}
-ORACLE = {"lerc_decode_mod": _LERC_ORACLE, "mrf_codec_mod": _MRF_ORACLE}
+def zstd_decode_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZSTD decode contract: each task reads the reference's
+    ZSTD-compressed TIFF fixtures through the engine's pure-Python
+    RFC 8878 decoder (functions/zstd.py) and emits band-1 checksums
+    (byte fixtures pinned to 4672, rgbsmall to its canonical 21212);
+    the two corrupted fixtures must raise (recorded as -1)."""
+    sch = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("cks", T.IntegerType()),
+        ]
+    )
+
+    cases = [
+        ("byte_zstd", "byte_zstd.tif", 4672),
+        ("byte_zstd_strip", "gtiff/byte_ZSTD.tif", 4672),
+        ("byte_zstd_tiled", "gtiff/byte_ZSTD_tiled.tif", 4672),
+        ("byte_lerc_zstd", "gtiff/byte_LERC_ZSTD.tif", 4672),
+        ("rgb_zstd", "gtiff/rgbsmall_ZSTD.tif", 21212),
+        ("rgb_lerc_zstd", "gtiff/rgbsmall_LERC_ZSTD.tif", 21212),
+        ("corrupted", "byte_zstd_corrupted.tif", -1),
+        ("corrupted2", "byte_zstd_corrupted2.tif", -1),
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gdal_spark.functions.checksum import checksum_image
+        from gdal_spark.functions.tiff import tiff_decode
+
+        rows = []
+        for pdf in batches:
+            for k in pdf["n_nationkey"]:
+                for name, rel, _want in cases:
+                    try:
+                        a = tiff_decode(open(_GCORE + rel, "rb").read())
+                        a = a[0] if isinstance(a, tuple) else a
+                        a = np.squeeze(a)
+                        if a.ndim == 3:
+                            a = a[:, :, 0]
+                        cks = int(checksum_image(a)[0])
+                    except ValueError:
+                        cks = -1
+                    rows.append((int(k), name, cks))
+        yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
+
+    return (
+        load(spark, sf_dir, "nation").select("n_nationkey").mapInPandas(run, sch)
+    )
+
+
+_ZSTD_ORACLE = """
+    SELECT n.n_nationkey AS k, v.name, CAST(v.cks AS INT) AS cks
+    FROM nation n CROSS JOIN (VALUES
+        ('byte_zstd', 4672), ('byte_zstd_strip', 4672),
+        ('byte_zstd_tiled', 4672), ('byte_lerc_zstd', 4672),
+        ('rgb_zstd', 21212), ('rgb_lerc_zstd', 21212),
+        ('corrupted', -1), ('corrupted2', -1)) v(name, cks)
+"""
+
+
+SPARK = {"lerc_decode_mod": lerc_decode_mod, "mrf_codec_mod": mrf_codec_mod,
+         "zstd_decode_mod": zstd_decode_mod}
+ORACLE = {"lerc_decode_mod": _LERC_ORACLE, "mrf_codec_mod": _MRF_ORACLE,
+          "zstd_decode_mod": _ZSTD_ORACLE}

@@ -30,8 +30,8 @@ COMPRESSION=LERC (frmts/gtiff/libtiff/tif_lerc.c):
 
 Decode-only, like several reference read-only drivers: the engine
 reads LERC-compressed TIFF/COG strips (optionally wrapped in zlib by
-LERC_DEFLATE); LERC_ZSTD needs a zstd library this environment lacks
-and stays on the quarantine path.
+LERC_DEFLATE) and LERC_ZSTD via the engine's own pure-Python zstd
+decoder (functions/zstd.py).
 """
 
 from __future__ import annotations
@@ -616,15 +616,17 @@ def _lerc1_read_ztile(buf, pos, arr, m2, r0, r1, c0, c1, max_z_error,
 
 def lerc_strip_decode(raw: bytes):
     """A GTiff COMPRESSION=LERC strip/tile payload: raw Lerc2, or a
-    zlib-wrapped one (LERC_DEFLATE). LERC_ZSTD (magic 28 b5 2f fd) has
-    no decoder in this environment."""
+    zlib-wrapped one (LERC_DEFLATE), or a zstd-wrapped one (LERC_ZSTD,
+    magic 28 b5 2f fd — functions/zstd.py)."""
     raw = bytes(raw)
     if raw[:6] == b"Lerc2 ":
         return lerc2_decode(raw)
     if raw[:10] == b"CntZImage ":
         return lerc1_decode(raw)
     if raw[:4] == b"\x28\xb5\x2f\xfd":
-        raise ValueError("LERC_ZSTD strip: no zstd library available")
+        from gdal_spark.functions.zstd import zstd_decompress
+
+        return lerc2_decode(zstd_decompress(raw))
     if raw[:1] in (b"\x78", b"\x58", b"\x18"):
         import zlib
 

@@ -37,7 +37,7 @@ class ZarrError(ValueError):
     pass
 
 
-_STDLIB_COMPRESSORS = {None, "gzip", "zlib", "lzma"}
+_STDLIB_COMPRESSORS = {None, "gzip", "zlib", "lzma", "zstd"}
 
 
 def _decompress(blob: bytes, comp: dict | None) -> bytes:
@@ -50,6 +50,10 @@ def _decompress(blob: bytes, comp: dict | None) -> bytes:
         return zlib.decompress(blob)
     if cid == "lzma":
         return lzma.decompress(blob)
+    if cid == "zstd":
+        from gdal_spark.functions.zstd import zstd_decompress
+
+        return zstd_decompress(blob)
     raise ZarrError(f"compressor {cid!r} not available (stdlib only)")
 
 
@@ -126,7 +130,7 @@ def _read_v3_array(path: str):
             dtype = dtype.newbyteorder("<" if endian == "little" else ">")
         elif nm == "transpose":
             order = c.get("configuration", {}).get("order")
-        elif nm in ("gzip", "zlib"):
+        elif nm in ("gzip", "zlib", "zstd"):
             pass
         else:
             raise ZarrError(f"v3 codec {nm!r} not supported")
@@ -153,6 +157,10 @@ def _read_v3_array(path: str):
                 raw = zlib.decompress(raw, 16 + zlib.MAX_WBITS)
             elif c.get("name") == "zlib":
                 raw = zlib.decompress(raw)
+            elif c.get("name") == "zstd":
+                from gdal_spark.functions.zstd import zstd_decompress
+
+                raw = zstd_decompress(raw)
         flat = np.frombuffer(raw, dtype)
         if order is not None:
             perm_shape = [chunks[o] for o in order]

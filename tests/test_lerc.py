@@ -84,18 +84,18 @@ def test_tiff_variants_bit_exact():
     ref_rgb = np.squeeze(_dec_tif(GCORE + "rgbsmall.tif"))
     n = 0
     for p in sorted(glob.glob(GTIFF + "*LERC*.tif")):
-        if "ZSTD" in p:
-            continue
         arr = np.squeeze(_dec_tif(p))
         want = ref_byte if "byte" in p else ref_rgb
         assert np.array_equal(arr, want), p
         n += 1
-    assert n == 12  # plain/DEFLATE x strips/tiles x pixel/planar
+    assert n == 18  # plain/DEFLATE/ZSTD x strips/tiles x pixel/planar
 
 
-def test_zstd_wrapped_refuses():
-    with pytest.raises(ValueError, match="zstd"):
-        _dec_tif(GTIFF + "byte_LERC_ZSTD.tif")
+def test_zstd_wrapped_decodes():
+    """r4 late addition: LERC_ZSTD strips decode through the engine's
+    own RFC 8878 zstd decoder (functions/zstd.py) — bit-exact."""
+    arr = np.squeeze(_dec_tif(GTIFF + "byte_LERC_ZSTD.tif"))
+    assert np.array_equal(arr, np.squeeze(_dec_tif(GCORE + "byte.tif")))
 
 
 def test_corrupt_blob_rejected():
