@@ -219,16 +219,21 @@ def _write_code(bw: _BitWriter, code: int, ln: int) -> None:
 
 def _plane_codes() -> list[tuple[int, int]]:
     """The 120 close-neighborhood (dx, dy) offsets for distance codes
-    1..120: generation rule re-derived from the spec's table — nearest
-    offsets (dy > 0, or dy == 0 and dx > 0), ordered by squared
-    distance, then larger dy first, then larger dx first."""
+    1..120 (libwebp kCodeToPlane semantics): the COMPLETE fixed window
+    dy in [0, 7], dx in [-7, 8] (excluding non-causal dy==0, dx<=0 —
+    exactly 120 cells), ordered by squared distance, then larger dy
+    first, then larger dx first.  The window is fixed by the spec, not
+    a nearest-N selection: e.g. code 120's offset is (8, 0), which a
+    distance-truncated pool would rank after out-of-window cells like
+    (0, 8)."""
     cands = []
-    for dy in range(0, 16):
-        for dx in range(-15, 16):
+    for dy in range(0, 8):
+        for dx in range(-7, 9):
             if dy > 0 or dx > 0:
                 cands.append((dx, dy))
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
-    return cands[:120]
+    assert len(cands) == 120
+    return cands
 
 
 _PLANE = _plane_codes()

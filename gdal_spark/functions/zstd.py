@@ -186,10 +186,17 @@ class _FwdBits:
         return (self.pos + 7) >> 3
 
 
-def _read_ncount(bits: _FwdBits, max_symbol: int) -> tuple[list[int], int]:
-    """FSE normalized-count descriptor (forward stream)."""
+def _read_ncount(bits: _FwdBits, max_symbol: int,
+                 max_acc: int = 9) -> tuple[list[int], int]:
+    """FSE normalized-count descriptor (forward stream).
+
+    RFC 8878 caps the accuracy log per table: 9 (literals-length),
+    8 (offsets), 9 (match-length), 6 (Huffman weights); reject
+    streams above the caller's cap instead of allocating oversized
+    tables.
+    """
     acc_log = bits.read(4) + 5
-    if acc_log > 9 + 6:
+    if acc_log > max_acc:
         raise ValueError("zstd: accuracy log too large")
     table_size = 1 << acc_log
     remaining = table_size + 1
@@ -309,7 +316,7 @@ def _read_huffman(data: bytes, pos: int):
     blob = data[pos : pos + hb]
     pos += hb
     fwd = _FwdBits(blob)
-    norm, acc = _read_ncount(fwd, 255)
+    norm, acc = _read_ncount(fwd, 255, max_acc=6)
     dtable = _fse_table(norm, acc)
     bstream = blob[fwd.bytes_used() :]
     br = _BackBits(bstream)
@@ -439,7 +446,7 @@ def _read_huffman_inline(section: bytes):
 
 
 def _seq_table(data: bytes, pos: int, mode: int, defaults, def_acc,
-               max_symbol, prev):
+               max_symbol, prev, max_acc=9):
     if mode == 0:  # predefined
         return _fse_table(defaults, def_acc), def_acc, pos, None
     if mode == 1:  # RLE: single symbol, 0-bit state
@@ -447,14 +454,22 @@ def _seq_table(data: bytes, pos: int, mode: int, defaults, def_acc,
         return [(sym, 0, 0)], 0, pos + 1, None
     if mode == 2:  # FSE-compressed
         fwd = _FwdBits(data[pos:])
-        norm, acc = _read_ncount(fwd, max_symbol)
+        norm, acc = _read_ncount(fwd, max_symbol, max_acc=max_acc)
         return _fse_table(norm, acc), acc, pos + fwd.bytes_used(), None
     if prev is None:
         raise ValueError("zstd: repeat mode without previous table")
     return prev[0], prev[1], pos, None
 
 
-def _decode_block(data: bytes, out: bytearray, prev_huff, prev_tables):
+def _decode_block(data: bytes, out: bytearray, prev_huff, prev_tables,
+                  rep: list[int]):
+    """Decode one compressed block.
+
+    ``rep`` is the frame-scoped repeat-offset history (RFC 8878
+    §3.1.1.5): initialized to [1, 4, 8] at frame start and carried
+    across blocks within the frame — NOT reset per block.  Mutated in
+    place so raw/RLE blocks (which never see it) leave it unchanged.
+    """
     pos = 0
     lit, pos, huff = _decode_literals(data, pos, prev_huff)
     b = data[pos]
@@ -477,16 +492,15 @@ def _decode_block(data: bytes, out: bytearray, prev_huff, prev_tables):
     ml_mode = (modes >> 2) & 3
     p_ll, p_of, p_ml = prev_tables if prev_tables else (None, None, None)
     ll_t, ll_acc, pos, _ = _seq_table(
-        data, pos, ll_mode, _LL_DEFAULTS, _LL_ACCLOG, 35, p_ll)
+        data, pos, ll_mode, _LL_DEFAULTS, _LL_ACCLOG, 35, p_ll, max_acc=9)
     of_t, of_acc, pos, _ = _seq_table(
-        data, pos, of_mode, _OF_DEFAULTS, _OF_ACCLOG, 31, p_of)
+        data, pos, of_mode, _OF_DEFAULTS, _OF_ACCLOG, 31, p_of, max_acc=8)
     ml_t, ml_acc, pos, _ = _seq_table(
-        data, pos, ml_mode, _ML_DEFAULTS, _ML_ACCLOG, 52, p_ml)
+        data, pos, ml_mode, _ML_DEFAULTS, _ML_ACCLOG, 52, p_ml, max_acc=9)
     br = _BackBits(data[pos:])
     st_ll = br.read(ll_acc)
     st_of = br.read(of_acc)
     st_ml = br.read(ml_acc)
-    rep = [1, 4, 8]
     lit_pos = 0
     for i in range(nseq):
         of_code = of_t[st_of][0]
@@ -500,22 +514,22 @@ def _decode_block(data: bytes, out: bytearray, prev_huff, prev_tables):
         # repeat-offset resolution
         if offset_value > 3:
             offset = offset_value - 3
-            rep = [offset, rep[0], rep[1]]
+            rep[:] = [offset, rep[0], rep[1]]
         else:
             ov = offset_value + (1 if ll == 0 else 0)
             if ov == 1:
                 offset = rep[0]
             elif ov == 2:
                 offset = rep[1]
-                rep = [offset, rep[0], rep[2]]
+                rep[:] = [offset, rep[0], rep[2]]
             elif ov == 3:
                 offset = rep[2]
-                rep = [offset, rep[0], rep[1]]
+                rep[:] = [offset, rep[0], rep[1]]
             else:
                 offset = rep[0] - 1
                 if offset == 0:
                     raise ValueError("zstd: offset underflow")
-                rep = [offset, rep[0], rep[1]]
+                rep[:] = [offset, rep[0], rep[1]]
         out += lit[lit_pos : lit_pos + ll]
         lit_pos += ll
         if offset > len(out):
@@ -572,6 +586,7 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
         frame_start = len(out)
         prev_huff = None
         prev_tables = None
+        rep = [1, 4, 8]  # frame-scoped repeat-offset history
         while True:
             bh = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
             pos += 3
@@ -586,7 +601,7 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
                 pos += 1
             elif btype == 2:
                 prev_huff, prev_tables = _decode_block(
-                    data[pos : pos + bsize], out, prev_huff, prev_tables
+                    data[pos : pos + bsize], out, prev_huff, prev_tables, rep
                 )
                 pos += bsize
             else:

@@ -148,10 +148,13 @@ def _decode_page(blob: bytes, info: dict, psc: int) -> np.ndarray:
         from gdal_spark.functions.tiff import tiff_parse
         arr, _ = tiff_parse(blob)
     elif comp == "LERC":
-        from gdal_spark.raster.lerc import lerc_decode
-        arr, _ = lerc_decode(blob, nodata=info["nodata"])
+        from gdal_spark.raster.lerc import lerc_strip_decode
+        arr, mask, _ = lerc_strip_decode(blob)
         if np.dtype(dt).kind in "iu":  # GDALCopyWord rounds, not truncates
             arr = np.rint(arr)
+        if info.get("nodata") is not None and not mask.all():
+            arr = np.array(arr, copy=True)
+            arr[~mask] = info["nodata"]
     else:
         raise ValueError(f"unsupported MRF compression {comp}")
     if arr.ndim == 2:

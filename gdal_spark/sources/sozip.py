@@ -286,7 +286,11 @@ def sozip_member_info(path_or_bytes, name: str | None = None) -> dict:
         and 0 < chunk < 100 * 1024 * 1024
         and osz == 8
         and idx_method == 0
-        and idx_usize == 32 + to_skip + ((unc - 1) // chunk) * osz
+        # Python's floor division makes (unc-1)//chunk == -1 for an
+        # empty member (the reference uses unsigned math): guard unc==0
+        # explicitly — an empty member stores zero offsets.
+        and idx_usize == 32 + to_skip + (0 if unc == 0 else
+                                         ((unc - 1) // chunk) * osz)
         and idx_csize == idx_usize
     )
     info["sozip_valid"] = valid

@@ -68,3 +68,16 @@ def test_every_fixture_dir_covered():
                     "jpeg"}
     assert set(MRF_DATA_EXT) >= {"NONE", "TIF", "PNG", "DEFLATE", "LERC",
                                  "JPEG"}
+
+
+@pytest.mark.parametrize("kind", ["lerc", "lerc_v1"])
+def test_legacy_mrf_read_lerc(kind):
+    """Regression: the legacy raster/mrf.py reader's LERC branch must
+    keep working after lerc_decode was replaced by lerc_strip_decode
+    (it used to raise ImportError)."""
+    from gdal_spark.raster.mrf import mrf_read
+    from gdal_spark.functions.checksum import checksum_image
+
+    arr, _meta = mrf_read(BASE + kind + "/byte.mrf")
+    band = arr[:, :, 0] if arr.ndim == 3 else arr
+    assert list(checksum_image(band.astype(np.int64))) == [4672]

@@ -141,3 +141,19 @@ def test_lines_df_line_spans_many_chunks(spark, tmp_path):
     df = S.sozip_lines_df(spark, p, "t.txt")
     got = sorted(r.line for r in df.collect())
     assert got == sorted(ln.decode() for ln in lines)
+
+
+def test_empty_member_index_validation():
+    """unc == 0 must not be treated as ((0-1)//chunk) == -1 offsets
+    (the reference uses unsigned math; an empty member stores zero
+    offsets)."""
+    buf = io.BytesIO()
+    S.sozip_create(buf, [("empty.txt", b"")], chunk_size=1024,
+                   enabled="YES")
+    b = buf.getvalue()
+    info = S.sozip_member_info(b, "empty.txt")
+    if info.get("sozip_found"):
+        # if the writer indexes empty members, the validator must agree
+        assert info["sozip_valid"]
+        assert info["nchunks"] == 0
+    assert S.sozip_read_member(b, "empty.txt") == b""

@@ -98,6 +98,18 @@ def test_plane_code_table_structure():
     assert t[:12] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
                       (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2)]
     assert all(dy > 0 or (dy == 0 and dx > 0) for dx, dy in t)
+    # the table is the COMPLETE fixed window dy 0..7 / dx -7..8, not a
+    # nearest-120 selection from a wider pool
+    assert set(t) == {(dx, dy) for dy in range(8) for dx in range(-7, 9)
+                      if dy > 0 or dx > 0}
+    # spec tail (codes 97..120) — the rows that diverge if the window
+    # is wrong; transcribed from the lossless spec's distance map
+    assert t[96:] == [
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2),
+        (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5),
+        (8, 4), (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7),
+        (-7, 7), (8, 6), (8, 7),
+    ]
 
 
 def test_plane_code_decode_consistency():

@@ -121,10 +121,10 @@ def test_huffman_and_fse_paths_exercised():
             counts["huff"] += 1
         return orig_lit(data, pos, prev)
 
-    def seq_spy(data, pos, mode, defaults, acc, mx, prev):
+    def seq_spy(data, pos, mode, defaults, acc, mx, prev, **kw):
         if mode == 2:
             counts["fse_seq"] += 1
-        return orig_seq(data, pos, mode, defaults, acc, mx, prev)
+        return orig_seq(data, pos, mode, defaults, acc, mx, prev, **kw)
 
     Z._decode_literals = lit_spy
     Z._seq_table = seq_spy
@@ -155,3 +155,37 @@ def test_huffman_and_fse_paths_exercised():
         Z._seq_table = orig_seq
     assert counts["huff"] > 0
     assert counts["fse_seq"] > 0
+
+
+def test_rep_offset_carries_across_blocks():
+    """RFC 8878 §3.1.1.5: repeat-offset history persists across blocks
+    within a frame (reset only at frame start).  Hand-crafted 2-block
+    frame: block 1 sets rep[0]=2 via a direct offset; block 2 uses
+    repeat-code 1, which must resolve to that carried offset, not a
+    freshly reset [1,4,8]."""
+    from gdal_spark.functions.zstd import zstd_decompress
+
+    blk1 = bytes([0x30]) + b"abcdef" + bytes([1, 0x54, 6, 2, 1, 0x05])
+    blk2 = bytes([0x10]) + b"XY" + bytes([1, 0x54, 2, 0, 0, 0x01])
+    frame = (
+        b"\x28\xb5\x2f\xfd"          # magic
+        + bytes([0x20, 15])           # FHD single-segment, fcs=15
+        + (len(blk1) << 3 | 0x04).to_bytes(3, "little") + blk1
+        + (len(blk2) << 3 | 0x05).to_bytes(3, "little") + blk2
+    )
+    assert zstd_decompress(frame) == b"abcdefefefXYXYX"
+
+
+def test_accuracy_log_caps_per_table():
+    """Offsets table caps at acc_log 8; a stream declaring 9 for the
+    offset table must be rejected instead of allocating an oversized
+    table (RFC 8878 table caps: LL 9, OF 8, ML 9, Huffman weights 6)."""
+    import pytest
+    from gdal_spark.functions.zstd import _read_ncount, _FwdBits
+
+    # acc_log field = value+5; 4 → 9.  Minimal descriptor: prob for
+    # symbol 0 = full table (value table_size+1 encoded).  We only need
+    # the acc_log check to fire, so content past 4 bits is arbitrary.
+    blob = bytes([0x04 | 0x00, 0xFF, 0xFF])
+    with pytest.raises(ValueError):
+        _read_ncount(_FwdBits(blob), 31, max_acc=8)
