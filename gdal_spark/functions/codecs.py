@@ -327,7 +327,7 @@ DECODERS = {
     "nitf": _nitf_decode,
     "dted": _dted_decode,
     "usgsdem": _usgsdem_decode,
-    "webp": _webp_decode,  # VP8L lossless; VP8 lossy -> quarantine
+    "webp": _webp_decode,  # VP8L lossless + VP8 lossy (RFC 6386)
     "lerc": _lerc_decode,  # standalone Lerc2 blob (read-only, like MRF-LERC)
 }
 ENCODERS = {
@@ -365,10 +365,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 
 # --------------------------------------------------------------------------
 # quarantine classification: a 100 TB corpus run must DEGRADE measurably on
-# codecs this environment cannot decode (webp/avif/heif/jxl/jp2 need
-# external libraries the reference links: frmts/webp/webpdataset.cpp over
-# libwebp, frmts/heif, frmts/jpegxl, frmts/openjpeg), not error out or
-# lump them with corrupt bytes.
+# codecs this environment cannot decode (avif/heif/jxl/jp2 need external
+# libraries the reference links: frmts/heif, frmts/jpegxl, frmts/openjpeg;
+# WebP ALPH/animation likewise), not error out or lump them with corrupt
+# bytes.  Plain lossy VP8 and lossless VP8L WebP DO decode (webp.py/vp8.py).
 # --------------------------------------------------------------------------
 
 #: formats the registry knows OF (magic-identifiable) but cannot decode

@@ -1,12 +1,13 @@
-"""WebP lossless (VP8L) codec — pure numpy/stdlib, no libwebp.
+"""WebP codec — pure numpy/stdlib container + VP8L (lossless), with
+lossy VP8 payloads routed to the RFC 6386 decoder in vp8.py.
 
 The reference's WEBP driver (frmts/webp/webpdataset.cpp) links libwebp
-for both VP8 (lossy) and VP8L (lossless) payloads. VP8 lossy decode
-needs the RFC 6386 probability tables, which are not available in this
-environment — those files stay on the quarantine path
-(``unsupported_codec``). VP8L, however, is fully self-contained (all
-entropy codes are carried in the stream), so this module re-derives it
-from the public "WebP Lossless Bitstream Specification":
+for both VP8 (lossy) and VP8L (lossless) payloads.  Both now decode
+here without libwebp; only ALPH (extended-container alpha plane) and
+animation stay on the quarantine path (``unsupported_codec``).  VP8L
+is fully self-contained (all entropy codes are carried in the stream),
+so this module re-derives it from the public "WebP Lossless Bitstream
+Specification":
 
   * RIFF container: "RIFF" <size> "WEBP" then chunks; "VP8L" holds the
     lossless stream; "VP8 " is lossy; "VP8X" is the extended container
@@ -627,12 +628,11 @@ def webp_decode(data: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return vp8l_decode(payload)
         if fourcc == b"VP8 ":
-            raise UnsupportedWebPError(
-                "WebP lossy (VP8) requires libwebp (RFC 6386 tables "
-                "unavailable offline)"
-            )
+            from gdal_spark.functions.vp8 import vp8_decode
+
+            return vp8_decode(payload)
         if fourcc == b"ALPH":
-            raise UnsupportedWebPError("WebP ALPH+VP8 requires libwebp")
+            raise UnsupportedWebPError("WebP ALPH (alpha plane) not decoded")
         # VP8X and metadata chunks: skip to the next chunk (padded to 2)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no image chunk found")

@@ -30,9 +30,10 @@ _SIDE = 16
 def _fixture_rows(k: int) -> list[tuple[str, bytes]]:
     from gdal_spark.functions import codecs as C
 
+    from gdal_spark.functions.webp_fixtures import ALPHA_WEBP, LOSSY_WEBP
+
     r, c = np.meshgrid(np.arange(_SIDE), np.arange(_SIDE), indexing="ij")
     arr = ((r * 3 + c * 5 + k) % 251).astype(np.uint8)
-    webp = b"RIFF" + (1000).to_bytes(4, "little") + b"WEBPVP8 " + bytes(12)
     avif = (32).to_bytes(4, "big") + b"ftypavif" + bytes(24)
     heif = (32).to_bytes(4, "big") + b"ftypheic" + bytes(24)
     jxl = b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a" + bytes(16)
@@ -42,14 +43,15 @@ def _fixture_rows(k: int) -> list[tuple[str, bytes]]:
         ("png", png),                          # ok
         ("tiff", C.encode_image(arr, "tiff")),  # ok
         ("jpeg", C.encode_image(arr, "jpeg")),  # ok
-        ("webp", webp),                        # unsupported_codec
+        ("webp", LOSSY_WEBP),                  # ok (lossy VP8, RFC 6386)
+        ("webp", ALPHA_WEBP),                  # unsupported_codec (ALPH)
         ("avif", avif),                        # unsupported_codec
         ("heif", heif),                        # unsupported_codec
         ("jxl", jxl),                          # unsupported_codec
         ("jp2", jp2),                          # unsupported_codec
         ("png", png[: len(png) // 3]),         # corrupt (truncated)
         ("webp", b"\x00\x01\x02garbage" + bytes(32)),  # corrupt (bad magic)
-        ("mystery", webp),                     # unsupported (sniffed magic)
+        ("mystery", ALPHA_WEBP),               # unsupported (sniffed magic)
         ("mystery", b"\xde\xad\xbe\xef" + bytes(32)),  # corrupt (unknown)
     ]
 
@@ -87,6 +89,7 @@ def decode_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUARANTINE_ORACLE = """
     WITH cats(fmt, decode_status) AS (
         VALUES ('png', 'ok'), ('tiff', 'ok'), ('jpeg', 'ok'),
+               ('webp', 'ok'),
                ('webp', 'unsupported_codec'), ('avif', 'unsupported_codec'),
                ('heif', 'unsupported_codec'), ('jxl', 'unsupported_codec'),
                ('jp2', 'unsupported_codec'),

@@ -1,4 +1,4 @@
-"""WebP (VP8L lossless) roundtrip contract query.
+"""WebP roundtrip contract query (VP8L lossless + lossy VP8 decode).
 
 Every executor task builds closed-form RGB and palette images, pushes
 them through the full webp encode -> decode path (functions/webp.py —
@@ -52,6 +52,7 @@ def webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gdal_spark.functions import webp as W
+        from gdal_spark.functions import webp_fixtures as FX
 
         rows = []
         for pdf in batches:
@@ -72,6 +73,17 @@ def webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (k, variant, int(g.sum()), int(g.min()),
                          int(g.max()), ok)
                     )
+                # lossy VP8 (RFC 6386 decoder): fixed committed fixture;
+                # 'exact' here means PSNR >= 30 dB vs the generating
+                # gradient (the reference autotest's lossy tolerance)
+                dec = W.webp_decode(FX.LOSSY_WEBP)
+                srcl = FX.fixture_gradient().astype(float)
+                mse = ((dec.astype(float) - srcl) ** 2).mean()
+                psnr_ok = bool(mse == 0 or
+                               10 * np.log10(255 * 255 / mse) >= 30.0)
+                g = dec[..., 1]
+                rows.append((k, "lossy", int(g.sum()), int(g.min()),
+                             int(g.max()), psnr_ok))
         yield pd.DataFrame(rows, columns=[f.name for f in sch.fields])
 
     return (
@@ -101,6 +113,14 @@ _WEBP_ORACLE = f"""
            CASE WHEN v.variant = 'pal' THEN p_max ELSE g_max END AS vmax,
            TRUE AS exact
     FROM agg CROSS JOIN (VALUES ('plain'), ('pred'), ('pal')) v(variant)
+    UNION ALL
+    -- lossy VP8 fixture: decoded green-channel aggregates are fixed
+    -- constants of the committed stream (vp8.py is deterministic);
+    -- exact=TRUE encodes the PSNR>=30 gate passing
+    SELECT n_nationkey AS k, 'lossy' AS variant,
+           CAST(15279 AS BIGINT) AS vsum, 0 AS vmin, 120 AS vmax,
+           TRUE AS exact
+    FROM nation
 """
 
 

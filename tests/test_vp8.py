@@ -1,0 +1,234 @@
+"""Lossy WebP (VP8 key frame) decoder tests — functions/vp8.py.
+
+The reference's WEBP driver (frmts/webp/webpdataset.cpp) delegates to
+libwebp; the decoder here re-derives the full RFC 6386 intra path.
+Gates:
+
+* the reference's own lossy fixtures (autotest/gdrivers/data/webp/
+  rgbsmall.webp + rgbsmall_with_xmp.webp) decode; band checksums match
+  the autotest expectation (webp.py: 21464 with 2% tolerance) and
+  PSNR vs the original rgbsmall.tif clears the lossy bar;
+* byte-exact YUV and RGB parity against the system libwebp, when
+  present (the same library the reference links) — including a
+  committed multi-partition stream;
+* the committed 16x16 fixtures round through the codec registry and
+  quarantine classifier with the right statuses.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from gdal_spark.functions import codecs as C
+from gdal_spark.functions import vp8 as V
+from gdal_spark.functions.checksum import checksum_image
+from gdal_spark.functions.webp import UnsupportedWebPError, webp_decode
+from gdal_spark.functions.webp_fixtures import ALPHA_WEBP, LOSSY_WEBP
+
+REF = "/root/reference/autotest/gdrivers/data/webp/"
+_LIBWEBP = "/lib/x86_64-linux-gnu/libwebp.so.7"
+
+# 64x64, 4 token partitions, libwebp method=0/partitions=2 encode of
+# the (y*4, x*4, (x^y)*3) gradient
+MULTIPART_VP8_WEBP = bytes.fromhex(
+    "524946465801000057454250565038204c0100005009009d012a400040003e71"
+    "308f47a4a321213dfcc0908e096c067066817803324eb33f420a301fa01b6edf"
+    "207982cffe6cc211c0ded1e6094bfed5f7d770df7fe7f20c6c4ac80f825e44ea"
+    "a524289cc68640004d00003300003b0000fefca7fffef78c5a6135dc49be8a82"
+    "4331d41932d8d556cdb07406cdc23f0fcb12f4be4fb757586f12ffc3b62633fb"
+    "c1edd55d42ef3f3ac5ac8602ac1d9f8959a89e317a05133a50acc4099000f2d9"
+    "e1a82849172c7cacb47298f6b0a887a69d4be857efe92787af4194819b0ca3c7"
+    "912af74bcc6722aef63a2765a420910000f2d9e1a82a3cceb17016966f44588a"
+    "c7a6108449bc172a1308034ca78beaa85faaeab1f35db9d8dcea586728137f32"
+    "6df96087a9d4b4e08d8c8000f42aca907970ac4014c6887060b82308c58b368b"
+    "e1061a3d78040b965238f92746e05a4c4da5f8d8c74dd9f9345fc3ff6714c000"
+)
+
+
+def _vp8_payload(container: bytes) -> bytes:
+    i = container.find(b"VP8 ")
+    assert i > 0
+    size = int.from_bytes(container[i + 4 : i + 8], "little")
+    return container[i + 8 : i + 8 + size]
+
+
+def _psnr(a, b) -> float:
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return float(10 * np.log10(255 * 255 / mse)) if mse else 99.0
+
+
+def test_reference_fixture_decodes():
+    data = open(REF + "rgbsmall.webp", "rb").read()
+    rgb = webp_decode(data)
+    assert rgb.shape == (50, 50, 3)
+    cs = [int(checksum_image(rgb[:, :, b].astype(np.int64))[0])
+          for b in range(3)]
+    # autotest/gdrivers/webp.py expects band-1 checksum 21464 +-2%
+    assert abs(cs[0] - 21464) <= 21464 * 0.02
+    assert cs == [21459, 21981, 21383]  # regression pin (libwebp parity)
+
+
+def test_reference_fixture_psnr_vs_source():
+    from gdal_spark.functions.tiff import tiff_parse
+
+    rgb = webp_decode(open(REF + "rgbsmall.webp", "rb").read())
+    src, _ = tiff_parse(
+        open("/root/reference/autotest/gcore/data/rgbsmall.tif", "rb").read())
+    if src.ndim == 3 and src.shape[0] == 3:
+        src = np.moveaxis(src, 0, -1)
+    assert _psnr(rgb, src) >= 30.0
+
+
+def test_reference_xmp_fixture_decodes():
+    rgb = webp_decode(open(REF + "rgbsmall_with_xmp.webp", "rb").read())
+    assert rgb.shape == (50, 50, 3)
+
+
+def test_multipartition_stream():
+    payload = _vp8_payload(MULTIPART_VP8_WEBP)
+    Y, U, Vp, info = V.vp8_decode_yuv(payload)
+    assert info["nparts"] == 4
+    digest = hashlib.sha256(
+        Y.tobytes() + U.tobytes() + Vp.tobytes()).hexdigest()
+    assert digest == ("22099d06cc16af1e585d11dbc54b2936"
+                      "c862f47ec9129304bd7220f88e985428")
+
+
+def test_committed_lossy_fixture_classifies_ok():
+    from gdal_spark.functions.webp_fixtures import fixture_gradient
+
+    rgb = webp_decode(LOSSY_WEBP)
+    assert rgb.shape == (16, 16, 3)
+    assert _psnr(rgb, fixture_gradient()) >= 30.0
+    assert C.classify_image(LOSSY_WEBP, "webp") == "ok"
+
+
+def test_alpha_fixture_quarantined():
+    with pytest.raises(UnsupportedWebPError):
+        webp_decode(ALPHA_WEBP)
+    assert C.classify_image(ALPHA_WEBP, "webp") == "unsupported_codec"
+
+
+def test_inter_frame_rejected():
+    payload = bytearray(_vp8_payload(LOSSY_WEBP))
+    payload[0] |= 1  # frame-type bit: inter
+    with pytest.raises(ValueError):
+        V.vp8_decode(bytes(payload))
+
+
+def test_hostile_bytes_raise_valueerror():
+    import random
+
+    rng = random.Random(4242)
+    base = _vp8_payload(LOSSY_WEBP)
+    for _ in range(60):
+        blob = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            V.vp8_decode(bytes(blob))
+        except ValueError:
+            pass
+    for n in (0, 1, 5, 9, 25):
+        with pytest.raises(ValueError):
+            V.vp8_decode(bytes(n))
+
+
+@pytest.mark.skipif(not os.path.exists(_LIBWEBP),
+                    reason="system libwebp not present")
+def test_libwebp_parity_yuv_and_rgb():
+    """Byte-exact YUV planes AND RGB output vs the library the
+    reference driver links, across filter types and odd sizes."""
+    import ctypes
+
+    lib = ctypes.CDLL(_LIBWEBP)
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+    def enc(img, q):
+        h, w, _ = img.shape
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeRGB(np.ascontiguousarray(img).tobytes(), w, h,
+                              w * 3, q, ctypes.byref(out))
+        assert n > 0
+        return bytes(np.ctypeslib.as_array(out, (n,)))
+
+    def dec_yuv(data):
+        w = ctypes.c_int(); h = ctypes.c_int()
+        st = ctypes.c_int(); ust = ctypes.c_int()
+        up = ctypes.POINTER(ctypes.c_uint8)()
+        vp = ctypes.POINTER(ctypes.c_uint8)()
+        yp = lib.WebPDecodeYUV(data, len(data), ctypes.byref(w),
+                               ctypes.byref(h), ctypes.byref(up),
+                               ctypes.byref(vp), ctypes.byref(st),
+                               ctypes.byref(ust))
+        W, H, S, US = w.value, h.value, st.value, ust.value
+        cw, ch = (W + 1) // 2, (H + 1) // 2
+        return (np.ctypeslib.as_array(yp, (H, S))[:, :W].copy(),
+                np.ctypeslib.as_array(up, (ch, US))[:, :cw].copy(),
+                np.ctypeslib.as_array(vp, (ch, US))[:, :cw].copy())
+
+    def dec_rgb(data):
+        w = ctypes.c_int(); h = ctypes.c_int()
+        p = lib.WebPDecodeRGB(data, len(data), ctypes.byref(w),
+                              ctypes.byref(h))
+        return np.ctypeslib.as_array(p, (h.value, w.value, 3)).copy()
+
+    rng = np.random.default_rng(99)
+    yy, xx = np.mgrid[0:70, 0:90]
+    images = [
+        np.stack([(yy * 3) % 256, (xx * 5) % 256, ((xx + yy) * 2) % 256],
+                 -1).astype(np.uint8),
+        rng.integers(0, 256, (33, 51, 3), dtype=np.uint8),
+        np.full((17, 17, 3), 200, np.uint8),
+    ]
+    for img in images:
+        for q in (10.0, 75.0, 95.0):
+            data = enc(img, q)
+            payload = _vp8_payload(data)
+            Y, U, Vv, _info = V.vp8_decode_yuv(payload)
+            Yr, Ur, Vr = dec_yuv(data)
+            assert np.array_equal(Y, Yr)
+            assert np.array_equal(U, Ur)
+            assert np.array_equal(Vv, Vr)
+            assert np.array_equal(V.yuv_to_rgb(Y, U, Vv), dec_rgb(data))
+
+
+@pytest.mark.skipif(not os.path.exists(_LIBWEBP),
+                    reason="system libwebp not present")
+def test_committed_tables_match_library():
+    """The committed RFC 6386 tables must equal the normative constants
+    carried by the system libwebp build (tools/extract_vp8_tables.py)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from extract_vp8_tables import extract
+
+    t = extract(_LIBWEBP)
+    from gdal_spark.functions import vp8_tables as TBL
+
+    assert t["COEFF_PROBS"] == [p for a in TBL.COEFF_PROBS for b in a
+                                for c in b for p in c]
+    assert t["UPDATE_PROBS"] == [p for a in TBL.UPDATE_PROBS for b in a
+                                 for c in b for p in c]
+    assert t["KF_BMODE_PROBS"] == [p for a in TBL.KF_BMODE_PROBS
+                                   for b in a for p in b]
+    assert t["DC_QLOOKUP"] == list(TBL.DC_QLOOKUP)
+    assert t["AC_QLOOKUP"] == list(TBL.AC_QLOOKUP)

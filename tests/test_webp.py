@@ -70,11 +70,13 @@ def test_roundtrip_lz77_runs():
     _rt(flat, use_lz77=False)
 
 
-def test_reference_lossy_fixture_quarantined():
+def test_reference_lossy_fixture_decodes():
+    # since the RFC 6386 decoder landed (functions/vp8.py), the lossy
+    # reference fixture decodes instead of quarantining
     data = open(REF_LOSSY, "rb").read()
-    with pytest.raises(W.UnsupportedWebPError):
-        W.webp_decode(data)
-    assert C.classify_image(data, "webp") == "unsupported_codec"
+    rgb = W.webp_decode(data)
+    assert rgb.shape == (50, 50, 3)
+    assert C.classify_image(data, "webp") == "ok"
 
 
 def test_registry_and_classify():
