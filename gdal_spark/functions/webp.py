@@ -616,11 +616,75 @@ def vp8l_decode(payload: bytes) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def _vp8l_decode_raw_argb(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Header-less VP8L stream (as used by the ALPH chunk): dimensions
+    come from the container, the 0x2f signature/size header is absent."""
+    br = _BitReader(payload)
+    img, transforms = _decode_entropy_image(br, w, h, level0=True)
+    for t in reversed(transforms):
+        if t[0] == 2:
+            img = _inv_subtract_green(img)
+        elif t[0] == 0:
+            img = _inv_predictor(img, t[1], t[2])
+        elif t[0] == 1:
+            img = _inv_color_transform(img, t[1], t[2])
+        elif t[0] == 3:
+            img = _inv_color_indexing(img, t[1], t[2], t[3])
+    return img
+
+
+def alph_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+    """WebP container-spec ALPH chunk -> (h, w) uint8 alpha plane.
+
+    Header byte: rsv(2) P(2 preprocessing, decode no-op) F(2 filtering)
+    C(2 compression: 0 raw, 1 header-less VP8L with alpha in the green
+    channel); filters are the per-pixel left/above/gradient predictors,
+    un-applied row-major."""
+    if not payload:
+        raise ValueError("ALPH: empty chunk")
+    b0 = payload[0]
+    comp = b0 & 3
+    filt = (b0 >> 2) & 3
+    if comp == 0:
+        if len(payload) < 1 + w * h:
+            raise ValueError("ALPH: truncated raw alpha")
+        alpha = np.frombuffer(payload, np.uint8, w * h, 1).reshape(h, w)
+        alpha = alpha.astype(np.int64)
+    elif comp == 1:
+        img = _vp8l_decode_raw_argb(payload[1:], w, h)
+        alpha = ((img >> 8) & 0xFF).astype(np.int64)
+    else:
+        raise ValueError("ALPH: reserved compression method")
+    if filt == 0:
+        return alpha.astype(np.uint8)
+    out = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif filt == 1:  # horizontal
+                pred = out[y, x - 1] if x > 0 else out[y - 1, 0]
+            elif filt == 2:  # vertical
+                pred = out[y - 1, x] if y > 0 else out[0, x - 1]
+            else:  # gradient
+                if y == 0:
+                    pred = out[0, x - 1]
+                elif x == 0:
+                    pred = out[y - 1, 0]
+                else:
+                    g = (out[y, x - 1] + out[y - 1, x]
+                         - out[y - 1, x - 1])
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+            out[y, x] = (alpha[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
 def webp_decode(data: bytes) -> np.ndarray:
     data = bytes(data)
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF) file")
     pos = 12
+    alph = None
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -630,9 +694,16 @@ def webp_decode(data: bytes) -> np.ndarray:
         if fourcc == b"VP8 ":
             from gdal_spark.functions.vp8 import vp8_decode
 
-            return vp8_decode(payload)
+            rgb = vp8_decode(payload)
+            if alph is None:
+                return rgb
+            h, w = rgb.shape[:2]
+            alpha = alph_decode(alph, w, h)
+            return np.dstack([rgb, alpha])
+        if fourcc in (b"ANIM", b"ANMF"):
+            raise UnsupportedWebPError("WebP animation not decoded")
         if fourcc == b"ALPH":
-            raise UnsupportedWebPError("WebP ALPH (alpha plane) not decoded")
+            alph = payload
         # VP8X and metadata chunks: skip to the next chunk (padded to 2)
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no image chunk found")

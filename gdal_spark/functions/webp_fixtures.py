@@ -8,9 +8,11 @@ executors need no filesystem fixtures:
   Decodable by the RFC 6386 decoder (functions/vp8.py): classifies
   ``ok``; decodes to >= 39 dB PSNR vs the generating gradient.
 * ``ALPHA_WEBP``  — extended container (VP8X + ALPH + VP8) carrying an
-  alpha plane.  The ALPH chunk is not decoded here: classifies
-  ``unsupported_codec`` (quarantine), like the reference would degrade
-  without libwebp's alpha path.
+  alpha plane; both the VP8 frame and the (header-less VP8L) ALPH
+  chunk decode -> RGBA: classifies ``ok``.
+* ``ANIM_WEBP``   — minimal animated container (VP8X + ANIM + ANMF).
+  Animation is not decoded: classifies ``unsupported_codec``
+  (quarantine).
 """
 
 import numpy as np
@@ -35,3 +37,9 @@ def fixture_gradient() -> np.ndarray:
     """The 16x16 RGB image both fixtures encode."""
     r, c = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
     return np.stack([r * 8, c * 8, 255 - (r + c) * 4], -1).astype(np.uint8)
+
+ANIM_WEBP = bytes.fromhex(
+    "524946464200000057454250565038580a000000020000000f00000f0000414e"
+    "494d06000000ffffffff0000414e4d461500000000000000000000000000000000"
+    "0000006672616d6500"
+)

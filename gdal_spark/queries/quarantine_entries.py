@@ -1,15 +1,16 @@
 """Unsupported-codec quarantine contract query.
 
 Every executor task builds a mixed corpus slice — decodable images
-(png/tiff/jpeg of closed-form pixels), well-formed but env-undecodable
-codec containers (webp RIFF, avif/heif ftyp, JPEG-XL, JP2 signature
-boxes), truncated/garbage bytes, and mislabeled rows — then routes it
-through functions/codecs.classify_table.  The driver's hash compare
-pins the per-(fmt, decode_status) counts, so a 100 TB corpus run
-degrades measurably (quarantine column) instead of erroring when it
-meets the codecs this environment cannot decode (reference drivers:
-frmts/webp/webpdataset.cpp, frmts/heif, frmts/jpegxl, frmts/openjpeg —
-all linked against external libraries).
+(png/tiff/jpeg/webp-lossy/webp-alpha of closed-form pixels),
+well-formed but env-undecodable codec containers (animated webp,
+avif/heif ftyp, JPEG-XL, JP2 signature boxes), truncated/garbage
+bytes, and mislabeled rows — then routes it through
+functions/codecs.classify_table.  The driver's hash compare pins the
+per-(fmt, decode_status) counts, so a 100 TB corpus run degrades
+measurably (quarantine column) instead of erroring when it meets the
+codecs this environment cannot decode (reference drivers: frmts/heif,
+frmts/jpegxl, frmts/openjpeg — all linked against external
+libraries).  Lossy VP8 and ALPH decode natively (functions/vp8.py).
 """
 
 from __future__ import annotations
@@ -30,7 +31,8 @@ _SIDE = 16
 def _fixture_rows(k: int) -> list[tuple[str, bytes]]:
     from gdal_spark.functions import codecs as C
 
-    from gdal_spark.functions.webp_fixtures import ALPHA_WEBP, LOSSY_WEBP
+    from gdal_spark.functions.webp_fixtures import (ALPHA_WEBP, ANIM_WEBP,
+                                                    LOSSY_WEBP)
 
     r, c = np.meshgrid(np.arange(_SIDE), np.arange(_SIDE), indexing="ij")
     arr = ((r * 3 + c * 5 + k) % 251).astype(np.uint8)
@@ -44,14 +46,15 @@ def _fixture_rows(k: int) -> list[tuple[str, bytes]]:
         ("tiff", C.encode_image(arr, "tiff")),  # ok
         ("jpeg", C.encode_image(arr, "jpeg")),  # ok
         ("webp", LOSSY_WEBP),                  # ok (lossy VP8, RFC 6386)
-        ("webp", ALPHA_WEBP),                  # unsupported_codec (ALPH)
+        ("webp", ALPHA_WEBP),                  # ok (VP8 + ALPH -> RGBA)
+        ("webp", ANIM_WEBP),                   # unsupported_codec (ANIM)
         ("avif", avif),                        # unsupported_codec
         ("heif", heif),                        # unsupported_codec
         ("jxl", jxl),                          # unsupported_codec
         ("jp2", jp2),                          # unsupported_codec
         ("png", png[: len(png) // 3]),         # corrupt (truncated)
         ("webp", b"\x00\x01\x02garbage" + bytes(32)),  # corrupt (bad magic)
-        ("mystery", ALPHA_WEBP),               # unsupported (sniffed magic)
+        ("mystery", ANIM_WEBP),                # unsupported (sniffed magic)
         ("mystery", b"\xde\xad\xbe\xef" + bytes(32)),  # corrupt (unknown)
     ]
 
@@ -87,16 +90,19 @@ def decode_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation has 25 rows at every sf the driver uses; each contributes one
 # fixture row per category
 _QUARANTINE_ORACLE = """
-    WITH cats(fmt, decode_status) AS (
-        VALUES ('png', 'ok'), ('tiff', 'ok'), ('jpeg', 'ok'),
-               ('webp', 'ok'),
-               ('webp', 'unsupported_codec'), ('avif', 'unsupported_codec'),
-               ('heif', 'unsupported_codec'), ('jxl', 'unsupported_codec'),
-               ('jp2', 'unsupported_codec'),
-               ('png', 'corrupt'), ('webp', 'corrupt'),
-               ('mystery', 'unsupported_codec'), ('mystery', 'corrupt')
+    WITH cats(fmt, decode_status, mult) AS (
+        VALUES ('png', 'ok', 1), ('tiff', 'ok', 1), ('jpeg', 'ok', 1),
+               ('webp', 'ok', 2),            -- lossy VP8 + VP8X/ALPH RGBA
+               ('webp', 'unsupported_codec', 1),  -- animation
+               ('avif', 'unsupported_codec', 1),
+               ('heif', 'unsupported_codec', 1),
+               ('jxl', 'unsupported_codec', 1),
+               ('jp2', 'unsupported_codec', 1),
+               ('png', 'corrupt', 1), ('webp', 'corrupt', 1),
+               ('mystery', 'unsupported_codec', 1), ('mystery', 'corrupt', 1)
     )
-    SELECT fmt, decode_status, (SELECT COUNT(*) FROM nation) AS n
+    SELECT fmt, decode_status,
+           mult * (SELECT COUNT(*) FROM nation) AS n
     FROM cats
 """
 

@@ -13,7 +13,8 @@ import pytest
 from gdal_spark.functions import codecs as C
 from gdal_spark.sources.identify import identify_driver
 
-from gdal_spark.functions.webp_fixtures import ALPHA_WEBP, LOSSY_WEBP
+from gdal_spark.functions.webp_fixtures import (ALPHA_WEBP, ANIM_WEBP,
+                                                LOSSY_WEBP)
 
 # a fake VP8 chunk of zero bytes: well-formed RIFF, garbage payload
 WEBP = b"RIFF" + (1000).to_bytes(4, "little") + b"WEBPVP8 " + bytes(12)
@@ -49,7 +50,8 @@ def test_identify_existing_formats_unchanged():
     "fmt,data,want",
     [
         ("webp", LOSSY_WEBP, "ok"),            # real lossy VP8 decodes
-        ("webp", ALPHA_WEBP, "unsupported_codec"),
+        ("webp", ALPHA_WEBP, "ok"),            # VP8 + ALPH -> RGBA
+        ("webp", ANIM_WEBP, "unsupported_codec"),
         ("webp", WEBP, "corrupt"),             # fake zero-byte VP8 payload
         ("avif", AVIF, "unsupported_codec"),
         ("heif", HEIC, "unsupported_codec"),
@@ -59,7 +61,7 @@ def test_identify_existing_formats_unchanged():
         ("jp2", J2K, "unsupported_codec"),
         ("webp", b"\x00garbage" + bytes(16), "corrupt"),
         ("avif", WEBP, "corrupt"),  # claimed avif, webp magic
-        ("mystery", ALPHA_WEBP, "unsupported_codec"),  # sniffed container
+        ("mystery", ANIM_WEBP, "unsupported_codec"),  # sniffed container
         ("mystery", b"\xde\xad\xbe\xef" + bytes(16), "corrupt"),
     ],
 )

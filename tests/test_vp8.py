@@ -107,10 +107,24 @@ def test_committed_lossy_fixture_classifies_ok():
     assert C.classify_image(LOSSY_WEBP, "webp") == "ok"
 
 
-def test_alpha_fixture_quarantined():
+def test_alpha_fixture_decodes_rgba():
+    rgba = webp_decode(ALPHA_WEBP)
+    assert rgba.shape == (16, 16, 4)
+    from gdal_spark.functions.webp_fixtures import fixture_gradient
+
+    assert _psnr(rgba[..., :3], fixture_gradient()) >= 30.0
+    # the alpha plane is the lossless 40 + r*8 ramp
+    want = (40 + np.arange(16) * 8).astype(np.uint8)
+    assert np.array_equal(rgba[..., 3], np.tile(want[:, None], (1, 16)))
+    assert C.classify_image(ALPHA_WEBP, "webp") == "ok"
+
+
+def test_animation_quarantined():
+    from gdal_spark.functions.webp_fixtures import ANIM_WEBP
+
     with pytest.raises(UnsupportedWebPError):
-        webp_decode(ALPHA_WEBP)
-    assert C.classify_image(ALPHA_WEBP, "webp") == "unsupported_codec"
+        webp_decode(ANIM_WEBP)
+    assert C.classify_image(ANIM_WEBP, "webp") == "unsupported_codec"
 
 
 def test_inter_frame_rejected():
