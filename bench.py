@@ -103,6 +103,89 @@ def _decode_invariant(spark) -> dict:
     }
 
 
+def _decode_mixed(spark) -> dict:
+    """Degraded-corpus decode throughput (r4 verdict directive #7):
+    classify a mixed corpus — decodable png/jpeg/lossy-webp/alpha-webp
+    rows interleaved with quarantinable (animated webp) and corrupt
+    bytes — through the quarantine classifier, and assert the status
+    mix came out exactly as planted.  Measures that unsupported/corrupt
+    rows degrade to a status column at full speed instead of erroring
+    the corpus run."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # the seed parquet is a single small file: without an explicit
+    # repartition the whole mixed-corpus classify would run in ONE task
+    ev = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .select("event_id")
+        .repartition(int(CPUS) * 4)
+    )
+    sch = T.StructType([
+        T.StructField("fmt", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from gdal_spark.functions import codecs as C
+        from gdal_spark.functions.webp_fixtures import (
+            ALPHA_WEBP, ANIM_WEBP, LOSSY_WEBP, fixture_gradient)
+
+        g = fixture_gradient()[:, :, 0]
+        fixtures = [
+            ("png", C.encode_image(g, "png")),            # ok
+            ("jpeg", C.encode_image(g, "jpeg")),          # ok
+            ("webp", LOSSY_WEBP),                         # ok (VP8)
+            ("webp", ALPHA_WEBP),                         # ok (VP8+ALPH)
+            ("webp", ANIM_WEBP),                          # unsupported
+            ("png", b"\x89PNG\r\n\x1a\n" + bytes(24)),    # corrupt
+        ]
+        for pdf in batches:
+            idx = pdf["event_id"].to_numpy() % len(fixtures)
+            yield pd.DataFrame(
+                [fixtures[i] for i in idx], columns=["fmt", "bytes"])
+
+    from gdal_spark.functions.codecs import classify_table
+
+    corpus = ev.mapInPandas(gen, sch)
+    t0 = time.time()
+    rows = classify_table(corpus).groupBy("decode_status").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    sec = round(time.time() - t0, 3)
+    counts = {r["decode_status"]: r["n"] for r in rows}
+    n = sum(counts.values())
+    # planted mix: 4/6 ok, 1/6 unsupported, 1/6 corrupt (event_id mod 6)
+    ok_rate = counts.get("ok", 0) / n if n else 0.0
+    un_rate = counts.get("unsupported_codec", 0) / n if n else 0.0
+    co_rate = counts.get("corrupt", 0) / n if n else 0.0
+    return {
+        "sec": sec,
+        "rows": n,
+        "rows_per_sec": round(n / sec, 1) if sec else None,
+        "status_ok": counts.get("ok", 0),
+        "status_unsupported": counts.get("unsupported_codec", 0),
+        "status_corrupt": counts.get("corrupt", 0),
+        "mix_ok": abs(ok_rate - 4 / 6) < 0.01
+        and abs(un_rate - 1 / 6) < 0.01 and abs(co_rate - 1 / 6) < 0.01,
+    }
+
+
+def decode_mixed_once() -> None:
+    from gdal_spark.session import get_session
+
+    spark = get_session(app_name="bench_decode_mixed",
+                        master=f"local[{CPUS}]")
+    spark.range(8).selectExpr("sum(id)").collect()
+    out = _decode_mixed(spark)
+    spark.stop()
+    print(json.dumps({"name": "decode_invariant_mixed", **out}))
+
+
 # Headline entry set. ann_lsh_topk (the LSH multiprobe scale path)
 # replaced ann_cosine_topk (brute-force oracle anchor, demoted to the
 # correctness gate only) per the r3 verdict.
@@ -222,6 +305,14 @@ def headline_suite() -> None:
     timings["decode_invariant"] = dec["sec"]
     invariants = {k: v for k, v in dec.items() if k.endswith("_rate")}
 
+    mix = _sub(["--decode-mixed"])
+    timings["decode_invariant_mixed"] = mix["sec"]
+    invariants["mixed_rows_per_sec"] = mix["rows_per_sec"]
+    invariants["mixed_status_counts"] = {
+        "ok": mix["status_ok"], "unsupported": mix["status_unsupported"],
+        "corrupt": mix["status_corrupt"]}
+    invariants["mixed_mix_ok"] = mix["mix_ok"]
+
     fl = _sub(["--flagship-median", str(BENCH_REPS)])
     flagship_sec = fl["median"]
     timings["images_join_tile"] = flagship_sec
@@ -229,7 +320,8 @@ def headline_suite() -> None:
 
     # report in canonical order regardless of run order
     timings = {k: timings[k] for k in
-               [*HEADLINE_QUERIES, "images_join_tile", "decode_invariant"]}
+               [*HEADLINE_QUERIES, "images_join_tile", "decode_invariant",
+                "decode_invariant_mixed"]}
     total = round(sum(timings.values()), 3)
     # round-over-round comparability: exact r2 entry set = current set
     # minus minhash128_lsh_pairs (added r3) and ann_lsh_topk (replaced
@@ -397,6 +489,8 @@ if __name__ == "__main__":
         query_once(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else BENCH_REPS)
     elif len(sys.argv) > 1 and sys.argv[1] == "--decode-once":
         decode_once()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--decode-mixed":
+        decode_mixed_once()
     elif len(sys.argv) > 1 and sys.argv[1] == "--flagship-median":
         flagship_median(int(sys.argv[2]) if len(sys.argv) > 2 else BENCH_REPS)
     else:
