@@ -46,24 +46,35 @@ class _Bool:
         self.bits = 0
 
     def get(self, prob: int = 128) -> int:
-        split = 1 + (((self.rng - 1) * prob) >> 8)
+        rng = self.rng
+        value = self.value
+        split = 1 + (((rng - 1) * prob) >> 8)
         big = split << 8
-        if self.value >= big:
+        if value >= big:
             ret = 1
-            self.rng -= split
-            self.value -= big
+            rng -= split
+            value -= big
         else:
             ret = 0
-            self.rng = split
-        while self.rng < 128:
-            self.value <<= 1
-            self.rng <<= 1
-            self.bits += 1
-            if self.bits == 8:
-                self.bits = 0
-                if self.pos < len(self.data):
-                    self.value |= self.data[self.pos]
-                self.pos += 1
+            rng = split
+        if rng < 128:
+            data = self.data
+            ln = len(data)
+            bits = self.bits
+            pos = self.pos
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                bits += 1
+                if bits == 8:
+                    bits = 0
+                    if pos < ln:
+                        value |= data[pos]
+                    pos += 1
+            self.bits = bits
+            self.pos = pos
+        self.rng = rng
+        self.value = value
         return ret
 
     def literal(self, n: int) -> int:
@@ -142,62 +153,71 @@ _C1 = 20091  # cospi8sqrt2 - 1, Q16
 _C2 = 35468  # sinpi8sqrt2, Q16
 
 
-def _idct4x4(block: np.ndarray) -> np.ndarray:
-    ip = block.astype(np.int64)
-    tmp = np.empty((4, 4), np.int64)
+def _idct4x4(block) -> np.ndarray:
+    # plain-int arithmetic: for a 4x4 block, Python ints beat numpy's
+    # per-op dispatch by ~5x; exact RFC integer semantics
+    ip = [int(v) for v in np.asarray(block).ravel()]
+    tmp = [0] * 16
     for c in range(4):
-        a1 = ip[0, c] + ip[2, c]
-        b1 = ip[0, c] - ip[2, c]
-        t1 = (ip[1, c] * _C2) >> 16
-        t2 = ip[3, c] + ((ip[3, c] * _C1) >> 16)
-        c1 = t1 - t2
-        t1 = ip[1, c] + ((ip[1, c] * _C1) >> 16)
-        t2 = (ip[3, c] * _C2) >> 16
-        d1 = t1 + t2
-        tmp[0, c] = a1 + d1
-        tmp[3, c] = a1 - d1
-        tmp[1, c] = b1 + c1
-        tmp[2, c] = b1 - c1
-    out = np.empty((4, 4), np.int64)
-    for r in range(4):
-        a1 = tmp[r, 0] + tmp[r, 2]
-        b1 = tmp[r, 0] - tmp[r, 2]
-        t1 = (tmp[r, 1] * _C2) >> 16
-        t2 = tmp[r, 3] + ((tmp[r, 3] * _C1) >> 16)
-        c1 = t1 - t2
-        t1 = tmp[r, 1] + ((tmp[r, 1] * _C1) >> 16)
-        t2 = (tmp[r, 3] * _C2) >> 16
-        d1 = t1 + t2
-        out[r, 0] = (a1 + d1 + 4) >> 3
-        out[r, 3] = (a1 - d1 + 4) >> 3
-        out[r, 1] = (b1 + c1 + 4) >> 3
-        out[r, 2] = (b1 - c1 + 4) >> 3
-    return out
+        i0, i1, i2, i3 = ip[c], ip[4 + c], ip[8 + c], ip[12 + c]
+        a1 = i0 + i2
+        b1 = i0 - i2
+        c1 = ((i1 * _C2) >> 16) - (i3 + ((i3 * _C1) >> 16))
+        d1 = (i1 + ((i1 * _C1) >> 16)) + ((i3 * _C2) >> 16)
+        tmp[c] = a1 + d1
+        tmp[12 + c] = a1 - d1
+        tmp[4 + c] = b1 + c1
+        tmp[8 + c] = b1 - c1
+    out = [0] * 16
+    for r in range(0, 16, 4):
+        t0, t1, t2, t3 = tmp[r], tmp[r + 1], tmp[r + 2], tmp[r + 3]
+        a1 = t0 + t2
+        b1 = t0 - t2
+        c1 = ((t1 * _C2) >> 16) - (t3 + ((t3 * _C1) >> 16))
+        d1 = (t1 + ((t1 * _C1) >> 16)) + ((t3 * _C2) >> 16)
+        out[r] = (a1 + d1 + 4) >> 3
+        out[r + 3] = (a1 - d1 + 4) >> 3
+        out[r + 1] = (b1 + c1 + 4) >> 3
+        out[r + 2] = (b1 - c1 + 4) >> 3
+    return np.array(out, np.int64).reshape(4, 4)
 
 
 def _iwht4x4(block: np.ndarray) -> np.ndarray:
     ip = block.astype(np.int64)
+    if not ip[1:].any() and not ip[0, 1:].any():
+        # DC-only: every output DC is (dc + 3) >> 3
+        return np.full((4, 4), (int(ip[0, 0]) + 3) >> 3, np.int64)
+    a1 = ip[0] + ip[3]
+    b1 = ip[1] + ip[2]
+    c1 = ip[1] - ip[2]
+    d1 = ip[0] - ip[3]
     tmp = np.empty((4, 4), np.int64)
-    for c in range(4):
-        a1 = ip[0, c] + ip[3, c]
-        b1 = ip[1, c] + ip[2, c]
-        c1 = ip[1, c] - ip[2, c]
-        d1 = ip[0, c] - ip[3, c]
-        tmp[0, c] = a1 + b1
-        tmp[1, c] = c1 + d1
-        tmp[2, c] = a1 - b1
-        tmp[3, c] = d1 - c1
+    tmp[0] = a1 + b1
+    tmp[1] = c1 + d1
+    tmp[2] = a1 - b1
+    tmp[3] = d1 - c1
+    t = tmp.T
+    a1 = t[0] + t[3]
+    b1 = t[1] + t[2]
+    c1 = t[1] - t[2]
+    d1 = t[0] - t[3]
     out = np.empty((4, 4), np.int64)
-    for r in range(4):
-        a1 = tmp[r, 0] + tmp[r, 3]
-        b1 = tmp[r, 1] + tmp[r, 2]
-        c1 = tmp[r, 1] - tmp[r, 2]
-        d1 = tmp[r, 0] - tmp[r, 3]
-        out[r, 0] = (a1 + b1 + 3) >> 3
-        out[r, 1] = (c1 + d1 + 3) >> 3
-        out[r, 2] = (a1 - b1 + 3) >> 3
-        out[r, 3] = (d1 - c1 + 3) >> 3
+    out[:, 0] = (a1 + b1 + 3) >> 3
+    out[:, 1] = (c1 + d1 + 3) >> 3
+    out[:, 2] = (a1 - b1 + 3) >> 3
+    out[:, 3] = (d1 - c1 + 3) >> 3
     return out
+
+
+def _residual(blk: np.ndarray):
+    """Residual of one 4x4 coefficient vector: None if all-zero, a
+    scalar for DC-only blocks ((dc + 4) >> 3 everywhere), else the
+    full IDCT."""
+    if not blk.any():
+        return None
+    if not blk[1:].any():
+        return (int(blk[0]) + 4) >> 3
+    return _idct4x4(blk.reshape(4, 4))
 
 
 # ---------------------------------------------------------------------------
@@ -879,16 +899,19 @@ def vp8_decode_yuv(data: bytes):
                                   for k in range(4)], np.int64)
                     P = _sub_pix(Y, yy - 1, xx - 1, W16)
                     pred = _bpred4(A, L, P, sub[b])
-                    res = _idct4x4(coeffs[b].reshape(4, 4))
+                    res = _residual(coeffs[b])
+                    if res is not None:
+                        pred = pred + res
                     Y[yy : yy + 4, xx : xx + 4] = np.clip(
-                        pred + res, 0, 255).astype(np.uint8)
+                        pred, 0, 255).astype(np.uint8)
             else:
                 pred = _pred16_or_8(Y, by, bx, 16, mode)
                 out = pred.copy()
                 for b in range(16):
-                    r, c = b >> 2, b & 3
-                    res = _idct4x4(coeffs[b].reshape(4, 4))
-                    out[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] += res
+                    res = _residual(coeffs[b])
+                    if res is not None:
+                        r, c = b >> 2, b & 3
+                        out[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] += res
                 Y[by : by + 16, bx : bx + 16] = np.clip(
                     out, 0, 255).astype(np.uint8)
             # chroma
@@ -898,9 +921,10 @@ def vp8_decode_yuv(data: bytes):
                 pred = _pred16_or_8(plane, cby, cbx, 8, uv_mode)
                 out = pred.copy()
                 for b in range(4):
-                    r, c = b >> 1, b & 1
-                    res = _idct4x4(coeffs[base + b].reshape(4, 4))
-                    out[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] += res
+                    res = _residual(coeffs[base + b])
+                    if res is not None:
+                        r, c = b >> 1, b & 1
+                        out[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] += res
                 plane[cby : cby + 8, cbx : cbx + 8] = np.clip(
                     out, 0, 255).astype(np.uint8)
 
