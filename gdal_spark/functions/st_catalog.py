@@ -619,6 +619,18 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("ST_Buffer", buffer_udf)
 
     @pandas_udf(T.BinaryType())
+    def curve_to_line(col: pd.Series) -> pd.Series:
+        """Spatialite/OGC ST_CurveToLine: linearize curved ISO WKB
+        (CircularString etc.) at the default 4-deg arc step; linear
+        geometries pass through unchanged."""
+        from gdal_spark.functions.curves import linearize_wkb
+
+        return col.map(
+            lambda v: None if v is None else bytearray(linearize_wkb(bytes(v)))
+        )
+    spark.udf.register("ST_CurveToLine", curve_to_line)
+
+    @pandas_udf(T.BinaryType())
     def transform_udf(col: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
         return pd.Series(
             [None if v is None else bytearray(_transform(bytes(v), int(s), int(d)))

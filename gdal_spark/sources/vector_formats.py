@@ -721,7 +721,20 @@ def _gpkg_unblob(blob: bytes) -> bytes | None:
     flags = blob[3]
     env = (flags >> 1) & 0b111
     env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env]
-    return blob[8 + env_len :]
+    wkb = blob[8 + env_len :]
+    # GeoPackage allows curved ISO types (CircularString & friends,
+    # 8-12); the engine's geometry kernels are linear, so linearize on
+    # ingest (SURVEY §1.2; reference analog:
+    # OGRGeometryFactory::forceTo / getLinearGeometry)
+    if len(wkb) >= 5:
+        gtype = int.from_bytes(wkb[1:5], "little") % 1000
+        if 8 <= gtype <= 12 or gtype == 7:
+            from gdal_spark.functions.curves import (
+                has_curve_geometry, linearize_wkb)
+
+            if has_curve_geometry(wkb):
+                wkb = linearize_wkb(wkb)
+    return wkb
 
 
 def write_gpkg(

@@ -173,3 +173,37 @@ def test_collection_with_curve_child():
     assert gt == W.WKB_GEOMETRYCOLLECTION
     assert geoms[0][0] == W.WKB_LINESTRING
     assert geoms[1][0] == W.WKB_POINT
+
+
+def test_gpkg_curved_geometry_linearized_on_ingest(tmp_path):
+    """A GeoPackage layer carrying a CircularString decodes to linear
+    WKB through read_gpkg (SURVEY §1.2 linearize-on-ingest; reference:
+    OGRGeometryFactory::forceTo)."""
+    import sqlite3
+
+    import pyspark.sql  # noqa: F401 — session fixture below
+    from gdal_spark.sources import vector_formats as VF
+
+    cs = CV.write_circularstring([[0, 0], [1, 1], [2, 0]])
+    blob = b"GP" + bytes([0, 0]) + (4326).to_bytes(4, "little") + cs
+    out = VF._gpkg_unblob(blob)
+    gt, pts = W.parse(out)
+    assert gt == W.WKB_LINESTRING
+    assert len(pts) > 3 and tuple(pts[-1]) == (2, 0)
+    # linear blobs still pass through untouched
+    ls = W.write_linestring(np.array([[0, 0], [1, 1]], float))
+    blob2 = b"GP" + bytes([0, 0]) + (4326).to_bytes(4, "little") + ls
+    assert VF._gpkg_unblob(blob2) == ls
+
+
+def test_st_curvetoline_sql(spark):
+    from gdal_spark.functions.st_catalog import register_all
+
+    register_all(spark)
+    cs = CV.write_circularstring([[0, 0], [1, 1], [2, 0]])
+    df = spark.createDataFrame([(bytearray(cs),)], "g binary")
+    df.createOrReplaceTempView("curves_t")
+    out = spark.sql(
+        "SELECT ST_CurveToLine(g) AS lg FROM curves_t").collect()[0]
+    gt, pts = W.parse(bytes(out.lg))
+    assert gt == W.WKB_LINESTRING and len(pts) == 46
