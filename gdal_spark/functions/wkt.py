@@ -10,7 +10,10 @@ re-parse), matching the convention of queries/rat_entries.py's
 OGR_GEOM_WKT field.
 
 Supported: POINT, LINESTRING, POLYGON, MULTIPOLYGON, MULTIPOINT,
-MULTILINESTRING, 2-D, plus EMPTY.
+MULTILINESTRING, 2-D, plus EMPTY; curved ISO kinds (CIRCULARSTRING,
+COMPOUNDCURVE, CURVEPOLYGON, MULTICURVE, MULTISURFACE) parse to the
+curved WKB types of functions/curves.py (linearize with
+curves.linearize_wkb / SQL ST_CurveToLine).
 """
 
 from __future__ import annotations
@@ -131,4 +134,65 @@ def from_wkt(txt: str) -> bytes | None:
             for p in _split_groups(body[1:-1])
         ]
         return W.write_multipolygon(polys)
+    if kind in ("CIRCULARSTRING", "CIRCULARSTRINGZ"):
+        from gdal_spark.functions import curves as CV
+
+        trip = (_parse_triples(body, force=kind.endswith("Z"))
+                if kind.endswith("Z") else _parse_triples(body))
+        if trip is not None:
+            return CV.write_circularstring(trip)
+        return CV.write_circularstring(_parse_pairs(body))
+    if kind == "COMPOUNDCURVE":
+        from gdal_spark.functions import curves as CV
+
+        return CV.write_compoundcurve(
+            [_curve_component(s) for s in _split_top(body[1:-1])])
+    if kind == "CURVEPOLYGON":
+        from gdal_spark.functions import curves as CV
+
+        return CV.write_curvepolygon(
+            [_curve_component(s) for s in _split_top(body[1:-1])])
+    if kind == "MULTICURVE":
+        from gdal_spark.functions import curves as CV
+
+        return CV.write_multicurve(
+            [_curve_component(s) for s in _split_top(body[1:-1])])
+    if kind == "MULTISURFACE":
+        from gdal_spark.functions import curves as CV
+
+        comps = []
+        for s in _split_top(body[1:-1]):
+            su = s.strip()
+            if su.upper().startswith("CURVEPOLYGON"):
+                comps.append(from_wkt(su))
+            else:  # bare ((ring),(ring)) -> plain polygon
+                comps.append(W.write_polygon(
+                    [_parse_pairs(g) for g in _split_groups(su)]))
+        return CV.write_multisurface(comps)
     raise ValueError(f"unsupported WKT kind {kind}")
+
+
+def _split_top(body: str) -> list[str]:
+    """Split on depth-0 commas: 'CIRCULARSTRING(a,b),(c,d)' -> 2 items."""
+    out, depth, start = [], 0, 0
+    for i, c in enumerate(body):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(body[start:i].strip())
+            start = i + 1
+    tail = body[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _curve_component(txt: str) -> bytes:
+    """One CompoundCurve segment / CurvePolygon ring: a named curved
+    geometry or a bare parenthesized point list (implicit LINESTRING)."""
+    t = txt.strip()
+    if t and t[0] != "(":
+        return from_wkt(t)
+    return W.write_linestring(_parse_pairs(t))

@@ -207,3 +207,35 @@ def test_st_curvetoline_sql(spark):
         "SELECT ST_CurveToLine(g) AS lg FROM curves_t").collect()[0]
     gt, pts = W.parse(bytes(out.lg))
     assert gt == W.WKB_LINESTRING and len(pts) == 46
+
+
+def test_wkt_curved_kinds_parse():
+    """CIRCULARSTRING / COMPOUNDCURVE / CURVEPOLYGON / MULTICURVE /
+    MULTISURFACE WKT (the autotest ogr_geom.py inputs) parse to curved
+    WKB and linearize correctly."""
+    from gdal_spark.functions.wkt import from_wkt
+
+    cs = from_wkt("CIRCULARSTRING (0 0,1 1,1 -1)")
+    got = W.parse(CV.linearize_wkb(cs, 45.0))[1]
+    assert len(got) == 8 and tuple(got[-1]) == (1, -1)
+
+    cc = from_wkt("COMPOUNDCURVE(CIRCULARSTRING (0 0, 1 1, 2 0),(2 0,0 0))")
+    gt, pts = W.parse(CV.linearize_wkb(cc, 45.0))
+    assert gt == W.WKB_LINESTRING and tuple(pts[-1]) == (0, 0)
+
+    cp = from_wkt("CURVEPOLYGON(CIRCULARSTRING (1 0,-1 0,1 0))")
+    gt, rings = W.parse(CV.linearize_wkb(cp, 45.0))
+    assert gt == W.WKB_POLYGON and len(rings) == 1
+
+    mc = from_wkt("MULTICURVE(CIRCULARSTRING (0 0,1 1,2 0),(5 5,6 6))")
+    gt, lines = W.parse(CV.linearize_wkb(mc, 45.0))
+    assert gt == W.WKB_MULTILINESTRING and len(lines) == 2
+
+    ms = from_wkt("MULTISURFACE(CURVEPOLYGON(CIRCULARSTRING (1 0,-1 0,1 0)),"
+                  "((0 0,1 0,1 1,0 0)))")
+    gt, polys = W.parse(CV.linearize_wkb(ms, 45.0))
+    assert gt == W.WKB_MULTIPOLYGON and len(polys) == 2
+
+    csz = from_wkt("CIRCULARSTRING Z (0 0 10,1 1 20,2 0 30)")
+    gt, pts = W.parse(CV.linearize_wkb(csz, 45.0))
+    assert pts.shape[1] == 3 and pts[-1, 2] == 30
