@@ -311,6 +311,30 @@ def _webp_encode(arr: np.ndarray) -> bytes:
     return webp_encode(arr)
 
 
+def _heif_decode(data: bytes) -> np.ndarray:
+    from gdal_spark.functions.extcodecs import heif_decode
+
+    return heif_decode(data)
+
+
+def _heif_encode(arr: np.ndarray) -> bytes:
+    from gdal_spark.functions.extcodecs import heif_encode
+
+    return heif_encode(arr)
+
+
+def _avif_decode(data: bytes) -> np.ndarray:
+    from gdal_spark.functions.extcodecs import avif_decode
+
+    return avif_decode(data)
+
+
+def _avif_encode(arr: np.ndarray) -> bytes:
+    from gdal_spark.functions.extcodecs import avif_encode
+
+    return avif_encode(arr)
+
+
 def _cog_encode(arr: np.ndarray) -> bytes:
     # lazy import: raster.cog pulls in the overview-reduction kernels
     from gdal_spark.raster.cog import write_cog
@@ -329,6 +353,10 @@ DECODERS = {
     "usgsdem": _usgsdem_decode,
     "webp": _webp_decode,  # VP8L lossless + VP8 lossy (RFC 6386)
     "lerc": _lerc_decode,  # standalone Lerc2 blob (read-only, like MRF-LERC)
+    # external-library delegation (reference: frmts/heif, frmts/avif);
+    # raise ExternalCodecUnavailable -> quarantine when the lib is absent
+    "heif": _heif_decode,
+    "avif": _avif_decode,
 }
 ENCODERS = {
     "png": png_encode, "jpeg": _jpeg_encode_default, "qdct": qdct_encode,
@@ -339,6 +367,8 @@ ENCODERS = {
     "nitf": _nitf_encode,
     "dted": _dted_encode,
     "webp": _webp_encode,
+    "heif": _heif_encode,
+    "avif": _avif_encode,
 }
 # gif is lossless only for <=256-color inputs; it is excluded here and its
 # contract entry asserts exactness on palette-sized fixtures instead
@@ -374,7 +404,9 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 #: formats the registry knows OF (magic-identifiable) but cannot decode
 #: without external codec libraries; bytes claiming these formats whose
 #: magic checks out are routed to quarantine, not failure
-UNSUPPORTED_CODECS = {"avif", "heif", "jxl", "jp2"}
+# jxl/jp2 have no decoder at all here; heif/avif are in DECODERS but
+# degrade to this set dynamically when the system library is missing
+UNSUPPORTED_CODECS = {"jxl", "jp2"}
 
 _UNSUPPORTED_MAGIC = {
     "webp": lambda h: h[:4] == b"RIFF" and h[8:12] == b"WEBP",
@@ -412,13 +444,17 @@ def classify_image(data: bytes, fmt: str) -> str:
             decode_image(data, fmt)
             return STATUS_OK
         except ValueError as exc:
+            from gdal_spark.functions.extcodecs import (
+                ExternalCodecUnavailable)
             from gdal_spark.functions.webp import UnsupportedWebPError
 
-            if isinstance(exc, UnsupportedWebPError) or isinstance(
-                exc.__cause__, UnsupportedWebPError
+            quarantine = (UnsupportedWebPError, ExternalCodecUnavailable)
+            if isinstance(exc, quarantine) or isinstance(
+                exc.__cause__, quarantine
             ):
                 # well-formed container, codec needs an external library
-                # (VP8 lossy / ALPH): quarantine, not corruption
+                # (webp animation, heif/avif without the system lib):
+                # quarantine, not corruption
                 return STATUS_UNSUPPORTED
             return STATUS_CORRUPT
         except Exception:

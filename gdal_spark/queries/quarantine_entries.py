@@ -2,15 +2,16 @@
 
 Every executor task builds a mixed corpus slice — decodable images
 (png/tiff/jpeg/webp-lossy/webp-alpha of closed-form pixels),
-well-formed but env-undecodable codec containers (animated webp,
-avif/heif ftyp, JPEG-XL, JP2 signature boxes), truncated/garbage
-bytes, and mislabeled rows — then routes it through
-functions/codecs.classify_table.  The driver's hash compare pins the
-per-(fmt, decode_status) counts, so a 100 TB corpus run degrades
-measurably (quarantine column) instead of erroring when it meets the
-codecs this environment cannot decode (reference drivers: frmts/heif,
-frmts/jpegxl, frmts/openjpeg — all linked against external
-libraries).  Lossy VP8 and ALPH decode natively (functions/vp8.py).
+real HEIC/AVIF (decoded through the system libheif/libavif exactly as
+the reference's frmts/heif + frmts/avif do), well-formed but
+env-undecodable containers (animated webp, JPEG-XL, JP2 signature
+boxes), truncated/garbage bytes, and mislabeled rows — then routes it
+through functions/codecs.classify_table.  The driver's hash compare
+pins the per-(fmt, decode_status) counts, so a 100 TB corpus run
+degrades measurably (quarantine column) instead of erroring when it
+meets codecs this environment cannot decode (frmts/jpegxl,
+frmts/openjpeg remain external-only).  Lossy VP8 and ALPH decode
+natively (functions/vp8.py).
 """
 
 from __future__ import annotations
@@ -31,12 +32,13 @@ _SIDE = 16
 def _fixture_rows(k: int) -> list[tuple[str, bytes]]:
     from gdal_spark.functions import codecs as C
 
+    from gdal_spark.functions.heif_fixtures import (AVIF_FIXTURE,
+                                                    HEIC_FIXTURE)
     from gdal_spark.functions.webp_fixtures import (ALPHA_WEBP, ANIM_WEBP,
                                                     LOSSY_WEBP)
 
     r, c = np.meshgrid(np.arange(_SIDE), np.arange(_SIDE), indexing="ij")
     arr = ((r * 3 + c * 5 + k) % 251).astype(np.uint8)
-    avif = (32).to_bytes(4, "big") + b"ftypavif" + bytes(24)
     heif = (32).to_bytes(4, "big") + b"ftypheic" + bytes(24)
     jxl = b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a" + bytes(16)
     jp2 = b"\x00\x00\x00\x0cjP  \x0d\x0a\x87\x0a" + bytes(16)
@@ -47,13 +49,14 @@ def _fixture_rows(k: int) -> list[tuple[str, bytes]]:
         ("jpeg", C.encode_image(arr, "jpeg")),  # ok
         ("webp", LOSSY_WEBP),                  # ok (lossy VP8, RFC 6386)
         ("webp", ALPHA_WEBP),                  # ok (VP8 + ALPH -> RGBA)
+        ("heif", HEIC_FIXTURE),                # ok (libheif delegation)
+        ("avif", AVIF_FIXTURE),                # ok (libavif delegation)
         ("webp", ANIM_WEBP),                   # unsupported_codec (ANIM)
-        ("avif", avif),                        # unsupported_codec
-        ("heif", heif),                        # unsupported_codec
         ("jxl", jxl),                          # unsupported_codec
         ("jp2", jp2),                          # unsupported_codec
         ("png", png[: len(png) // 3]),         # corrupt (truncated)
         ("webp", b"\x00\x01\x02garbage" + bytes(32)),  # corrupt (bad magic)
+        ("heif", heif),                        # corrupt (magic, junk body)
         ("mystery", ANIM_WEBP),                # unsupported (sniffed magic)
         ("mystery", b"\xde\xad\xbe\xef" + bytes(32)),  # corrupt (unknown)
     ]
@@ -93,12 +96,13 @@ _QUARANTINE_ORACLE = """
     WITH cats(fmt, decode_status, mult) AS (
         VALUES ('png', 'ok', 1), ('tiff', 'ok', 1), ('jpeg', 'ok', 1),
                ('webp', 'ok', 2),            -- lossy VP8 + VP8X/ALPH RGBA
+               ('heif', 'ok', 1),            -- libheif delegation
+               ('avif', 'ok', 1),            -- libavif delegation
                ('webp', 'unsupported_codec', 1),  -- animation
-               ('avif', 'unsupported_codec', 1),
-               ('heif', 'unsupported_codec', 1),
                ('jxl', 'unsupported_codec', 1),
                ('jp2', 'unsupported_codec', 1),
                ('png', 'corrupt', 1), ('webp', 'corrupt', 1),
+               ('heif', 'corrupt', 1),       -- magic ok, junk body
                ('mystery', 'unsupported_codec', 1), ('mystery', 'corrupt', 1)
     )
     SELECT fmt, decode_status,

@@ -13,6 +13,7 @@ import pytest
 from gdal_spark.functions import codecs as C
 from gdal_spark.sources.identify import identify_driver
 
+from gdal_spark.functions.heif_fixtures import AVIF_FIXTURE, HEIC_FIXTURE
 from gdal_spark.functions.webp_fixtures import (ALPHA_WEBP, ANIM_WEBP,
                                                 LOSSY_WEBP)
 
@@ -53,14 +54,18 @@ def test_identify_existing_formats_unchanged():
         ("webp", ALPHA_WEBP, "ok"),            # VP8 + ALPH -> RGBA
         ("webp", ANIM_WEBP, "unsupported_codec"),
         ("webp", WEBP, "corrupt"),             # fake zero-byte VP8 payload
-        ("avif", AVIF, "unsupported_codec"),
-        ("heif", HEIC, "unsupported_codec"),
+        # libheif/libavif are present in this container: real files
+        # decode (ok); magic-only junk is a decode failure (corrupt)
+        ("heif", HEIC_FIXTURE, "ok"),
+        ("avif", AVIF_FIXTURE, "ok"),
+        ("avif", AVIF, "corrupt"),
+        ("heif", HEIC, "corrupt"),
         ("jxl", JXL_CONT, "unsupported_codec"),
         ("jxl", JXL_RAW, "unsupported_codec"),
         ("jp2", JP2, "unsupported_codec"),
         ("jp2", J2K, "unsupported_codec"),
         ("webp", b"\x00garbage" + bytes(16), "corrupt"),
-        ("avif", WEBP, "corrupt"),  # claimed avif, webp magic
+        ("avif", WEBP, "corrupt"),  # claimed avif, webp bytes
         ("mystery", ANIM_WEBP, "unsupported_codec"),  # sniffed container
         ("mystery", b"\xde\xad\xbe\xef" + bytes(16), "corrupt"),
     ],
