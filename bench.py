@@ -133,6 +133,8 @@ def _decode_mixed(spark) -> dict:
         import numpy as np
 
         from gdal_spark.functions import codecs as C
+        from gdal_spark.functions.heif_fixtures import (
+            AVIF_FIXTURE, HEIC_FIXTURE)
         from gdal_spark.functions.webp_fixtures import (
             ALPHA_WEBP, ANIM_WEBP, LOSSY_WEBP, fixture_gradient)
 
@@ -142,6 +144,8 @@ def _decode_mixed(spark) -> dict:
             ("jpeg", C.encode_image(g, "jpeg")),          # ok
             ("webp", LOSSY_WEBP),                         # ok (VP8)
             ("webp", ALPHA_WEBP),                         # ok (VP8+ALPH)
+            ("heif", HEIC_FIXTURE),                       # ok (libheif)
+            ("avif", AVIF_FIXTURE),                       # ok (libavif)
             ("webp", ANIM_WEBP),                          # unsupported
             ("png", b"\x89PNG\r\n\x1a\n" + bytes(24)),    # corrupt
         ]
@@ -159,7 +163,7 @@ def _decode_mixed(spark) -> dict:
     sec = round(time.time() - t0, 3)
     counts = {r["decode_status"]: r["n"] for r in rows}
     n = sum(counts.values())
-    # planted mix: 4/6 ok, 1/6 unsupported, 1/6 corrupt (event_id mod 6)
+    # planted mix: 6/8 ok, 1/8 unsupported, 1/8 corrupt (event_id mod 8)
     ok_rate = counts.get("ok", 0) / n if n else 0.0
     un_rate = counts.get("unsupported_codec", 0) / n if n else 0.0
     co_rate = counts.get("corrupt", 0) / n if n else 0.0
@@ -170,8 +174,8 @@ def _decode_mixed(spark) -> dict:
         "status_ok": counts.get("ok", 0),
         "status_unsupported": counts.get("unsupported_codec", 0),
         "status_corrupt": counts.get("corrupt", 0),
-        "mix_ok": abs(ok_rate - 4 / 6) < 0.01
-        and abs(un_rate - 1 / 6) < 0.01 and abs(co_rate - 1 / 6) < 0.01,
+        "mix_ok": abs(ok_rate - 6 / 8) < 0.01
+        and abs(un_rate - 1 / 8) < 0.01 and abs(co_rate - 1 / 8) < 0.01,
     }
 
 
