@@ -6,7 +6,10 @@ is a plain dict keyed by the `fmt` column, and decode/encode run inside
 Arrow-batched UDFs (mapInPandas), so each executor decodes its partition's
 rows without any driver-side involvement.
 
-This container has NO image libraries (no Pillow/cv2), so:
+This container has no Python image libraries (no Pillow/cv2), so the
+core formats are pure-numpy re-derivations; HEIF/AVIF alone delegate
+to the system libheif/libavif via ctypes (functions/extcodecs.py),
+exactly as the reference's frmts/heif + frmts/avif do:
 
   * "png"  — a real, spec-compliant PNG codec in numpy + zlib (8-bit RGB,
     filter 0 rows). Lossless: round-trips bit-exact.
