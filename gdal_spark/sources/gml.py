@@ -142,11 +142,32 @@ def _parse_geom(el):
         segs = [c for c in el if _strip(c.tag) == "segments"]
         if not segs:
             raise ValueError("gml:Curve without segments")
-        parts = [
-            _parse_geom(s)[1]
-            for s in segs[0]
-            if _strip(s.tag) == "LineStringSegment"
-        ]
+        parts = []
+        for s in segs[0]:
+            st = _strip(s.tag)
+            if st == "LineStringSegment":
+                parts.append(_parse_geom(s)[1])
+            elif st in ("Arc", "ArcString", "Circle"):
+                # curved segments linearize on ingest at the default
+                # 4-deg step (reference: ogr/gml2ogrgeometry.cpp builds
+                # CircularString; OGRGeometryFactory strokes it)
+                from gdal_spark.functions.curves import (
+                    circularstring_points, get_curve_parameters)
+
+                pts = _points_of(s, single=False)
+                if st == "Circle":
+                    if len(pts) < 3:
+                        raise ValueError("gml:Circle needs 3 points")
+                    ok, r, cx, cy, *_ = get_curve_parameters(
+                        pts[0, 0], pts[0, 1], pts[1, 0], pts[1, 1],
+                        pts[2, 0], pts[2, 1])
+                    if not ok:
+                        raise ValueError("degenerate gml:Circle")
+                    opposite = (2 * cx - pts[0, 0], 2 * cy - pts[0, 1])
+                    pts = np.array([pts[0], opposite, pts[0]], np.float64)
+                if len(pts) < 3 or len(pts) % 2 == 0:
+                    raise ValueError(f"gml:{st} needs 2k+1 >= 3 points")
+                parts.append(circularstring_points(pts))
         if not parts:
             raise ValueError("empty gml:segments")
         return "LINESTRING", np.vstack(

@@ -132,3 +132,35 @@ def test_read_gml_distributed(spark):
     assert rows[0].layer == "archsites"
     assert rows[0].wkt == "POINT (593493 4914730)"
     assert rows[0].fields["str1"] == "Signature Rock"
+
+
+def test_gml_arc_and_circle_segments():
+    """gml:Arc / gml:ArcString / gml:Circle segments linearize on
+    ingest (reference: gml2ogrgeometry.cpp -> CircularString ->
+    OGRGeometryFactory stroking)."""
+    from xml.etree import ElementTree as ET
+
+    from gdal_spark.sources.gml import _parse_geom
+
+    xml = ('<gml:Curve xmlns:gml="http://www.opengis.net/gml/3.2">'
+           '<gml:segments>'
+           '<gml:Arc><gml:posList>0 0 1 1 2 0</gml:posList></gml:Arc>'
+           '<gml:LineStringSegment><gml:posList>2 0 3 0</gml:posList>'
+           '</gml:LineStringSegment>'
+           '</gml:segments></gml:Curve>')
+    kind, pts = _parse_geom(ET.fromstring(xml))
+    assert kind == "LINESTRING"
+    # semicircle at 4-deg default: 45 segments + straight tail
+    assert len(pts) == 47
+    assert tuple(pts[0]) == (0, 0) and tuple(pts[-1]) == (3, 0)
+    r = np.hypot(pts[:-1, 0] - 1.0, pts[:-1, 1])
+    assert np.abs(r - 1.0).max() < 1e-9
+
+    xml2 = ('<gml:Curve xmlns:gml="http://www.opengis.net/gml/3.2">'
+            '<gml:segments><gml:Circle>'
+            '<gml:posList>0 0 1 1 2 0</gml:posList>'
+            '</gml:Circle></gml:segments></gml:Curve>')
+    kind, pts = _parse_geom(ET.fromstring(xml2))
+    assert bool((pts[0] == pts[-1]).all())
+    r = np.hypot(pts[:, 0] - 1.0, pts[:, 1])
+    assert np.abs(r - 1.0).max() < 1e-9
