@@ -56,6 +56,7 @@ from gdal_spark.queries import (
     lerc_entries,
     epsg_entries,
     curve_entries,
+    extcodec_entries,
 )
 
 MODULES = [
@@ -70,7 +71,7 @@ MODULES = [
     multimodal_entries, wave4_entries, wave6_entries,
     wave7_entries, wave8_entries, wave9_entries, wave10_entries, wave11_entries, wave12_entries,
     sozip_entries, quarantine_entries, webp_entries, lerc_entries,
-    epsg_entries, curve_entries,
+    epsg_entries, curve_entries, extcodec_entries,
 ]
 
 
