@@ -91,3 +91,31 @@ def test_unavailable_maps_to_quarantine(monkeypatch):
         assert C.classify_image(HEIC_FIXTURE, "heif") == "unsupported_codec"
     finally:
         monkeypatch.setattr(X, "_heif_lib", None)
+
+
+@needs_heif
+@needs_avif
+def test_hostile_bytes_raise_not_crash():
+    """The quarantine classifier feeds arbitrary corpus bytes to the
+    native libs; parse failures must surface as ValueError (libheif /
+    libavif return error codes for malformed containers)."""
+    import random
+
+    rng = random.Random(77)
+    base_h = bytearray(HEIC_FIXTURE)
+    base_a = bytearray(AVIF_FIXTURE)
+    for _ in range(40):
+        bh = bytearray(base_h)
+        ba = bytearray(base_a)
+        for _ in range(rng.randrange(1, 8)):
+            bh[rng.randrange(16, len(bh))] = rng.randrange(256)
+            ba[rng.randrange(16, len(ba))] = rng.randrange(256)
+        for fn, blob in ((X.heif_decode, bh), (X.avif_decode, ba)):
+            try:
+                fn(bytes(blob))
+            except ValueError:
+                pass
+    for fn in (X.heif_decode, X.avif_decode):
+        for blob in (b"", bytes(8), (32).to_bytes(4, "big") + b"ftypheic"):
+            with pytest.raises(ValueError):
+                fn(blob)
